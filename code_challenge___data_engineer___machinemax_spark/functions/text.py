@@ -1,0 +1,99 @@
+"""Text expression library: tokenization, cleansing, analysis.
+
+All JVM-side column expressions (whole-stage codegen; no Python UDFs in the
+hot path). Each has exact DuckDB-SQL twins used by the oracle gate.
+
+Reference semantics covered:
+- tokenize: the Mongo ``$text`` analyzer's tokenization step, reduced to the
+  documented engine semantics (case-insensitive, letter/digit runs, no
+  stemming) — reference api.py:22-26, pinned by api-test:45-60.
+- strip_html: join paragraph fragments, delete all ``<...>`` tags, trim,
+  NULL iff zero fragments — reference newsspider.py:48-49 (exact null vs
+  empty-string behavior preserved).
+- coalesce_nonblank: Python ``x or y`` fallback (treats '' like None) —
+  reference newsspider.py:41-42.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Non-alphanumeric separator, unicode-aware. RE2 (DuckDB) and Java regex both
+# support \p{L}/\p{N}.
+_SEP = r"[^\p{L}\p{N}]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased letter/digit tokens of a text column (no empty tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.regexp_replace(F.lower(c), _SEP, " ")), " ")
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize`."""
+    return (
+        "list_filter(string_split(trim(regexp_replace(lower(" + expr + "), "
+        r"'[^\p{L}\p{N}]+', ' ', 'g')), ' '), t -> t <> '')"
+    )
+
+
+def strip_html(paragraphs: Column) -> Column:
+    """Join an array of HTML fragments, strip tags, trim; NULL iff the array
+    is empty/NULL (reference newsspider.py:48-49: ``if text_contents else
+    None`` — empty-after-strip stays '' not NULL)."""
+    joined = F.concat_ws(" ", paragraphs)
+    cleaned = F.trim(F.regexp_replace(joined, r"<[^>]*>", ""))
+    return F.when(F.coalesce(F.size(paragraphs), F.lit(0)) == 0, F.lit(None)).otherwise(cleaned)
+
+
+def coalesce_nonblank(*cols: Column) -> Column:
+    """First non-NULL, non-empty value — Python ``a or b`` semantics
+    (reference newsspider.py:41-42 uses ``extract_first() or xpath(...)``,
+    which also skips '')."""
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in cols])
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of tokens (whitespace/punct split)."""
+    return F.size(tokenize(col))
+
+
+def word_stats(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring signal columns for a text column (length, token count,
+    mean token length, punctuation ratio, uppercase ratio)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(n_tokens > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens),
+        "punct_ratio": F.when(
+            n_chars > 0, F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]+", "")) / n_chars
+        ),
+    }
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles (n-grams of tokens) as an array of strings, the input
+    unit for MinHash/Jaccard near-dup detection. Pure built-ins: sliding
+    window via transform over token indices."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`."""
+    toks = tokenize_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN [] ELSE "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) END"
+    )

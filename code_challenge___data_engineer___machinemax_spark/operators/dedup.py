@@ -1,0 +1,174 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+These generalize the reference's only stateful relational op — the crawl
+frontier's "never process twice" set discipline (index.py:117-119,162-172) —
+to document-corpus dedup at training-data-pipeline scale.
+
+Design notes for 100 TB:
+- Exact dedup = hash-groupBy on a digest of the normalized text, never on the
+  raw text (shuffle keys stay 32 bytes).
+- MinHash signatures are computed per-row with JVM built-ins (md5 over
+  shingles; no Python). LSH banding turns near-dup detection into an
+  equi-join on (band, band_signature) — a shuffle on small keys — instead of
+  an O(n^2) cross join. Candidate pairs then get exact Jaccard verification.
+- All hashes derive from md5 so the DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace/punct."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+
+
+def text_digest(col: Column | str) -> Column:
+    """32-byte digest of the normalized text — the exact-dedup group key."""
+    return F.md5(normalize_text(col))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text duplicate group."""
+    return (
+        df.withColumn("__digest", text_digest(text_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 8, k: int = 3) -> Column:
+    """Array of ``num_hashes`` MinHash values (as md5-hex strings) over
+    k-token shingles. Hash family i = md5(i || ':' || shingle); the min over
+    shingles approximates Jaccard similarity between shingle sets.
+
+    Strings (not ints) keep the oracle twin trivial: DuckDB's md5 produces
+    identical hex, and ``min`` over hex strings is the same total order.
+    Empty shingle set -> NULL signature components.
+    """
+    sh = shingles(text_col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` band-keys, each the md5 of
+    ``rows_per_band`` consecutive signature components. Docs sharing any
+    band-key are near-dup candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via MinHash-LSH banding.
+
+    Plan shape: per-row signature (no shuffle) -> explode bands -> groupBy
+    band-key self-join -> distinct pairs. The join key is (band_index,
+    band_hash): small, uniformly distributed; hot buckets (boilerplate docs)
+    are the one skew risk — AQE skew-join handles moderate cases, salting the
+    band-key is the escape hatch.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col, F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_tokens(text_a: Column, text_b: Column) -> Column:
+    """Exact token-set Jaccard similarity between two text columns."""
+    ta = F.array_distinct(tokenize(text_a))
+    tb = F.array_distinct(tokenize(text_b))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= threshold."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint per row, ``bits`` wide (<=60 so the value fits a
+    signed 64-bit long; token hash = first 15 md5 hex chars as an integer).
+
+    Per-bit majority vote across a document's distinct tokens: bit_i =
+    [sum over tokens of (2*((h>>i)&1) - 1) > 0]; fingerprint = Σ bit_i·2^i.
+    Near-dup docs differ in few bits (compare via :func:`hamming64`).
+
+    Plan shape: explode tokens -> one hash-agg with ``bits`` sum columns
+    (partial map-side combine applies) -> arithmetic projection. One shuffle
+    on the id, no Python.
+    """
+    from functools import reduce
+    from operator import add
+
+    token_hash = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint")
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("__tok")
+    ).withColumn("__h", token_hash)
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum((F.shiftright(F.col("__h"), i) % 2) * 2 - 1).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = reduce(
+        add,
+        [
+            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for i in range(bits)
+        ],
+    )
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,66 @@
+"""Keyword full-text search — the reference system's core query.
+
+Reference: Mongo ``$text`` search over the ``text`` field (api.py:22-26),
+semantics pinned by its API tests (api-test:45-60): tokenized,
+case-insensitive, OR across query terms; unknown token -> empty result (not
+an error, api-test:40-43). Stemming is a documented deviation (Mongo's
+analyzer-dependent stemming is not reproduced; the reference tests only
+exercise exact-token match).
+
+Two execution strategies:
+- ``keyword_search``: brute-force tokenize + ``arrays_overlap`` scan.
+  Catalyst-native, whole-stage codegen, perfect at test scale.
+- ``build_inverted_index`` + ``indexed_keyword_search``: the 100 TB path —
+  materialize ``(token, doc_id)`` once at ingest (replacing Mongo's text
+  index, which the reference re-creates per request, api.py:22), then a
+  keyword query becomes a semi-join: probe the index on the (few) query
+  tokens, distinct doc_ids, join back to the corpus. With the index table
+  partitioned/bucketed by token, the probe is a pruned scan, not a full
+  corpus pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def query_tokens(keyword: str) -> list[str]:
+    """Tokenize the query string driver-side (same rules as the data side)."""
+    return [t for t in re.split(r"[^\w]+", keyword.lower(), flags=re.UNICODE) if t]
+
+
+def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
+    """Rows whose ``text_col`` contains any query token (OR semantics)."""
+    toks = query_tokens(keyword)
+    if not toks:
+        return df.limit(0)
+    return df.filter(F.arrays_overlap(tokenize(text_col), F.array(*[F.lit(t) for t in toks])))
+
+
+def build_inverted_index(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """(token, key) posting table: explode distinct tokens per document.
+
+    At scale: write partitioned/bucketed by ``token`` so a keyword probe
+    prunes to the query tokens' buckets.
+    """
+    return (
+        df.select(F.col(key_col), F.explode(F.array_distinct(tokenize(text_col))).alias("token"))
+    )
+
+
+def indexed_keyword_search(df: DataFrame, index: DataFrame, key_col: str, keyword: str) -> DataFrame:
+    """Semi-join search: probe the posting table, join back to the corpus.
+
+    The probe side after ``distinct`` is tiny (bounded by matching doc
+    count), so Catalyst/AQE broadcasts it — no full-corpus tokenize pass.
+    """
+    toks = query_tokens(keyword)
+    if not toks:
+        return df.limit(0)
+    hits = index.filter(F.col("token").isin(toks)).select(key_col).distinct()
+    return df.join(F.broadcast(hits), key_col, "left_semi")

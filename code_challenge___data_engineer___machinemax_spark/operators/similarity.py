@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (exact, oracle-checked).
+The scale path is sign-random-projection LSH: hash each vector to a compact
+bucket key with deterministic pseudo-random hyperplanes, equi-join on the
+bucket, and score only within buckets — turning O(n·q) into a shuffle on
+small keys. All vector math stays JVM-side via higher-order functions
+(zip_with/aggregate); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double, in order
+    (deterministic, matches the sequential oracle computation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector.
+
+    ``query`` is a 1-row DataFrame with column ``__qvec``. The cross join
+    broadcasts the single row; TakeOrderedAndProject keeps the top-k without
+    a global sort. Ties break on the id for determinism.
+    """
+    scored = (
+        df.crossJoin(F.broadcast(query))
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    )
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1).
+
+    Integer LCG-style mix of (plane, dim-index) — reproducible anywhere
+    (including a SQL oracle) without platform RNG.
+    """
+    return [
+        (((plane * 73856093 + j * 19349663 + 83492791) % 2000003) % 2001 - 1000) / 1000.0
+        for j in range(dim)
+    ]
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket key: one bit per hyperplane (sign of the
+    projection), packed into a long."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(c) for c in p])) >= 0, F.lit(1 << i).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket matches the
+    query's bucket. Recall grows by probing fewer planes (coarser buckets);
+    n_planes=8 -> 256 buckets, ~n/256 candidates per query at uniform load.
+    """
+    planes = [hyperplane(i, dim) for i in range(n_planes)]
+    bucketed = df.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+    qb = query.withColumn("__qbucket", srp_bucket(F.col("__qvec"), planes))
+    cand = bucketed.join(
+        F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"), "inner"
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,9 @@
+"""Import all plan modules so their @query registrations run."""
+
+from . import reference_queries  # noqa: F401
+from . import relational  # noqa: F401
+from . import text_pipeline  # noqa: F401
+from . import dedup_queries  # noqa: F401
+from . import similarity_queries  # noqa: F401
+
+from .registry import all_oracles, all_queries  # noqa: F401

@@ -1,0 +1,140 @@
+"""Dedup queries over `documents`: exact, MinHash-LSH near-dup, n-gram
+Jaccard. The md5-based hash family makes every step reproducible in the
+DuckDB oracle. (SimHash is registered rows-only — its 60-bit vote SQL twin
+is impractical; unit tests in tests/test_dedup.py pin its semantics.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_sql, tokenize_sql
+from ..operators.dedup import (
+    dedup_exact,
+    jaccard_tokens,
+    minhash_signature,
+    near_dup_pairs,
+    simhash,
+)
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')))
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the normalized-text digest, keep lowest id.
+    Scale: the shuffle key is the 32-byte digest, never the document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS mh0,
+           list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS mh1,
+           list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS mh2,
+           list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS mh3
+    FROM sh
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (4 hash families over 3-token
+    shingles) — the LSH input, checked value-exactly against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature("text", num_hashes=4, k=3)
+    return d.select(
+        "doc_id",
+        sig[0].alias("mh0"),
+        sig[1].alias("mh1"),
+        sig[2].alias("mh2"),
+        sig[3].alias("mh3"),
+    )
+
+
+@query(
+    "near_dup_pairs_minhash",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                   i -> list_aggregate(
+                       list_transform({shingles_sql('text', 3)}, s -> md5(i || ':' || s)),
+                       'min')) AS sig
+        FROM documents
+    ), banded AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN len(list_distinct(list_concat(ta.toks, tb.toks))) > 0
+                 THEN CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks FROM documents) ta
+      ON ta.doc_id = id_a
+    JOIN (SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks FROM documents) tb
+      ON tb.doc_id = id_b
+    WHERE ROUND(CASE WHEN len(list_distinct(list_concat(ta.toks, tb.toks))) > 0
+                THEN CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                ELSE 0.0 END, 6) >= 0.5
+    """,
+)
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (8 hashes, 4 bands) -> candidate pairs ->
+    exact-Jaccard verification at 0.5. The full scale pipeline; on the
+    synthetic corpus the result set is small/empty, which the oracle
+    confirms identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
+
+
+@query(
+    "adjacent_doc_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+                 THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def adjacent_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard on a deterministic pair set
+    (adjacent ids) — pins the Jaccard arithmetic itself, independent of
+    LSH candidate generation."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(jaccard_tokens(F.col("ta"), F.col("tb")), 6).alias("jaccard"))
+    )
+
+
+@query("simhash_fingerprints", oracle=None)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 60-bit fingerprints (rows-only check; semantics pinned by
+    tests/test_dedup.py — near-identical docs land within small hamming
+    distance, unrelated docs far apart)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")

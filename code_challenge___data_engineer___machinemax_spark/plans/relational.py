@@ -1,0 +1,614 @@
+"""Generalized relational surface (SURVEY.md §2.4): joins, group-by aggs,
+windows, set ops, rollup/cube/pivot, sort/limit/top-k, percentiles.
+
+These generalize the reference's operators (frontier anti-join dedup
+index.py:117-119; whole-set count aggregations index.py:144,199-212; point
+lookup apitestmongo.py:38) to the full batch-analytics surface over the
+TPC-H-ish testdata tables.
+
+Determinism rules for the DuckDB oracle gate:
+- Money sums aggregate in DECIMAL(20,4) (exact, order-independent) and cast
+  the result to DOUBLE — bit-identical across engines regardless of
+  partitioning / aggregation order.
+- Every LIMIT query carries a total deterministic ORDER BY (tie-break on a
+  key column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+def _dsum(col) -> F.Column:
+    """Exact order-independent money sum: decimal accumulate, double out."""
+    return F.sum(col.cast("decimal(20,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,4))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + filter + hash agg.
+
+    Scale: partial (map-side) aggregation then a 2-group shuffle — the
+    canonical minimal-shuffle agg; filter and the 7-column projection push
+    down to the parquet scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "segment_order_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + group-by with count / count-distinct / sum / derived avg.
+
+    Scale: customer is the small side at any SF ratio that matters here —
+    broadcast it; the agg then needs only the 5-group shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    tp = _dsum(F.col("o_totalprice"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            tp.alias("total_price"),
+            (tp / F.count("*")).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "rollup_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status, priority) -> status -> grand total."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total_price")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1_urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2_high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3_medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority columns per status row) with explicit pivot values —
+    explicit values keep the plan single-pass (no distinct-values pre-scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    names = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(names))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    for old, new in names.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filters on both fact sides, top-10.
+
+    Scale: the customer filter broadcasts; orders⋈lineitem is the real
+    shuffle on orderkey; top-k is a TakeOrderedAndProject (no global sort).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table star join, local-supplier condition, agg.
+
+    Scale: all dims (customer/supplier/nation/region) broadcast; the only
+    big shuffle is orders⋈lineitem on orderkey. Region filter prunes before
+    the join via broadcast-join pushdown.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after join+agg; deterministic tie-break on key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's frontier-dedup operator generalized
+    (index.py:117-119,162-172: 'never process a URL twice')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "region_customer_counts",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain broadcast join (customer⋈nation⋈region)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), _dsum(F.col("c_acctbal")).alias("total_acctbal"))
+    )
+
+
+@query(
+    "brand_lineitem_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim broadcast join + agg on the dim attribute."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert semantics via row_number — the engine's Parquet
+    equivalent of the reference's update-by-key (apitestmongo.py:53)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "monthly_revenue_running",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(20,4))) OVER (
+               ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_revenue
+    FROM monthly
+    """,
+)
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg then cumulative window (running total over months)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.withColumn(
+        "running_revenue", F.sum(F.col("revenue").cast("decimal(20,4)")).over(w).cast("double")
+    )
+
+
+@query(
+    "order_rank_in_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 5
+    """,
+)
+def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank window (the scalable 'top N per key')."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events (time-series)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window aggregation (tumbling hour) over the events table; the
+    batch twin of the streaming windowed agg in streaming/events.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "event_sessions",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap via lag + running sum —
+    the batch form of streaming session windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "purchasers_who_errored",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def purchasers_who_errored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    x = e.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(x)
+
+
+@query(
+    "viewers_never_purchased",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def viewers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.subtract(p)
+
+
+@query(
+    "all_active_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id FROM events WHERE event_type = 'signup'
+    )
+    """,
+)
+def all_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + DISTINCT (the crawl-round union, op 25 generalized)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    s = e.filter(F.col("event_type") == "signup").select("user_id")
+    return p.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Point lookup / sort-limit
+# ---------------------------------------------------------------------------
+
+@query(
+    "point_lookup_order",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 421",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key (reference find_one by _id, apitestmongo.py:38);
+    the key predicate pushes down to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") == 421).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "most_recent_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 25
+    """,
+)
+def most_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit -> TakeOrderedAndProject (no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(25)
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis pipeline queries over `documents`: language ID, quality
+scoring, token counting, fingerprinting (SURVEY.md §2.4 north-star ops).
+All JVM-side expressions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_sql
+from ..operators.dedup import text_digest
+from ..tables import load_table
+from .registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "ist"],
+    "es": ["el", "la", "de", "y", "los", "que"],
+}
+
+
+def _overlap(tokens, words: list[str]):
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_intersect({tokenize_sql('text')}, ['the','a','of','and','to','in']))  AS en_score,
+               len(list_intersect({tokenize_sql('text')}, ['le','la','et','les','des','un'])) AS fr_score,
+               len(list_intersect({tokenize_sql('text')}, ['der','die','und','das','ein','ist'])) AS de_score,
+               len(list_intersect({tokenize_sql('text')}, ['el','la','de','y','los','que']))  AS es_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, fr_score, de_score, es_score,
+           CASE WHEN greatest(en_score, fr_score, de_score, es_score) = 0 THEN 'unk'
+                WHEN en_score >= greatest(fr_score, de_score, es_score) THEN 'en'
+                WHEN fr_score >= greatest(de_score, es_score) THEN 'fr'
+                WHEN de_score >= es_score THEN 'de'
+                ELSE 'es' END AS lang_guess
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID: per-language score = |tokens ∩
+    stopwords|, argmax with a fixed priority tie-break, 'unk' when nothing
+    matches. (A real model would use char n-gram profiles; the plumbing —
+    tokenize, score, argmax — is identical.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scores = {lg: _overlap(toks, ws) for lg, ws in _STOPWORDS.items()}
+    d = d.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("en_score"),
+        scores["fr"].alias("fr_score"),
+        scores["de"].alias("de_score"),
+        scores["es"].alias("es_score"),
+    )
+    guess = (
+        F.when(F.greatest("en_score", "fr_score", "de_score", "es_score") == 0, "unk")
+        .when(F.col("en_score") >= F.greatest("fr_score", "de_score", "es_score"), "en")
+        .when(F.col("fr_score") >= F.greatest("de_score", "es_score"), "fr")
+        .when(F.col("de_score") >= F.col("es_score"), "de")
+        .otherwise("es")
+    )
+    return d.withColumn("lang_guess", guess)
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars, {tokenize_sql('text')} AS toks FROM documents
+    )
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                 END, 6) AS mean_token_len,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+                 AS distinct_ratio
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: char/token counts, mean token length,
+    distinct-token ratio (repetition detector)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    d = d.select("doc_id", F.length("text").alias("n_chars"), toks.alias("toks"))
+    n_tokens = F.size("toks")
+    total_len = F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, total_len.cast("double") / n_tokens), 6
+        ).alias("mean_token_len"),
+        F.round(
+            F.when(n_tokens > 0, F.size(F.array_distinct("toks")).cast("double") / n_tokens), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "token_counts_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len({tokenize_sql('text')})) AS total_tokens,
+           MAX(len({tokenize_sql('text')})) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (budgeting for training data)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (md5 of normalized text) — the exact-
+    dedup key and the stable doc identity for incremental ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text_digest("text").alias("fingerprint"))
