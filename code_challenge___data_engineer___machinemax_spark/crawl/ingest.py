@@ -1,0 +1,76 @@
+"""Article store: the engine's replacement for the reference's MongoDB
+collection (write path implied by README.md:26-28 but absent from the repo,
+SURVEY.md §0.2; read path api.py:20-26).
+
+Parquet-backed, append-only with latest-wins read semantics:
+- append(): add article rows stamped with an ingest version.
+- latest(): one row per url, the newest version (row_number dedup) — this is
+  Mongo update_one's observable behavior (apitestmongo.py:53) without
+  requiring a transactional format (Delta MERGE would replace this 1:1).
+- search(): the keyword query surface (api.py:22-26 semantics).
+
+At scale: partition the store by ingest date and bucket by url; `latest()`
+then prunes to recent partitions and the window shuffles co-located data.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.search import keyword_search
+from ..schemas import ARTICLE
+
+_PROJECTION = [f.name for f in ARTICLE.fields]  # api.py:27-35 field order
+
+
+class ArticleStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, articles: DataFrame, version: int | None = None) -> None:
+        if version is None:
+            version = time.time_ns()
+        (
+            articles.select(*_PROJECTION)
+            .withColumn("ingest_version", F.lit(version).cast("long"))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def _raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def latest(self) -> DataFrame:
+        w = W.partitionBy("url").orderBy(F.desc("ingest_version"))
+        return (
+            self._raw()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*_PROJECTION)
+        )
+
+    def update(self, url: str, **fields: str) -> None:
+        """update_one-by-key equivalent: append a new version of the row."""
+        row = self.latest().filter(F.col("url") == url)
+        for name, value in fields.items():
+            row = row.withColumn(name, F.lit(value))
+        self.append(row)
+
+    def search(self, keyword: str) -> DataFrame:
+        """Keyword search over stored articles, public-field projection
+        (api.py:26-35). Unknown keyword -> empty DataFrame, not an error."""
+        return keyword_search(self.latest(), keyword).select(*_PROJECTION)
+
+    def search_json(self, keyword: str) -> list[str]:
+        """JSON-array boundary (api.py:38's jsonify)."""
+        return self.search(keyword).toJSON().collect()
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            n.endswith(".parquet") for n in os.listdir(self.path)
+        )

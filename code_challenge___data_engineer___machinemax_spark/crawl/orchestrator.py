@@ -1,0 +1,120 @@
+"""Iterative BFS crawl as driver-side rounds of DataFrame operations.
+
+Reference: the worklist loop (index.py:121-142) + Scrapy follow rules
+(newsspider.py:10-16). Catalyst has no iteration, so the loop lives in the
+driver (SURVEY.md §4 — orchestration, not a relational op); every per-round
+step IS relational: fetch (mapInPandas), admission filter, link extraction,
+classification, and the visited anti-join (the reference's dedup sets).
+
+Scale notes: `visited` is re-materialized per round (localCheckpoint) so the
+union lineage doesn't grow unboundedly; the frontier is repartitioned to the
+fetch-concurrency; every round's dedup is `dropDuplicates` within the round
+plus one `left_anti` join against visited (broadcast while small, SMJ when
+large — Catalyst/AQE decide).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import (
+    admission_filter,
+    article_fields,
+    articles_only,
+    classify_link,
+    extract_links,
+    resolve_url,
+)
+from .fetcher import FetchFn, fetch_stage
+
+
+@dataclass
+class CrawlResult:
+    articles: DataFrame
+    visited: DataFrame
+    downloads: DataFrame  # wanted-doc links encountered (url, found_on)
+    rejected: DataFrame  # junk/offsite links (the reference's regurgited_pages)
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    fetch: FetchFn,
+    base_url: str,
+    max_depth: int = 3,
+    fetch_partitions: int = 4,
+    accept_regex: str | None = None,
+) -> CrawlResult:
+    """BFS crawl from ``seeds``, following same-site links up to
+    ``max_depth`` rounds (``max_depth=1`` == the reference's --single-page,
+    index.py:141-142). ``accept_regex`` narrows followed links
+    (--accept, index.py:55-58)."""
+    frontier = spark.createDataFrame([(u,) for u in seeds], "url string").dropDuplicates(["url"])
+    visited = frontier.limit(0)
+    pages_acc: list[DataFrame] = []
+    links_acc: list[DataFrame] = []
+
+    depth = 0
+    while depth < max_depth:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        fetched = fetch_stage(
+            frontier.repartition(min(fetch_partitions, max(n_frontier, 1))), fetch
+        ).localCheckpoint()
+        visited = visited.unionByName(frontier).dropDuplicates(["url"]).localCheckpoint()
+        pages_acc.append(fetched)
+
+        explorable = admission_filter(fetched.filter(F.col("ok")))
+        links = extract_links(explorable).withColumn(
+            "link", resolve_url(F.col("page_url"), F.col("link"))
+        )
+        links = links.withColumn("link_class", classify_link(F.col("link"), base_url))
+        links_acc.append(links.localCheckpoint())
+
+        next_links = links.filter(F.col("link_class") == "next_page")
+        if accept_regex:
+            next_links = next_links.filter(F.col("link").rlike(accept_regex))
+        frontier = (
+            next_links.select(F.col("link").alias("url"))
+            .dropDuplicates(["url"])
+            .join(visited, "url", "left_anti")  # the dedup-set op, index.py:166-169
+        )
+        depth += 1
+
+    pages = pages_acc[0] if pages_acc else None
+    for extra in pages_acc[1:]:
+        pages = pages.unionByName(extra)
+    all_links = links_acc[0] if links_acc else None
+    for extra in links_acc[1:]:
+        all_links = all_links.unionByName(extra)
+
+    if pages is None:
+        empty_pages = spark.createDataFrame([], "url string, status int, content_type string, html string, ok boolean, error string")
+        pages = empty_pages
+    if all_links is None:
+        all_links = spark.createDataFrame([], "page_url string, link string, link_class string")
+
+    articles = article_fields(articles_only(pages.filter(F.col("ok"))))
+    downloads = (
+        all_links.filter(F.col("link_class") == "wanted_doc")
+        .select(F.col("link").alias("url"), F.col("page_url").alias("found_on"))
+        .dropDuplicates(["url"])  # caught_docs set, index.py:163
+    )
+    rejected = all_links.filter(F.col("link_class").isin("junk", "offsite")).select(
+        F.col("link").alias("url"), "link_class"
+    ).dropDuplicates(["url"])
+
+    stats = {
+        "pages_found": visited.count(),  # 'found N pages' report, index.py:144
+        "docs_found": downloads.count(),
+        "fetch_failures": pages.filter(~F.col("ok")).count(),
+        "articles": articles.count(),
+        "depth_reached": depth,
+    }
+    return CrawlResult(articles=articles, visited=visited, downloads=downloads,
+                       rejected=rejected, stats=stats)

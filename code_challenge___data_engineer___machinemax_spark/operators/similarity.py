@@ -85,18 +85,33 @@ def ann_topk_lsh(
     vec_col: str,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose SRP bucket matches the
-    query's bucket. Recall grows by probing fewer planes (coarser buckets);
-    n_planes=8 -> 256 buckets, ~n/256 candidates per query at uniform load.
+    """Approximate top-k: score only vectors sharing an SRP bucket with the
+    query in ANY of ``n_tables`` independent hash tables (OR-amplification:
+    a true neighbor at angle θ survives one table with p=(1-θ/π)^n_planes,
+    and any-of-T with 1-(1-p)^T — tables buy recall, planes buy precision).
+
+    Plan shape: per-row bucket array (no shuffle) -> posexplode (T rows per
+    vector) -> equi-join on (table, bucket) against the query's T buckets
+    (broadcast) -> distinct ids -> score candidates only. At 100 TB the
+    (table, bucket) join replaces the full scan: ~n·T/2^n_planes candidate
+    rows instead of n scored vectors.
     """
-    planes = [hyperplane(i, dim) for i in range(n_planes)]
-    bucketed = df.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
-    qb = query.withColumn("__qbucket", srp_bucket(F.col("__qvec"), planes))
-    cand = bucketed.join(
-        F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"), "inner"
+    tables = [
+        [hyperplane(t * 1009 + i, dim) for i in range(n_planes)] for t in range(n_tables)
+    ]
+    buckets = F.array(*[srp_bucket(F.col(vec_col), planes) for planes in tables])
+    qbuckets = F.array(*[srp_bucket(F.col("__qvec"), planes) for planes in tables])
+    banded = df.select(F.col(id_col), F.posexplode(buckets).alias("__t", "__bucket"))
+    qb = query.select(F.posexplode(qbuckets).alias("__t", "__bucket"))
+    cand_ids = (
+        banded.join(F.broadcast(qb), ["__t", "__bucket"], "inner")
+        .select(id_col)
+        .distinct()
     )
+    cand = df.join(cand_ids, id_col, "left_semi").crossJoin(F.broadcast(query))
     return (
         cand.withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
         .select(id_col, "cosine")

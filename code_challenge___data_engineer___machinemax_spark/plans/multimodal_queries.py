@@ -1,0 +1,70 @@
+"""Multimodal queries: binary-column handling with oracle-checkable byte
+metrics, plus the mapInPandas feature path (rows-only — Python stage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_features, sample_frames, synth_media
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "media_binary_stats",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               encode(text) AS data, text
+        FROM documents
+    )
+    SELECT kind, COUNT(*) AS n_items,
+           SUM(octet_length(data)) AS total_bytes,
+           MAX(octet_length(data)) AS max_bytes,
+           -- DuckDB md5 is VARCHAR-only; data is exactly text's UTF-8 bytes,
+           -- so md5(text) == Spark's md5(binary data)
+           MIN(lower(md5(text))) AS min_digest
+    FROM media GROUP BY kind
+    """,
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column aggregation: payload sizes + content digest per media
+    kind (storage accounting for a multimodal corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = synth_media(d)
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.octet_length("data")).alias("total_bytes"),
+        F.max(F.octet_length("data")).alias("max_bytes"),
+        F.min(F.lower(F.md5("data"))).alias("min_digest"),
+    )
+
+
+@query(
+    "video_frame_sampling",
+    oracle="""
+    WITH video AS (
+        SELECT doc_id AS media_id, (doc_id % 240 + 1) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, unnest(range(0, n_frames, 24)) AS frame_index, n_frames
+    FROM video
+    """,
+)
+def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-24th-frame sampling plan for video rows (sequence + explode;
+    the per-frame decode is the stubbed step)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(synth_media(d), every_n=24)
+
+
+@query("media_decode_features", oracle=None)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (fake decoder — byte stats; rows-only check, semantics pinned by
+    tests/test_multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_media(d), decoder="fake")

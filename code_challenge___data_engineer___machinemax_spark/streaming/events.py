@@ -1,0 +1,124 @@
+"""Structured Streaming surface over the events table.
+
+The reference's only continuous computation is the crawl loop; the engine
+generalizes to first-class streams: windowed aggregations with watermarks
+(late-data bounded state), streaming dedup (the frontier's "never twice" as
+streaming state), and a custom stateful operator via applyInPandasWithState.
+
+Batch/stream parity: every streaming transform here reuses the same
+expressions as its batch twin (events_hourly in plans/relational.py), so
+tests can drive the stream from the parquet fixtures and diff against batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """events.parquet as a file stream (schema pinned from the batch read;
+    ts arrives as long nanos under nanosAsLong — converted exactly like the
+    batch loader, tables.load_table)."""
+    import hashlib
+    import os
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # file streams require a directory source; stage a symlink dir around the
+    # single parquet file (testdata is read-only)
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/ccdem_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a late-data watermark.
+    Works identically on a batch DataFrame (F.window is batch-legal), which
+    is how tests establish parity."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the crawl
+    frontier's dedup-set discipline as bounded streaming state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count + value sum, emitted on every update. The pattern for
+    operators Spark lacks natively (reference-style accumulating state)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
+    """Drive a finite file-stream to completion into an in-memory table
+    (spark.sql(f'SELECT * FROM {name}') afterwards)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

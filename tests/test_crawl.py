@@ -1,0 +1,155 @@
+"""Crawl-side tests: fixture site, injectable fetcher, no network.
+
+Mirrors the reference's behavioral contract: BFS link following with dedup
+(index.py:117-142), article admission + 7-field extraction
+(newsspider.py:36-49), wanted-doc classification (index.py:162-172),
+error-row tolerance (index.py:124-129), and the store round-trip assertions
+(apitestmongo.py:34-55, api-test:36-60).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.crawl.extract import (
+    article_fields,
+    articles_only,
+)
+from code_challenge___data_engineer___machinemax_spark.crawl.fetcher import (
+    dict_fetcher,
+    fetch_stage,
+)
+from code_challenge___data_engineer___machinemax_spark.crawl.ingest import ArticleStore
+from code_challenge___data_engineer___machinemax_spark.crawl.orchestrator import crawl
+
+BASE = "http://news.test"
+
+ARTICLE_HTML = """<html><head>
+<meta property="og:type" content="article">
+<meta property="og:title" content="Title One">
+<meta property="og:description" content="Desc One">
+<meta property="article:author" content="Alice">
+<meta property="article:section" content="news">
+<meta name="keywords" content="spark,engine">
+</head><body>
+<div itemprop="articleBody"><p>Hello <b>bold</b> world.</p><p>Second para.</p></div>
+<a href="/page2">next</a>
+<a href="/files/report.pdf">doc</a>
+<a href="/img/photo.jpg">pic</a>
+<a href="http://other.site/x">ext</a>
+</body></html>"""
+
+# article page with NO og:title but an h1 headline (fallback path) and NO
+# paragraphs (text must be NULL, newsspider.py:49)
+ARTICLE2_HTML = """<html><head>
+<meta property="og:type" content="article">
+<meta property="og:title" content="">
+</head><body>
+<h1 itemprop="headline">Headline <i>Two</i></h1>
+<div itemprop="articleBody"></div>
+<a href="page3">rel</a>
+</body></html>"""
+
+HUB_HTML = """<html><head><meta property="og:type" content="website"></head>
+<body><a href="/a1">a1</a><a href="/a2">a2</a><a href="/a1">dup</a></body></html>"""
+
+SITE = {
+    f"{BASE}/": (200, "text/html", HUB_HTML),
+    f"{BASE}/a1": (200, "text/html", ARTICLE_HTML),
+    f"{BASE}/a2": (200, "text/html", ARTICLE2_HTML),
+    f"{BASE}/page2": (200, "text/html", "<html><a href='/a1'>back</a></html>"),
+    f"{BASE}/a2/page3": (404, "text/html", "nope"),
+}
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=4)
+
+
+def test_bfs_visits_all_reachable(result):
+    visited = {r.url for r in result.visited.collect()}
+    assert f"{BASE}/" in visited and f"{BASE}/a1" in visited and f"{BASE}/a2" in visited
+    assert f"{BASE}/page2" in visited
+    # junk/offsite never enqueued
+    assert f"{BASE}/img/photo.jpg" not in visited
+    assert "http://other.site/x" not in visited
+
+
+def test_no_url_fetched_twice(result):
+    # /a1 is linked from hub (twice) and page2: dedup sets must collapse it
+    assert result.visited.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    assert result.stats["pages_found"] == 5  # incl. the 404 page3
+
+
+def test_article_admission_and_fields(result):
+    arts = {r.url: r for r in result.articles.collect()}
+    assert set(arts) == {f"{BASE}/a1", f"{BASE}/a2"}  # hub/page2 not articles
+    a1 = arts[f"{BASE}/a1"]
+    assert a1.title == "Title One"
+    assert a1.description == "Desc One"
+    assert a1.author == "Alice"
+    assert a1.section == "news"
+    assert a1.keywords == "spark,engine"
+    assert a1.text == "Hello bold world. Second para."  # tags stripped, joined
+
+
+def test_title_fallback_and_null_text(result):
+    a2 = {r.url: r for r in result.articles.collect()}[f"{BASE}/a2"]
+    assert a2.title == "Headline Two"  # '' og:title falls through to h1
+    assert a2.text is None  # zero paragraphs -> NULL, not ''
+    assert a2.description is None
+
+
+def test_wanted_doc_classification(result):
+    docs = {r.url for r in result.downloads.collect()}
+    assert docs == {f"{BASE}/files/report.pdf"}
+    assert result.stats["docs_found"] == 1
+
+
+def test_fetch_error_is_row_not_exception(spark):
+    fetched = fetch_stage(
+        spark.createDataFrame([(f"{BASE}/missing",)], "url string"),
+        dict_fetcher(SITE),
+    ).collect()
+    assert len(fetched) == 1
+    assert fetched[0].ok is False
+    assert "ConnectionError" in fetched[0].error
+
+
+def test_single_page_mode(spark):
+    res = crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=1)
+    assert res.stats["depth_reached"] == 1
+    assert res.stats["pages_found"] == 1  # only the seed fetched
+
+
+def test_store_roundtrip_update_search(spark, tmp_path, result):
+    # the reference's four storage/API assertions (apitestmongo.py:34-55,
+    # api-test:40-60) against the parquet store
+    store = ArticleStore(spark, str(tmp_path / "articles"))
+    store.append(result.articles, version=1)
+
+    # insert -> lookup round-trip, value fidelity
+    row = store.latest().filter(F.col("url") == f"{BASE}/a1").collect()
+    assert len(row) == 1 and row[0].text == "Hello bold world. Second para."
+
+    # keyword search: hit is exactly the matching doc
+    hits = store.search("bold").collect()
+    assert [h.url for h in hits] == [f"{BASE}/a1"]
+    # unknown keyword -> empty list, not an error
+    assert store.search("zzzzzz").collect() == []
+    # case-insensitive OR semantics
+    assert len(store.search("BOLD nosuchtoken").collect()) == 1
+
+    # update-by-key changes the value; latest() sees exactly one row
+    store.update(f"{BASE}/a1", text="replaced text")
+    row = store.latest().filter(F.col("url") == f"{BASE}/a1").collect()
+    assert len(row) == 1 and row[0].text == "replaced text"
+    # search over old content no longer matches
+    assert store.search("bold").collect() == []
+    assert len(store.search("replaced").collect()) == 1
+
+    # json boundary
+    js = store.search_json("replaced")
+    assert len(js) == 1 and '"url"' in js[0]

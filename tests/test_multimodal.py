@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary round-trip through Arrow, fake-decoder
+determinism, frame sampling arithmetic, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+    decode_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synth_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema_and_kinds(media):
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    row = media.filter(F.col("kind") == "image").first()
+    assert isinstance(row.data, (bytes, bytearray))
+    assert row.meta.width is not None and row.meta.sample_rate is None
+
+
+def test_fake_decode_features_deterministic(media):
+    f1 = {r.media_id: (r.n_bytes, r.byte_mean, r.byte_entropy)
+          for r in decode_features(media, "fake").collect()}
+    f2 = {r.media_id: (r.n_bytes, r.byte_mean, r.byte_entropy)
+          for r in decode_features(media, "fake").collect()}
+    assert f1 == f2
+    # n_bytes must equal the binary length computed JVM-side
+    jvm = {r.media_id: r.n for r in media.select("media_id", F.octet_length("data").alias("n")).collect()}
+    assert all(f1[k][0] == jvm[k] for k in jvm)
+    assert all(v[2] is None or v[2] >= 0 for v in f1.values())
+
+
+def test_frame_sampling_arithmetic(media):
+    frames = sample_frames(media, every_n=24)
+    per = frames.groupBy("media_id", "n_frames").count().collect()
+    for r in per:
+        expect = (r.n_frames - 1) // 24 + 1
+        assert r["count"] == expect
+
+
+def test_real_decoder_stub_gates_clearly(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_features(media, "real")
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_images(media, 224, 224)
