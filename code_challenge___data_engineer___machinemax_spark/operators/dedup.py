@@ -16,7 +16,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
@@ -43,32 +43,48 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 8, k: int = 3) -> Column:
-    """Array of ``num_hashes`` MinHash values (as md5-hex strings) over
-    k-token shingles. Hash family i = md5(i || ':' || shingle); the min over
-    shingles approximates Jaccard similarity between shingle sets.
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """One row per (id, k-token shingle): posexplode tokens, rebuild
+    shingles with lead() over the token order.
 
-    Strings (not ints) keep the oracle twin trivial: DuckDB's md5 produces
-    identical hex, and ``min`` over hex strings is the same total order.
-    Empty shingle set -> NULL signature components.
+    This is the scale path for shingling: evaluating nested higher-order
+    lambdas (transform over slice(tokens)) re-computes the tokenizer per
+    element — O(tokens^2) regex work per document. Exploding once keeps it
+    linear, and the window's per-document partitions are tiny.
     """
-    sh = shingles(text_col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+    toks = df.select(F.col(id_col), F.posexplode(tokenize(text_col)).alias("__pos", "__tok"))
+    w = W.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
-def minhash_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: array of ``bands`` band-keys, each the md5 of
-    ``rows_per_band`` consecutive signature components. Docs sharing any
-    band-key are near-dup candidates."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))),
-    )
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{n-1} per row: hash family i =
+    md5(i || ':' || shingle); min over the document's shingles approximates
+    Jaccard between shingle sets.
+
+    md5-hex strings (not ints) keep the oracle twin trivial: DuckDB produces
+    identical hex and `min` over hex is the same total order. Documents with
+    no shingles (< k tokens) get NULL components.
+
+    Plan shape: explode shingles -> one hash-agg with num_hashes min()
+    columns (partial map-side combine) -> left join back for empty docs.
+    """
+    sh = shingle_rows(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return df.select(id_col).join(sigs, id_col, "left")
 
 
 def lsh_candidate_pairs(
@@ -76,19 +92,26 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash-LSH banding.
 
-    Plan shape: per-row signature (no shuffle) -> explode bands -> groupBy
-    band-key self-join -> distinct pairs. The join key is (band_index,
-    band_hash): small, uniformly distributed; hot buckets (boilerplate docs)
-    are the one skew risk — AQE skew-join handles moderate cases, salting the
-    band-key is the escape hatch.
+    Plan shape: signatures -> explode band keys (md5 of rows_per_band
+    consecutive components) -> self-join on (band, band_key) -> distinct
+    pairs. The join key is small and uniformly distributed; hot buckets
+    (boilerplate docs) are the one skew risk — AQE skew-join handles
+    moderate cases, salting the band-key is the escape hatch.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
     )
-    banded = sig.select(
-        id_col, F.posexplode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("band", "band_key")
+    banded = sig.dropna().select(
+        id_col, F.posexplode(band_keys).alias("band", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -13,7 +13,7 @@ from ..functions.text import shingles_sql, tokenize_sql
 from ..operators.dedup import (
     dedup_exact,
     jaccard_tokens,
-    minhash_signature,
+    minhash_signatures_df,
     near_dup_pairs,
     simhash,
 )
@@ -52,14 +52,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (4 hash families over 3-token
     shingles) — the LSH input, checked value-exactly against the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature("text", num_hashes=4, k=3)
-    return d.select(
-        "doc_id",
-        sig[0].alias("mh0"),
-        sig[1].alias("mh1"),
-        sig[2].alias("mh2"),
-        sig[3].alias("mh3"),
-    )
+    return minhash_signatures_df(d, "doc_id", "text", num_hashes=4, k=3)
 
 
 @query(
