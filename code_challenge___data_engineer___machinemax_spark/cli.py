@@ -1,0 +1,85 @@
+"""CLI driver — the reference's config surface (index.py:18-89: --accept,
+--download, --single-page, --verbose, --wait, --no-random-wait,
+--download-file(s)) mapped 1:1 onto engine parameters, plus the search API
+entry point (api.py:11-12's route as a subcommand).
+
+Thin argparse over public engine functions; no logic lives here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .crawl.fetcher import FetchFn, dict_fetcher, http_fetcher, urls_from_file
+from .crawl.ingest import ArticleStore
+from .crawl.orchestrator import crawl
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ccdem-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="BFS crawl from a seed URL (index.py:92-144)")
+    c.add_argument("url", help="seed URL (scheme defaulted to http:// if missing)")
+    c.add_argument("--accept", default=None, help="only follow links matching this regex")
+    c.add_argument("--single-page", action="store_true", help="fetch only the seed (depth 1)")
+    c.add_argument("--depth", type=int, default=3, help="max crawl rounds")
+    c.add_argument("--wait", type=float, default=5.0, help="politeness delay ceiling (s)")
+    c.add_argument("--no-random-wait", action="store_true", help="fixed instead of random 1..wait")
+    c.add_argument("--store", default=None, help="parquet dir to append extracted articles")
+    c.add_argument("--fixture", default=None, help="JSON file {url: [status, ctype, html]} served instead of HTTP (tests)")
+    c.add_argument("--seeds-file", default=None, help="file of seed URLs, one per line (newsspider.py:24-27)")
+
+    s = sub.add_parser("search", help="keyword search over a store (api.py:11-39)")
+    s.add_argument("keyword")
+    s.add_argument("--store", required=True)
+
+    return p
+
+
+def _fetcher(args: argparse.Namespace) -> FetchFn:
+    if args.fixture:
+        with open(args.fixture) as f:
+            pages = {u: tuple(v) for u, v in json.load(f).items()}
+        return dict_fetcher(pages)
+    return http_fetcher(wait=args.wait, random_wait=not args.no_random_wait)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("ccdem-cli")
+
+    if args.cmd == "crawl":
+        url = args.url if args.url.startswith(("http://", "https://")) else f"http://{args.url}/"
+        seeds = [url]
+        if args.seeds_file:
+            seeds += [r.url for r in urls_from_file(spark, args.seeds_file).collect()]
+        base = url.split("/", 3)[0] + "//" + url.split("/", 3)[2]
+        res = crawl(
+            spark,
+            seeds,
+            _fetcher(args),
+            base_url=base,
+            max_depth=1 if args.single_page else args.depth,
+            accept_regex=args.accept,
+        )
+        if args.store:
+            ArticleStore(spark, args.store).append(res.articles)
+        # the reference's run report (index.py:144,212)
+        print(json.dumps(res.stats))
+        return 0
+
+    if args.cmd == "search":
+        store = ArticleStore(spark, args.store)
+        for line in store.search_json(args.keyword):
+            print(line)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

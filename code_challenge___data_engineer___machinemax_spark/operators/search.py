@@ -35,11 +35,22 @@ def query_tokens(keyword: str) -> list[str]:
 
 
 def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
-    """Rows whose ``text_col`` contains any query token (OR semantics)."""
+    """Rows whose ``text_col`` contains any query token (OR semantics).
+
+    A token match implies a substring match, so a cheap ``contains`` guard
+    runs first: it's a simple predicate (pushable to the scan / evaluated in
+    codegen) that short-circuits the expensive tokenize+overlap filter for
+    the vast majority of non-matching rows.
+    """
     toks = query_tokens(keyword)
     if not toks:
         return df.limit(0)
-    return df.filter(F.arrays_overlap(tokenize(text_col), F.array(*[F.lit(t) for t in toks])))
+    guard = F.lower(F.col(text_col)).contains(toks[0])
+    for t in toks[1:]:
+        guard = guard | F.lower(F.col(text_col)).contains(t)
+    return df.filter(guard).filter(
+        F.arrays_overlap(tokenize(text_col), F.array(*[F.lit(t) for t in toks]))
+    )
 
 
 def build_inverted_index(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,231 @@
+"""Scalar-function surface + specialty operators: JSON extraction, string/
+date/math functions, unpivot, BPE-ish tokenization, as-of join, embedding
+near-dup flags, approximate distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.similarity import cosine
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: extract a field from the props JSON string and
+    aggregate it (the engine's JSON surface — reference touches JSON only at
+    the serialization boundary, api.py:38)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(k).alias("k_sum"), F.max(k).alias("k_max")
+    )
+
+
+@query(
+    "scalar_function_showcase",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           reverse(c_name) AS name_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           substr(c_mktsegment, 1, 4) AS seg4,
+           length(c_name) AS name_len,
+           abs(c_acctbal) AS bal_abs,
+           ROUND(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+           mod(c_custkey, 7) AS key_mod7,
+           ROUND(power(1.05, mod(c_custkey, 10)), 6) AS growth
+    FROM customer
+    """,
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math scalar-function surface, value-exact across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.reverse("c_name").alias("name_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+        F.length("c_name").alias("name_len"),
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 6).alias("bal_sqrt"),
+        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.signum("c_acctbal").alias("bal_sign"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.round(F.pow(F.lit(1.05), F.col("c_custkey") % 10), 6).alias("growth"),
+    )
+
+
+@query(
+    "date_function_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+           CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def date_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface on the order timeline."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "unpivot_monthly_metrics",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1
+    )
+    SELECT month, metric, value
+    FROM monthly UNPIVOT (value FOR metric IN (n_orders, total_price))
+    """,
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot via stack() (the pivot inverse)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total_price"),
+    )
+    return monthly.selectExpr(
+        "month",
+        "stack(2, 'n_orders', n_orders, 'total_price', total_price) AS (metric, value)",
+    )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|\d+|[^\sa-zA-Z\d]+', 0)) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\S+', 0)) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish pre-tokenizer
+    regex (letter runs / capitalized pieces / digit runs / punct runs) — the
+    budget signal for LLM training-data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[A-Z][a-z]*|\d+|[^\sa-zA-Z\d]+"), 0)
+    ws = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "asof_purchase_to_view",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts AS vts, event_id AS view_event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.ts, p.event_id,
+           v.view_event_id, v.vts AS matched_ts
+    FROM purchases p
+    ASOF LEFT JOIN (SELECT user_id, vts, view_event_id FROM views WHERE rn = 1) v
+      ON p.user_id = v.user_id AND p.ts >= v.vts
+    """,
+)
+def asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    view (attribution). Spark has no native as-of join — composed from a
+    union-tag + running last(ignorenulls) window (operators/asof.py), the
+    same one-shuffle cost as a sort-merge join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_event_id"],
+        right_seq="view_event_id",
+    )
+
+
+@query(
+    "embedding_near_dups",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT id_a, id_b, cosine, (cosine >= 0.9) AS is_near_dup FROM pairs
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup flags over a deterministic candidate set
+    (adjacent ids; production candidates come from SRP-LSH buckets,
+    operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine")
+    )
+    return pairs.withColumn("is_near_dup", F.col("cosine") >= 0.9)
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct per event_type (rows-only: HLL
+    estimates are engine-specific; tests/test_operators.py bounds the
+    error against the exact count)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,55 @@
+"""CLI surface: crawl with fixture fetcher -> store -> search, flags."""
+
+from __future__ import annotations
+
+import json
+
+from code_challenge___data_engineer___machinemax_spark.cli import main
+
+from .test_crawl import BASE, SITE
+
+
+def test_cli_crawl_store_search(spark, tmp_path, capsys):
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps({u: list(v) for u, v in SITE.items()}))
+    store = str(tmp_path / "articles")
+
+    rc = main([
+        "crawl", f"{BASE}/", "--fixture", str(fixture), "--store", store, "--depth", "4",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pages_found"] == 5 and stats["articles"] == 2
+
+    rc = main(["search", "bold", "--store", store])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and json.loads(out[0])["url"] == f"{BASE}/a1"
+
+
+def test_cli_single_page_and_accept(spark, tmp_path, capsys):
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps({u: list(v) for u, v in SITE.items()}))
+
+    rc = main(["crawl", f"{BASE}/", "--fixture", str(fixture), "--single-page"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pages_found"] == 1  # --single-page == depth 1 (index.py:141-142)
+
+    rc = main(["crawl", f"{BASE}/", "--fixture", str(fixture), "--depth", "4",
+               "--accept", r"/a1$"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pages_found"] == 2  # seed + only the /a1 link passes --accept
+
+
+def test_cli_scheme_defaulting(spark, tmp_path, capsys):
+    # reference newsspider.py:29-30: bare host gets http:// and trailing /
+    fixture = tmp_path / "site.json"
+    site = dict(SITE)
+    site["http://news.test/"] = SITE[f"{BASE}/"]
+    fixture.write_text(json.dumps({u: list(v) for u, v in site.items()}))
+    rc = main(["crawl", "news.test", "--fixture", str(fixture), "--single-page"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pages_found"] == 1 and stats["fetch_failures"] == 0

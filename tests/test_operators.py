@@ -1,0 +1,74 @@
+"""Operator-level tests: as-of join (both implementations), approx distinct
+error bound."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+)
+from code_challenge___data_engineer___machinemax_spark import plans
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (1, _ts(5), "p0"), (2, _ts(30), "p3"),
+         (3, _ts(7), "p4")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100), (1, _ts(15), 101), (1, _ts(20), 102), (2, _ts(40), 103)],
+        "user_id int, ts timestamp, rv int",
+    )
+    return left, right
+
+
+EXPECT = {
+    "p0": None,  # no right row at or before 00:05
+    "p1": 100,  # 00:08 latest <= 00:10
+    "p2": 102,  # inclusive: right at exactly 00:20 matches
+    "p3": None,  # right row is after the left ts
+    "p4": None,  # key with no right rows at all
+}
+
+
+def test_asof_join_window_impl(asof_data):
+    left, right = asof_data
+    got = {r.tag: r.rv for r in
+           asof_join(left, right, "user_id", "ts", "ts", ["rv"]).collect()}
+    assert got == EXPECT
+
+
+def test_asof_join_pandas_impl_matches(asof_data):
+    left, right = asof_data
+    got = {r.tag: (r.rv, r.matched_ts) for r in
+           asof_join_pandas(left, right, "user_id", "ts", "ts", ["rv"]).collect()}
+    want = {r.tag: (r.rv, r.matched_ts) for r in
+            asof_join(left, right, "user_id", "ts", "ts", ["rv"]).collect()}
+    assert got == want
+
+
+def test_asof_tie_on_right_ts_is_deterministic(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7), (1, _ts(5), 9)], "user_id int, ts timestamp, rv int"
+    )
+    rows = asof_join(left, right, "user_id", "ts", "ts", ["rv"], right_seq="rv").collect()
+    assert rows[0].rv == 9  # max right_seq wins the tie
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    rows = plans.all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.1 * r.exact_users)

@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions: the 100 TB properties (pushdown,
+broadcast, top-k without global sort, partial aggregation) hold in the
+plans Catalyst actually produces."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark import plans
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+_QS = plans.all_queries()
+
+
+def explain_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    txt = explain_text(_QS["point_lookup_order"](spark, sf_dir))
+    assert "PushedFilters" in txt
+    assert "EqualTo(o_orderkey,421)" in txt.replace(" ", "")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    txt = explain_text(_QS["most_recent_orders"](spark, sf_dir))
+    # only the 3 selected columns reach the scan
+    assert "o_orderkey" in txt and "o_totalprice" in txt
+    assert "o_orderpriority" not in txt.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q5_joins_broadcast_dims(spark, sf_dir):
+    txt = explain_text(_QS["q5_revenue_by_nation"](spark, sf_dir))
+    assert txt.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt or txt.count("BroadcastHashJoin") >= 5
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    txt = explain_text(_QS["most_recent_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt  # no global sort for ORDER BY+LIMIT
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    txt = explain_text(_QS["q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in txt  # map-side combine before the shuffle
+    assert txt.count("HashAggregate") >= 2  # partial + final
+
+
+def test_filter_pushdown_on_timestamp(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp")
+    ).select("l_orderkey")
+    txt = explain_text(l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt
+
+
+def test_keyword_search_stays_jvm_side(spark, sf_dir):
+    txt = explain_text(_QS["keyword_search_hit"](spark, sf_dir))
+    # the tokenize+overlap filter must be JVM-side (no Python eval operators)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    # the cheap substring guard accompanies the expensive overlap filter
+    assert "Contains" in txt or "contains" in txt
