@@ -74,3 +74,47 @@ class ArticleStore:
         return os.path.isdir(self.path) and any(
             n.endswith(".parquet") for n in os.listdir(self.path)
         )
+
+
+def download_files(pages: DataFrame, out_dir: str) -> DataFrame:
+    """Document download sink (reference download_file/download_files,
+    index.py:181-212): write each fetched body to ``out_dir`` named by the
+    URL basename, return the ledger (url, ok, error) for the
+    'downloaded m / n' report.
+
+    Executed with mapInPandas so writes happen where the data lives; on a
+    real cluster ``out_dir`` is a shared/object store path. Name collisions
+    keep the first write (the reference's caught_docs set semantics).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    def write_partition(batches):
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                url, body = r["url"], r["html"]
+                try:
+                    name = _re.sub(r"[^A-Za-z0-9._-]", "_", url.rstrip("/").rsplit("/", 1)[-1]) or "index"
+                    path = _os.path.join(out_dir, name)
+                    if not _os.path.exists(path):
+                        with open(path, "w") as f:
+                            f.write(body or "")
+                    rows.append({"url": url, "ok": True, "error": None})
+                except Exception as exc:
+                    rows.append({"url": url, "ok": False, "error": str(exc)})
+            yield pd.DataFrame(rows, columns=["url", "ok", "error"])
+
+    return pages.select("url", "html").mapInPandas(write_partition, "url string, ok boolean, error string")
+
+
+def download_report(ledger: DataFrame) -> tuple[int, int]:
+    """'downloaded m / n' (reference index.py:212)."""
+    row = ledger.agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("ok"), F.count("*").alias("n")
+    ).collect()[0]
+    return int(row.ok or 0), int(row.n)

@@ -64,6 +64,51 @@ def build_inverted_index(df: DataFrame, key_col: str, text_col: str = "text") ->
     )
 
 
+def _token_bucket(token) -> "F.Column":
+    """Partition key for the posting table: the token's first character
+    (letters/digits), '_' otherwise. Driver-computable for pruning."""
+    first = F.substring(token, 1, 1)
+    return F.when(first.rlike("[a-z0-9]"), first).otherwise(F.lit("_"))
+
+
+def materialize_inverted_index(
+    df: DataFrame, key_col: str, path: str, text_col: str = "text"
+) -> None:
+    """Persist the posting table partitioned by token prefix.
+
+    This replaces the reference's per-request index creation (api.py:22)
+    with ingest-time materialization. A keyword probe then reads only the
+    query tokens' partitions — partition pruning does the work of Mongo's
+    B-tree walk. Incremental ingest appends to the same layout.
+    """
+    (
+        build_inverted_index(df, key_col, text_col)
+        .withColumn("bucket", _token_bucket(F.col("token")))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def search_with_materialized_index(
+    spark, df: DataFrame, index_path: str, key_col: str, keyword: str
+) -> DataFrame:
+    """Probe the persisted index: partition pruning on the token prefix +
+    token equality (both pushed to the scan) -> distinct keys -> broadcast
+    semi-join back to the corpus."""
+    toks = query_tokens(keyword)
+    if not toks:
+        return df.limit(0)
+    prefixes = sorted({t[0] if t[0].isalnum() else "_" for t in toks})
+    index = spark.read.parquet(index_path)
+    hits = (
+        index.filter(F.col("bucket").isin(prefixes) & F.col("token").isin(toks))
+        .select(key_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(hits), key_col, "left_semi")
+
+
 def indexed_keyword_search(df: DataFrame, index: DataFrame, key_col: str, keyword: str) -> DataFrame:
     """Semi-join search: probe the posting table, join back to the corpus.
 

@@ -78,6 +78,75 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    ``centroids`` is a small DataFrame (centroid_id, cvec) — broadcast; the
+    argmin is computed JVM-side via a cross join + window (centroid count is
+    small by construction, e.g. sqrt(n)).
+    """
+    from pyspark.sql import Window as W
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = W.partitionBy(*df.columns).orderBy(F.desc("__d"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__d", "cvec")
+    )
+
+
+def label_centroids_df(df: DataFrame, vec_col: str, label_col: str, dim: int = 64) -> DataFrame:
+    """Per-label mean vectors as (centroid_id, cvec) — a deterministic
+    coarse codebook (k-means would iterate this exact aggregation)."""
+    per_dim = (
+        df.select(F.col(label_col).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+        .select(
+            "centroid_id",
+            F.transform(F.col("pairs"), lambda p: p["m"]).alias("cvec"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: score only vectors whose centroid is among the query's
+    ``nprobe`` nearest centroids. At scale the corpus is stored partitioned
+    by centroid_id, so the probe is a partition-pruned scan of ~nprobe/C of
+    the data instead of a full pass."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    q_scored = (
+        query.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
+        .orderBy(F.desc("__d"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = assigned.join(F.broadcast(q_scored), "centroid_id", "left_semi")
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: DataFrame,

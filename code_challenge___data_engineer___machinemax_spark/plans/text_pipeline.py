@@ -131,6 +131,55 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, length(text) AS n_chars, {tokenize_sql('text')} AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS distinct_ratio
+        FROM t
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, ROUND(distinct_ratio, 6) AS distinct_ratio,
+           (n_tokens >= 20 AND n_chars >= 100 AND distinct_ratio >= 0.3) AS keep
+    FROM scored
+    WHERE n_tokens >= 20 AND n_chars >= 100 AND distinct_ratio >= 0.3
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality gate: compute signals, apply keep/drop policy
+    (min length, min tokens, repetition bound) — the standard pre-training
+    corpus filter, all in one codegen'd pass over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(0.0)
+        .alias("distinct_ratio"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") >= 100)
+        & (F.col("distinct_ratio") >= 0.3)
+    )
+    return (
+        scored.withColumn("distinct_ratio", F.round("distinct_ratio", 6))
+        .withColumn("keep", keep)
+        .filter(keep)
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,

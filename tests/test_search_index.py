@@ -1,0 +1,61 @@
+"""Materialized inverted index: same results as brute force, pruned scan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.operators.search import (
+    keyword_search,
+    materialize_inverted_index,
+    search_with_materialized_index,
+)
+from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    label_centroids_df,
+)
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+
+def test_materialized_index_matches_bruteforce(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "inv_index")
+    materialize_inverted_index(d, "doc_id", path)
+    for kw in ["spark window", "merge", "zzznotatoken"]:
+        brute = {r.doc_id for r in keyword_search(d, kw).collect()}
+        indexed = {
+            r.doc_id
+            for r in search_with_materialized_index(spark, d, path, "doc_id", kw).collect()
+        }
+        assert brute == indexed, kw
+
+
+def test_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "inv_index")
+    materialize_inverted_index(d, "doc_id", path)
+    df = search_with_materialized_index(spark, d, path, "doc_id", "spark")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    # partition filter on bucket + data filter on token both reach the scan
+    assert "PartitionFilters" in txt
+    assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    centroids = label_centroids_df(e, "embedding", "label")
+    exact = {r.vec_id for r in cosine_topk(corpus, q, "vec_id", "embedding", k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(corpus, q, centroids, "vec_id", "embedding", k=10, nprobe=3).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5  # nprobe=3 of 10 lists recovers most
