@@ -98,3 +98,16 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact top-k."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return ann_topk_lsh(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+@query("ivf_topk", oracle=None)
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: label-centroid codebook, nprobe=3 coarse
+    lists scored. Rows-only check; tests/test_search_index.py pins recall
+    against the exact top-k."""
+    from ..operators.similarity import ivf_topk, label_centroids_df
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    centroids = label_centroids_df(e, "embedding", "label")
+    return ivf_topk(corpus, _query_df(spark, sf_dir), centroids, "vec_id", "embedding", k=10, nprobe=3)
