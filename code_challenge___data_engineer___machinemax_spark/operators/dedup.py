@@ -127,13 +127,18 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_tokens(text_a: Column, text_b: Column) -> Column:
-    """Exact token-set Jaccard similarity between two text columns."""
-    ta = F.array_distinct(tokenize(text_a))
-    tb = F.array_distinct(tokenize(text_b))
+def jaccard_arrays(ta: Column, tb: Column) -> Column:
+    """Jaccard over two already-distinct token-array columns. Prefer this
+    on pre-tokenized columns: inlining tokenize() here makes the expression
+    re-run the tokenizer for intersect AND union on both sides (4x)."""
     inter = F.size(F.array_intersect(ta, tb))
     union = F.size(F.array_union(ta, tb))
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def jaccard_tokens(text_a: Column, text_b: Column) -> Column:
+    """Exact token-set Jaccard similarity between two text columns."""
+    return jaccard_arrays(F.array_distinct(tokenize(text_a)), F.array_distinct(tokenize(text_b)))
 
 
 def near_dup_pairs(
@@ -146,12 +151,13 @@ def near_dup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold."""
     cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
-    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    toks = F.array_distinct(tokenize(text_col))
+    left = df.select(F.col(id_col).alias("id_a"), toks.alias("__ta"))
+    right = df.select(F.col(id_col).alias("id_b"), toks.alias("__tb"))
     return (
         cand.join(left, "id_a")
         .join(right, "id_b")
-        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6))
+        .withColumn("jaccard", F.round(jaccard_arrays(F.col("__ta"), F.col("__tb")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

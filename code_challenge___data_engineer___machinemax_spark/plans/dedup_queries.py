@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles_sql, tokenize_sql
 from ..operators.dedup import (
     dedup_exact,
-    jaccard_tokens,
     minhash_signatures_df,
     near_dup_pairs,
     simhash,
@@ -115,12 +114,16 @@ def adjacent_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (token-set) Jaccard on a deterministic pair set
     (adjacent ids) — pins the Jaccard arithmetic itself, independent of
     LSH candidate generation."""
+    from ..functions.text import tokenize
+    from ..operators.dedup import jaccard_arrays
+
     d = load_table(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    toks = F.array_distinct(tokenize("text"))
+    a = d.select(F.col("doc_id").alias("id_a"), toks.alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), toks.alias("tb"))
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", F.round(jaccard_tokens(F.col("ta"), F.col("tb")), 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(jaccard_arrays(F.col("ta"), F.col("tb")), 6).alias("jaccard"))
     )
 
 
