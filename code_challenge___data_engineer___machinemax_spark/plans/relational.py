@@ -133,6 +133,88 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), (o_orderstatus, c_mktsegment))
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.join(F.broadcast(c), o.o_custkey == c.c_custkey).createOrReplaceTempView(
+        "__gs_orders_cust"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+        FROM __gs_orders_cust
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment),
+                                (o_orderstatus, c_mktsegment))
+        """
+    )
+
+
+@query(
+    "segment_value_arrays",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_value_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct collection per group (collect_set
+    is unordered — always sort before comparing or storing)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "segments_above_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS seg_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, seg_total FROM seg
+    WHERE seg_total > (SELECT AVG(seg_total) FROM seg)
+    """,
+)
+def segments_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: segments whose revenue exceeds the cross-
+    segment average (computed once, broadcast into the filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(_dsum(F.col("o_totalprice")).alias("seg_total"))
+    )
+    seg.createOrReplaceTempView("__seg_totals")
+    return spark.sql(
+        "SELECT c_mktsegment, seg_total FROM __seg_totals "
+        "WHERE seg_total > (SELECT AVG(seg_total) FROM __seg_totals)"
+    )
+
+
+@query(
     "pivot_priority_by_status",
     oracle="""
     SELECT o_orderstatus,
