@@ -18,8 +18,9 @@ from code_challenge___data_engineer___machinemax_spark import plans
 from code_challenge___data_engineer___machinemax_spark.session import get_spark
 
 # Headline queries: one per engine capability family (scan-agg, multi-join,
-# top-k, window, set-op, text search, text analysis, minhash dedup, vector
-# search). bench time = sum over these.
+# top-k, window, sessionize, as-of join, text search, text analysis,
+# minhash/near-dup dedup, quality gate, vector search exact+ANN).
+# bench time = sum over these.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -27,10 +28,15 @@ HEADLINE = [
     "top_customers_by_revenue",
     "latest_order_per_customer",
     "events_hourly",
+    "event_sessions",
+    "asof_purchase_to_view",
     "keyword_search_hit",
     "term_frequencies",
     "minhash_signatures",
+    "near_dup_pairs_minhash",
+    "quality_filter_pipeline",
     "cosine_topk_bruteforce",
+    "ann_topk_lsh",
 ]
 
 
@@ -40,9 +46,13 @@ def main() -> None:
     spark = get_spark("ccdem-bench")
     queries = plans.all_queries()
 
-    # Warm the JVM + parquet footers once with the cheapest query so the
-    # per-query numbers measure the plans, not session startup.
+    # Warm the JVM, file index and parquet footers once so the per-query
+    # numbers measure the plans, not session startup / FS metadata.
     queries["point_lookup_order"](spark, sf_dir).collect()
+    from code_challenge___data_engineer___machinemax_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -28,19 +28,26 @@ _PROJECTION = [f.name for f in ARTICLE.fields]  # api.py:27-35 field order
 
 
 class ArticleStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, partition_by: str | None = None):
+        """``partition_by`` (e.g. 'section'): hive-partition the store so
+        section-scoped queries prune at the directory level — the 100 TB
+        layout lever. NULL partition values land in the HIVE_DEFAULT
+        partition and read back as NULL."""
         self.spark = spark
         self.path = path
+        self.partition_by = partition_by
 
     def append(self, articles: DataFrame, version: int | None = None) -> None:
         if version is None:
             version = time.time_ns()
-        (
+        writer = (
             articles.select(*_PROJECTION)
             .withColumn("ingest_version", F.lit(version).cast("long"))
             .write.mode("append")
-            .parquet(self.path)
         )
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(self.path)
 
     def _raw(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

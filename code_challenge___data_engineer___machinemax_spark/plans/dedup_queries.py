@@ -127,10 +127,38 @@ def adjacent_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprints", oracle=None)
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """Generated DuckDB twin of operators.dedup.simhash: same md5-derived
+    60-bit token hash (15 hex chars -> BIGINT), same per-bit majority vote.
+    Mechanical but exact — it upgrades SimHash from rows-only to value-
+    checked."""
+    votes = ",\n               ".join(
+        f"SUM((((h >> {i}) & 1) * 2 - 1)) AS v{i}" for i in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    toks = tokenize_sql("text")
+    return f"""
+    WITH exploded AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents)
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM exploded GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 60-bit fingerprints (rows-only check; semantics pinned by
-    tests/test_dedup.py — near-identical docs land within small hamming
-    distance, unrelated docs far apart)."""
+    """SimHash 60-bit fingerprints, value-checked against a generated
+    DuckDB twin; locality semantics pinned by tests/test_dedup.py.
+
+    Note: documents whose text has zero tokens drop out (no rows to vote) —
+    identical behavior both sides."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text")

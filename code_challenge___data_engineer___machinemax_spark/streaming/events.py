@@ -108,6 +108,55 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin of
+    the batch lag+cumsum sessionization (plans/relational.py
+    event_sessions)."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_upsert_to_store(events: DataFrame, path: str) -> None:
+    """foreachBatch sink: per micro-batch, aggregate and merge into a
+    parquet state table (read-modify-overwrite keyed by event_type) — the
+    exactly-once upsert pattern for plain-parquet sinks (Delta MERGE would
+    replace the body of ``merge``)."""
+    import os
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        update = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("v")
+        )
+        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+            current = spark.read.parquet(path)
+            merged = (
+                current.unionByName(update)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+            )
+        else:
+            merged = update
+        merged.write.mode("overwrite").parquet(path + "__tmp")
+        staged = spark.read.parquet(path + "__tmp")
+        staged.write.mode("overwrite").parquet(path)
+
+    q = events.writeStream.outputMode("update").foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a finite file-stream to completion into an in-memory table
     (spark.sql(f'SELECT * FROM {name}') afterwards)."""

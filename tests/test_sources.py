@@ -1,0 +1,48 @@
+"""Source/sink format coverage: the article schema round-trips through the
+engine's supported formats (parquet is the store default; csv/json are the
+interchange paths) with null fidelity where the format allows it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.schemas import ARTICLE
+
+ROWS = [
+    ("http://s/a", "T1", "d", "au", "news", "k1,k2", "alpha body"),
+    ("http://s/b", None, None, None, None, None, None),  # all-null payload
+    ("http://s/c", "", "x", "y", "sport", "", ""),  # empty strings distinct from null
+]
+
+
+def test_parquet_roundtrip_preserves_null_vs_empty(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, ARTICLE)
+    p = str(tmp_path / "a.parquet")
+    df.write.parquet(p)
+    back = {r.url: r for r in spark.read.parquet(p).collect()}
+    assert back["http://s/b"].title is None
+    assert back["http://s/c"].title == ""  # '' survives as '', not NULL
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, ARTICLE)
+    p = str(tmp_path / "a.json")
+    df.write.json(p)
+    back = {r.url: r for r in spark.read.schema(ARTICLE).json(p).collect()}
+    assert back["http://s/b"].text is None
+    assert back["http://s/a"].keywords == "k1,k2"
+
+
+def test_csv_roundtrip_documented_null_caveat(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, ARTICLE)
+    p = str(tmp_path / "a.csv")
+    df.write.option("header", True).csv(p)
+    back = {
+        r.url: r
+        for r in spark.read.schema(ARTICLE).option("header", True).csv(p).collect()
+    }
+    # CSV cannot distinguish '' from NULL without emptyValue tricks — both
+    # come back NULL; the store format (parquet) is what preserves the edge
+    assert back["http://s/b"].title is None
+    assert back["http://s/c"].title is None
+    assert back["http://s/a"].text == "alpha body"

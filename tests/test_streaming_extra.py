@@ -1,0 +1,76 @@
+"""Session windows (stream vs batch parity) and the foreachBatch upsert
+sink; partitioned-store pruning."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.crawl.ingest import ArticleStore
+from code_challenge___data_engineer___machinemax_spark.schemas import ARTICLE
+from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    stream_upsert_to_store,
+)
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+
+def test_session_windows_stream_matches_batch(spark, sf_dir):
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(session_windows(stream), "sess_win", "complete")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_windows(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_foreachbatch_upsert(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "agg_store")
+    stream = read_event_stream(spark, sf_dir)
+    stream_upsert_to_store(stream, path)
+    got = {r.event_type: (r.n, round(r.v, 4)) for r in spark.read.parquet(path).collect()}
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.n, round(r.v, 4))
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-2
+
+
+def test_partitioned_store_prunes(spark, tmp_path):
+    rows = [
+        ("http://s/a", "t1", None, None, "news", None, "alpha body"),
+        ("http://s/b", "t2", None, None, "sport", None, "beta body"),
+        ("http://s/c", "t3", None, None, None, None, "gamma body"),
+    ]
+    df = spark.createDataFrame(rows, ARTICLE)
+    store = ArticleStore(spark, str(tmp_path / "arts"), partition_by="section")
+    store.append(df, version=1)
+
+    # null section round-trips
+    got = {r.url: r.section for r in store.latest().collect()}
+    assert got == {"http://s/a": "news", "http://s/b": "sport", "http://s/c": None}
+
+    # section filter prunes at partition level
+    q = store._raw().filter(F.col("section") == "news")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt
+    assert "section" in txt.split("PartitionFilters", 1)[1][:200]
+    assert {r.url for r in q.collect()} == {"http://s/a"}
