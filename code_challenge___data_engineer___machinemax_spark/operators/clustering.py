@@ -1,0 +1,126 @@
+"""Iterative distributed algorithms: connected components (dedup-cluster
+resolution) and a deterministic Lloyd's k-means (IVF codebook training).
+
+Both are driver-side loops of DataFrame rounds (like the crawl, SURVEY.md
+§4: iteration is orchestration, each step is relational), with
+localCheckpoint per round to cap lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine, label_centroids_df
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, component)
+    with component = min member id. This resolves near-dup *pairs* into
+    dedup *groups* (keep one canonical doc per component).
+
+    Label propagation: each round every node adopts the min label among
+    itself and its neighbors; converges in O(diameter) rounds. Each round
+    is one join + agg on (id, label) — shuffle keys are ids only.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, corpus: DataFrame, id_col: str) -> DataFrame:
+    """Near-dup pairs -> components -> per-doc (id, component, is_canonical)
+    where the canonical keeper is the min id. Docs in no pair are their own
+    singleton component."""
+    comp = connected_components(pairs)
+    return (
+        corpus.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
+
+
+def kmeans_lite(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means on cosine distance: init = vectors of
+    the ``k`` lowest ids, fixed ``iters`` rounds. Returns (assignments,
+    centroids). Every round is one broadcast cross-score + argmin window +
+    per-dimension mean agg — no Python in the data path."""
+    from pyspark.sql import Window as W
+
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .withColumn("cvec", F.transform("cvec", lambda x: x.cast("double")))
+        .localCheckpoint()
+    )
+    centroids = init
+    assigned = None
+    for _ in range(iters):
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__sim", cosine(F.col(vec_col), F.col("cvec"))
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "centroid_id", vec_col)
+            .localCheckpoint()
+        )
+        centroids = (
+            label_centroids_df(assigned, vec_col, "centroid_id")
+            .localCheckpoint()
+        )
+    return assigned, centroids
+
+
+def inertia(assigned: DataFrame, centroids: DataFrame, vec_col: str) -> float:
+    """Mean (1 - cosine) to the assigned centroid — the convergence metric."""
+    joined = assigned.join(centroids, "centroid_id")
+    row = joined.agg(
+        F.avg(1 - cosine(F.col(vec_col), F.col("cvec"))).alias("inertia")
+    ).collect()[0]
+    return float(row.inertia)

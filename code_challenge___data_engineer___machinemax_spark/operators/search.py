@@ -120,3 +120,57 @@ def indexed_keyword_search(df: DataFrame, index: DataFrame, key_col: str, keywor
         return df.limit(0)
     hits = index.filter(F.col("token").isin(toks)).select(key_col).distinct()
     return df.join(F.broadcast(hits), key_col, "left_semi")
+
+
+def bm25_rank(
+    df: DataFrame,
+    key_col: str,
+    keyword: str,
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked keyword search (the relevance upgrade over the
+    reference's unordered Mongo cursor, api.py:26-35).
+
+    Plan shape: explode tokens once -> per-(doc, token) tf for query tokens
+    only -> join tiny (token, df) and scalar (N, avgdl) aggregates, both
+    broadcast -> score + top-k. Scale: the posting explode is the same work
+    as index construction; everything after operates on matched rows only.
+    """
+    toks = query_tokens(keyword)
+    if not toks:
+        return df.limit(0)
+
+    tokens = df.select(F.col(key_col), F.explode(tokenize(text_col)).alias("token"))
+    doc_len = tokens.groupBy(key_col).agg(F.count("*").alias("dl"))
+    corpus = doc_len.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    matched = tokens.filter(F.col("token").isin(toks))
+    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doc_len, key_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(key_col))
+        .limit(k)
+    )

@@ -1,0 +1,71 @@
+"""Ranking + clustering queries: BM25 relevance (oracle-checked), dedup
+cluster resolution and k-means codebook (rows-only iterative ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_sql
+from ..operators.clustering import dedup_clusters, kmeans_lite
+from ..operators.dedup import near_dup_pairs
+from ..operators.search import bm25_rank
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "bm25_keyword_ranking",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN ('merge', 'vector') GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * (tf * 2.2::DOUBLE)
+               / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                      + 0.75::DOUBLE * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (token) JOIN doc_len USING (doc_id) CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-10 for a 2-token query (2-term score sums are
+    commutative in IEEE double, so cross-engine value equality holds; the
+    k1=1.2 / b=0.75 constants are forced to DOUBLE in the oracle to dodge
+    DuckDB's decimal literals)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_rank(d, "doc_id", "merge vector", k=10)
+
+
+@query("dedup_cluster_resolution", oracle=None)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to components with canonical keepers
+    (iterative label propagation — rows-only; semantics pinned by
+    tests/test_clustering.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    return dedup_clusters(pairs, d, "doc_id")
+
+
+@query("kmeans_codebook", oracle=None)
+def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means assignments (k=8, 2 rounds) — the IVF
+    codebook trainer (rows-only iterative op; convergence + determinism
+    pinned by tests/test_clustering.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lite(e, "vec_id", "embedding", k=8, iters=2)
+    return assigned.select("vec_id", "centroid_id")

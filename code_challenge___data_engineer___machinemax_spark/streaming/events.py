@@ -157,6 +157,31 @@ def stream_upsert_to_store(events: DataFrame, path: str) -> None:
         q.stop()
 
 
+def purchases_with_recent_view(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to same-user views
+    within the preceding ``horizon``. Watermarks bound both sides' state.
+    Works identically on batch inputs (tests drive parity)."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", "2 hours")
+        v = v.withWatermark("v_ts", "2 hours")
+    return p.join(
+        v,
+        F.expr(
+            f"p_user = v_user AND v_ts >= p_ts - INTERVAL {horizon} AND v_ts <= p_ts"
+        ),
+    ).select("p_user", "p_ts", "purchase_id", "v_ts", "view_id")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a finite file-stream to completion into an in-memory table
     (spark.sql(f'SELECT * FROM {name}') afterwards)."""

@@ -1,0 +1,67 @@
+"""Connected components, dedup clusters, k-means lite, BM25 ranking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+    inertia,
+    kmeans_lite,
+)
+from code_challenge___data_engineer___machinemax_spark.operators.search import bm25_rank
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+
+def test_connected_components_chain_and_islands(spark):
+    # 1-2-3 chained, 10-11 pair, 20-21-22 star on 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    corpus = spark.range(6).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: (r.component, r.is_canonical)
+            for r in dedup_clusters(pairs, corpus, "doc_id").collect()}
+    assert rows[1] == (1, True) and rows[2] == (1, False) and rows[3] == (1, False)
+    for singleton in (0, 4, 5):
+        assert rows[singleton] == (singleton, True)
+
+
+def test_kmeans_converges_and_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = kmeans_lite(e, "vec_id", "embedding", k=5, iters=1)
+    a3, c3 = kmeans_lite(e, "vec_id", "embedding", k=5, iters=3)
+    i1 = inertia(a1, c1, "embedding")
+    i3 = inertia(a3, c3, "embedding")
+    assert i3 <= i1 + 1e-9  # Lloyd's never increases inertia
+    # determinism: same call -> same assignment
+    a3b, _ = kmeans_lite(e, "vec_id", "embedding", k=5, iters=3)
+    assert {(r.vec_id, r.centroid_id) for r in a3.collect()} == {
+        (r.vec_id, r.centroid_id) for r in a3b.collect()
+    }
+
+
+def test_bm25_ranks_higher_tf_and_rarer_terms(spark):
+    rows = [
+        (1, "spark spark spark engine"),  # high tf for 'spark'
+        (2, "spark engine engine engine"),
+        (3, "engine only text here"),
+        (4, "unrelated words entirely different"),
+        (5, "rareterm appears here once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_rank(df, "doc_id", "spark", k=3).collect()
+    assert top[0].doc_id == 1  # highest tf wins for single-term query
+    assert {r.doc_id for r in top} == {1, 2}  # only matching docs scored
+    # rarer term outranks common term at equal tf
+    top2 = bm25_rank(df, "doc_id", "rareterm engine", k=5).collect()
+    assert top2[0].doc_id == 5

@@ -51,6 +51,31 @@ def test_foreachbatch_upsert(spark, sf_dir, tmp_path):
         assert abs(got[k][1] - want[k][1]) < 1e-2
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        purchases_with_recent_view,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    sp = stream.filter(F.col("event_type") == "purchase")
+    sv = stream.filter(F.col("event_type") == "view")
+    run_to_memory(purchases_with_recent_view(sp, sv), "ssj", "append")
+    got = {
+        (r.purchase_id, r.view_id) for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in purchases_with_recent_view(
+            e.filter(F.col("event_type") == "purchase"),
+            e.filter(F.col("event_type") == "view"),
+        ).collect()
+    }
+    # streaming append emits only pairs inside the watermark horizon; with a
+    # single input file everything is in one micro-batch, so sets match
+    assert got == want
+
+
 def test_partitioned_store_prunes(spark, tmp_path):
     rows = [
         ("http://s/a", "t1", None, None, "news", None, "alpha body"),
