@@ -25,17 +25,22 @@ _SEP = r"[^\p{L}\p{N}]+"
 
 
 def tokenize(col: Column | str) -> Column:
-    """Lowercased letter/digit tokens of a text column (no empty tokens)."""
+    """Lowercased letter/digit tokens of a text column (no empty tokens).
+
+    One regex-split pass (not replace+trim+split): tokenize is the hottest
+    expression in the engine and the second regex pass measurably costs at
+    corpus scale. Splitting on separators leaves '' at the edges when the
+    text starts/ends with a separator — filtered like interior empties.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(F.regexp_replace(F.lower(c), _SEP, " ")), " ")
-    return F.filter(toks, lambda t: t != "")
+    return F.filter(F.split(F.lower(c), _SEP), lambda t: t != "")
 
 
 def tokenize_sql(expr: str) -> str:
     """DuckDB twin of :func:`tokenize`."""
     return (
-        "list_filter(string_split(trim(regexp_replace(lower(" + expr + "), "
-        r"'[^\p{L}\p{N}]+', ' ', 'g')), ' '), t -> t <> '')"
+        "list_filter(regexp_split_to_array(lower(" + expr + "), "
+        r"'[^\p{L}\p{N}]+'), t -> t <> '')"
     )
 
 

@@ -537,6 +537,58 @@ def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_function_showcase",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           NTILE(4) OVER w AS quartile,
+           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+               AS diff_from_cust_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/ntile + partition-wide avg in one pass (all
+    share a sort => a single window exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(wp), 4).alias(
+            "diff_from_cust_avg"
+        ),
+    )
+
+
+@query(
+    "frequent_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice")).alias("total_spent"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events (time-series)
 # ---------------------------------------------------------------------------
