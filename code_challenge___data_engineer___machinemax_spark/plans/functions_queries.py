@@ -219,6 +219,41 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("is_near_dup", F.col("cosine") >= 0.9)
 
 
+@query(
+    "map_function_showcase",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END), 0) AS urgent,
+           COALESCE(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n END), 0) AS low,
+           COUNT(*) AS n_priorities
+    FROM per GROUP BY o_orderstatus
+    """,
+)
+def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns in the plan: per status build a priority->count
+    map (map_from_entries over collected structs), look up entries with
+    element_at, count keys with size. The map is intermediate — outputs are
+    scalars so the oracle compare stays deterministic (map key order is
+    engine-specific)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("prio_counts")
+    )
+    return mapped.select(
+        "o_orderstatus",
+        F.coalesce(F.element_at("prio_counts", "1-URGENT"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.element_at("prio_counts", "5-LOW"), F.lit(0)).alias("low"),
+        F.size("prio_counts").alias("n_priorities"),
+    )
+
+
 @query("approx_distinct_users", oracle=None)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct per event_type (rows-only: HLL

@@ -545,8 +545,12 @@ def order_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o_totalprice) OVER w AS next_price,
            FIRST_VALUE(o_orderkey) OVER w AS first_order,
            NTILE(4) OVER w AS quartile,
-           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
-               AS diff_from_cust_avg
+           -- trunc(): DuckDB's double->BIGINT cast rounds, Spark's truncates
+           CAST(trunc((o_totalprice
+                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY o_custkey)) * 100) AS BIGINT)
+               AS diff_from_cust_avg_c
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -565,9 +569,20 @@ def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.first("o_orderkey").over(w).alias("first_order"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(wp), 4).alias(
-            "diff_from_cust_avg"
-        ),
+        # avg via decimal window sum (association-order-proof), then scaled
+        # TRUNCATION not round(): engines round the same double differently
+        # at .5 boundaries (binary value vs shortest-repr), truncation of
+        # identical doubles is always identical
+        (
+            (
+                F.col("o_totalprice")
+                - F.sum(F.col("o_totalprice").cast("decimal(20,4)")).over(wp).cast("double")
+                / F.count(F.lit(1)).over(wp)
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("diff_from_cust_avg_c"),
     )
 
 

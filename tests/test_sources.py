@@ -33,6 +33,15 @@ def test_json_roundtrip_with_schema(spark, tmp_path):
     assert back["http://s/a"].keywords == "k1,k2"
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, ARTICLE)
+    p = str(tmp_path / "a.orc")
+    df.write.orc(p)
+    back = {r.url: r for r in spark.read.orc(p).collect()}
+    assert back["http://s/b"].title is None
+    assert back["http://s/c"].title == ""
+
+
 def test_csv_roundtrip_documented_null_caveat(spark, tmp_path):
     df = spark.createDataFrame(ROWS, ARTICLE)
     p = str(tmp_path / "a.csv")
