@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokenize
+from ..functions.text import tokenize
 
 
 def normalize_text(col: Column | str) -> Column:

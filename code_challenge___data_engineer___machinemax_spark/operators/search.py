@@ -90,6 +90,21 @@ def materialize_inverted_index(
     )
 
 
+def append_to_inverted_index(
+    df: DataFrame, key_col: str, path: str, text_col: str = "text"
+) -> None:
+    """Incremental index maintenance: append postings for newly ingested
+    documents into the same partition layout (REFRESH semantics for op 14's
+    index — the reference recreated its index per request, api.py:22)."""
+    (
+        build_inverted_index(df, key_col, text_col)
+        .withColumn("bucket", _token_bucket(F.col("token")))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def search_with_materialized_index(
     spark, df: DataFrame, index_path: str, key_col: str, keyword: str
 ) -> DataFrame:

@@ -4,7 +4,6 @@ cluster resolution and k-means codebook (rows-only iterative ops)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_sql
 from ..operators.clustering import dedup_clusters, kmeans_lite

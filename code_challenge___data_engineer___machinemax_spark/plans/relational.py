@@ -143,16 +143,17 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    import uuid
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    o.join(F.broadcast(c), o.o_custkey == c.c_custkey).createOrReplaceTempView(
-        "__gs_orders_cust"
-    )
+    view = f"gs_orders_cust_{uuid.uuid4().hex[:8]}"
+    o.join(F.broadcast(c), o.o_custkey == c.c_custkey).createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
-        FROM __gs_orders_cust
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment),
                                 (o_orderstatus, c_mktsegment))
         """
@@ -202,15 +203,18 @@ def segments_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment average (computed once, broadcast into the filter)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    import uuid
+
     seg = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(_dsum(F.col("o_totalprice")).alias("seg_total"))
     )
-    seg.createOrReplaceTempView("__seg_totals")
+    view = f"seg_totals_{uuid.uuid4().hex[:8]}"
+    seg.createOrReplaceTempView(view)
     return spark.sql(
-        "SELECT c_mktsegment, seg_total FROM __seg_totals "
-        "WHERE seg_total > (SELECT AVG(seg_total) FROM __seg_totals)"
+        f"SELECT c_mktsegment, seg_total FROM {view} "
+        f"WHERE seg_total > (SELECT AVG(seg_total) FROM {view})"
     )
 
 

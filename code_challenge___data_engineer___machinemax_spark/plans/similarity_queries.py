@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_topk_lsh, cosine_topk, dot, l2_norm
+from ..operators.similarity import ann_topk_lsh, cosine_topk, l2_norm
 from ..tables import load_table
 from .registry import query
 

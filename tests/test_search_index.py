@@ -47,6 +47,26 @@ def test_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
 
 
+def test_incremental_index_append(spark, sf_dir, tmp_path):
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        append_to_inverted_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path / "inv_index")
+    materialize_inverted_index(old, "doc_id", path)
+    append_to_inverted_index(new, "doc_id", path)
+    brute = {r.doc_id for r in keyword_search(d, "spark").collect()}
+    indexed = {
+        r.doc_id
+        for r in search_with_materialized_index(spark, d, path, "doc_id", "spark").collect()
+    }
+    assert brute == indexed
+    assert any(i >= 250 for i in indexed)  # appended docs are searchable
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") != 0)
