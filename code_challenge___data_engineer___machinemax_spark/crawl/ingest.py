@@ -52,14 +52,26 @@ class ArticleStore:
     def _raw(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
-    def latest(self) -> DataFrame:
+    def latest(self, as_of_version: int | None = None) -> DataFrame:
+        """One row per url, newest version wins. ``as_of_version`` reads the
+        store as it stood at that ingest version (time travel over the
+        append-only log — what Delta gives via VERSION AS OF, reconstructed
+        from the version column)."""
+        raw = self._raw()
+        if as_of_version is not None:
+            raw = raw.filter(F.col("ingest_version") <= as_of_version)
         w = W.partitionBy("url").orderBy(F.desc("ingest_version"))
         return (
-            self._raw()
-            .withColumn("__rn", F.row_number().over(w))
+            raw.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*_PROJECTION)
         )
+
+    def versions(self) -> list[int]:
+        return [
+            r.v for r in self._raw().select(F.col("ingest_version").alias("v")).distinct()
+            .orderBy("v").collect()
+        ]
 
     def update(self, url: str, **fields: str) -> None:
         """update_one-by-key equivalent: append a new version of the row."""

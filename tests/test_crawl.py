@@ -153,3 +153,9 @@ def test_store_roundtrip_update_search(spark, tmp_path, result):
     # json boundary
     js = store.search_json("replaced")
     assert len(js) == 1 and '"url"' in js[0]
+
+    # time travel: as-of the first version the old text is still visible
+    vs = store.versions()
+    assert len(vs) == 2
+    old = store.latest(as_of_version=vs[0]).filter(F.col("url") == f"{BASE}/a1").collect()
+    assert old[0].text == "Hello bold world. Second para."
