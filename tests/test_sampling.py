@@ -1,0 +1,45 @@
+"""Sampling semantics: determinism, quota exactness, seed stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark import plans
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+_QS = plans.all_queries()
+
+
+def test_stratified_sample_exact_quota_and_deterministic(spark, sf_dir):
+    a = _QS["stratified_sample_per_source"](spark, sf_dir)
+    per = {r.source: r.n for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per.values())
+    ids1 = {r.doc_id for r in a.collect()}
+    ids2 = {r.doc_id for r in _QS["stratified_sample_per_source"](spark, sf_dir).collect()}
+    assert ids1 == ids2
+
+
+def test_weighted_mix_quotas(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.lang: r.n
+        for r in _QS["weighted_corpus_mix"](spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import math
+
+    for lang, n in got.items():
+        w = {"en": 0.8, "de": 0.5}.get(lang, 0.2)
+        assert n == math.ceil(totals[lang] * w)
+
+
+def test_bernoulli_sample_seed_stable(spark, sf_dir):
+    a = {r.lang: r.n_sampled for r in _QS["bernoulli_sample_stats"](spark, sf_dir).collect()}
+    b = {r.lang: r.n_sampled for r in _QS["bernoulli_sample_stats"](spark, sf_dir).collect()}
+    assert a == b  # same seed -> same sample
+    total = sum(a.values())
+    n = load_table(spark, sf_dir, "documents").count()
+    assert 0.05 * n < total < 0.5 * n  # fraction=0.2 within loose tolerance
