@@ -131,6 +131,35 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_profile",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) - COUNT(text) AS null_texts,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           SUM(len({tokenize_sql('text')})) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (counts, null audit, char/token budgets,
+    source diversity) — the first query any training-data pipeline runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count("text")).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        F.sum(F.size(tokenize("text"))).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
     "quality_filter_pipeline",
     oracle=f"""
     WITH t AS (

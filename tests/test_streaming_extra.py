@@ -76,6 +76,25 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_search_over_store(spark, tmp_path):
+    from code_challenge___data_engineer___machinemax_spark.streaming.search import (
+        streaming_match_counts,
+    )
+
+    rows = [
+        ("http://s/a", "t", None, None, "news", None, "spark engines win"),
+        ("http://s/b", "t", None, None, "news", None, "nothing relevant"),
+        ("http://s/c", "t", None, None, "sport", None, "spark again"),
+    ]
+    store = ArticleStore(spark, str(tmp_path / "arts"))
+    store.append(spark.createDataFrame(rows, ARTICLE), version=1)
+    run_to_memory(
+        streaming_match_counts(spark, store.path, "spark"), "stream_hits", "complete"
+    )
+    got = {r.section: r.n_matches for r in spark.sql("SELECT * FROM stream_hits").collect()}
+    assert got == {"news": 1, "sport": 1}
+
+
 def test_partitioned_store_prunes(spark, tmp_path):
     rows = [
         ("http://s/a", "t1", None, None, "news", None, "alpha body"),
