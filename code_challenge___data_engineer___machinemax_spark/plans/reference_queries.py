@@ -90,6 +90,103 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ops 9/10/11/12: the spider's full extraction pipeline ------------------
+
+_PAGE_HTML_SQL = """
+        '<html><head>'
+        || '<meta property="og:type" content="'
+        || CASE WHEN doc_id % 5 = 0 THEN 'website' ELSE 'article' END || '">'
+        || '<meta property="og:title" content="'
+        || CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'Title ' || source END || '">'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<meta property="og:description" content="About ' || lang || '">'
+                ELSE '' END
+        || '<meta property="article:section" content="' || source || '">'
+        || '</head><body>'
+        || '<h1 itemprop="headline">Head <b>' || doc_id || '</b></h1>'
+        || CASE WHEN doc_id % 7 = 0
+                THEN '<div itemprop="articleBody"></div>'
+                ELSE '<div itemprop="articleBody"><p>' || substr(text, 1, 60)
+                     || '</p><p>tail <i>bit</i></p></div>' END
+        || '</body></html>'
+"""
+
+
+@query(
+    "article_field_extraction",
+    oracle=f"""
+    WITH pages AS (
+        SELECT 'http://news.site/' || doc_id AS url, {_PAGE_HTML_SQL} AS html
+        FROM documents
+    ), fields AS (
+        SELECT url, html,
+               nullif(regexp_extract(html, '<meta property="og:type" content="([^"]*)"', 1), '') AS og_type,
+               nullif(regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1), '') AS og_title,
+               nullif(trim(regexp_replace(
+                   regexp_extract(html, '<h1[^>]*itemprop="headline"[^>]*>(.*?)</h1>', 1),
+                   '<[^>]*>', '', 'g')), '') AS h1_title,
+               nullif(regexp_extract(html, '<meta property="og:description" content="([^"]*)"', 1), '') AS description,
+               nullif(regexp_extract(html, '<meta property="article:section" content="([^"]*)"', 1), '') AS section,
+               regexp_extract_all(
+                   regexp_extract(html, '<div[^>]*itemprop="articleBody"[^>]*>(.*?)</div>', 1),
+                   '<p[^>]*>(.*?)</p>', 1) AS paragraphs
+        FROM pages
+    )
+    SELECT url,
+           coalesce(og_title, h1_title) AS title,
+           description, section,
+           CASE WHEN len(paragraphs) = 0 THEN NULL
+                ELSE trim(regexp_replace(array_to_string(paragraphs, ' '),
+                                         '<[^>]*>', '', 'g')) END AS text
+    FROM fields
+    WHERE og_type = 'article'
+    """,
+)
+def article_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spider's extraction pipeline end to end, oracle-checked:
+    admission filter on og:type (op 11, newsspider.py:36-38), og:title ->
+    h1 fallback with '' falling through (op 10, newsspider.py:41-42), meta
+    projections (op 9), paragraph join + tag strip with NULL-iff-no-
+    paragraphs (op 12, newsspider.py:48-49). HTML synthesized from
+    `documents` so both engines see identical pages, exercising every
+    branch: missing og:title (doc_id%4=0), non-article pages (%5=0),
+    missing description (%3!=0), empty body (%7=0)."""
+    from ..crawl.extract import article_fields, articles_only
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:type" content="'),
+        F.when(F.col("doc_id") % 5 == 0, "website").otherwise("article"),
+        F.lit('"><meta property="og:title" content="'),
+        F.when(F.col("doc_id") % 4 == 0, "").otherwise(F.concat(F.lit("Title "), F.col("source"))),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta property="og:description" content="About '), F.col("lang"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('<meta property="article:section" content="'),
+        F.col("source"),
+        F.lit('"></head><body><h1 itemprop="headline">Head <b>'),
+        F.col("doc_id"),
+        F.lit("</b></h1>"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit('<div itemprop="articleBody"></div>')
+        ).otherwise(
+            F.concat(
+                F.lit('<div itemprop="articleBody"><p>'),
+                F.substring("text", 1, 60),
+                F.lit("</p><p>tail <i>bit</i></p></div>"),
+            )
+        ),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://news.site/"), F.col("doc_id")).alias("url"),
+        html.alias("html"),
+    )
+    return article_fields(articles_only(pages)).select("url", "title", "description", "section", "text")
+
+
 # --- op 16: point lookup by key (apitestmongo.py:38) ------------------------
 
 @query(
