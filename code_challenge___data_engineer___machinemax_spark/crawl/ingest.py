@@ -82,7 +82,11 @@ class ArticleStore:
 
     def search(self, keyword: str) -> DataFrame:
         """Keyword search over stored articles, public-field projection
-        (api.py:26-35). Unknown keyword -> empty DataFrame, not an error."""
+        (api.py:26-35). Unknown keyword -> empty DataFrame, not an error;
+        likewise a missing/empty store (the reference returns what it has
+        on a failed read, api.py:36-37)."""
+        if not self.exists():
+            return self.spark.createDataFrame([], ARTICLE)
         return keyword_search(self.latest(), keyword).select(*_PROJECTION)
 
     def search_json(self, keyword: str) -> list[str]:
@@ -90,8 +94,10 @@ class ArticleStore:
         return self.search(keyword).toJSON().collect()
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            n.endswith(".parquet") for n in os.listdir(self.path)
+        if not os.path.isdir(self.path):
+            return False
+        return any(
+            n.endswith(".parquet") for _, _, files in os.walk(self.path) for n in files
         )
 
 

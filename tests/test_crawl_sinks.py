@@ -31,6 +31,41 @@ def test_download_files_and_report(spark, tmp_path):
     assert "Title One" in open(os.path.join(out, "a1")).read()
 
 
+def test_search_on_missing_store_returns_empty(spark, tmp_path):
+    from code_challenge___data_engineer___machinemax_spark.crawl.ingest import ArticleStore
+
+    store = ArticleStore(spark, str(tmp_path / "never_written"))
+    assert store.search("anything").collect() == []
+    assert store.search_json("anything") == []
+
+
+def test_crawl_zero_depth(spark):
+    from code_challenge___data_engineer___machinemax_spark.crawl.orchestrator import crawl
+
+    res = crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=0)
+    assert res.stats == {
+        "pages_found": 0, "docs_found": 0, "fetch_failures": 0,
+        "articles": 0, "depth_reached": 0,
+    }
+
+
+def test_asof_null_left_ts(spark):
+    from datetime import datetime
+
+    from code_challenge___data_engineer___machinemax_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, "null-ts"), (1, datetime(2024, 1, 1, 0, 10), "ok")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 5), 7)], "user_id int, ts timestamp, rv int"
+    )
+    got = {r.tag: r.rv for r in asof_join(left, right, "user_id", "ts", "ts", ["rv"]).collect()}
+    # NULL ts sorts before every right row -> matches nothing (documented)
+    assert got == {"null-ts": None, "ok": 7}
+
+
 def test_urls_from_file(spark, tmp_path):
     f = tmp_path / "seeds.txt"
     f.write_text("  http://a.test/ \n\nhttp://b.test/\n   \n")
