@@ -1,0 +1,522 @@
+"""Advanced relational shapes + training-data pipeline extensions.
+
+Relational: correlated EXISTS (TPC-H Q4 shape), correlated scalar subquery
+decorrelated to agg+join (Q17 shape), group-HAVING semi join (Q18 shape),
+conditional-aggregation ratios (Q12/Q14 shapes), interval range join,
+full-outer reconciliation, min_by/max_by.
+
+Training-data ops (north-star surface, SURVEY.md §2.4): fixed-size token
+chunking with stride, PII scrubbing, n-gram benchmark-contamination check.
+
+These generalize the reference's filter/count surface (index.py:130-131,
+index.py:144,199-212; api.py:22-26) to the query shapes a 100 TB training-
+data pipeline actually runs. Every query here is DuckDB-oracle-checked.
+
+Determinism notes (see also relational.py): money sums accumulate in
+DECIMAL; derived float ratios are emitted as trunc-scaled BIGINTs (round()
+halves diverge across engines); min_by/max_by ordering keys are fixed-width
+strings because composite (struct) ordering keys aren't portable to DuckDB
+arg_max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_sql
+from ..tables import load_table
+from .registry import query
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(20,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Correlated subquery shapes
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_with_late_lineitems",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_with_late_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi correlation
+    predicate (any lineitem shipped after the order date), decorrelated to a
+    left-semi join.
+
+    Scale: the semi join shuffles only (orderkey, date) pairs, never payload
+    columns; the date filter prunes orders at the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "below_avg_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS low_qty_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < 0.5::DOUBLE * avg_qty
+    GROUP BY p_brand
+    """,
+)
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join; revenue of lines
+    ordering below half their part's average.
+
+    Scale: the per-part agg and the probe shuffle on the same key
+    (l_partkey) so AQE can co-locate them; `part` broadcasts. The 0.5 factor
+    is exact in binary, so the comparison is bit-identical cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = (
+        l.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dsum(F.col("l_extendedprice")).alias("low_qty_revenue"),
+        )
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS total_price, sum_qty
+    FROM orders JOIN (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 180
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over GROUP BY ... HAVING, expressed as
+    agg + join carrying the aggregate out; top-100 with key tie-break.
+
+    Scale: the HAVING filter runs inside the agg (post-partial), so only
+    qualifying orderkeys reach the join; top-k is TakeOrderedAndProject.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("qsum"))
+        .filter(F.col("qsum") > 180)
+        .select("l_orderkey", F.col("qsum").cast("double").alias("sum_qty"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "priority_line_counts",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-sum conditional counts per group."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_by_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(20,4))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE)
+               AS total_revenue,
+           CAST(trunc(
+               CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(20,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE)
+               * 1e8) AS BIGINT) AS promo_share_e8
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per month (conditional
+    numerator / total denominator). The share is emitted as a trunc-scaled
+    BIGINT (identical doubles truncate identically; round() halves don't).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    promo_sum = _dsum(promo)
+    total_sum = _dsum(rev)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            promo_sum.alias("promo_revenue"),
+            total_sum.alias("total_revenue"),
+            (promo_sum / total_sum * F.lit(1e8))
+            .cast("bigint")
+            .alias("promo_share_e8"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join / full outer / min_by-max_by
+# ---------------------------------------------------------------------------
+
+@query(
+    "views_preceding_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(v.event_id) AS n_recent_views
+    FROM events p LEFT JOIN events v
+      ON p.user_id = v.user_id AND v.event_type = 'view'
+     AND v.ts > p.ts - INTERVAL 10 MINUTE AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def views_preceding_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: for every purchase, count the same user's views
+    in the preceding 10 minutes (the *all-matches* sibling of the as-of
+    join's nearest-match, operators/asof.py).
+
+    Scale: the equi key (user_id) keeps this a hash/sort-merge join — the
+    range predicate is a post-probe filter, never a cartesian. Skewed users
+    are AQE's problem (or salting, operators/skew.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("view_id").alias("n_recent_views"))
+    )
+
+
+@query(
+    "user_activity_reconciliation",
+    oracle="""
+    WITH eu AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+         oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(user_id, o_custkey) AS id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           CASE WHEN user_id IS NULL THEN 'orders_only'
+                WHEN o_custkey IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM eu FULL OUTER JOIN oc ON user_id = o_custkey
+    """,
+)
+def user_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two activity ledgers (event users vs
+    ordering customers) with presence classification — the canonical
+    'compare two systems' audit query."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    eu = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    oc = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        eu.join(oc, F.col("user_id") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce("user_id", "o_custkey").alias("id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.when(F.col("user_id").isNull(), "orders_only")
+            .when(F.col("o_custkey").isNull(), "events_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )
+
+
+@query(
+    "best_order_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           MAX(o_totalprice) AS max_price,
+           arg_max(o_orderkey,
+                   printf('%018d|%010d', CAST(trunc(o_totalprice * 100) AS BIGINT),
+                          o_orderkey)) AS best_orderkey,
+           arg_min(o_orderkey,
+                   printf('%018d|%010d', CAST(trunc(o_totalprice * 100) AS BIGINT),
+                          o_orderkey)) AS cheapest_orderkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def best_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) per group — single-pass 'row achieving
+    the extreme', no window + filter round-trip. The ordering key is a
+    fixed-width '<cents>|<orderkey>' string: unique (tie-broken by key) and
+    portable — DuckDB's arg_max can't take a composite struct key, and both
+    engines truncate the same double identically."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ord_key = F.format_string(
+        "%018d|%010d",
+        (F.col("o_totalprice") * 100).cast("bigint"),
+        F.col("o_orderkey"),
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            F.max_by("o_orderkey", ord_key).alias("best_orderkey"),
+            F.min_by("o_orderkey", ord_key).alias("cheapest_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions
+# ---------------------------------------------------------------------------
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) // 24 AS chunk_id,
+               toks[i + 1 : i + 32] AS chunk_toks
+        FROM toks, unnest(generate_series(0, len(toks) - 1, 24)) AS u(i)
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id, len(chunk_toks) AS n_tokens,
+           md5(array_to_string(chunk_toks, ' ')) AS chunk_digest
+    FROM chunks
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size 32, stride 24) — the
+    standard LLM-pretraining windowing op. Emits per-chunk token count and
+    content digest (not the text: at 100 TB the digest is what dedup and
+    shard-assignment consume).
+
+    Scale: pure narrow ops (split + sequence + explode + slice) — no
+    shuffle at all until a downstream consumer groups by digest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))
+    chunked = (
+        toks.select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (F.col("i") / 24).cast("bigint").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("i") + 1, F.lit(32)).alias("chunk_toks"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk_toks")).alias("chunk_digest"),
+    )
+
+
+# Email, then (after emails are gone) phone-number runs. Same RE2/Java-regex
+# subset on both sides; Spark's regexp_replace is global by default, DuckDB
+# needs the 'g' flag.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d-]{5,}\d"
+
+
+@query(
+    "pii_redaction",
+    oracle=rf"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+                    || ' now' AS seeded_text
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id, seeded_text,
+               regexp_replace(seeded_text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+        FROM seeded
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(seeded_text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(no_email, '{_PHONE_RE}')) AS n_phones,
+           length(regexp_replace(no_email, '{_PHONE_RE}', '<PHONE>', 'g')) AS n_chars_redacted,
+           md5(regexp_replace(no_email, '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
+    FROM scrubbed
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails then phone numbers, reporting
+    match counts and the redacted digest. The corpus is synthetic word soup,
+    so deterministic PII is injected inline first (doc_id-derived email +
+    phone) — the scrub expressions are exactly what runs on real text.
+
+    Scale: per-row regex in whole-stage codegen; no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" now"),
+    )
+    df = d.select("doc_id", seeded.alias("seeded_text")).withColumn(
+        "no_email", F.regexp_replace("seeded_text", _EMAIL_RE, "<EMAIL>")
+    )
+    redacted = F.regexp_replace("no_email", _PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("seeded_text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("no_email", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(redacted).alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+        FROM toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    bench AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
+    rest  AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0)
+    SELECT bench.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN rest.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(trunc(CAST(SUM(CASE WHEN rest.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*) * 1e6) AS BIGINT) AS contamination_e6
+    FROM bench LEFT JOIN rest USING (gram)
+    GROUP BY bench.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each held-out document's
+    distinct word n-grams (n=3 here — the corpus is short synthetic text;
+    production uses 8-13) that appear anywhere in the training split
+    (doc_id % 10 partitions the corpus into 10% benchmark / 90% train).
+
+    Scale: contamination is a semi-join on the gram (hash it to 8 bytes at
+    real scale); distinct-per-doc keeps the gram table sub-linear in corpus
+    size. No O(bench × train) pair comparison anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # <3-token docs have no trigrams; filter BEFORE sequence() — Spark's
+    # sequence(1, n-2) flips to a descending [1, 0] when n-2 < 1.
+    toks = d.select("doc_id", tokenize("text").alias("toks")).filter(F.size("toks") >= 3)
+    idx = F.sequence(F.lit(1), F.size("toks") - 2)
+    grams = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3))).alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0)
+    rest = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+    hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    return (
+        bench.join(rest.select(F.col("gram").alias("hit_gram")),
+                   F.col("gram") == F.col("hit_gram"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+            (F.sum(hit).cast("double") / F.count("*") * 1e6)
+            .cast("bigint")
+            .alias("contamination_e6"),
+        )
+    )
