@@ -66,3 +66,36 @@ def test_keyword_search_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
     # the cheap substring guard accompanies the expensive overlap filter
     assert "Contains" in txt or "contains" in txt
+
+
+def test_late_lineitems_is_semi_join_with_pushdown(spark, sf_dir):
+    txt = explain_text(_QS["orders_with_late_lineitems"](spark, sf_dir))
+    assert "LeftSemi" in txt  # EXISTS decorrelates to a semi join, not inner+distinct
+    assert "GreaterThanOrEqual(o_orderdate" in txt  # date range reaches the scan
+
+
+def test_large_quantity_orders_topk_and_partial_agg(spark, sf_dir):
+    txt = explain_text(_QS["large_quantity_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt  # LIMIT never becomes a global sort
+    assert "partial_sum" in txt  # HAVING's sum has a map-side phase
+
+
+def test_range_join_keeps_equi_key(spark, sf_dir):
+    # the interval predicate must ride on the user_id equi join — a nested-
+    # loop (cartesian-per-key-pair) plan would be quadratic at scale
+    txt = explain_text(_QS["views_preceding_purchase"](spark, sf_dir))
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+
+
+def test_best_order_per_segment_broadcasts_dim(spark, sf_dir):
+    txt = explain_text(_QS["best_order_per_segment"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt
+    # max_by/min_by plan as SortAggregate; the partial (map-side) phase must
+    # still exist so only 5 rows per partition reach the shuffle
+    assert "partial_max_by" in txt
+
+
+def test_pipeline_text_ops_stay_jvm_side(spark, sf_dir):
+    for name in ("document_chunks", "pii_redaction", "benchmark_contamination"):
+        txt = explain_text(_QS[name](spark, sf_dir))
+        assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt, name
