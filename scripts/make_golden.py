@@ -1,0 +1,83 @@
+"""Generate the sqllogictest-style golden corpus.
+
+For every oracle-checked query, the golden file pins the DuckDB oracle's
+result at sf0.001: column names, row count, and an md5 over the canonical
+(order-insensitive, float-normalized) rows — plus a few sample rows for
+debuggability. Rows-only queries (no SQL oracle) pin the Spark result's
+schema and row count.
+
+tests/test_golden.py replays the Spark side against these files with no
+DuckDB in the loop — regression coverage that survives oracle edits and
+runs anywhere.
+
+Usage: python scripts/make_golden.py [sf_dir] (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+
+
+def canonical_hash(cols: list[str], rows: list[tuple]) -> str:
+    from tests.oracle_harness import normalized_rows
+
+    canon = normalized_rows(cols, rows)
+    return hashlib.md5("\n".join(repr(r) for r in canon).encode()).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    import __spark_entry__ as mod
+    from tests.oracle_harness import duck_connection, normalized_rows
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    con = duck_connection(sf_dir)
+
+    spark = None  # lazily started only if a rows-only query needs pinning
+    for name in sorted(qs):
+        if name in oracles:
+            rel = con.sql(oracles[name])
+            cols = [c.lower() for c in rel.columns]
+            rows = rel.fetchall()
+            kind = "oracle"
+        else:
+            if spark is None:
+                from pyspark.sql import SparkSession
+
+                spark = (
+                    SparkSession.builder.master("local[8]")
+                    .config("spark.sql.shuffle.partitions", "8")
+                    .config("spark.sql.session.timeZone", "UTC")
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate()
+                )
+                spark.sparkContext.setLogLevel("ERROR")
+            df = qs[name](spark, sf_dir)
+            cols = [c.lower() for c in df.columns]
+            rows = [tuple(r) for r in df.collect()]
+            kind = "rows-only"
+        sample = normalized_rows(cols, rows)[:5]
+        path = os.path.join(GOLDEN_DIR, f"{name}.golden")
+        with open(path, "w") as f:
+            f.write(f"# query: {name}\n# kind: {kind}\n# sf_dir: {sf_dir}\n")
+            f.write(f"columns: {','.join(sorted(cols))}\n")
+            f.write(f"rows: {len(rows)}\n")
+            if kind == "oracle":
+                f.write(f"md5: {canonical_hash(cols, rows)}\n")
+            f.write("# sample (canonical order):\n")
+            for r in sample:
+                f.write(f"#   {r!r}\n")
+        print(f"{kind:9s} {name}: {len(rows)} rows")
+    print(f"\nwrote {len(qs)} golden files to {GOLDEN_DIR}")
+
+
+if __name__ == "__main__":
+    main()
