@@ -109,7 +109,10 @@ def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
+        # part_avg is dim-bounded (one row per part) — broadcast it like
+        # `part` itself; without the hint Catalyst shuffles all of lineitem
+        # on l_partkey a second time (measured 3× at the 10× replica)
+        .join(F.broadcast(part_avg), F.col("pa_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .groupBy("p_brand")
         .agg(
@@ -149,7 +152,11 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("qsum").cast("double").alias("sum_qty"))
     )
     return (
-        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        # shuffle-hash on the post-HAVING side: local file-size estimates
+        # otherwise tempt Catalyst into broadcasting ORDERS — a fact table —
+        # which is exactly backwards at scale (measured 9× at the 10×
+        # replica). The hash join shuffles only qualifying orderkeys.
+        o.join(big.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "o_orderkey",
             "o_orderdate",
