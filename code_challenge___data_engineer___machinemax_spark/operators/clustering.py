@@ -43,23 +43,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # carry the convergence flag in the same pass: a separate
+        # new-vs-old join would re-shuffle both label sets every round
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component"))
+                 < F.col("component")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__changed")).count()  # on checkpointed data
+        labels = stepped.drop("__changed")
         if changed == 0:
             break
     return labels
