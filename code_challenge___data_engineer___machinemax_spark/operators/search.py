@@ -189,3 +189,46 @@ def bm25_rank(
         .orderBy(F.desc("bm25"), F.asc(key_col))
         .limit(k)
     )
+
+
+def tfidf_rank(
+    df: DataFrame,
+    key_col: str,
+    keyword: str,
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """TF-IDF-ranked keyword search: score = Σ_t (tf_t / dl) · idf_t with
+    the smoothed idf = ln((1+N)/(1+df_t)) + 1 (sklearn's convention — no
+    division-by-zero, never negative). The linear sibling of bm25_rank
+    (same plan shape: one token explode, tiny broadcast aggregates, top-k);
+    BM25 saturates tf, TF-IDF stays proportional.
+    """
+    toks = query_tokens(keyword)
+    if not toks:
+        return df.limit(0)
+
+    tokens = df.select(F.col(key_col), F.explode(tokenize(text_col)).alias("token"))
+    doc_len = tokens.groupBy(key_col).agg(F.count("*").alias("dl"))
+    corpus = doc_len.agg(F.count("*").alias("n_docs"))
+
+    matched = tokens.filter(F.col("token").isin(toks))
+    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doc_len, key_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            (F.col("tf") / F.col("dl"))
+            * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0),
+        )
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc(key_col))
+        .limit(k)
+    )

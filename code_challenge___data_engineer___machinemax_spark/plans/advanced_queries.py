@@ -527,3 +527,112 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination_e6"),
         )
     )
+
+
+@query(
+    "fuzzy_adjacent_titles",
+    oracle="""
+    SELECT a.doc_id AS doc_id,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_distance,
+           length(substr(a.text, 1, 40)) AS a_len,
+           length(substr(b.text, 1, 40)) AS b_len
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def fuzzy_adjacent_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via Levenshtein edit distance (adjacent-doc
+    prefix pairs) — the character-level sibling of token-Jaccard dedup.
+    Bounded to 40-char prefixes: edit distance is O(len²) per pair; at scale
+    you band by length/prefix first and only run it inside candidate pairs
+    (exactly like minhash banding)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id"), F.substring("text", 1, 40).alias("a_pfx"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 40).alias("b_pfx"))
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.levenshtein("a_pfx", "b_pfx").alias("edit_distance"),
+            F.length("a_pfx").alias("a_len"),
+            F.length("b_pfx").alias("b_len"),
+        )
+    )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax,
+               list_transform(embedding,
+                   v -> CAST(trunc(CAST(v AS DOUBLE)
+                        / nullif(list_max(list_transform(embedding, v2 -> abs(CAST(v2 AS DOUBLE)))), 0)
+                        * 127) AS TINYINT)) AS qvec
+        FROM embeddings
+    )
+    SELECT vec_id, len(qvec) AS n_dims, qvec[1:8] AS q_head,
+           CAST(trunc(amax * 1e7) AS BIGINT) AS amax_e7
+    FROM q
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|v| / 127) — the
+    standard embedding-storage compression (4x smaller, dot products in
+    int arithmetic). Truncating quantizer: double->int8 casts truncate
+    identically in both engines; round() halves don't.
+
+    Scale: a narrow per-row transform, no shuffle; at 100 TB this runs at
+    ingest and the float column is dropped from the hot layout.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    qvec = F.transform(
+        "embedding",
+        lambda v: (v.cast("double") / F.nullif(F.col("amax"), F.lit(0.0)) * 127).cast("tinyint"),
+    )
+    return (
+        e.withColumn("amax", amax)
+        .withColumn("qvec", qvec)
+        .select(
+            "vec_id",
+            F.size("qvec").alias("n_dims"),
+            F.slice("qvec", 1, 8).alias("q_head"),
+            (F.col("amax") * 1e7).cast("bigint").alias("amax_e7"),
+        )
+    )
+
+
+@query(
+    "tfidf_keyword_ranking",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (SELECT COUNT(*) AS n_docs FROM doc_len),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN ('hash', 'batch') GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id AS doc_id,
+           ROUND(SUM((CAST(tf.tf AS DOUBLE) / doc_len.dl)
+                     * (ln((1.0::DOUBLE + corpus.n_docs) / (1 + dfreq.df)) + 1.0::DOUBLE)), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (token) JOIN doc_len ON tf.doc_id = doc_len.doc_id, corpus
+    GROUP BY tf.doc_id
+    ORDER BY tfidf DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def tfidf_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-10 for a two-term query — the linear-relevance twin of
+    bm25_keyword_ranking (same plan: one explode, broadcast df/N, top-k).
+    Two query terms keep the per-doc float sum associativity-safe for the
+    cross-engine hash compare."""
+    from ..operators.search import tfidf_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_rank(d, "doc_id", "hash batch", k=10)
