@@ -636,3 +636,26 @@ def tfidf_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_rank(d, "doc_id", "hash batch", k=10)
+
+
+@query(
+    "order_value_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_low,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS bin_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (50k bins) over order values — the binned
+    profiling aggregation (Spark floor()->LONG vs DuckDB floor()->DOUBLE:
+    cast both to BIGINT). Scale: one narrow-key hash agg, ~20 groups."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        o.groupBy(bin_.alias("bin"), (bin_ * 50000).alias("bin_low"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("bin_total"))
+    )
