@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="keyword search over a store (api.py:11-39)")
     s.add_argument("keyword")
     s.add_argument("--store", required=True)
+    s.add_argument("--rank", choices=["none", "bm25", "tfidf"], default="none",
+                   help="order results by relevance (reference returns an unordered cursor)")
+    s.add_argument("--limit", type=int, default=10, help="top-k when ranking")
 
     return p
 
@@ -74,8 +77,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "search":
         store = ArticleStore(spark, args.store)
-        for line in store.search_json(args.keyword):
-            print(line)
+        if args.rank != "none":
+            rows = store.search_ranked(args.keyword, ranker=args.rank, k=args.limit)
+            for line in rows.toJSON().collect():
+                print(line)
+        else:
+            for line in store.search_json(args.keyword):
+                print(line)
         return 0
 
     return 2

@@ -93,6 +93,24 @@ class ArticleStore:
         """JSON-array boundary (api.py:38's jsonify)."""
         return self.search(keyword).toJSON().collect()
 
+    def search_ranked(self, keyword: str, ranker: str = "bm25", k: int = 10) -> DataFrame:
+        """Relevance-ranked search: the reference's unordered Mongo cursor
+        (api.py:26-35) upgraded with a score column + top-k ordering.
+        ``ranker``: 'bm25' (saturating) or 'tfidf' (linear)."""
+        from ..operators.search import bm25_rank, tfidf_rank
+
+        if not self.exists():
+            return self.spark.createDataFrame([], ARTICLE)
+        rank_fn = {"bm25": bm25_rank, "tfidf": tfidf_rank}[ranker]
+        latest = self.latest()
+        scores = rank_fn(latest, "url", keyword, k=k)
+        score_col = scores.columns[-1]
+        return (
+            latest.join(scores, "url")
+            .select(*_PROJECTION, score_col)
+            .orderBy(F.desc(score_col), F.asc("url"))
+        )
+
     def exists(self) -> bool:
         if not os.path.isdir(self.path):
             return False

@@ -53,3 +53,20 @@ def test_cli_scheme_defaulting(spark, tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["pages_found"] == 1 and stats["fetch_failures"] == 0
+
+
+def test_cli_ranked_search(spark, tmp_path, capsys):
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps({u: list(v) for u, v in SITE.items()}))
+    store = str(tmp_path / "articles")
+    main(["crawl", f"{BASE}/", "--fixture", str(fixture), "--store", store, "--depth", "4"])
+    capsys.readouterr()
+
+    for ranker, score_col in (("bm25", "bm25"), ("tfidf", "tfidf")):
+        rc = main(["search", "world second", "--store", store, "--rank", ranker])
+        assert rc == 0
+        rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        # only the article containing the tokens matches, and it carries a
+        # positive relevance score (the reference's cursor had no ordering)
+        assert [r["url"] for r in rows] == [f"{BASE}/a1"]
+        assert rows[0][score_col] > 0
