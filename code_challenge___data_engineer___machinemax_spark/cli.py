@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--store", default=None, help="parquet dir to append extracted articles")
     c.add_argument("--fixture", default=None, help="JSON file {url: [status, ctype, html]} served instead of HTTP (tests)")
     c.add_argument("--seeds-file", default=None, help="file of seed URLs, one per line (newsspider.py:24-27)")
+    c.add_argument("--robust-extract", action="store_true",
+                   help="html.parser extraction instead of the regex fast path")
 
     s = sub.add_parser("search", help="keyword search over a store (api.py:11-39)")
     s.add_argument("keyword")
@@ -68,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             base_url=base,
             max_depth=1 if args.single_page else args.depth,
             accept_regex=args.accept,
+            robust_extract=args.robust_extract,
         )
         if args.store:
             ArticleStore(spark, args.store).append(res.articles)

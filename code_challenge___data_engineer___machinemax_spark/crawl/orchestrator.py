@@ -48,11 +48,14 @@ def crawl(
     max_depth: int = 3,
     fetch_partitions: int = 4,
     accept_regex: str | None = None,
+    robust_extract: bool = False,
 ) -> CrawlResult:
     """BFS crawl from ``seeds``, following same-site links up to
     ``max_depth`` rounds (``max_depth=1`` == the reference's --single-page,
     index.py:141-142). ``accept_regex`` narrows followed links
-    (--accept, index.py:55-58)."""
+    (--accept, index.py:55-58). ``robust_extract`` switches the article
+    stage from the regex fast path to the stdlib-HTML-parser mapInPandas
+    path (real-world markup tolerance)."""
     frontier = spark.createDataFrame([(u,) for u in seeds], "url string").dropDuplicates(["url"])
     visited = frontier.limit(0)
     pages_acc: list[DataFrame] = []
@@ -99,7 +102,13 @@ def crawl(
     if all_links is None:
         all_links = spark.createDataFrame([], "page_url string, link string, link_class string")
 
-    articles = article_fields(articles_only(pages.filter(F.col("ok"))))
+    ok_pages = pages.filter(F.col("ok"))
+    if robust_extract:
+        from .extract import extract_articles_robust
+
+        articles = extract_articles_robust(ok_pages)
+    else:
+        articles = article_fields(articles_only(ok_pages))
     downloads = (
         all_links.filter(F.col("link_class") == "wanted_doc")
         .select(F.col("link").alias("url"), F.col("page_url").alias("found_on"))

@@ -68,3 +68,18 @@ def test_robust_null_edges(spark):
     r = extract_articles_robust(pages).collect()[0].asDict()
     assert r["text"] is None
     assert r["title"] == "Headline Two"
+
+
+def test_crawl_with_robust_extract_matches(spark):
+    from code_challenge___data_engineer___machinemax_spark.crawl.fetcher import dict_fetcher
+    from code_challenge___data_engineer___machinemax_spark.crawl.orchestrator import crawl
+
+    from tests.test_crawl import BASE, SITE
+
+    fast = crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=4)
+    robust = crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=4,
+                   robust_extract=True)
+    key = lambda d: d["url"]
+    assert sorted((r.asDict() for r in robust.articles.collect()), key=key) == \
+           sorted((r.asDict() for r in fast.articles.collect()), key=key)
+    assert robust.stats == fast.stats
