@@ -55,3 +55,46 @@ def test_stream_error_rows_counted(spark, stream_result):
     batch = crawl(spark, [f"{BASE}/"], dict_fetcher(SITE), BASE, max_depth=4)
     assert stream_result.stats["fetch_failures"] == batch.stats["fetch_failures"]
     assert stream_result.stats["pages_found"] == batch.stats["pages_found"]
+
+
+def test_streaming_index_maintenance(spark, tmp_path_factory):
+    """Index postings appended per micro-batch == the batch-built index:
+    the materialized probe answers exactly what brute-force search answers,
+    across two incremental ingest waves."""
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        keyword_search,
+        search_with_materialized_index,
+    )
+    from code_challenge___data_engineer___machinemax_spark.streaming.search import (
+        maintain_inverted_index,
+    )
+
+    work = tmp_path_factory.mktemp("inc_index")
+    store, index = str(work / "store"), str(work / "index")
+    docs1 = spark.createDataFrame(
+        [("u1", "spark engine joins data"), ("u2", "mongo text search")],
+        "url string, text string",
+    )
+    docs1.write.mode("append").parquet(store)
+
+    q = maintain_inverted_index(spark, store, index)
+    try:
+        q.processAllAvailable()
+        # second ingest wave lands while the maintainer runs
+        spark.createDataFrame(
+            [("u3", "spark streaming search")], "url string, text string"
+        ).write.mode("append").parquet(store)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(store)
+    for kw in ("spark", "search", "engine", "absent"):
+        indexed = {
+            r.url
+            for r in search_with_materialized_index(spark, corpus, index, "url", kw).collect()
+        }
+        brute = {r.url for r in keyword_search(corpus, kw).collect()}
+        assert indexed == brute, kw
