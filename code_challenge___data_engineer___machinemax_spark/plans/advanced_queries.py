@@ -659,3 +659,53 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bin_.alias("bin"), (bin_ * 50000).alias("bin_low"))
         .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("bin_total"))
     )
+
+
+@query(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase (salted) aggregation, oracle-proven equal to the
+    plain GROUP BY: event_type has only a handful of hot values — exactly
+    the shape where one reducer owns a hot key at 100 TB. The salt spreads
+    phase 1 across 16 reducers per key; phase 2 merges 16 partials per key.
+    All aggregates here are algebraic, so the two-phase split is exact
+    (the decimal accumulator keeps the sum order-independent too).
+    """
+    from ..operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n": ("sum", F.count("*")),
+            "total_value": ("sum", F.sum(F.col("value").cast("decimal(20,6)"))),
+            "max_value": ("max", F.max("value")),
+        },
+    ).withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@query("approx_order_percentiles", oracle=None)
+def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile / KLL-style, accuracy
+    10000 ≈ 0.01 rank error) per order status — the single-pass mergeable
+    alternative to the exact interpolated `order_value_percentiles` when a
+    full sort-per-group is too expensive at 100 TB. Rows-only: sketches are
+    engine-specific; tests pin the rank-error bound against the exact
+    percentiles instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.percentile_approx("o_totalprice", q, 10000).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )

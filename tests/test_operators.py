@@ -72,3 +72,33 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.1 * r.exact_users)
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """approx_percentile must land within ~1% rank error of the exact
+    interpolated percentile (accuracy=10000 -> eps=1e-4; we assert a loose
+    1% value-rank bound via the exact empirical CDF)."""
+    from code_challenge___data_engineer___machinemax_spark import plans
+
+    qs = plans.all_queries()
+    approx = {r.o_orderstatus: r.asDict() for r in qs["approx_order_percentiles"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    import pyspark.sql.functions as F
+
+    vals = {
+        row.o_orderstatus: sorted(v.o_totalprice for v in rows)
+        for row, rows in (
+            (r, o.filter(F.col("o_orderstatus") == r.o_orderstatus).collect())
+            for r in o.select("o_orderstatus").distinct().collect()
+        )
+    }
+    for status, cols in approx.items():
+        xs = vals[status]
+        n = len(xs)
+        for q in (25, 50, 75, 90):
+            a = cols[f"p{q}"]
+            # rank of the approx answer in the exact sorted values
+            import bisect
+
+            rank = bisect.bisect_left(xs, a) / n
+            assert abs(rank - q / 100) <= 0.02, (status, q, rank)
