@@ -709,3 +709,79 @@ def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.90)
         ]
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH slid AS (
+        SELECT event_type, value, ts,
+               date_trunc('hour', ts)
+                 + (CAST(floor(extract(minute FROM ts) / 15) AS INT) - 3 + u.i)
+                   * INTERVAL 15 MINUTE AS win_start
+        FROM events, unnest(generate_series(0, 3)) AS u(i)
+    )
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM slid
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour windows every 15 minutes): each
+    event contributes to 4 overlapping windows — the hopping twin of the
+    tumbling `events_hourly` (and of the streaming watermarked version).
+    The oracle reconstructs Spark's epoch-aligned window assignment with an
+    explicit 4-way unnest."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "array_function_showcase",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, v -> CAST(v AS DOUBLE) > 0)) AS n_positive,
+           CAST(trunc(list_sum(list_transform(embedding,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * 1e6) AS BIGINT) AS sum_sq_e6,
+           CAST(trunc(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 1e6)
+                AS BIGINT) AS max_abs_e6,
+           list_transform(embedding[1:4], v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT))
+               AS head_milli
+    FROM embeddings
+    """,
+)
+def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one pass — filter (count positive
+    dims), transform+aggregate (sum of squares, accumulated in list order so
+    both engines associate identically), array_max, slice+transform. All
+    JVM-side lambda expressions; float-derived scalars exported as
+    trunc-scaled ints."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_d = lambda v: v.cast("double")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda v: as_d(v) > 0)).alias("n_positive"),
+        (
+            F.aggregate(
+                F.transform("embedding", lambda v: as_d(v) * as_d(v)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1e6
+        ).cast("bigint").alias("sum_sq_e6"),
+        (F.array_max(F.transform("embedding", lambda v: F.abs(as_d(v)))) * 1e6)
+        .cast("bigint")
+        .alias("max_abs_e6"),
+        F.transform(
+            F.slice("embedding", 1, 4), lambda v: (as_d(v) * 1000).cast("bigint")
+        ).alias("head_milli"),
+    )
