@@ -785,3 +785,53 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 1, 4), lambda v: (as_d(v) * 1000).cast("bigint")
         ).alias("head_milli"),
     )
+
+
+@query(
+    "excess_view_counts_bag",
+    oracle="""
+    SELECT user_id, COUNT(*) AS excess_views
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY user_id
+    """,
+)
+def excess_view_counts_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set-op semantics: EXCEPT ALL keeps max(views −
+    purchases, 0) copies per user — the per-occurrence difference that the
+    DISTINCT set ops (viewers_never_purchased) throw away. Aggregated to
+    (user, excess) for a compact result."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.exceptAll(p).groupBy("user_id").agg(F.count("*").alias("excess_views"))
+
+
+@query(
+    "null_ordering_top_values",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+    FROM events
+    ORDER BY v DESC NULLS LAST, event_id
+    LIMIT 50
+    """,
+)
+def null_ordering_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering: error events get a NULL metric, ranking must
+    push them last. The explicitness is the point — Spark defaults ASC to
+    NULLS FIRST / DESC to NULLS LAST while DuckDB defaults NULLS LAST
+    everywhere, so any cross-engine ORDER BY over nullable keys that leaves
+    null placement implicit is a latent divergence."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return (
+        e.select("event_id", "user_id", v.alias("v"))
+        .orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
+        .limit(50)
+    )
