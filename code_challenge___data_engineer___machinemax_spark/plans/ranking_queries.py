@@ -50,11 +50,43 @@ def bm25_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(d, "doc_id", "merge vector", k=10)
 
 
-@query("dedup_cluster_resolution", oracle=None)
+from .registry import get as _get_registered
+
+
+def _cluster_oracle_sql() -> str:
+    """Recursive-CTE oracle for connected components: reuse the registered
+    near-dup-pairs oracle as the edge list (identical parameters:
+    threshold=0.5, 8 hashes, 4 bands), compute the transitive closure with
+    WITH RECURSIVE, and take min(reachable) as the component label — the
+    fixpoint the iterative Spark label propagation converges to."""
+    pairs_sql = _get_registered("near_dup_pairs_minhash").oracle
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    """
+
+
+@query("dedup_cluster_resolution", oracle=_cluster_oracle_sql())
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs resolved to components with canonical keepers
-    (iterative label propagation — rows-only; semantics pinned by
-    tests/test_clustering.py)."""
+    """Near-dup pairs resolved to components with canonical keepers via
+    iterative label propagation. Oracle-checked: DuckDB computes the same
+    components with a recursive-CTE transitive closure (Spark has no
+    recursion — the driver loop in operators/clustering.py is its
+    equivalent; both converge to min-label-per-component)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.5)
     return dedup_clusters(pairs, d, "doc_id")
