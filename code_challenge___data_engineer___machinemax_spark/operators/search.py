@@ -158,13 +158,20 @@ def bm25_rank(
     if not toks:
         return df.limit(0)
 
-    tokens = df.select(F.col(key_col), F.explode(tokenize(text_col)).alias("token"))
-    doc_len = tokens.groupBy(key_col).agg(F.count("*").alias("dl"))
-    corpus = doc_len.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # doc length is a per-row array size — never explode the full corpus
+    # just to count it (the explode+groupBy costs a corpus-sized shuffle);
+    # and filter the token array BEFORE explode so only query-token
+    # occurrences generate rows (~|toks|/|vocab| of the corpus).
+    with_dl = df.select(F.col(key_col), tokenize(text_col).alias("__toks")).withColumn(
+        "dl", F.size("__toks")
     )
+    doc_len = with_dl.select(key_col, "dl")
+    corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
 
-    matched = tokens.filter(F.col("token").isin(toks))
+    matched = with_dl.select(
+        F.col(key_col),
+        F.explode(F.filter("__toks", lambda t: t.isin(toks))).alias("token"),
+    )
     tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
@@ -208,11 +215,18 @@ def tfidf_rank(
     if not toks:
         return df.limit(0)
 
-    tokens = df.select(F.col(key_col), F.explode(tokenize(text_col)).alias("token"))
-    doc_len = tokens.groupBy(key_col).agg(F.count("*").alias("dl"))
+    # same no-full-explode shape as bm25_rank: per-row dl, pre-filtered
+    # token explode
+    with_dl = df.select(F.col(key_col), tokenize(text_col).alias("__toks")).withColumn(
+        "dl", F.size("__toks")
+    )
+    doc_len = with_dl.select(key_col, "dl")
     corpus = doc_len.agg(F.count("*").alias("n_docs"))
 
-    matched = tokens.filter(F.col("token").isin(toks))
+    matched = with_dl.select(
+        F.col(key_col),
+        F.explode(F.filter("__toks", lambda t: t.isin(toks))).alias("token"),
+    )
     tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
