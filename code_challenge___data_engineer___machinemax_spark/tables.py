@@ -44,3 +44,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every testdata table as a temp view (``lineitem``, ``orders``
+    ... optionally suffixed) so the whole engine surface is reachable from
+    raw ``spark.sql`` — the same contract the DuckDB oracle gets. Returns
+    the view names."""
+    names = []
+    for name in TABLES:
+        view = f"{name}{suffix}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str):
+    """One-call SQL interface: register views, run the statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

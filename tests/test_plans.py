@@ -99,3 +99,29 @@ def test_pipeline_text_ops_stay_jvm_side(spark, sf_dir):
     for name in ("document_chunks", "pii_redaction", "benchmark_contamination"):
         txt = explain_text(_QS[name](spark, sf_dir))
         assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt, name
+
+
+def test_raw_sql_interface_matches_dataframe_path(spark, sf_dir):
+    """The SQL surface (register_views + spark.sql) answers exactly what the
+    DataFrame registry answers — users can run their oracle-dialect-adjacent
+    SQL directly against the engine."""
+    from code_challenge___data_engineer___machinemax_spark.tables import run_sql
+
+    got = run_sql(
+        spark, sf_dir,
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ).collect()
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
