@@ -478,7 +478,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
     grams AS (
-        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 15))::BIGINT
+                   AS gram
         FROM toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
     ),
     bench AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
@@ -507,9 +509,16 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(1, n-2) flips to a descending [1, 0] when n-2 < 1.
     toks = d.select("doc_id", tokenize("text").alias("toks")).filter(F.size("toks") >= 3)
     idx = F.sequence(F.lit(1), F.size("toks") - 2)
+    # shuffle 8-byte gram hashes, not gram strings: the distincts and the
+    # contamination semi-join move 60-bit md5-prefix ints (identical in
+    # both engines — counts are unchanged, collisions are ~2^-60)
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3)))), 1, 15),
+        16, 10,
+    ).cast("bigint")
     grams = (
         toks.select("doc_id", "toks", F.explode(idx).alias("i"))
-        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3))).alias("gram"))
+        .select("doc_id", gram_hash.alias("gram"))
         .distinct()
     )
     bench = grams.filter(F.col("doc_id") % 10 == 0)
