@@ -176,10 +176,10 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_line_counts",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate
     GROUP BY l_linestatus
@@ -487,7 +487,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest  AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0)
     SELECT bench.doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN rest.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN rest.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            CAST(trunc(CAST(SUM(CASE WHEN rest.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                       / COUNT(*) * 1e6) AS BIGINT) AS contamination_e6
     FROM bench LEFT JOIN rest USING (gram)
@@ -580,7 +580,10 @@ def fuzzy_adjacent_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 127) AS TINYINT)) AS qvec
         FROM embeddings
     )
-    SELECT vec_id, len(qvec) AS n_dims, qvec[1:8] AS q_head,
+    SELECT vec_id, len(qvec) AS n_dims,
+           -- comma-joined string, not a list: list cells are unhashable in
+           -- the driver's pandas canonicalizer
+           array_to_string(list_transform(qvec[1:8], v -> CAST(v AS VARCHAR)), ',') AS q_head,
            CAST(trunc(amax * 1e7) AS BIGINT) AS amax_e7
     FROM q
     """,
@@ -606,7 +609,9 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size("qvec").alias("n_dims"),
-            F.slice("qvec", 1, 8).alias("q_head"),
+            F.concat_ws(
+                ",", F.transform(F.slice("qvec", 1, 8), lambda v: v.cast("string"))
+            ).alias("q_head"),
             (F.col("amax") * 1e7).cast("bigint").alias("amax_e7"),
         )
     )
@@ -763,7 +768,8 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * 1e6) AS BIGINT) AS sum_sq_e6,
            CAST(trunc(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 1e6)
                 AS BIGINT) AS max_abs_e6,
-           list_transform(embedding[1:4], v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT))
+           array_to_string(list_transform(embedding[1:4],
+               v -> CAST(CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)), ',')
                AS head_milli
     FROM embeddings
     """,
@@ -790,8 +796,12 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_max(F.transform("embedding", lambda v: F.abs(as_d(v)))) * 1e6)
         .cast("bigint")
         .alias("max_abs_e6"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda v: (as_d(v) * 1000).cast("bigint")
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda v: (as_d(v) * 1000).cast("bigint").cast("string"),
+            ),
         ).alias("head_milli"),
     )
 

@@ -19,7 +19,7 @@ from .registry import query
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events GROUP BY event_type
     """,

@@ -22,7 +22,7 @@ from .registry import query
         FROM documents
     )
     SELECT kind, COUNT(*) AS n_items,
-           SUM(octet_length(data)) AS total_bytes,
+           CAST(SUM(octet_length(data)) AS BIGINT) AS total_bytes,
            MAX(octet_length(data)) AS max_bytes,
            -- DuckDB md5 is VARCHAR-only; data is exactly text's UTF-8 bytes,
            -- so md5(text) == Spark's md5(binary data)

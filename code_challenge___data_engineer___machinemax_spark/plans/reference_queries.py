@@ -445,7 +445,7 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 7 = 0 THEN 'HTTPError' END AS error
         FROM documents
     )
-    SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok, COUNT(*) AS n_total
+    SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok, COUNT(*) AS n_total
     FROM ledger
     """,
 )

@@ -28,6 +28,17 @@ def _dsum(col) -> F.Column:
     return F.sum(col.cast("decimal(20,4)")).cast("double")
 
 
+def _dsum6(col) -> F.Column:
+    """Like _dsum but scale-6, for PRODUCTS of money columns.
+
+    price*(1-disc)*(1+tax) has exactly 6 decimal digits (2+2+2), so the
+    double product is a scale-6 lattice point and casting to DECIMAL(24,6)
+    never rounds — no HALF_UP (Spark) vs half-even (DuckDB) tie can occur.
+    Casting the same product to scale 4 DOES round and diverges on .xxxx5
+    ties (319 rows at sf0.01 — CORRECTNESS_r01 q1 failure)."""
+    return F.sum(col.cast("decimal(24,6)")).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -38,8 +49,8 @@ def _dsum(col) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -62,8 +73,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(price).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _dsum6(disc_price).alias("sum_disc_price"),
+            _dsum6(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -164,7 +175,7 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_value_arrays",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -172,14 +183,19 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_value_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: sorted distinct collection per group (collect_set
-    is unordered — always sort before comparing or storing)."""
+    is unordered — always sort before comparing or storing).
+
+    The sorted array is emitted as a comma-joined string: the driver's
+    canonicalizer hashes via a pandas sort, and list cells are unhashable
+    there (CORRECTNESS_r01 harness error) — a deterministic string carries
+    the same information and hashes everywhere."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
             F.count("*").alias("n"),
         )
     )
@@ -648,8 +664,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM gaps
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,

@@ -66,7 +66,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, dim - 1 AS dim,
-           SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000) AS BIGINT)) AS component_sum_e7,
+           CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS component_sum_e7,
            COUNT(*) AS n
     FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS dim

@@ -114,7 +114,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len({tokenize_sql('text')})) AS total_tokens,
+           CAST(SUM(len({tokenize_sql('text')})) AS BIGINT) AS total_tokens,
            MAX(len({tokenize_sql('text')})) AS max_tokens
     FROM documents GROUP BY source
     """,
@@ -139,7 +139,7 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
-           SUM(len({tokenize_sql('text')})) AS total_tokens,
+           CAST(SUM(len({tokenize_sql('text')})) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,

@@ -1,8 +1,15 @@
 """The local correctness gate: every registered query with an oracle must
 match DuckDB on the test scale factor — the same check the driver runs at
-sf0.01."""
+sf0.01.
+
+This module runs at sf0.01 by default (not the suite-wide sf0.001): rounding
+ties and dtype edge cases only materialize with row volume (round 1's sweep
+at sf0.001 stayed green while the driver failed 6 queries at sf0.01).
+Override with SPARK_GRAFT_TEST_SF_DIR."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -12,6 +19,13 @@ from .oracle_harness import compare, duck_connection
 
 _QUERIES = plans.all_queries()
 _ORACLES = plans.all_oracles()
+
+_PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def sf_dir() -> str:  # overrides the session-wide sf0.001 fixture
+    return _PARITY_SF_DIR
 
 
 @pytest.fixture(scope="module")
