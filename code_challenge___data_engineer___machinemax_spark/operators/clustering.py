@@ -21,10 +21,16 @@ def connected_components(
     with component = min member id. This resolves near-dup *pairs* into
     dedup *groups* (keep one canonical doc per component).
 
-    Label propagation: each round every node adopts the min label among
-    itself and its neighbors; converges in O(diameter) rounds. Each round
-    is one join + agg on (id, label) — shuffle keys are ids only.
+    Label propagation + pointer jumping: each round every node adopts the
+    min label among itself and its neighbors, then additionally adopts its
+    label's label (labels only decrease, so component(component(id)) <=
+    component(id)). The jump halves chain depth every round — convergence
+    in O(log diameter), so max_iters=20 covers ~2^20-long duplicate chains
+    (plain propagation needed O(diameter) and silently returned wrong
+    labels on long chains). Each round is two joins on (id, label) —
+    shuffle keys are ids only. Warns loudly if still unconverged.
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -37,23 +43,43 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("__old"),
+        )
+        # pointer jump: component := component(component). Join the stepped
+        # labels against themselves on (component == other.id); labels form
+        # a forest rooted at each component's min id, so this shortcut
+        # halves every chain's depth.
+        parents = propagated.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomponent")
+        )
         # carry the convergence flag in the same pass: a separate
         # new-vs-old join would re-shuffle both label sets every round
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            propagated.join(parents, propagated.component == parents.__pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("__pcomponent"), F.col("component"))
                 ).alias("component"),
-                (F.coalesce(F.col("nbr_component"), F.col("component"))
-                 < F.col("component")).alias("__changed"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__pcomponent"), F.col("component")),
+                    )
+                    < F.col("__old")
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
@@ -61,6 +87,14 @@ def connected_components(
         labels = stepped.drop("__changed")
         if changed == 0:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds "
+            f"({changed} labels still changing) — component labels may be "
+            "wrong; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

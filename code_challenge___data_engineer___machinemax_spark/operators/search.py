@@ -30,8 +30,13 @@ from ..functions.text import tokenize
 
 
 def query_tokens(keyword: str) -> list[str]:
-    """Tokenize the query string driver-side (same rules as the data side)."""
-    return [t for t in re.split(r"[^\w]+", keyword.lower(), flags=re.UNICODE) if t]
+    """Tokenize the query string driver-side (same rules as the data side).
+
+    The data side splits on ``[^\\p{L}\\p{N}]+`` — underscore is a
+    SEPARATOR there. ``[\\W_]+`` reproduces that in Python (``\\W`` alone
+    would keep '_' inside tokens, producing query tokens like 'foo_bar'
+    that can never match any data token)."""
+    return [t for t in re.split(r"[\W_]+", keyword.lower(), flags=re.UNICODE) if t]
 
 
 def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
@@ -114,7 +119,13 @@ def search_with_materialized_index(
     toks = query_tokens(keyword)
     if not toks:
         return df.limit(0)
-    prefixes = sorted({t[0] if t[0].isalnum() else "_" for t in toks})
+    # EXACTLY the column-side _token_bucket rule: ASCII [a-z0-9] keeps its
+    # first char, everything else (incl. non-ASCII letters: 'über', '日本')
+    # buckets under '_'. Python's Unicode-aware isalnum() here would probe
+    # bucket 'ü' while the postings live under '_' — silent zero hits.
+    prefixes = sorted(
+        {t[0] if t[0] in "0123456789abcdefghijklmnopqrstuvwxyz" else "_" for t in toks}
+    )
     index = spark.read.parquet(index_path)
     hits = (
         index.filter(F.col("bucket").isin(prefixes) & F.col("token").isin(toks))

@@ -127,34 +127,59 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
 
 def stream_upsert_to_store(events: DataFrame, path: str) -> None:
     """foreachBatch sink: per micro-batch, aggregate and merge into a
-    parquet state table (read-modify-overwrite keyed by event_type) — the
-    exactly-once upsert pattern for plain-parquet sinks (Delta MERGE would
-    replace the body of ``merge``)."""
-    import os
+    parquet state table (read-modify-overwrite keyed by event_type).
+
+    Replay-safe: the state table carries the last applied epoch_id, and a
+    replayed micro-batch (foreachBatch is at-least-once after a failure) is
+    skipped instead of double-counted. The final overwrite is staged through
+    a ``__tmp`` directory but plain parquet cannot make the last rename
+    atomic — a crash mid-overwrite can lose the table. True exactly-once
+    needs a transactional table format (Delta MERGE would replace the body
+    of :func:`merge_epoch_into_store`)."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        update = batch_df.groupBy("event_type").agg(
-            F.count("*").alias("n"), F.sum("value").alias("v")
-        )
-        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-            current = spark.read.parquet(path)
-            merged = (
-                current.unionByName(update)
-                .groupBy("event_type")
-                .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
-            )
-        else:
-            merged = update
-        merged.write.mode("overwrite").parquet(path + "__tmp")
-        staged = spark.read.parquet(path + "__tmp")
-        staged.write.mode("overwrite").parquet(path)
+        merge_epoch_into_store(batch_df, epoch_id, path)
 
     q = events.writeStream.outputMode("update").foreachBatch(merge).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def merge_epoch_into_store(batch_df: DataFrame, epoch_id: int, path: str) -> bool:
+    """Merge one micro-batch's per-event_type aggregate into the parquet
+    state table at ``path``; returns False (no-op) when ``epoch_id`` was
+    already applied — the idempotence that makes foreachBatch's
+    at-least-once replay safe."""
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    update = batch_df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        current = spark.read.parquet(path)
+        if "last_epoch" in current.columns:
+            applied = current.agg(F.max("last_epoch")).collect()[0][0]
+            if applied is not None and epoch_id <= applied:
+                return False  # replayed micro-batch — already merged
+            current = current.drop("last_epoch")
+        merged = (
+            current.unionByName(update)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        )
+    else:
+        merged = update
+    merged = merged.withColumn("last_epoch", F.lit(epoch_id))
+    tmp = path + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
 
 
 def purchases_with_recent_view(

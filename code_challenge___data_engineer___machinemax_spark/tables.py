@@ -46,20 +46,32 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+def register_views(
+    spark: SparkSession, sf_dir: str, suffix: str = "", replace: bool = True
+) -> list[str]:
     """Register every testdata table as a temp view (``lineitem``, ``orders``
     ... optionally suffixed) so the whole engine surface is reachable from
     raw ``spark.sql`` — the same contract the DuckDB oracle gets. Returns
-    the view names."""
+    the view names.
+
+    CLOBBERS same-named temp views by default (createOrReplaceTempView) —
+    a session mixing its own ``orders`` view loses it. Pass a ``suffix``
+    to namespace the views, or ``replace=False`` to keep any view that
+    already exists under the name (whatever data it points at)."""
     names = []
     for name in TABLES:
         view = f"{name}{suffix}"
+        if not replace and spark.catalog.tableExists(view):
+            names.append(view)
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(view)
         names.append(view)
     return names
 
 
-def run_sql(spark: SparkSession, sf_dir: str, sql: str):
-    """One-call SQL interface: register views, run the statement."""
-    register_views(spark, sf_dir)
+def run_sql(spark: SparkSession, sf_dir: str, sql: str, suffix: str = ""):
+    """One-call SQL interface: register views (optionally suffixed —
+    reference the suffixed names in ``sql`` to avoid clobbering caller
+    views), run the statement."""
+    register_views(spark, sf_dir, suffix=suffix)
     return spark.sql(sql)

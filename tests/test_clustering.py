@@ -26,6 +26,29 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_connected_components_long_chain_converges(spark):
+    # 200-link chain: plain label propagation needs 200 rounds; pointer
+    # jumping must resolve it well inside max_iters=20 (2^20 reach)
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # unconverged would warn
+        comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        connected_components(pairs, max_iters=2)
+
+
 def test_dedup_clusters_singletons_and_canonicals(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     corpus = spark.range(6).withColumnRenamed("id", "doc_id")

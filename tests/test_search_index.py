@@ -47,6 +47,41 @@ def test_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
 
 
+def test_materialized_index_non_ascii_tokens(spark, tmp_path):
+    # non-ASCII first chars bucket under '_' on the column side; the
+    # driver-side probe-prefix rule must match exactly (a Unicode-aware
+    # isalnum() probed bucket 'u-umlaut' and silently returned zero hits)
+    rows = [
+        (1, "über alles"),
+        (2, "日本 tokyo travel"),
+        (3, "plain ascii words"),
+        (4, "mixed über 日本 doc"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "inv_index_unicode")
+    materialize_inverted_index(d, "doc_id", path)
+    for kw, want in [("über", {1, 4}), ("日本", {2, 4}), ("plain", {3})]:
+        brute = {r.doc_id for r in keyword_search(d, kw).collect()}
+        indexed = {
+            r.doc_id
+            for r in search_with_materialized_index(spark, d, path, "doc_id", kw).collect()
+        }
+        assert brute == want, kw
+        assert indexed == want, kw
+
+
+def test_query_tokens_underscore_is_separator(spark):
+    # data-side tokenize splits on [^\p{L}\p{N}]+ (underscore separates);
+    # the query side must do the same or 'foo_bar' never matches anything
+    from code_challenge___data_engineer___machinemax_spark.operators.search import query_tokens
+
+    assert query_tokens("foo_bar") == ["foo", "bar"]
+    d = spark.createDataFrame([(1, "foo bar baz"), (2, "nothing here")],
+                              "doc_id long, text string")
+    hits = {r.doc_id for r in keyword_search(d, "foo_bar").collect()}
+    assert hits == {1}
+
+
 def test_incremental_index_append(spark, sf_dir, tmp_path):
     from code_challenge___data_engineer___machinemax_spark.operators.search import (
         append_to_inverted_index,

@@ -51,6 +51,27 @@ def test_foreachbatch_upsert(spark, sf_dir, tmp_path):
         assert abs(got[k][1] - want[k][1]) < 1e-2
 
 
+def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # foreachBatch is at-least-once: a replayed epoch must not double-count
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        merge_epoch_into_store,
+    )
+
+    path = str(tmp_path / "replay_store")
+    batch = load_table(spark, sf_dir, "events").limit(500)
+    assert merge_epoch_into_store(batch, 0, path) is True
+    first = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    assert merge_epoch_into_store(batch, 0, path) is False  # replay skipped
+    replayed = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    assert replayed == first
+    assert merge_epoch_into_store(batch, 1, path) is True  # new epoch applies
+    second = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    assert {k: v[0] for k, v in second.items()} == {k: 2 * v[0] for k, v in first.items()}
+    import os
+
+    assert not os.path.exists(path + "__tmp")  # staging dir cleaned up
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     from code_challenge___data_engineer___machinemax_spark.streaming.events import (
         purchases_with_recent_view,
