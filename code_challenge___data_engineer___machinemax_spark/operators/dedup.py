@@ -88,15 +88,29 @@ def minhash_signatures_df(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash-LSH banding.
 
     Plan shape: signatures -> explode band keys (md5 of rows_per_band
     consecutive components) -> self-join on (band, band_key) -> distinct
     pairs. The join key is small and uniformly distributed; hot buckets
-    (boilerplate docs) are the one skew risk — AQE skew-join handles
-    moderate cases, salting the band-key is the escape hatch.
+    (boilerplate docs) are the one skew risk.
+
+    ``max_bucket_size`` is the skew guard for that risk: a band-bucket with
+    B rows generates B^2 join output, and at 100 TB one boilerplate bucket
+    (cookie banners, licence headers) can dominate the whole stage. Buckets
+    above the cap are dropped BEFORE the self-join via a broadcast anti-join
+    on the (tiny, partially-aggregated) hot-key list — deterministic,
+    bounded pair generation. A true near-dup pair usually still surfaces
+    through its other, non-boilerplate bands (OR amplification); exact
+    dedup upstream is the right tool for the identical-text mass in a hot
+    bucket. AQE skew-join remains on for moderate skew below the cap.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes)
@@ -113,6 +127,14 @@ def lsh_candidate_pairs(
     banded = sig.dropna().select(
         id_col, F.posexplode(band_keys).alias("band", "band_key")
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -148,9 +170,14 @@ def near_dup_pairs(
     threshold: float = 0.7,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard >= threshold."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    """LSH candidates verified with exact Jaccard >= threshold.
+
+    Pass ``max_bucket_size`` at scale to bound hot-bucket pair generation
+    (see :func:`lsh_candidate_pairs`); the default None keeps candidate
+    generation exhaustive, which is what the DuckDB oracle twin mirrors."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, max_bucket_size)
     toks = F.array_distinct(tokenize(text_col))
     left = df.select(F.col(id_col).alias("id_a"), toks.alias("__ta"))
     right = df.select(F.col(id_col).alias("id_b"), toks.alias("__tb"))

@@ -54,6 +54,84 @@ def test_near_dup_pairs_finds_minor_edit(corpus):
     assert not any(3 in p for p in pairs)  # unrelated never pairs
 
 
+def test_lsh_hot_bucket_cap_bounds_pair_generation(spark):
+    # 60 identical boilerplate docs = one band-bucket of 60 in EVERY band
+    # -> 60*59/2 = 1770 candidate pairs uncapped. The cap must drop the hot
+    # buckets (bounded output) while pairs from normal-sized buckets survive.
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    boiler = [(i, "standard cookie banner please accept terms and conditions now")
+              for i in range(60)]
+    normal = [(100, BASE_TEXT), (101, NEAR_DUP), (102, UNRELATED)]
+    df = spark.createDataFrame(boiler + normal, "doc_id int, text string")
+
+    uncapped = lsh_candidate_pairs(df, "doc_id", "text").count()
+    assert uncapped >= 60 * 59 // 2  # hot bucket dominates
+
+    capped = lsh_candidate_pairs(df, "doc_id", "text", max_bucket_size=10)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a < 60 and b < 60 for a, b in capped_pairs)  # hot bucket gone
+    assert (100, 101) in capped_pairs  # normal near-dup pair survives
+    # and the wired-through path in near_dup_pairs
+    verified = {(r.id_a, r.id_b) for r in near_dup_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=10).collect()}
+    assert verified == {(100, 101)}
+
+
+def test_production_minhash_config_recall(spark):
+    # num_hashes=128 / bands=16 (the 100 TB config; the oracle keeps 8/4):
+    # plant mutated near-dups of real sf0.1 docs and require recall >= 0.9
+    # for pairs whose exact token Jaccard >= 0.8.
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        jaccard_tokens,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    # mutant = truncate the last ~10% of tokens. Contiguous edits keep
+    # shingle-Jaccard (what the signatures estimate) close to token-Jaccard
+    # (what the verify step thresholds); scattered single-token drops kill
+    # ~3 shingles each and deflate LSH recall below what the token-level
+    # ground truth implies.
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.ceil(F.size(toks) * 0.9).cast("int"))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+
+    truth = (
+        docs.alias("o")
+        .join(mutated.withColumn("orig_id", F.col("doc_id") - 1_000_000).alias("m"),
+              F.col("o.doc_id") == F.col("orig_id"))
+        .select(
+            F.col("o.doc_id").alias("id_a"),
+            F.col("m.doc_id").alias("id_b"),
+            jaccard_tokens(F.col("o.text"), F.col("m.text")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    want = {(r.id_a, r.id_b) for r in truth.collect()}
+    assert len(want) >= 100  # the plant actually produced >=0.8 pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.8, num_hashes=128, bands=16
+        ).collect()
+    }
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(want)} planted pairs"
+
+
 def test_jaccard_bounds(spark):
     df = spark.createDataFrame([("a b c", "a b c"), ("a b", "c d"), ("", "")], "x string, y string")
     vals = [r.j for r in df.select(jaccard_tokens(F.col("x"), F.col("y")).alias("j")).collect()]
