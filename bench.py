@@ -18,9 +18,9 @@ from code_challenge___data_engineer___machinemax_spark import plans
 from code_challenge___data_engineer___machinemax_spark.session import get_spark
 
 # Headline queries: one per engine capability family (scan-agg, multi-join,
-# top-k, window, sessionize, as-of join, text search, text analysis,
-# minhash/near-dup dedup, quality gate, vector search exact+ANN).
-# bench time = sum over these.
+# top-k, window, sessionize, as-of join, text search, relevance ranking,
+# text analysis, minhash/near-dup dedup, contamination, quality gate,
+# vector search exact+ANN). bench time = sum over these.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -37,6 +37,11 @@ HEADLINE = [
     "quality_filter_pipeline",
     "cosine_topk_bruteforce",
     "ann_topk_lsh",
+    # the round-1 rewrites whose wins SCALE.md measured — tracked so a
+    # regression shows up in the round bench, not just locally
+    "bm25_keyword_ranking",
+    "tfidf_keyword_ranking",
+    "benchmark_contamination",
 ]
 
 

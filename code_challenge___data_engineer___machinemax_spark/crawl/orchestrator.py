@@ -38,6 +38,12 @@ class CrawlResult:
     downloads: DataFrame  # wanted-doc links encountered (url, found_on)
     rejected: DataFrame  # junk/offsite links (the reference's regurgited_pages)
     stats: dict[str, int] = field(default_factory=dict)
+    # op 30 — the journal as a relational sink (reference index.py:215-235
+    # writes a per-event log file via the 'journal' logger): one row per
+    # crawl event, (event, url, round, ts). Events mirror the reference's
+    # messages: tries / fetch_error / rejected / will_explore / regurgitate
+    # / caught_doc.
+    journal: DataFrame | None = None
 
 
 def crawl(
@@ -60,24 +66,52 @@ def crawl(
     visited = frontier.limit(0)
     pages_acc: list[DataFrame] = []
     links_acc: list[DataFrame] = []
+    journal_acc: list[DataFrame] = []
+
+    def _journal(df: DataFrame, event: str, rnd: int, url_col: str = "url") -> DataFrame:
+        return df.select(
+            F.lit(event).alias("event"),
+            F.col(url_col).alias("url"),
+            F.lit(rnd).alias("round"),
+            F.current_timestamp().alias("ts"),
+        )
 
     depth = 0
     while depth < max_depth:
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        journal_acc.append(_journal(frontier, "tries", depth))  # 'tries page X'
         fetched = fetch_stage(
             frontier.repartition(min(fetch_partitions, max(n_frontier, 1))), fetch
         ).localCheckpoint()
         visited = visited.unionByName(frontier).dropDuplicates(["url"]).localCheckpoint()
         pages_acc.append(fetched)
 
-        explorable = admission_filter(fetched.filter(F.col("ok")))
+        ok_pages_round = fetched.filter(F.col("ok"))
+        journal_acc.append(_journal(fetched.filter(~F.col("ok")), "fetch_error", depth))
+        explorable = admission_filter(ok_pages_round)
+        # 'status code of X / content-type of X' debug lines: ok fetches
+        # that fail admission
+        journal_acc.append(
+            _journal(ok_pages_round.join(explorable.select("url"), "url", "left_anti"),
+                     "rejected", depth)
+        )
         links = extract_links(explorable).withColumn(
             "link", resolve_url(F.col("page_url"), F.col("link"))
         )
         links = links.withColumn("link_class", classify_link(F.col("link"), base_url))
         links_acc.append(links.localCheckpoint())
+        journal_acc.append(
+            _journal(links.filter(F.col("link_class").isin("junk", "offsite"))
+                     .select(F.col("link")).dropDuplicates(["link"]),
+                     "regurgitate", depth, url_col="link")
+        )
+        journal_acc.append(
+            _journal(links.filter(F.col("link_class") == "wanted_doc")
+                     .select(F.col("link")).dropDuplicates(["link"]),
+                     "caught_doc", depth, url_col="link")
+        )
 
         next_links = links.filter(F.col("link_class") == "next_page")
         if accept_regex:
@@ -87,6 +121,7 @@ def crawl(
             .dropDuplicates(["url"])
             .join(visited, "url", "left_anti")  # the dedup-set op, index.py:166-169
         )
+        journal_acc.append(_journal(frontier, "will_explore", depth))
         depth += 1
 
     pages = pages_acc[0] if pages_acc else None
@@ -118,6 +153,13 @@ def crawl(
         F.col("link").alias("url"), "link_class"
     ).dropDuplicates(["url"])
 
+    if journal_acc:
+        journal = journal_acc[0]
+        for extra in journal_acc[1:]:
+            journal = journal.unionByName(extra)
+    else:
+        journal = spark.createDataFrame([], "event string, url string, round int, ts timestamp")
+
     stats = {
         "pages_found": visited.count(),  # 'found N pages' report, index.py:144
         "docs_found": downloads.count(),
@@ -126,4 +168,4 @@ def crawl(
         "depth_reached": depth,
     }
     return CrawlResult(articles=articles, visited=visited, downloads=downloads,
-                       rejected=rejected, stats=stats)
+                       rejected=rejected, stats=stats, journal=journal)

@@ -48,6 +48,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("byte_mean", T.DoubleType(), True),
         T.StructField("byte_entropy", T.DoubleType(), True),
+        # populated only by decoder="real" on image rows (true pixel
+        # dimensions from the codec); NULL on the byte-level "fake" path
+        T.StructField("decoded_width", T.IntegerType(), True),
+        T.StructField("decoded_height", T.IntegerType(), True),
         T.StructField("decoder", T.StringType(), False),
     ]
 )
@@ -81,8 +85,11 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     ``decoder="fake"``: deterministic byte statistics (length, mean,
     empirical entropy) — exercises the full Arrow round-trip with binary
-    columns. ``decoder="real"``: the codec hook; raises NotImplementedError
-    unless the media libraries exist in the environment.
+    columns. ``decoder="real"``: image rows are decoded with PIL (true pixel
+    dimensions in ``decoded_width``/``decoded_height``; undecodable payloads
+    keep NULLs); raises NotImplementedError when PIL is absent, and audio/
+    video stay byte-level (librosa/ffmpeg are gated the same way the day
+    they exist).
     """
     import math
 
@@ -96,6 +103,17 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 "real media decoding needs PIL/librosa/ffmpeg, not present in "
                 "this environment; use decoder='fake' for the plumbing path"
             ) from exc
+
+    def _image_dims(data: bytes) -> tuple[int | None, int | None]:
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(data)) as img:
+                return int(img.width), int(img.height)
+        except Exception:
+            return None, None  # not a decodable image — keep the row
 
     def run(batches: Iterator[Any]) -> Iterator[Any]:
         for pdf in batches:
@@ -113,6 +131,9 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                     )
                 else:
                     mean, entropy = None, None
+                width = height = None
+                if decoder == "real" and r["kind"] == "image" and n:
+                    width, height = _image_dims(bytes(data))
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -120,6 +141,8 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "n_bytes": n,
                         "byte_mean": round(mean, 6) if mean is not None else None,
                         "byte_entropy": round(entropy, 6) if entropy is not None else None,
+                        "decoded_width": width,
+                        "decoded_height": height,
                         "decoder": decoder,
                     }
                 )

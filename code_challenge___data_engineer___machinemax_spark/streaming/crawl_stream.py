@@ -49,6 +49,9 @@ class StreamCrawlResult:
     articles: DataFrame
     visited: DataFrame
     stats: dict[str, int]
+    # op 30 journal (reference index.py:215-235), streaming form: events are
+    # appended per micro-batch to a parquet sink; round = the URL's depth.
+    journal: DataFrame | None = None
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -79,7 +82,22 @@ def crawl_stream(
     visited_dir = os.path.join(work_dir, "visited")
     articles_dir = os.path.join(work_dir, "articles")
     failures_dir = os.path.join(work_dir, "failures")
+    journal_dir = os.path.join(work_dir, "journal")
     checkpoint_dir = os.path.join(work_dir, "_checkpoint")
+    _JOURNAL_SCHEMA = "event string, url string, round int, ts timestamp"
+
+    def _log(df: DataFrame, event: str, round_col=None) -> None:
+        rnd = round_col if round_col is not None else F.col("depth")
+        (
+            df.select(
+                F.lit(event).alias("event"),
+                F.col("url"),
+                rnd.cast("int").alias("round"),
+                F.current_timestamp().alias("ts"),
+            )
+            .write.mode("append")
+            .parquet(journal_dir)
+        )
 
     (
         spark.createDataFrame([(u, 0) for u in dict.fromkeys(seeds)], _FRONTIER_SCHEMA)
@@ -100,15 +118,16 @@ def crawl_stream(
         if not fresh.take(1):
             return
         fresh.select("url").write.mode("append").parquet(visited_dir)
+        _log(fresh, "tries")
 
         fetched = fetch_stage(
             fresh.repartition(fetch_partitions), fetch
         ).localCheckpoint()
         ok_pages = fetched.filter(F.col("ok"))
         article_fields(articles_only(ok_pages)).write.mode("append").parquet(articles_dir)
-        fetched.filter(~F.col("ok")).select("url", "error").write.mode("append").parquet(
-            failures_dir
-        )
+        failures = fetched.filter(~F.col("ok")).select("url", "error").localCheckpoint()
+        failures.write.mode("append").parquet(failures_dir)
+        _log(failures, "fetch_error", round_col=F.lit(None))
 
         links = extract_links(admission_filter(ok_pages)).withColumn(
             "link", resolve_url(F.col("page_url"), F.col("link"))
@@ -125,7 +144,9 @@ def crawl_stream(
         )
         if next_frontier.take(1):
             # the self-feed: the stream's own source directory
+            next_frontier = next_frontier.localCheckpoint()
             next_frontier.write.mode("append").parquet(frontier_dir)
+            _log(next_frontier, "will_explore")
 
     query = (
         spark.readStream.schema(_FRONTIER_SCHEMA)
@@ -154,9 +175,11 @@ def crawl_stream(
     )
     visited = _read_or_empty(spark, visited_dir, "url string")
     failures = _read_or_empty(spark, failures_dir, "url string, error string")
+    journal = _read_or_empty(spark, journal_dir, _JOURNAL_SCHEMA)
     stats = {
         "pages_found": visited.count(),
         "articles": articles.count(),
         "fetch_failures": failures.count(),
     }
-    return StreamCrawlResult(articles=articles, visited=visited, stats=stats)
+    return StreamCrawlResult(articles=articles, visited=visited, stats=stats,
+                             journal=journal)

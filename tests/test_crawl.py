@@ -77,6 +77,31 @@ def test_bfs_visits_all_reachable(result):
     assert "http://other.site/x" not in visited
 
 
+def test_journal_counts_match_stats(result):
+    # op 30: the journal sink's event counts reconcile with CrawlResult.stats
+    # (reference index.py:215-235 'found N pages, M doc(s)' + per-event lines)
+    j = result.journal
+    assert [f.name for f in j.schema.fields] == ["event", "url", "round", "ts"]
+    counts = {r.event: r.n for r in j.groupBy("event").agg(F.count("*").alias("n")).collect()}
+    # every visited page got exactly one 'tries' line (dedup-before-fetch)
+    assert counts["tries"] == result.stats["pages_found"]
+    assert j.filter(F.col("event") == "tries").select("url").distinct().count() == counts["tries"]
+    # every wanted doc got a 'caught_doc' line (per-round dedup; the site has
+    # one pdf reachable in one round)
+    assert (
+        j.filter(F.col("event") == "caught_doc").select("url").distinct().count()
+        == result.stats["docs_found"]
+    )
+    assert counts.get("fetch_error", 0) == result.stats["fetch_failures"]
+    # junk + offsite links were regurgitated
+    assert (
+        j.filter(F.col("event") == "regurgitate").select("url").distinct().count()
+        == result.rejected.count()
+    )
+    # rounds are within the crawl depth
+    assert j.agg(F.max("round")).collect()[0][0] < result.stats["depth_reached"]
+
+
 def test_no_url_fetched_twice(result):
     # /a1 is linked from hub (twice) and page2: dedup sets must collapse it
     assert result.visited.groupBy("url").count().filter(F.col("count") > 1).count() == 0

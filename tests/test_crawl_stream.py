@@ -57,6 +57,20 @@ def test_stream_error_rows_counted(spark, stream_result):
     assert stream_result.stats["pages_found"] == batch.stats["pages_found"]
 
 
+def test_stream_journal_counts_match_stats(spark, stream_result):
+    # op 30 streaming twin: per-batch journal appends reconcile with stats
+    from pyspark.sql import functions as F
+
+    j = stream_result.journal
+    assert [f.name for f in j.schema.fields] == ["event", "url", "round", "ts"]
+    counts = {r.event: r.n for r in j.groupBy("event").agg(F.count("*").alias("n")).collect()}
+    assert counts["tries"] == stream_result.stats["pages_found"]
+    assert counts.get("fetch_error", 0) == stream_result.stats["fetch_failures"]
+    # dedup-before-fetch: no URL journaled 'tries' twice
+    tries = j.filter(F.col("event") == "tries")
+    assert tries.count() == tries.select("url").distinct().count()
+
+
 def test_streaming_index_maintenance(spark, tmp_path_factory):
     """Index postings appended per micro-batch == the batch-built index:
     the materialized probe answers exactly what brute-force search answers,

@@ -48,8 +48,42 @@ def test_frame_sampling_arithmetic(media):
         assert r["count"] == expect
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: the real path is live, not gated")
 def test_real_decoder_stub_gates_clearly(media):
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_features(media, "real")
+
+
+def test_resize_stub_gates_clearly(media):
     with pytest.raises(NotImplementedError, match="codec"):
         resize_images(media, 224, 224)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_real_decoder_decodes_image_dimensions(spark):
+    # proven the day the container gains PIL: a genuine PNG round-trips
+    # through the Arrow batch and comes back with true pixel dimensions
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    rows = [(1, "image", bytearray(buf.getvalue()), (17, 9, None, None)),
+            (2, "image", bytearray(b"not an image"), (None, None, None, None))]
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.decoded_width, r.decoded_height, r.decoder)
+           for r in decode_features(df, "real").collect()}
+    assert got[1] == (17, 9, "real")
+    assert got[2] == (None, None, "real")  # undecodable payload keeps the row
