@@ -44,6 +44,93 @@ def tokenize_sql(expr: str) -> str:
     )
 
 
+# --- S-stemmer (Harman 1991, "How effective is suffixing?") -----------------
+# The light English plural stemmer: three ordered rules, first match wins,
+# words of length <= 3 untouched. Chosen over Porter because every rule is a
+# suffix test + substring — expressible IDENTICALLY in Spark (codegen'd CASE)
+# and DuckDB SQL (no lookbehind, which RE2 lacks; no UDF in the hot path).
+# This closes the engine's one documented deviation from the reference's
+# Mongo $text semantics (api.py:22-26 — Mongo's English analyzer stems;
+# SURVEY.md §2 op 14): stemmed search matches plural/inflected variants.
+#   ies -> y   (unless preceded by a or e:  'flies'->'fly', 'ties' stays? no:
+#               'ties'->'ty' is accepted S-stemmer behavior; 'eies'/'aies'
+#               guards protect 'aies'/'eies' endings)
+#   es  -> e   (unless preceded by a, e or o: 'engines'->'engine',
+#               'goes'/'sees' untouched)
+#   s   -> ''  (unless preceded by u or s: 'engines' caught above,
+#               'bus'/'less' untouched)
+
+
+def s_stem(col: Column | str) -> Column:
+    """S-stemmer over a single lowercase token column (JVM-side CASE).
+
+    Each suffix class is TERMINAL: a word ending in 'es' that hits an
+    exception ('goes', 'shoes') is protected outright — it must not fall
+    through to the bare-s rule, or the exceptions would be dead letters."""
+    t = F.col(col) if isinstance(col, str) else col
+    n = F.length(t)
+    drop_last = t.substr(F.lit(1), n - 1)
+    return (
+        F.when(n <= 3, t)
+        .when(
+            t.endswith("ies"),
+            F.when(
+                t.endswith("eies") | t.endswith("aies"), t
+            ).otherwise(F.concat(t.substr(F.lit(1), n - 3), F.lit("y"))),
+        )
+        .when(
+            t.endswith("es"),
+            F.when(
+                t.endswith("aes") | t.endswith("ees") | t.endswith("oes"), t
+            ).otherwise(drop_last),
+        )
+        .when(t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"), drop_last)
+        .otherwise(t)
+    )
+
+
+def s_stem_sql(expr: str) -> str:
+    """DuckDB twin of :func:`s_stem` (expr must be a lowercase token)."""
+    t = expr
+    return f"""CASE
+        WHEN length({t}) <= 3 THEN {t}
+        WHEN {t} LIKE '%ies' THEN
+            CASE WHEN {t} LIKE '%eies' OR {t} LIKE '%aies' THEN {t}
+                 ELSE substr({t}, 1, length({t}) - 3) || 'y' END
+        WHEN {t} LIKE '%es' THEN
+            CASE WHEN {t} LIKE '%aes' OR {t} LIKE '%ees' OR {t} LIKE '%oes' THEN {t}
+                 ELSE substr({t}, 1, length({t}) - 1) END
+        WHEN {t} LIKE '%s' AND {t} NOT LIKE '%us' AND {t} NOT LIKE '%ss'
+            THEN substr({t}, 1, length({t}) - 1)
+        ELSE {t} END"""
+
+
+def s_stem_py(token: str) -> str:
+    """Driver-side twin of :func:`s_stem` for query-token stemming."""
+    t = token
+    if len(t) <= 3:
+        return t
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+def tokenize_stemmed(col: Column | str) -> Column:
+    """Lowercased, S-stemmed tokens — the analyzer-parity variant of
+    :func:`tokenize` (Mongo $text stems; plain tokenize documents the
+    no-stemming deviation)."""
+    return F.transform(tokenize(col), lambda t: s_stem(t))
+
+
+def tokenize_stemmed_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize_stemmed`."""
+    return f"list_transform({tokenize_sql(expr)}, t -> {s_stem_sql('t')})"
+
+
 def strip_html(paragraphs: Column) -> Column:
     """Join an array of HTML fragments, strip tags, trim; NULL iff the array
     is empty/NULL (reference newsspider.py:48-49: ``if text_contents else

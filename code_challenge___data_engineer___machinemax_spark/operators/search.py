@@ -26,7 +26,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize
+from ..functions.text import s_stem_py, tokenize, tokenize_stemmed
 
 
 def query_tokens(keyword: str) -> list[str]:
@@ -55,6 +55,24 @@ def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataF
         guard = guard | F.lower(F.col(text_col)).contains(t)
     return df.filter(guard).filter(
         F.arrays_overlap(tokenize(text_col), F.array(*[F.lit(t) for t in toks]))
+    )
+
+
+def keyword_search_stemmed(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
+    """Stemmed keyword search: S-stem both the query tokens and the data
+    tokens, then OR-overlap — analyzer parity with Mongo ``$text``'s English
+    stemming (the one semantic the plain :func:`keyword_search` documents as
+    a deviation; reference api.py:22-26). 'queries joins' matches documents
+    containing 'query' or 'join'.
+
+    No ``contains`` pre-guard here: a stem ('fly' from 'flies') need not be
+    a substring of the original text, so the guard would drop true hits.
+    """
+    toks = sorted({s_stem_py(t) for t in query_tokens(keyword)})
+    if not toks:
+        return df.limit(0)
+    return df.filter(
+        F.arrays_overlap(tokenize_stemmed(text_col), F.array(*[F.lit(t) for t in toks]))
     )
 
 

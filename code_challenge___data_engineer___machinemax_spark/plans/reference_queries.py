@@ -11,8 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize, tokenize_sql
-from ..operators.search import build_inverted_index, indexed_keyword_search, keyword_search
+from ..functions.text import tokenize, tokenize_sql, tokenize_stemmed_sql
+from ..operators.search import (
+    build_inverted_index,
+    indexed_keyword_search,
+    keyword_search,
+    keyword_search_stemmed,
+)
 from ..tables import load_table
 from .registry import query
 
@@ -47,6 +52,23 @@ def keyword_search_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unknown keyword -> empty result, not an error (api-test:40-43)."""
     d = load_table(spark, sf_dir, "documents")
     return keyword_search(d, "qqzzxynotaword").select("doc_id", "text")
+
+
+@query(
+    "keyword_search_stemmed",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE list_has_any({tokenize_stemmed_sql('text')}, ['query', 'join'])
+    """,
+)
+def keyword_search_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed search 'queries joins' -> matches docs containing 'query' /
+    'join'. Closes the documented stemming deviation from Mongo $text's
+    English analyzer (api.py:22-26): the S-stemmer runs identically as a
+    codegen'd CASE in Spark and plain SQL in the oracle. The unstemmed
+    engine returns ZERO rows for this query — the delta is the analyzer."""
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_search_stemmed(d, "queries joins").select(*_SEARCH_COLS)
 
 
 @query(

@@ -40,7 +40,7 @@ DRIVER_PRIORITY: list[str] = [
     "keyword_search_hit",
     "keyword_search_miss",
     "keyword_search_indexed",
-    "term_frequencies",
+    "keyword_search_stemmed",  # analyzer parity (round-2 deviation-closer)
     "article_field_extraction",
     "point_lookup_document",
     "cleanse_html_strip",

@@ -52,3 +52,63 @@ def test_token_count_and_shingles(spark):
     assert rows[0].n == 4
     assert rows[0].sh == ["a b c", "b c d"]
     assert rows[1].sh == []  # fewer tokens than k -> empty, not partial
+
+
+def test_s_stemmer_three_way_twin_parity(spark):
+    # the same token list through the Spark CASE, the Python twin, and the
+    # DuckDB SQL twin must agree exactly (the oracle gate depends on it)
+    import duckdb
+
+    from code_challenge___data_engineer___machinemax_spark.functions.text import (
+        s_stem,
+        s_stem_py,
+        s_stem_sql,
+    )
+
+    words = [
+        "queries", "flies", "ties", "engines", "tables", "goes", "sees",
+        "toes", "shoes", "bus", "less", "class", "is", "as", "its", "this",
+        "windows", "joins", "partitions", "express", "酒", "mas", "aies",
+    ]
+    want = {
+        "queries": "query", "flies": "fly", "ties": "ty", "engines": "engine",
+        "tables": "table", "goes": "goes", "sees": "sees", "toes": "toes",
+        "shoes": "shoes", "bus": "bus", "less": "less", "class": "class",
+        "is": "is", "as": "as", "its": "its", "this": "thi",
+        "windows": "window", "joins": "join", "partitions": "partition",
+        "express": "express", "酒": "酒", "mas": "mas", "aies": "aies",
+    }
+    py = {w: s_stem_py(w) for w in words}
+    assert py == want
+
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    sp = {r.t: r.s for r in df.select("t", s_stem(F.col("t")).alias("s")).collect()}
+    assert sp == want
+
+    con = duckdb.connect()
+    duck = dict(
+        con.sql(
+            "SELECT t, " + s_stem_sql("t") + " FROM (SELECT unnest(?) AS t)",
+            params=[words],
+        ).fetchall()
+    )
+    assert duck == want
+
+
+def test_stemmed_search_matches_inflected_query(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        keyword_search,
+        keyword_search_stemmed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the query planner"), (2, "a join strategy"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    # unstemmed: plural query tokens match nothing
+    assert keyword_search(df, "queries joins").count() == 0
+    hits = {r.doc_id for r in keyword_search_stemmed(df, "queries joins").collect()}
+    assert hits == {1, 2}
+    # and data-side plurals match a singular query
+    df2 = spark.createDataFrame([(1, "many queries arrive")], "doc_id long, text string")
+    assert {r.doc_id for r in keyword_search_stemmed(df2, "query").collect()} == {1}
