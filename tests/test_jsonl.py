@@ -1,0 +1,59 @@
+"""JSONL document source/sink: schema-on-read, dead-letter quarantine,
+round-trip fidelity."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark.sources.jsonl import (
+    dead_letter_split,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path)
+    clean, bad = dead_letter_split(read_documents_jsonl(spark, path))
+    assert bad.count() == 0
+    want = {r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()}
+    got = {r.doc_id: (r.text, r.lang, r.source) for r in clean.collect()}
+    assert got == want
+
+
+def test_jsonl_corrupt_lines_are_dead_letters(spark, tmp_path):
+    p = tmp_path / "dirty"
+    p.mkdir()
+    with open(p / "part-0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "good row", "lang": "en"}\n')
+        f.write("this is not json at all\n")
+        f.write('{"doc_id": 2, "text": "another good", "lang": "en"}\n')
+        f.write('{"doc_id": 3, "text": "truncated...\n')
+    clean, bad = dead_letter_split(read_documents_jsonl(spark, str(p)))
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in l for l in bad_lines)
+
+
+def test_jsonl_write_is_line_splittable_gzip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(20).select("doc_id", "text")
+    path = str(tmp_path / "gz_jsonl")
+    write_documents_jsonl(docs, path)
+    parts = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".gz")]
+    assert parts
+    n_lines = 0
+    for part in parts:
+        with gzip.open(os.path.join(path, part), "rt") as f:
+            for line in f:
+                assert line.strip().startswith("{") and line.strip().endswith("}")
+                n_lines += 1
+    assert n_lines == 20
