@@ -204,9 +204,17 @@ def bm25_rank(
     tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
+    # restrict doc lengths to MATCHED docs before joining: unrestricted,
+    # Catalyst broadcasts the corpus-sized doc_len on local size estimates
+    # (the SCALE.md estimate trap) — semi-joined it is match-bounded at any
+    # scale, so whatever join strategy AQE picks is safe
+    doc_len_matched = doc_len.join(
+        F.broadcast(tf.select(key_col).distinct()), key_col, "left_semi"
+    )
+
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(doc_len, key_col)
+        .join(doc_len_matched, key_col)
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf",
@@ -259,9 +267,14 @@ def tfidf_rank(
     tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
+    # match-bounded doc lengths (same estimate-trap fix as bm25_rank)
+    doc_len_matched = doc_len.join(
+        F.broadcast(tf.select(key_col).distinct()), key_col, "left_semi"
+    )
+
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(doc_len, key_col)
+        .join(doc_len_matched, key_col)
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "term_score",
