@@ -524,8 +524,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter(F.col("doc_id") % 10 == 0)
     rest = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
     hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    # shuffle_hash, not broadcast: Catalyst's local estimate broadcasts the
+    # train-split gram set, which is corpus-scale in production; both sides
+    # are already hash-partitioned by gram from their distincts, so the
+    # shuffle join reuses those exchanges (A/B'd equal-or-faster locally,
+    # SCALE.md round 2)
     return (
-        bench.join(rest.select(F.col("gram").alias("hit_gram")),
+        bench.join(rest.select(F.col("gram").alias("hit_gram")).hint("shuffle_hash"),
                    F.col("gram") == F.col("hit_gram"), "left")
         .groupBy("doc_id")
         .agg(
