@@ -100,6 +100,19 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)
 
 
+@query("embedding_near_dup_pairs", oracle=None)
+def embedding_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup at cosine >= 0.9 via SRP-LSH bucketed
+    self-join (the scale path; never O(n^2)). Rows-only check — the SRP
+    candidate set is numpy-matmul-derived, not SQL-reproducible — but every
+    OUTPUT pair is exact-cosine-verified, and tests/test_similarity.py
+    measures recall against planted near-duplicate vectors."""
+    from ..operators.similarity import srp_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_near_dup_pairs(e, "vec_id", "embedding", threshold=0.9)
+
+
 @query("ivf_topk", oracle=None)
 def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: label-centroid codebook, nprobe=3 coarse

@@ -46,3 +46,74 @@ def test_lsh_recall_against_exact(spark, sf_dir):
               ann_topk_lsh(e, q, "vec_id", "embedding", k=10, n_planes=4, n_tables=8).collect()}
     assert len(approx) > 0
     assert len(exact & approx) >= 5
+
+
+def test_srp_near_dup_pairs_recall_and_exactness(spark, sf_dir):
+    # plant near-duplicate vectors (small deterministic perturbation) and
+    # require: (a) every output pair truly has cosine >= threshold (the
+    # verify step makes output exact), (b) recall >= 0.85 of planted pairs
+    # whose true cosine >= threshold, (c) unrelated vectors don't pair
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.limit(200).collect()
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noise = rng.normal(0.0, 0.05 * (np.linalg.norm(v) / np.sqrt(len(v))), len(v))
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in (v + noise)]))
+    corpus = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+
+    got = srp_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.9).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in got}
+    assert all(c >= 0.9 for c in pairs.values())  # exactness of output
+
+    # ground truth: which planted (orig, mutant) pairs truly clear 0.9
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import cosine
+
+    orig = corpus.filter(F.col("vec_id") < 1_000_000).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    mut = corpus.filter(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - 1_000_000).alias("id_a"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in orig.join(mut, "id_a")
+        .withColumn("c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 150  # the plant worked
+    recall = len(truth & set(pairs)) / len(truth)
+    assert recall >= 0.85, f"recall {recall:.3f} over {len(truth)} planted pairs"
+
+
+def test_srp_near_dup_hot_bucket_cap(spark):
+    # 80 identical vectors occupy one bucket per table -> 3160 pairs
+    # uncapped; the cap drops them while distinct near-dups survive
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=64)
+    same = [(i, [float(x) for x in v]) for i in range(80)]
+    a = rng.normal(size=64)
+    pairy = [(100, [float(x) for x in a]), (101, [float(x) for x in a + 0.01])]
+    df = spark.createDataFrame(same + pairy, "vec_id long, embedding array<float>")
+    unc = srp_near_dup_pairs(df, "vec_id", "embedding", threshold=0.9).count()
+    assert unc >= 80 * 79 // 2
+    capped = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket_size=10).collect()}
+    assert not any(x < 80 and y < 80 for x, y in capped)
+    assert (100, 101) in capped
