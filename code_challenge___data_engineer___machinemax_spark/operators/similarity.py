@@ -223,12 +223,28 @@ def srp_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # normalize each vector ONCE before the pair join: cosine(a,b) inline
+    # would recompute both norms per candidate pair (3 higher-order passes
+    # per pair; candidates number ~n·T·B/2), pre-normalized it's a single
+    # dot product per pair (A/B'd 174s -> 120s on the 20k-vector replica;
+    # SCALE.md — and run dedup_exact on the vector digest FIRST: identical
+    # copies belong to exact dedup, not LSH, 120s -> 13s there). The norm
+    # goes through a real column so the transform lambda reads a column
+    # ref, not a nested aggregate re-evaluated per element.
+    normed = (
+        df.withColumn("__norm", l2_norm(F.col(vec_col)))
+        .filter(F.col("__norm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double") / F.col("__norm")).alias("__vn"),
+        )
+    )
+    va = normed.select(F.col(id_col).alias("id_a"), F.col("__vn").alias("__va"))
+    vb = normed.select(F.col(id_col).alias("id_b"), F.col("__vn").alias("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", F.round(dot(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
