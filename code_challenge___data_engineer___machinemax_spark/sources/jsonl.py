@@ -79,3 +79,34 @@ def write_documents_jsonl(df: DataFrame, path: str, compression: str = "gzip") -
     """Write documents as (optionally gzipped) JSONL — one object per line,
     one file per partition."""
     df.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENT_SCHEMA
+) -> DataFrame:
+    """CSV twin of :func:`read_documents_jsonl`: explicit schema, header,
+    PERMISSIVE dead-letter capture (malformed lines -> ``_corrupt_record``),
+    multiLine off so files stay splittable. Same :func:`dead_letter_split`
+    applies."""
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(read_schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("enforceSchema", "false")
+        .csv(path)
+    )
+
+
+def write_documents_csv(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """Write documents as headered CSV (quoted as needed), one file per
+    partition."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", compression)
+        .csv(path)
+    )

@@ -57,3 +57,32 @@ def test_jsonl_write_is_line_splittable_gzip(spark, sf_dir, tmp_path):
                 assert line.strip().startswith("{") and line.strip().endswith("}")
                 n_lines += 1
     assert n_lines == 20
+
+
+def test_csv_roundtrip_and_dead_letters(spark, sf_dir, tmp_path):
+    from code_challenge___data_engineer___machinemax_spark.sources.jsonl import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "docs_csv")
+    write_documents_csv(docs, path)
+    clean, bad = dead_letter_split(read_documents_csv(spark, path))
+    assert bad.count() == 0
+    want = {r.doc_id: (r.text, r.lang, r.n_chars) for r in docs.collect()}
+    got = {r.doc_id: (r.text, r.lang, r.n_chars) for r in clean.collect()}
+    assert got == want
+
+    p = tmp_path / "dirty_csv"
+    p.mkdir()
+    with open(p / "part-0.csv", "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('1,"good row",en,web,8\n')
+        f.write('not_a_number,"bad id",en,web,6\n')
+        f.write('2,"another good",en,web,12\n')
+    clean2, bad2 = dead_letter_split(read_documents_csv(spark, str(p)))
+    assert {r.doc_id for r in clean2.collect()} == {1, 2}
+    assert bad2.count() == 1
