@@ -221,3 +221,56 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup key and the stable doc identity for incremental ingest."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", text_digest("text").alias("fingerprint"))
+
+
+@query(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+    SELECT occ.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(trunc(ln(CAST(freq.cnt AS DOUBLE) / tot.total) * 1e6)
+                          AS BIGINT)) AS BIGINT) AS logprob_e6
+    FROM occ JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY occ.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability fluency score per document (KenLM-lite): the
+    corpus itself is the language model — P(t) = count(t)/total — and a
+    document's score is the sum of ln P(t) over its token occurrences.
+    Low (very negative) per-token means flag rare/garbled text; the
+    standard model-based corpus-quality signal next to the rule-based
+    quality_filter_pipeline.
+
+    Determinism: per-token ln P is trunc-scaled to e6 and summed as BIGINT
+    (double sums over hundreds of terms are association-sensitive across
+    engines; integer sums are exact). Spark's double->bigint cast truncates
+    toward zero == DuckDB trunc().
+
+    Scale: the token explode is corpus-wide — this op runs at ingest next
+    to index construction, not per query. The frequency join shuffles on
+    the token (both sides arrive hash-partitioned from the count agg;
+    shuffle_hash avoids broadcasting a vocab-sized table on local size
+    estimates), and the doc re-agg shuffles narrow (doc_id, bigint) rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+    li = (
+        F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6
+    ).cast("bigint")
+    return (
+        occ.join(freq.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(li).cast("bigint").alias("logprob_e6"),
+        )
+    )

