@@ -139,3 +139,47 @@ def test_partitioned_store_prunes(spark, tmp_path):
     assert "PartitionFilters" in txt
     assert "section" in txt.split("PartitionFilters", 1)[1][:200]
     assert {r.url for r in q.collect()} == {"http://s/a"}
+
+
+def test_dedup_ingest_stream_never_duplicates(spark, tmp_path):
+    # two ingest waves with within-wave dups, cross-wave dups, and a
+    # re-delivered wave: the corpus must hold exactly the distinct texts
+    import json
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.ingest import (
+        dedup_ingest_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    wave1 = [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "w1", "n_chars": 16},
+        {"doc_id": 2, "text": "delta epsilon", "lang": "en", "source": "w1", "n_chars": 13},
+        {"doc_id": 3, "text": "Alpha  beta GAMMA!", "lang": "en", "source": "w1", "n_chars": 18},  # dup of 1 (normalized)
+    ]
+    drop("w1.jsonl", wave1)
+    stats1 = dedup_ingest_stream(spark, str(landing), store)
+    assert stats1 == {"corpus_docs": 2, "distinct_fingerprints": 2}
+
+    wave2 = [
+        {"doc_id": 4, "text": "delta epsilon", "lang": "en", "source": "w2", "n_chars": 13},  # cross-wave dup
+        {"doc_id": 5, "text": "zeta eta theta", "lang": "en", "source": "w2", "n_chars": 14},
+    ]
+    drop("w2.jsonl", wave2)
+    stats2 = dedup_ingest_stream(spark, str(landing), store)
+    assert stats2 == {"corpus_docs": 3, "distinct_fingerprints": 3}
+
+    # re-deliver wave 2 under a new name (at-least-once delivery): no change
+    drop("w2_redelivered.jsonl", wave2)
+    stats3 = dedup_ingest_stream(spark, str(landing), store)
+    assert stats3 == {"corpus_docs": 3, "distinct_fingerprints": 3}
+
+    texts = {r.text for r in spark.read.parquet(store + "/corpus").collect()}
+    assert texts == {"alpha beta gamma", "delta epsilon", "zeta eta theta"}
