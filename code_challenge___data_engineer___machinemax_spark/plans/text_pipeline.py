@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize, tokenize_sql
+from ..functions.text import (
+    tokenize,
+    tokenize_sql,
+    winnowing_fingerprints_sql,
+)
+
+_winnow_sql = winnowing_fingerprints_sql("text")
 from ..operators.dedup import text_digest
 from ..tables import load_table
 from .registry import query
@@ -273,4 +279,28 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum(li).cast("bigint").alias("logprob_e6"),
         )
+    )
+
+
+@query(
+    "winnowing_doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, unnest({_winnow_sql}) AS fp
+    FROM documents
+    """,
+)
+def winnowing_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash selection: k-gram hashes,
+    per-window minima) exploded to (doc_id, fp) rows — the position-robust
+    document fingerprint for overlap/plagiarism/contamination detection; a
+    shared token run of length >= w+k-1 guarantees a shared fp.
+
+    Scale: fingerprints are ~1/w of the gram count and computed in one
+    narrow codegen pass (no shuffle); overlap detection downstream is an
+    equi-join on the 15-char fp key, the same shape as LSH banding."""
+    from ..functions.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
     )

@@ -139,3 +139,33 @@ def test_unigram_logprob_flags_garbled_text(spark):
     got = {r.doc_id: r.per_token for r in scored.collect()}
     fluent_mean = sum(v for k, v in got.items() if k < 100) / 20
     assert got[100] < fluent_mean  # garbled doc is less probable per token
+
+
+def test_winnowing_fingerprint_guarantees(spark):
+    from code_challenge___data_engineer___machinemax_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        # same text with a word inserted up front: position shift must NOT
+        # rewrite the whole fingerprint set (unlike a whole-doc digest)
+        (2, "prefix " + base),
+        # shares a >= w+k-1 = 8-token run with doc 1 -> guaranteed overlap
+        (3, "unrelated start beta gamma delta epsilon zeta eta theta iota different end"),
+        (4, "completely different words entirely here nothing shared at all today"),
+        (5, "tiny doc"),  # < k tokens -> empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id", winnowing_fingerprints("text").alias("fps")).collect()}
+
+    assert fps[5] == set()
+    assert fps[1] & fps[2], "insertion must preserve most fingerprints"
+    assert len(fps[1] & fps[2]) / len(fps[1]) >= 0.5
+    assert fps[1] & fps[3], "8-token shared run guarantees a shared fp"
+    assert not (fps[1] & fps[4]), "no shared content, no shared fp"
+    # compression: fingerprints are a strict subset of the gram count
+    n_grams = len(base.split()) - 4 + 1
+    assert 0 < len(fps[1]) < n_grams
