@@ -59,7 +59,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_profile",
     # text pipeline
     "lang_id_heuristic",
-    "quality_scores",
+    "unigram_logprob_scores",  # model-based fluency score (round-2 op)
     "quality_filter_pipeline",
     "doc_fingerprints",
     "dedup_exact_groups",
@@ -70,7 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_fingerprints",
     "dedup_cluster_resolution",
     "cosine_topk_bruteforce",
-    "embedding_norms",
+    "winnowing_doc_fingerprints",  # rolling-hash fingerprints (round-2 op)
     "label_centroids",
     "ann_topk_lsh",
     "ivf_topk",

@@ -304,3 +304,38 @@ def winnowing_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
     )
+
+
+@query(
+    "doc_overlap_winnowing",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, unnest({_winnow_sql}) AS fp FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def doc_overlap_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap detection on winnowing fingerprints: pairs sharing
+    >= 3 selected hashes (each shared fp witnesses a shared token run of
+    ~w+k-1 tokens — substantial textual overlap, robust to position).
+
+    Scale: the same bucketed-equi-join shape as LSH banding — a self-join
+    on the 15-char fp key over a fingerprint table that is ~1/w of the
+    gram count; never an all-pairs comparison. Hot keys (boilerplate
+    runs) take the same cap/salt mitigations as LSH band buckets."""
+    from ..functions.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.explode(winnowing_fingerprints("text")).alias("fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
