@@ -76,14 +76,22 @@ def keyword_search_stemmed(df: DataFrame, keyword: str, text_col: str = "text") 
     )
 
 
-def build_inverted_index(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+def build_inverted_index(
+    df: DataFrame, key_col: str, text_col: str = "text", stemmed: bool = False
+) -> DataFrame:
     """(token, key) posting table: explode distinct tokens per document.
+
+    ``stemmed=True`` builds the analyzer-parity posting list (S-stemmed
+    tokens — the ingest-time twin of :func:`keyword_search_stemmed`, so the
+    per-query cost of stemming is zero at scale). Probe it with stemmed
+    query tokens.
 
     At scale: write partitioned/bucketed by ``token`` so a keyword probe
     prunes to the query tokens' buckets.
     """
-    return (
-        df.select(F.col(key_col), F.explode(F.array_distinct(tokenize(text_col))).alias("token"))
+    toks = tokenize_stemmed(text_col) if stemmed else tokenize(text_col)
+    return df.select(
+        F.col(key_col), F.explode(F.array_distinct(toks)).alias("token")
     )
 
 
@@ -95,7 +103,7 @@ def _token_bucket(token) -> "F.Column":
 
 
 def materialize_inverted_index(
-    df: DataFrame, key_col: str, path: str, text_col: str = "text"
+    df: DataFrame, key_col: str, path: str, text_col: str = "text", stemmed: bool = False
 ) -> None:
     """Persist the posting table partitioned by token prefix.
 
@@ -103,9 +111,10 @@ def materialize_inverted_index(
     with ingest-time materialization. A keyword probe then reads only the
     query tokens' partitions — partition pruning does the work of Mongo's
     B-tree walk. Incremental ingest appends to the same layout.
+    ``stemmed=True`` persists the analyzer-parity (S-stemmed) layout.
     """
     (
-        build_inverted_index(df, key_col, text_col)
+        build_inverted_index(df, key_col, text_col, stemmed=stemmed)
         .withColumn("bucket", _token_bucket(F.col("token")))
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -129,12 +138,16 @@ def append_to_inverted_index(
 
 
 def search_with_materialized_index(
-    spark, df: DataFrame, index_path: str, key_col: str, keyword: str
+    spark, df: DataFrame, index_path: str, key_col: str, keyword: str,
+    stemmed: bool = False,
 ) -> DataFrame:
     """Probe the persisted index: partition pruning on the token prefix +
     token equality (both pushed to the scan) -> distinct keys -> broadcast
-    semi-join back to the corpus."""
+    semi-join back to the corpus. ``stemmed=True`` stems the query tokens
+    to probe a ``stemmed=True``-materialized layout."""
     toks = query_tokens(keyword)
+    if stemmed:
+        toks = sorted({s_stem_py(t) for t in toks})
     if not toks:
         return df.limit(0)
     # EXACTLY the column-side _token_bucket rule: ASCII [a-z0-9] keeps its

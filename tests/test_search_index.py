@@ -114,3 +114,38 @@ def test_ivf_topk_recall(spark, sf_dir):
     }
     assert len(approx) == 10
     assert len(exact & approx) >= 5  # nprobe=3 of 10 lists recovers most
+
+
+def test_stemmed_materialized_index_matches_stemmed_bruteforce(spark, tmp_path):
+    # the analyzer-parity layout: stemmed postings probed with stemmed query
+    # tokens answer exactly what brute-force stemmed search answers
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        keyword_search_stemmed,
+    )
+
+    rows = [
+        (1, "the query planner joins tables"),
+        (2, "many queries arrive daily"),
+        (3, "a join strategy for engines"),
+        (4, "nothing relevant here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "stemmed_index")
+    materialize_inverted_index(d, "doc_id", path, stemmed=True)
+    for kw in ("queries joins", "query", "engine", "absent"):
+        brute = {r.doc_id for r in keyword_search_stemmed(d, kw).collect()}
+        indexed = {
+            r.doc_id
+            for r in search_with_materialized_index(
+                spark, d, path, "doc_id", kw, stemmed=True
+            ).collect()
+        }
+        assert indexed == brute, kw
+    # plural query hits singular docs through the index
+    hits = {
+        r.doc_id
+        for r in search_with_materialized_index(
+            spark, d, path, "doc_id", "queries joins", stemmed=True
+        ).collect()
+    }
+    assert hits == {1, 2, 3}
