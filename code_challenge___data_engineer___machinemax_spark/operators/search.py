@@ -220,10 +220,11 @@ def bm25_rank(
     # restrict doc lengths to MATCHED docs before joining: unrestricted,
     # Catalyst broadcasts the corpus-sized doc_len on local size estimates
     # (the SCALE.md estimate trap) — semi-joined it is match-bounded at any
-    # scale, so whatever join strategy AQE picks is safe
-    doc_len_matched = doc_len.join(
-        F.broadcast(tf.select(key_col).distinct()), key_col, "left_semi"
-    )
+    # scale. No broadcast hint on the matched-id side: a high-df query token
+    # makes the matched set itself corpus-scale, so forcing the broadcast
+    # reintroduces the OOM hazard; AQE picks broadcast when the runtime size
+    # is actually small (round-2 advice).
+    doc_len_matched = doc_len.join(tf.select(key_col).distinct(), key_col, "left_semi")
 
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -280,10 +281,10 @@ def tfidf_rank(
     tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
-    # match-bounded doc lengths (same estimate-trap fix as bm25_rank)
-    doc_len_matched = doc_len.join(
-        F.broadcast(tf.select(key_col).distinct()), key_col, "left_semi"
-    )
+    # match-bounded doc lengths, no forced broadcast (same rationale as
+    # bm25_rank: the matched set is unbounded for high-df tokens; let AQE
+    # decide from the runtime size)
+    doc_len_matched = doc_len.join(tf.select(key_col).distinct(), key_col, "left_semi")
 
     scored = (
         tf.join(F.broadcast(dfreq), "token")

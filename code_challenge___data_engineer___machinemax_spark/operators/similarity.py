@@ -153,7 +153,10 @@ def ivf_topk(
     q_scored = (
         query.crossJoin(F.broadcast(centroids))
         .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
-        .orderBy(F.desc("__d"))
+        # centroid_id tie-break: the probe is a SET of list ids, and an exact
+        # cosine tie at the nprobe boundary must resolve identically in the
+        # DuckDB oracle (plans/similarity_queries.py ivf_topk).
+        .orderBy(F.desc("__d"), F.asc("centroid_id"))
         .limit(nprobe)
         .select("centroid_id")
     )
@@ -244,8 +247,13 @@ def srp_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot(F.col("__va"), F.col("__vb")), 6))
-        .filter(F.col("cosine") >= threshold)
+        # threshold on the UNROUNDED dot product (the docstring's "exact-
+        # cosine-verified" claim); rounding is display-only on the emitted
+        # column — previously a pair at true cosine threshold-5e-7 slipped
+        # through the rounded filter (round-2 advice).
+        .withColumn("__cos", dot(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .withColumn("cosine", F.round(F.col("__cos"), 6))
         .select("id_a", "id_b", "cosine")
     )
 

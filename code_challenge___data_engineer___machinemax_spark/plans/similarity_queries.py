@@ -91,11 +91,62 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_lsh", oracle=None)
+# The SRP hyperplanes are a pure integer LCG of (plane, dim) —
+# operators/similarity.py:hyperplane — so the ENTIRE LSH pipeline (bucket
+# bits, candidate set, exact rescoring) is reproducible in plain SQL. The
+# only cross-engine float risk is the sign test dot >= 0: numpy matmul
+# (Spark side) vs sequential list_sum (DuckDB) differ at ~1e-15 relative,
+# so a sign can only flip when the true projection magnitude is below
+# ~1e-13 — vanishingly unlikely for 64-dim real embeddings.
+_SRP_PLANE_SQL = (
+    "(CAST((((({t} * 1009 + {i}) * 73856093 + j * 19349663 + 83492791) "
+    "% 2000003) % 2001 - 1000) AS DOUBLE) / 1000.0)"
+)
+
+_SRP_BUCKETS_SQL = f"""
+    ti AS (SELECT r1.range AS t, r2.range AS i FROM range(8) r1, range(8) r2),
+    proj AS (
+      SELECT e.vec_id, ti.t, ti.i,
+             list_sum(list_transform(range(0, 64), j ->
+                 CAST(e.embedding[j + 1] AS DOUBLE)
+                 * {_SRP_PLANE_SQL.format(t='ti.t', i='ti.i')}
+             )) AS d
+      FROM embeddings e CROSS JOIN ti
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, t
+    )
+"""
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH {_SRP_BUCKETS_SQL},
+    qb AS (SELECT DISTINCT t, bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM buckets b JOIN qb USING (t, bucket)
+      WHERE b.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_DOT_SQL.format(a='e.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-random-projection LSH (8 hyperplanes,
-    256 buckets). Rows-only check; tests/test_similarity.py pins recall
-    against the exact top-k."""
+    """Approximate top-10 via sign-random-projection LSH (8 hyperplanes x 8
+    OR-amplified tables, 256 buckets each). Deterministic end-to-end (LCG
+    hyperplanes, round-6 cosine, id tie-break), so the DuckDB oracle
+    replays the full bucket arithmetic + candidate rescoring in SQL.
+    tests/test_similarity.py additionally pins recall vs the exact top-k."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return ann_topk_lsh(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)
 
@@ -113,11 +164,60 @@ def embedding_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFram
     return srp_near_dup_pairs(e, "vec_id", "embedding", threshold=0.9)
 
 
-@query("ivf_topk", oracle=None)
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS d
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    qtop AS (
+      SELECT c.centroid_id
+      FROM cent c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a='qvec', b='c.cvec')}
+               / (sqrt({_DOT_SQL.format(a='qvec', b='qvec')})
+                  * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) DESC,
+               c.centroid_id
+      LIMIT 3
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           ROUND({_DOT_SQL.format(a='a.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM assigned a JOIN qtop USING (centroid_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: label-centroid codebook, nprobe=3 coarse
-    lists scored. Rows-only check; tests/test_search_index.py pins recall
-    against the exact top-k."""
+    lists scored. Deterministic (mean-centroid codebook, cosine argmax with
+    centroid tie-break, round-6 rescoring), so the DuckDB oracle replays
+    the assignment + probe + rescoring pipeline in SQL.
+    tests/test_search_index.py additionally pins recall vs the exact top-k."""
     from ..operators.similarity import ivf_topk, label_centroids_df
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -21,9 +21,12 @@ Scale notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 # canonical document shape (mirrors testdata documents.parquet)
 DOCUMENT_SCHEMA = T.StructType(
@@ -58,21 +61,53 @@ def read_documents_jsonl(
     )
 
 
-def dead_letter_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean_rows_without_corrupt_col, quarantined_raw_lines).
+@dataclass
+class DeadLetterSplit:
+    """The two halves of a dead-letter split plus the lifecycle of the
+    shared cached parse. Unpacks like the (clean, bad) tuple it replaces;
+    additionally a context manager so ingest loops release the cached
+    partitions deterministically instead of accumulating them until
+    executor storage evicts under pressure (round-2 advice)::
+
+        with dead_letter_split(read_documents_jsonl(spark, path)) as s:
+            s.clean.write...; s.bad.write...
+        # cache released here
+    """
+
+    clean: DataFrame
+    bad: DataFrame
+    _parsed: DataFrame
+
+    def __iter__(self):
+        return iter((self.clean, self.bad))
+
+    def unpersist(self) -> None:
+        self._parsed.unpersist()
+
+    def __enter__(self) -> "DeadLetterSplit":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
+def dead_letter_split(df: DataFrame) -> DeadLetterSplit:
+    """Split parsed rows into (clean_rows_without_corrupt_col,
+    quarantined_raw_lines); returns a :class:`DeadLetterSplit` (tuple-
+    unpackable, context-managed).
 
     Persists the parsed frame first: (a) both halves consume it, so the
     parse pass is paid once, and (b) Spark disallows a file-scan plan whose
     referenced columns are ONLY the internal corrupt-record column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the quarantine
-    side would be exactly that query. At cluster scale use
-    ``StorageLevel.DISK_ONLY`` (or write both halves out in one job) rather
-    than default memory caching.
+    side would be exactly that query. DISK_ONLY: the parsed frame is
+    corpus-sized, and spilling it to local disk beats both re-parsing and
+    pinning executor memory at 100 TB ingest scale.
     """
-    df = df.persist()
+    df = df.persist(StorageLevel.DISK_ONLY)
     clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT).alias("raw_line"))
-    return clean, bad
+    return DeadLetterSplit(clean=clean, bad=bad, _parsed=df)
 
 
 def write_documents_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:

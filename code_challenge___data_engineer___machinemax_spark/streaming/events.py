@@ -125,33 +125,52 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
-def stream_upsert_to_store(events: DataFrame, path: str) -> None:
+def stream_upsert_to_store(
+    events: DataFrame, path: str, checkpoint_location: str | None = None
+) -> None:
     """foreachBatch sink: per micro-batch, aggregate and merge into a
     parquet state table (read-modify-overwrite keyed by event_type).
 
-    Replay-safe: the state table carries the last applied epoch_id, and a
-    replayed micro-batch (foreachBatch is at-least-once after a failure) is
-    skipped instead of double-counted. The final overwrite is staged through
-    a ``__tmp`` directory but plain parquet cannot make the last rename
-    atomic — a crash mid-overwrite can lose the table. True exactly-once
-    needs a transactional table format (Delta MERGE would replace the body
-    of :func:`merge_epoch_into_store`)."""
+    Replay-safe, and the guard is scoped per RUN: epoch ids are only
+    monotonic within one streaming query, so a bare ``epoch <= last_epoch``
+    check would silently no-op every batch of a fresh query run against an
+    existing store (epochs restart at 0 — round-2 advice). The run scope is
+    ``checkpoint_location`` when given (stable across restarts of the same
+    logical query, whose epochs DO continue), else a fresh uuid per call
+    (a new run merges into the existing store instead of being dropped;
+    re-feeding the same input in a new run is then the caller's
+    double-count to avoid — pass a checkpoint to make restarts continue
+    instead). The final overwrite is staged through a ``__tmp`` directory
+    but plain parquet cannot make the last rename atomic — a crash
+    mid-overwrite can lose the table. True exactly-once needs a
+    transactional table format (Delta MERGE would replace the body of
+    :func:`merge_epoch_into_store`)."""
+    import uuid
+
+    run_scope = checkpoint_location if checkpoint_location else f"run-{uuid.uuid4()}"
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_epoch_into_store(batch_df, epoch_id, path)
+        merge_epoch_into_store(batch_df, epoch_id, path, run_scope=run_scope)
 
-    q = events.writeStream.outputMode("update").foreachBatch(merge).start()
+    writer = events.writeStream.outputMode("update").foreachBatch(merge)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
 
-def merge_epoch_into_store(batch_df: DataFrame, epoch_id: int, path: str) -> bool:
+def merge_epoch_into_store(
+    batch_df: DataFrame, epoch_id: int, path: str, run_scope: str = "adhoc"
+) -> bool:
     """Merge one micro-batch's per-event_type aggregate into the parquet
     state table at ``path``; returns False (no-op) when ``epoch_id`` was
-    already applied — the idempotence that makes foreachBatch's
-    at-least-once replay safe."""
+    already applied BY THE SAME RUN — the idempotence that makes
+    foreachBatch's at-least-once replay safe. A different ``run_scope``
+    (new query run) always merges: its epoch counter is unrelated to the
+    stored one."""
     import os
     import shutil
 
@@ -162,10 +181,14 @@ def merge_epoch_into_store(batch_df: DataFrame, epoch_id: int, path: str) -> boo
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
         current = spark.read.parquet(path)
         if "last_epoch" in current.columns:
-            applied = current.agg(F.max("last_epoch")).collect()[0][0]
-            if applied is not None and epoch_id <= applied:
-                return False  # replayed micro-batch — already merged
-            current = current.drop("last_epoch")
+            head = current.select(
+                F.max("last_epoch").alias("e"),
+                F.first("run_scope").alias("s") if "run_scope" in current.columns
+                else F.lit(None).cast("string").alias("s"),
+            ).collect()[0]
+            if head.s == run_scope and head.e is not None and epoch_id <= head.e:
+                return False  # replayed micro-batch of THIS run — already merged
+            current = current.drop("last_epoch", "run_scope")
         merged = (
             current.unionByName(update)
             .groupBy("event_type")
@@ -173,7 +196,9 @@ def merge_epoch_into_store(batch_df: DataFrame, epoch_id: int, path: str) -> boo
         )
     else:
         merged = update
-    merged = merged.withColumn("last_epoch", F.lit(epoch_id))
+    merged = merged.withColumn("last_epoch", F.lit(epoch_id)).withColumn(
+        "run_scope", F.lit(run_scope)
+    )
     tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
     staged = spark.read.parquet(tmp)

@@ -48,9 +48,11 @@ def dedup_ingest_stream(spark: SparkSession, landing_dir: str, store_dir: str) -
     ``store_dir``: ``corpus/`` (unique documents + fingerprint column) and
     ``fingerprints/`` (the narrow dedup-key table the anti-join probes).
     Restart-safe: the checkpoint dir pins source progress, and a replayed
-    batch's documents are all already in the fingerprint store, so replays
-    append nothing (idempotent by construction — no epoch tracking needed,
-    unlike the aggregating upsert in events.py).
+    batch's documents are already in the fingerprint store, so clean replays
+    append nothing. The corpus is written BEFORE its fingerprints (see
+    ``process``), so a crash between the two appends can only produce
+    transient duplicates on replay — never document loss; read through
+    :func:`corpus_view` for exactly-once semantics across that window.
     """
     corpus_dir = os.path.join(store_dir, "corpus")
     fp_dir = os.path.join(store_dir, "fingerprints")
@@ -70,8 +72,19 @@ def dedup_ingest_stream(spark: SparkSession, landing_dir: str, store_dir: str) -
         fresh = batch.join(seen, "fingerprint", "left_anti").localCheckpoint()
         if not fresh.take(1):
             return
-        fresh.select("fingerprint").write.mode("append").parquet(fp_dir)
+        # CORPUS FIRST, fingerprints after (round-2 advice): the two appends
+        # are not atomic, and the failure modes are asymmetric. Fingerprints-
+        # first + crash loses documents FOREVER (replay finds the fingerprint
+        # already present and filters the document out before it ever reaches
+        # the corpus). Corpus-first + crash merely re-appends those documents
+        # on replay (their fingerprints are still absent), so the corpus is
+        # at-least-once for the crash window and loses nothing —
+        # corpus_view() restores exactly-once by deduping on the fingerprint
+        # column at read time. True atomicity needs a transactional table
+        # format (Delta MERGE); this is the plain-parquet equivalent with a
+        # safe failure direction.
         fresh.write.mode("append").parquet(corpus_dir)
+        fresh.select("fingerprint").write.mode("append").parquet(fp_dir)
 
     stream = spark.readStream.schema(DOCUMENT_SCHEMA).json(landing_dir)
     q = (
@@ -84,11 +97,33 @@ def dedup_ingest_stream(spark: SparkSession, landing_dir: str, store_dir: str) -
     finally:
         q.stop()
 
-    corpus = _read_or_empty(
-        spark, corpus_dir,
-        "doc_id long, text string, lang string, source string, n_chars long, fingerprint string",
-    )
+    corpus = _read_or_empty(spark, corpus_dir, _CORPUS_SCHEMA)
     return {
         "corpus_docs": corpus.count(),
         "distinct_fingerprints": corpus.select("fingerprint").distinct().count(),
     }
+
+
+_CORPUS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long, fingerprint string"
+)
+
+
+def corpus_view(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Exactly-once read view of the ingested corpus: one row per
+    fingerprint (first-writer wins via min doc_id for determinism).
+
+    In steady state this is a no-op pass-through — the anti-join keeps the
+    stored corpus unique. It exists for the crash window between the corpus
+    append and the fingerprint append in :func:`dedup_ingest_stream`, where
+    a replayed batch can re-append documents (at-least-once storage,
+    exactly-once view)."""
+    from pyspark.sql import Window as W
+
+    corpus = _read_or_empty(spark, os.path.join(store_dir, "corpus"), _CORPUS_SCHEMA)
+    w = W.partitionBy("fingerprint").orderBy(F.asc("doc_id"), F.asc("source"))
+    return (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

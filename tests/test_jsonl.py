@@ -86,3 +86,26 @@ def test_csv_roundtrip_and_dead_letters(spark, sf_dir, tmp_path):
     clean2, bad2 = dead_letter_split(read_documents_csv(spark, str(p)))
     assert {r.doc_id for r in clean2.collect()} == {1, 2}
     assert bad2.count() == 1
+
+
+def test_dead_letter_split_releases_cache(spark, tmp_path):
+    # the split is a context manager that unpersists the shared parsed
+    # frame (DISK_ONLY) so ingest loops don't accumulate cached partitions
+    import json
+
+    from code_challenge___data_engineer___machinemax_spark.sources.jsonl import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "docs_cm"
+    p.mkdir()
+    with open(p / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "t", "lang": "en", "source": "s", "n_chars": 1}) + "\n")
+        f.write("{broken\n")
+    with dead_letter_split(read_documents_jsonl(spark, str(p))) as split:
+        assert split._parsed.storageLevel.useDisk
+        assert not split._parsed.storageLevel.useMemory  # DISK_ONLY
+        clean, bad = split  # tuple unpacking still works
+        assert clean.count() == 1
+        assert bad.count() == 1
+    assert not split._parsed.storageLevel.useDisk  # released on exit

@@ -183,3 +183,75 @@ def test_dedup_ingest_stream_never_duplicates(spark, tmp_path):
 
     texts = {r.text for r in spark.read.parquet(store + "/corpus").collect()}
     assert texts == {"alpha beta gamma", "delta epsilon", "zeta eta theta"}
+
+
+def test_foreachbatch_upsert_new_run_merges_not_noops(spark, sf_dir, tmp_path):
+    # epoch ids are per-run: a NEW query run against an existing store
+    # restarts at epoch 0 and must MERGE, not be silently dropped by the
+    # previous run's last_epoch (round-2 advice)
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        merge_epoch_into_store,
+    )
+
+    path = str(tmp_path / "scoped_store")
+    batch = load_table(spark, sf_dir, "events").limit(200)
+    assert merge_epoch_into_store(batch, 0, path, run_scope="run-A") is True
+    assert merge_epoch_into_store(batch, 5, path, run_scope="run-A") is True
+    first = {r.event_type: r.n for r in spark.read.parquet(path).collect()}
+    # same run, stale epoch -> skipped (replay protection intact)
+    assert merge_epoch_into_store(batch, 5, path, run_scope="run-A") is False
+    # new run, epoch restarts at 0 -> merges
+    assert merge_epoch_into_store(batch, 0, path, run_scope="run-B") is True
+    merged = {r.event_type: r.n for r in spark.read.parquet(path).collect()}
+    assert merged == {k: v + v // 2 for k, v in first.items()}
+    # and the new run's own replay is now guarded
+    assert merge_epoch_into_store(batch, 0, path, run_scope="run-B") is False
+
+
+def test_dedup_ingest_crash_window_loses_nothing(spark, tmp_path):
+    # simulate a crash BETWEEN the corpus append and the fingerprint append:
+    # the corpus row exists, its fingerprint doesn't. A replay re-appends
+    # the document (duplicate, never loss) and corpus_view() restores the
+    # exactly-once view.
+    import json
+
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import text_digest
+    from code_challenge___data_engineer___machinemax_spark.sources.jsonl import DOCUMENT_SCHEMA
+    from code_challenge___data_engineer___machinemax_spark.streaming.ingest import (
+        corpus_view,
+        dedup_ingest_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "w", "n_chars": 10},
+        {"doc_id": 2, "text": "gamma delta", "lang": "en", "source": "w", "n_chars": 11},
+    ]
+    with open(landing / "w1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dedup_ingest_stream(spark, str(landing), store)
+
+    # crash simulation: doc 3 reached the corpus but not the fingerprint
+    # store (the post-fix failure direction — corpus is written first)
+    crashed = (
+        spark.createDataFrame(
+            [(3, "epsilon zeta", "en", "w", 12)], schema=DOCUMENT_SCHEMA
+        ).withColumn("fingerprint", text_digest("text"))
+    )
+    crashed.write.mode("append").parquet(store + "/corpus")
+
+    # the source replays the batch containing doc 3 (new file = redelivery)
+    with open(landing / "w1_replay.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "epsilon zeta", "lang": "en", "source": "w", "n_chars": 12}) + "\n")
+    stats = dedup_ingest_stream(spark, str(landing), store)
+
+    # nothing lost: doc 3 is in the corpus (twice — at-least-once storage)
+    assert stats["distinct_fingerprints"] == 3
+    assert stats["corpus_docs"] == 4
+    # exactly-once view: one row per fingerprint, all three texts present
+    view = corpus_view(spark, store)
+    assert view.count() == 3
+    assert {r.text for r in view.collect()} == {"alpha beta", "gamma delta", "epsilon zeta"}
