@@ -10,5 +10,6 @@ from . import functions_queries  # noqa: F401
 from . import ranking_queries  # noqa: F401
 from . import sampling_queries  # noqa: F401
 from . import advanced_queries  # noqa: F401
+from . import streaming_queries  # noqa: F401
 
 from .registry import all_oracles, all_queries  # noqa: F401

@@ -35,64 +35,70 @@ _REGISTRY: dict[str, Registered] = {}
 # oracles were fixed this round, and the advanced relational shapes all land
 # inside the 50-query window. Queries not listed keep registration order
 # after these (they remain fully covered by the local sf0.01 parity sweep).
+# Round-3 rotation (VERDICT r2 next-round #1/#2): the window carries (a) the
+# 23 oracle-bearing queries with no driver-green row yet — the 19 never-
+# rotated r1/r2 queries, the ANN pair (oracles added this round), and the
+# two new streaming-state queries — plus (b) two stable sentinels for cross-
+# round regression detection, plus (c) 25 refresh slots re-confirming
+# queries whose only green row is from round 1. Everything outside the
+# window is cumulative-green from r1/r2 and stays covered by the local
+# sf0.01 parity sweep (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
-    # reference core ops (crawl/search surface)
-    "keyword_search_hit",
-    "keyword_search_miss",
-    "keyword_search_indexed",
-    "keyword_search_stemmed",  # analyzer parity (round-2 deviation-closer)
-    "article_field_extraction",
-    "point_lookup_document",
-    "cleanse_html_strip",
-    "coalesce_fallback",
-    "url_normalize",
-    "link_classify",
-    "link_extraction",
-    "frontier_dedup",
-    "upsert_latest_wins",
-    "download_report",
-    # round-1 gate failures, fixed this round — must re-check green
+    # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
-    "event_sessions",
-    "segment_value_arrays",
-    "token_counts_by_source",
-    "corpus_profile",
-    # text pipeline
-    "lang_id_heuristic",
-    "unigram_logprob_scores",  # model-based fluency score (round-2 op)
-    "quality_filter_pipeline",
-    "doc_fingerprints",
-    "dedup_exact_groups",
-    # dedup / similarity flagships
-    "minhash_signatures",
-    "near_dup_pairs_minhash",
-    "adjacent_doc_jaccard",
-    "simhash_fingerprints",
-    "dedup_cluster_resolution",
-    "cosine_topk_bruteforce",
-    "winnowing_doc_fingerprints",  # rolling-hash fingerprints (round-2 op)
-    "label_centroids",
+    "keyword_search_hit",
+    # ANN pair — deterministic DuckDB oracles added this round
     "ann_topk_lsh",
     "ivf_topk",
-    # ranking / as-of / pipeline flagships
-    "bm25_keyword_ranking",
-    "tfidf_keyword_ranking",
-    "asof_purchase_to_view",
-    "benchmark_contamination",
-    "document_chunks",
-    "pii_redaction",
-    "stratified_sample_per_source",
-    "weighted_corpus_mix",
-    # advanced relational shapes
-    "orders_with_late_lineitems",
-    "below_avg_quantity_revenue",
-    "large_quantity_orders",
-    "priority_line_counts",
-    "views_preceding_purchase",
-    "user_activity_reconciliation",
-    # multimodal + skew
-    "media_binary_stats",
-    "salted_event_type_stats",
+    # streaming-maintained state vs batch SQL (new this round)
+    "streamed_corpus_state",
+    "streamed_event_rollup",
+    # never-driver-checked oracle-bearing queries (r1/r2 registrations)
+    "doc_overlap_winnowing",
+    "bpe_token_counts",
+    "embedding_quantization",
+    "embedding_near_dups",
+    "embedding_norms",
+    "fuzzy_adjacent_titles",
+    "order_value_histogram",
+    "events_sliding_windows",
+    "promo_revenue_by_month",
+    "unpivot_monthly_metrics",
+    "null_ordering_top_values",
+    "excess_view_counts_bag",
+    "best_order_per_segment",
+    "array_function_showcase",
+    "date_function_showcase",
+    "map_function_showcase",
+    "scalar_function_showcase",
+    "json_props_stats",
+    "video_frame_sampling",
+    # refresh slots: green only in round 1's window — re-confirm post-r2/r3
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "top_customers_by_revenue",
+    "latest_order_per_customer",
+    "events_hourly",
+    "term_frequencies",
+    "quality_scores",
+    "order_rank_in_segment",
+    "order_value_percentiles",
+    "monthly_revenue_running",
+    "pivot_priority_by_status",
+    "cube_status_priority",
+    "rollup_order_stats",
+    "grouping_sets_order_stats",
+    "segment_order_stats",
+    "segments_above_avg",
+    "region_customer_counts",
+    "customers_with_orders",
+    "customers_without_orders",
+    "frequent_customers",
+    "purchasers_who_errored",
+    "viewers_never_purchased",
+    "brand_lineitem_stats",
+    "point_lookup_order",
+    "window_function_showcase",
 ]
 
 

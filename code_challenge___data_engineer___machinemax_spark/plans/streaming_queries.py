@@ -1,0 +1,118 @@
+"""Oracle-checked STREAMING-maintained state.
+
+Each query here actually runs a Structured Streaming pipeline (file source ->
+foreachBatch sink into a parquet store) and returns the post-ingest state;
+the DuckDB oracle is the single-pass batch SQL the incremental pipeline must
+converge to. This closes the loop the unit tests only pin pairwise: the
+driver gate itself now certifies stream-maintained state == batch semantics.
+
+Reference parity: the reference's pipeline is also incremental (crawl ->
+Mongo upsert, index.py:117-129); these queries are the engine's equivalent
+discipline under the same correctness gate as the batch operators.
+
+Determinism notes (the reason these CAN be oracle-checked):
+- streamed_corpus_state: the ingest's within-batch survivor is min-doc_id
+  (window, not dropDuplicates), and wave membership is a pure function of
+  doc_id parity — so the stored corpus is a deterministic function of the
+  documents table, expressible as one grouped CASE in SQL.
+- streamed_event_rollup: the store carries v_e6, an exact scaled-integer
+  value sum (doubles re-associate across micro-batch merges; 64-bit ints
+  don't). n and v_e6 are bit-reproducible against DuckDB's one-pass GROUP
+  BY; the double v column is intentionally NOT part of the checked output.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import read_event_stream, stream_upsert_to_store
+from ..streaming.ingest import dedup_ingest_stream
+from ..tables import load_table
+from .registry import query
+
+_DIGEST_SQL = "md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')))"
+
+
+def _export_jsonl_wave(df: DataFrame, landing: str, name: str) -> None:
+    """Write one ingest wave as a single JSONL file in the landing dir (the
+    file stream source reads top-level files; coalesce(1) keeps one file per
+    wave so wave boundaries == batch boundaries)."""
+    tmp = os.path.join(landing, f"__stage_{name}")
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    shutil.move(part, os.path.join(landing, f"{name}.jsonl"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "streamed_corpus_state",
+    oracle=f"""
+    SELECT {_DIGEST_SQL} AS fingerprint,
+           COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                    MIN(doc_id)) AS doc_id
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY fingerprint
+    """,
+)
+def streamed_corpus_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the incremental-exact-dedup ingest stream over two waves (evens,
+    then everything — so wave 2 contains both novel documents and
+    re-deliveries) and return the resulting corpus state.
+
+    The oracle is the closed form of that process: per fingerprint group the
+    surviving doc is the min even doc_id if the group reached wave 1, else
+    the min doc_id (wave-2-only group). Each wave is one micro-batch (one
+    landing file per wave, all files available at start of each drain)."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_corpus_")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    os.makedirs(landing)
+
+    docs = load_table(spark, sf_dir, "documents")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 0), landing, "wave1")
+    dedup_ingest_stream(spark, landing, store)
+    # wave 2: every document — odd ids are new, even ids are re-delivered
+    _export_jsonl_wave(docs, landing, "wave2")
+    dedup_ingest_stream(spark, landing, store)
+
+    state = (
+        spark.read.parquet(os.path.join(store, "corpus"))
+        .select("fingerprint", "doc_id")
+        .localCheckpoint()  # pin rows before the temp store is removed
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return state
+
+
+@query(
+    "streamed_event_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events through the foreachBatch read-modify-merge sink
+    (streaming/events.py) and return the final per-event_type rollup state;
+    the oracle is the equivalent one-pass batch aggregation."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_rollup_")
+    store = os.path.join(base, "store")
+    stream = read_event_stream(spark, sf_dir)
+    stream_upsert_to_store(stream, store)
+    state = (
+        spark.read.parquet(store)
+        .select("event_type", "n", "v_e6")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return state

@@ -175,8 +175,15 @@ def merge_epoch_into_store(
     import shutil
 
     spark = batch_df.sparkSession
+    # v: human-readable double sum. v_e6: exact scaled-integer sum — double
+    # sums re-associate across micro-batch merges, so only the integer form
+    # is bit-reproducible against a single-pass batch aggregation (the
+    # streamed_event_rollup oracle; Spark's double->bigint cast truncates,
+    # matching DuckDB trunc()).
     update = batch_df.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("v")
+        F.count("*").alias("n"),
+        F.sum("value").alias("v"),
+        F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).alias("v_e6"),
     )
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
         current = spark.read.parquet(path)
@@ -192,7 +199,11 @@ def merge_epoch_into_store(
         merged = (
             current.unionByName(update)
             .groupBy("event_type")
-            .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("v").alias("v"),
+                F.sum("v_e6").alias("v_e6"),
+            )
         )
     else:
         merged = update

@@ -60,10 +60,20 @@ def dedup_ingest_stream(spark: SparkSession, landing_dir: str, store_dir: str) -
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # within-batch dedup first; min-doc_id survivor (NOT dropDuplicates,
+        # whose surviving row depends on partition order) so the stored
+        # corpus is a deterministic function of the input — the property the
+        # streamed_corpus_state oracle checks (plans/streaming_queries.py).
+        # Same shuffle as dropDuplicates (hash on fingerprint).
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("fingerprint").orderBy(F.asc("doc_id"), F.asc("source"))
         batch = (
             batch_df.filter(F.col("text").isNotNull())
             .withColumn("fingerprint", text_digest("text"))
-            .dropDuplicates(["fingerprint"])  # within-batch dedup first
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
         seen = _read_or_empty(sess, fp_dir, "fingerprint string")
         # materialize so the fingerprint append below can't feed back into

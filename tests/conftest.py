@@ -9,7 +9,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from code_challenge___data_engineer___machinemax_spark.session import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# default the local gate to the DRIVER's scale (sf0.01) so it trips before
+# the driver does (round-1 advice; float boundary rows appear with scale).
+# sf0.001 remains available for quick iteration via the env var.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
