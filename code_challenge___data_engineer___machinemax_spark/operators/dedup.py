@@ -228,3 +228,68 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (a < b) via SimHash banding + exact Hamming verify.
+
+    The pigeonhole guarantee: two fingerprints within ``max_hamming`` <
+    ``bands`` bit flips MUST agree on at least one band of ``bits/bands``
+    consecutive bits, so the banded equi-join has perfect recall at that
+    radius — no all-pairs comparison anywhere (the SimHash twin of
+    :func:`lsh_candidate_pairs`; same discipline the crawl frontier's
+    "never compare twice" sets embody, reference index.py:117-119).
+
+    Plan shape: fingerprints (one hash-agg) -> explode ``bands`` band keys
+    -> self-equi-join on (band, band_bits) -> distinct pairs -> join
+    fingerprints back -> bit_count(xor) filter. All shuffle keys are ints.
+    ``max_bucket_size`` caps B^2 hot-bucket blowup exactly like the MinHash
+    path (all-zero-band boilerplate buckets are the 100 TB risk).
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(df, id_col, text_col, bits).localCheckpoint()
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(F.col(id_col), F.posexplode(band_vals).alias("band", "band_val"))
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming64(F.col("__fa"), F.col("__fb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

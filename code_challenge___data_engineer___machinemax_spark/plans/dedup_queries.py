@@ -153,6 +153,48 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
     """
 
 
+def _simhash_pairs_oracle_sql(
+    bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """Generated DuckDB twin of operators.dedup.simhash_near_dup_pairs:
+    same fingerprints (reuses the generated vote SQL as a CTE), same band
+    extraction ((fp >> b*band_bits) & mask), same equi-join + xor/bit_count
+    verify. Bit-for-bit reproducible — both engines do exact int64 ops."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH fp AS ({_simhash_oracle_sql(bits)}),
+    banded AS (
+        SELECT doc_id, b AS band,
+               (simhash >> (b * {band_bits})) & {mask} AS band_val
+        FROM fp, (SELECT unnest(range(0, {bands})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup_pairs", oracle=_simhash_pairs_oracle_sql())
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup pairs: 60-bit fingerprints, 4 bands of 15
+    bits, exact Hamming<=3 verify. Pigeonhole gives perfect recall at that
+    radius with zero all-pairs work — the SimHash twin of the MinHash-LSH
+    pipeline, value-checked end to end against the generated DuckDB twin."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", bits=60, bands=4, max_hamming=3)
+
+
 @query("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 60-bit fingerprints, value-checked against a generated

@@ -91,6 +91,123 @@ def streamed_corpus_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
+def _stage_event_waves(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Stage events as two parquet wave-files (event_id parity) in a landing
+    dir; with maxFilesPerTrigger=1 each wave is one micro-batch, so the
+    stream's cross-batch state merge is actually exercised (a single source
+    file would collapse the run to one batch). Parity membership keeps the
+    staging deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    for i, wave in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        stage = os.path.join(base, f"__w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, f"wave{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    return landing
+
+
+def _event_wave_stream(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    landing = _stage_event_waves(spark, sf_dir, base)
+    schema = load_table(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+@query(
+    "streamed_sessions",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sno
+    """,
+)
+def streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap), driven over two
+    micro-batches so sessions spanning the wave boundary must merge in the
+    state store; the oracle is the batch gaps-and-islands closed form
+    (session_end = last event + gap, Spark's session_window end; an exactly-
+    gap-spaced event MERGES — verified — hence the strict '>' in the gap
+    test). The streaming twin of the oracle-green batch `event_sessions`."""
+    from ..streaming.events import run_to_memory, session_windows
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_sessions_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    sess = session_windows(stream, gap="30 minutes")
+    run_to_memory(sess, "ccdem_streamed_sessions", "complete")
+    out = (
+        spark.sql(
+            "SELECT user_id, session_start, session_end, n_events "
+            "FROM ccdem_streamed_sessions"
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "streamed_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS value_e6
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streamed_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run over two
+    micro-batches: per-user running totals emitted every update; the FINAL
+    emission per user (the one with the max running n_events — emissions are
+    strictly increasing) must equal the one-pass batch aggregation. value_e6
+    is the exact scaled-integer sum: int accumulation commutes across
+    batch/partition order, so the check is bit-exact (the double column is
+    display-only and excluded here)."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.events import run_to_memory, user_running_totals
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_totals_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    totals = user_running_totals(stream)
+    run_to_memory(totals, "ccdem_streamed_totals", "update")
+    emitted = spark.sql(
+        "SELECT user_id, n_events, value_e6 FROM ccdem_streamed_totals"
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    out = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 @query(
     "streamed_event_rollup",
     oracle="""

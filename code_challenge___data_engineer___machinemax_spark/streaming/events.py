@@ -44,8 +44,13 @@ def read_event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
+    t = stream.schema["ts"].dataType
+    if isinstance(t, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(t, T.TimestampNTZType):
+        # MICROS/isAdjustedToUTC=false layout: same normalization as the
+        # batch loader (session tz is UTC, cast is micros-identity)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -84,23 +89,37 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             T.StructField("user_id", T.LongType()),
             T.StructField("n_events", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
+            T.StructField("value_e6", T.LongType()),
         ]
     )
     state_schema = T.StructType(
         [
             T.StructField("n_events", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
+            T.StructField("value_e6", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state):
-        n, total = state.get() if state.exists else (0, 0.0)
+        # value_e6: exact scaled-integer sum alongside the display double —
+        # int accumulation is order/batching-independent, so the final state
+        # is oracle-checkable (same discipline as merge_epoch_into_store).
+        # NB GroupState.get is a PROPERTY in PySpark (calling it raises
+        # "'tuple' object is not callable" — only reachable from batch 2 on,
+        # which a single-file stream never was).
+        n, total, v_e6 = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, total))
+            v_e6 += int((pdf["value"] * 1e6).astype("int64").sum())
+        state.update((n, total, v_e6))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "value_e6": [v_e6],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

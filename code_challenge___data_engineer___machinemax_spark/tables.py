@@ -28,16 +28,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long nanos and convert (floor to micros,
-        # matching DuckDB's nanos->micros truncation).
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (read as
+        # long nanos under nanosAsLong, converted with micros truncation to
+        # match DuckDB) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+        # TIMESTAMP_NTZ). Normalize both to session-zone TIMESTAMP — the
+        # session is pinned to UTC (session.get_spark), so the NTZ->LTZ cast
+        # is micros-identity and downstream epoch arithmetic (cast to long)
+        # stays legal and oracle-exact.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        t = df.schema["ts"].dataType
+        if isinstance(t, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(t, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

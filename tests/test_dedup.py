@@ -140,6 +140,40 @@ def test_jaccard_bounds(spark):
     assert vals[2] == 0.0  # empty-vs-empty defined as 0, not NaN
 
 
+def test_simhash_near_dup_pairs_pigeonhole(spark, corpus):
+    # doc 1 vs 2 differ by one token -> few flipped bits; 4 bands over 60
+    # bits guarantee any pair within hamming<=3 is found (pigeonhole), and
+    # exact dups (1,5) are hamming 0. Unrelated docs must not pair.
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            corpus, "doc_id", "text", bits=60, bands=4, max_hamming=10
+        ).collect()
+    }
+    assert pairs[(1, 5)] == 0
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 10
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_pairs_hot_bucket_cap(spark):
+    # 50 identical docs share every band bucket -> 1225 pairs uncapped;
+    # cap 10 drops the hot buckets before the self-join.
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, BASE_TEXT) for i in range(50)] + [(100, UNRELATED)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = simhash_near_dup_pairs(df, "doc_id", "text").count()
+    capped = simhash_near_dup_pairs(df, "doc_id", "text", max_bucket_size=10).count()
+    assert uncapped == 50 * 49 // 2
+    assert capped == 0
+
+
 def test_simhash_hamming_locality(spark, corpus):
     fps = {r.doc_id: r.simhash for r in simhash(corpus, "doc_id", "text").collect()}
     d_near = spark.createDataFrame(

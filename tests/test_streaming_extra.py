@@ -33,6 +33,45 @@ def test_session_windows_stream_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    # Two single-file micro-batches for one user: the applyInPandasWithState
+    # operator must ADD batch 2 onto batch 1's state. Regression: with only
+    # one batch the state.exists branch never ran, hiding that
+    # GroupState.get is a property (calling it raised TypeError).
+    from datetime import datetime
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        user_running_totals,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    w1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0), 7, "view", 1.5, None)], schema
+    )
+    w2 = spark.createDataFrame(
+        [(2, datetime(2024, 1, 1, 0, 10, 0), 7, "view", 2.25, None)], schema
+    )
+    w1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w1"))
+    w2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    import glob as g
+    import shutil
+
+    for i, d in enumerate(["w1", "w2"]):
+        shutil.move(g.glob(str(tmp_path / d / "part-*.parquet"))[0], str(land / f"{i}.parquet"))
+    stream = (
+        spark.readStream.schema(w1.schema).option("maxFilesPerTrigger", 1).parquet(str(land))
+    )
+    run_to_memory(user_running_totals(stream), "totals_xbatch", "update")
+    rows = spark.sql(
+        "SELECT * FROM totals_xbatch ORDER BY n_events DESC LIMIT 1"
+    ).collect()
+    assert rows[0].n_events == 2
+    assert rows[0].total_value == 3.75
+    assert rows[0].value_e6 == 3_750_000
+
+
 def test_foreachbatch_upsert(spark, sf_dir, tmp_path):
     path = str(tmp_path / "agg_store")
     stream = read_event_stream(spark, sf_dir)
