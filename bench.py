@@ -42,6 +42,12 @@ HEADLINE = [
     "bm25_keyword_ranking",
     "tfidf_keyword_ranking",
     "benchmark_contamination",
+    # round-3 flagships: contamination-adjacent overlap detection, SimHash
+    # banding (the second near-dup family), and the fixed-point iterative
+    # trainer — the new expensive shapes worth a regression guard
+    "doc_overlap_winnowing",
+    "simhash_near_dup_pairs",
+    "kmeans_fixed_point",
 ]
 
 

@@ -150,6 +150,79 @@ def kmeans_lite(
     return assigned, centroids
 
 
+def kmeans_fixed_point(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means in exact integer arithmetic ->
+    (id, centroid_id, dist) after ``iters`` assign+update rounds plus a
+    final assignment.
+
+    Floating-point k-means is not cross-engine reproducible: distance sums
+    and centroid means re-associate differently per partitioning. This
+    variant quantizes each component to ``trunc(x * scale)`` int64 once,
+    then every distance is an exact integer sum of squares and every
+    centroid update is an exact floor(sum/n) — bit-identical on any engine
+    and any partitioning, so the whole iterative algorithm is DuckDB-
+    oracle-checkable (same discipline as the generated SimHash/SRP SQL).
+
+    Init = the ``k`` lowest-id vectors; argmin ties break on centroid_id;
+    clusters that lose all members simply drop out of the next round (both
+    engines identically). Scale shape per round: one broadcast cross-score
+    (k rows) + row_number argmin + posexplode/groupBy mean — shuffles carry
+    (id, centroid) ints only, never raw vectors."""
+    from pyspark.sql import Window as W
+
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint()
+    w_init = W.orderBy(id_col)
+    centroids = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(F.row_number().over(w_init).alias("centroid_id"), F.col("qv").alias("cv"))
+        .localCheckpoint()
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+        )
+        w = W.partitionBy(id_col).orderBy("__dist", "centroid_id")
+        return (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__dist", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "centroid_id", F.col("__dist").alias("dist"), "qv")
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.floor(F.sum("val") / F.count("*")).cast("bigint").alias("cval"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.cval,
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return assign(centroids).select(id_col, "centroid_id", "dist")
+
+
 def inertia(assigned: DataFrame, centroids: DataFrame, vec_col: str) -> float:
     """Mean (1 - cosine) to the assigned centroid — the convergence metric."""
     joined = assigned.join(centroids, "centroid_id")

@@ -92,6 +92,78 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, d, "doc_id")
 
 
+def _kmeans_fp_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of operators.clustering.kmeans_fixed_point:
+    same trunc-quantization, same exact-int distances, same floor(sum/n)
+    centroid update, ``iters`` assign+update rounds unrolled as CTEs plus
+    the final assignment. Every value is integer arithmetic, so the whole
+    iterative algorithm is bit-reproducible cross-engine."""
+    sqdist = (
+        f"CAST(list_sum(list_transform(range({dim}), "
+        "i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS BIGINT)"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+    {name}_scored AS (
+        SELECT q.vec_id, c.centroid_id, q.qv, {sqdist} AS dist,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sqdist}, c.centroid_id) AS rn
+        FROM q CROSS JOIN {cents} c
+    ),
+    {name} AS (SELECT vec_id, centroid_id, qv, dist FROM {name}_scored WHERE rn = 1)"""
+
+    def update_cte(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT centroid_id, list(cval ORDER BY pos) AS cv
+        FROM (
+            SELECT centroid_id, d.i AS pos,
+                   CAST(FLOOR(SUM(qv[d.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS cval
+            FROM {assigned} CROSS JOIN (SELECT unnest(range({dim})) AS i) d
+            GROUP BY centroid_id, d.i
+        ) GROUP BY centroid_id
+    )"""
+
+    parts = [
+        f"""
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(trunc(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, qv AS cv
+        FROM q ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    cents = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign_cte(f"a{it}", cents))
+        parts.append(update_cte(f"c{it}", f"a{it}"))
+        cents = f"c{it}"
+    parts.append(assign_cte("afinal", cents))
+    return (
+        "WITH " + ",".join(parts)
+        + "\n    SELECT vec_id, centroid_id, dist FROM afinal"
+    )
+
+
+@query("kmeans_fixed_point", oracle=_kmeans_fp_oracle_sql())
+def kmeans_fixed_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 assign+update rounds + final assignment) in
+    exact fixed-point arithmetic — the iterative-algorithm capability class
+    under the full value-check gate (float k-means can't be: distance sums
+    and means re-associate per partitioning; trunc-to-int64 makes every
+    round bit-reproducible). Spark side is the same broadcast-score +
+    argmin + posexplode-mean rounds as kmeans_codebook."""
+    from ..operators.clustering import kmeans_fixed_point
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(e, "vec_id", "embedding", k=8, iters=2)
+
+
 @query("kmeans_codebook", oracle=None)
 def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means assignments (k=8, 2 rounds) — the IVF

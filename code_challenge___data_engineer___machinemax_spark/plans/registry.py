@@ -39,7 +39,9 @@ _REGISTRY: dict[str, Registered] = {}
 # 23 oracle-bearing queries with no driver-green row yet — the 19 never-
 # rotated r1/r2 queries, the ANN pair (oracles added this round), and the
 # two new streaming-state queries — plus (b) two stable sentinels for cross-
-# round regression detection, plus (c) 25 refresh slots re-confirming
+# round regression detection, plus (c) the 8 queries NEW in round 3 (SimHash
+# banded pairs, 2 more streaming-state, fixed-point k-means, bigram LM,
+# 3 distribution/cohort shapes), plus (d) refresh slots re-confirming
 # queries whose only green row is from round 1. Everything outside the
 # window is cumulative-green from r1/r2 and stays covered by the local
 # sf0.01 parity sweep (tests/test_oracle_parity.py).
@@ -53,6 +55,16 @@ DRIVER_PRIORITY: list[str] = [
     # streaming-maintained state vs batch SQL (new this round)
     "streamed_corpus_state",
     "streamed_event_rollup",
+    # new in round 3 (all oracle-bearing, all green in the local sweep)
+    "simhash_near_dup_pairs",
+    "streamed_sessions",
+    "streamed_user_totals",
+    "streamed_hourly_counts",
+    "kmeans_fixed_point",
+    "bigram_logprob_scores",
+    "customer_order_distribution",
+    "decile_revenue_share",
+    "repeat_purchase_interval",
     # never-driver-checked oracle-bearing queries (r1/r2 registrations)
     "doc_overlap_winnowing",
     "bpe_token_counts",
@@ -88,15 +100,6 @@ DRIVER_PRIORITY: list[str] = [
     "cube_status_priority",
     "rollup_order_stats",
     "grouping_sets_order_stats",
-    "segment_order_stats",
-    "segments_above_avg",
-    "region_customer_counts",
-    "customers_with_orders",
-    "customers_without_orders",
-    "frequent_customers",
-    "purchasers_who_errored",
-    "viewers_never_purchased",
-    "brand_lineitem_stats",
     "point_lookup_order",
     "window_function_showcase",
 ]

@@ -781,3 +781,110 @@ def most_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution / cohort shapes (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer via left join (customers with
+    zero orders count as 0), then the distribution of those counts. Two
+    cascaded aggregations; the second groups on a tiny int domain, so the
+    heavy shuffle is only the first (custkey) one."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "decile_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM rev
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(20,4))) AS DOUBLE) AS decile_revenue
+    FROM ranked GROUP BY decile
+    """,
+)
+def decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: per-customer revenue (exact decimal sum),
+    ntile(10) deciles under a total deterministic order (revenue desc,
+    custkey tie-break — ntile is only reproducible under a total order),
+    then per-decile customer counts and exact revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    ranked = rev.withColumn(
+        "decile",
+        F.ntile(10).over(W.orderBy(F.desc("revenue"), F.asc("o_custkey"))),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(F.col("revenue")).alias("decile_revenue"),
+    )
+
+
+@query(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment,
+               epoch_us(o.o_orderdate)
+                 - LAG(epoch_us(o.o_orderdate))
+                     OVER (PARTITION BY o.o_custkey
+                           ORDER BY o.o_orderdate, o.o_orderkey) AS gap_us
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between consecutive orders per market segment: lag over
+    (custkey, orderdate) windows -> exact integer microsecond gaps ->
+    per-segment totals. Exact-sum discipline: gap sums are int64
+    (order-independent); the avg is ONE double division at the end, not a
+    re-associating double sum."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate"))
+    gaps = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*")).cast("double").alias("avg_gap_us"),
+    )

@@ -209,6 +209,49 @@ def streamed_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streamed_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows + watermark maintained by the stream over two
+    micro-batches (complete mode: windows spanning the wave boundary must
+    merge in the state store); oracle = the batch date_trunc GROUP BY.
+    Counts and the scaled-int value sum are exact across micro-batch
+    merge order; the double sum stays out of the checked columns."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_hourly_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).alias("v_e6"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "v_e6",
+        )
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(agg, "ccdem_streamed_hourly", "complete")
+    out = spark.sql("SELECT * FROM ccdem_streamed_hourly").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
     "streamed_event_rollup",
     oracle="""
     SELECT event_type,

@@ -15,6 +15,9 @@ from ..functions.text import (
 )
 
 _winnow_sql = winnowing_fingerprints_sql("text")
+from ..functions.text import shingles_sql
+
+shingles_sql2 = shingles_sql("text", 2)
 from ..operators.dedup import text_digest
 from ..tables import load_table
 from .registry import query
@@ -338,4 +341,62 @@ def doc_overlap_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
+    )
+
+
+@query(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH big AS (
+        SELECT doc_id, unnest({shingles_sql2}) AS bg FROM documents
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS cnt12 FROM big GROUP BY bg),
+    c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cnt1
+        FROM big GROUP BY w1
+    )
+    SELECT big.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(trunc(ln(CAST(c12.cnt12 AS DOUBLE) / c1.cnt1) * 1e6)
+                          AS BIGINT)) AS BIGINT) AS logprob_e6
+    FROM big
+    JOIN c12 USING (bg)
+    JOIN c1 ON c1.w1 = split_part(big.bg, ' ', 1)
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score (the Markov-1 upgrade of
+    unigram_logprob_scores): P(w2|w1) = c(w1 w2) / c(w1 ·) with the corpus
+    as its own model; a document's score is the exact trunc-scaled integer
+    sum of ln P over its bigram occurrences (same cross-engine determinism
+    discipline as the unigram scorer — double sums re-associate, int64
+    sums don't).
+
+    Scale: bigram vocabulary is larger than unigram but the shape is
+    identical — explode once, two count aggs, shuffle_hash joins on the
+    bigram/prefix keys (never a vocab-sized broadcast), narrow (doc_id,
+    bigint) re-agg. Runs at ingest next to the index builds."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    big = shingle_rows(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
+    c12 = big.groupBy("bg").agg(F.count("*").alias("cnt12"))
+    c1 = (
+        big.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cnt1"))
+    )
+    li = (
+        F.log(F.col("cnt12").cast("double") / F.col("cnt1")) * 1e6
+    ).cast("bigint")
+    return (
+        big.join(c12.hint("shuffle_hash"), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1.hint("shuffle_hash"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(li).cast("bigint").alias("logprob_e6"),
+        )
     )

@@ -28,25 +28,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (read as
-        # long nanos under nanosAsLong, converted with micros truncation to
-        # match DuckDB) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
-        # TIMESTAMP_NTZ). Normalize both to session-zone TIMESTAMP — the
-        # session is pinned to UTC (session.get_spark), so the NTZ->LTZ cast
-        # is micros-identity and downstream epoch arithmetic (cast to long)
-        # stays legal and oracle-exact.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read it as long nanos and convert
+        # (floor to micros, matching DuckDB's nanos->micros truncation).
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        t = df.schema["ts"].dataType
-        if isinstance(t, T.LongType):
+        if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(t, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _ltz(df)
+    return _ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to session-zone TIMESTAMP.
+
+    The testdata has shipped timestamps both as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) — which Spark reads as TIMESTAMP_NTZ — and as
+    UTC-adjusted/nanos layouts that land as TIMESTAMP. NTZ breaks epoch
+    arithmetic (cast to long / unix_micros are illegal on NTZ) and changes
+    toPandas dtypes, so the engine pins one semantic: the session is UTC
+    (session.get_spark), where the NTZ->LTZ cast is micros-identity and
+    every downstream expression and the DuckDB oracle agree."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -88,3 +88,26 @@ def test_bm25_ranks_higher_tf_and_rarer_terms(spark):
     # rarer term outranks common term at equal tf
     top2 = bm25_rank(df, "doc_id", "rareterm engine", k=5).collect()
     assert top2[0].doc_id == 5
+
+
+def test_kmeans_fixed_point_separates_planted_clusters(spark):
+    # two tight blobs far apart; k=2 must put each blob in one cluster and
+    # the same call twice must be bit-identical (the determinism claim the
+    # oracle relies on)
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [-1.0 - 0.001 * i, 0.2]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = kmeans_fixed_point(df, "vec_id", "embedding", k=2, iters=2)
+    got = {r.vec_id: r.centroid_id for r in a.collect()}
+    blob1 = {got[i] for i in range(5)}
+    blob2 = {got[10 + i] for i in range(5)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    b = kmeans_fixed_point(df, "vec_id", "embedding", k=2, iters=2)
+    assert sorted((r.vec_id, r.centroid_id, r.dist) for r in a.collect()) == sorted(
+        (r.vec_id, r.centroid_id, r.dist) for r in b.collect()
+    )
