@@ -202,16 +202,27 @@ def winnowing_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     Guarantee: any shared token run of length >= w+k-1 between two
     documents yields at least one shared fingerprint.
 
-    All JVM-side: the gram array is built ONCE into the expression, each
-    window is an array_min over a slice of it (O(w) per window — never
-    re-tokenizes, the nested-lambda trap). Fewer grams than ``w`` -> one
-    window over them all; < k tokens -> empty. Fingerprints are 15-char md5
-    hex prefixes (60 bits): min over fixed-length hex strings is the same
-    total order as the numeric value, without the per-gram BigInteger
-    parse conv() costs in a hot path (measured 3.6x on the LSH keys).
+    SCALE WARNING — single-expression form, small documents only: Catalyst
+    INLINES the ``grams`` sub-expression into every window lambda (and
+    ``toks`` into every gram), so evaluation is O(n_windows x n_grams x k)
+    md5/regex work per document — quadratic in document length (measured:
+    763 s for the overlap query at sf0.1 vs 5.5 s on the rows form).
+    Corpus-scale callers use :func:`winnowing_fingerprint_rows`, which
+    evaluates tokenize and each gram exactly once via explode + window
+    frames. This form remains for array-valued use on short strings and as
+    the 1:1 mirror of the oracle SQL twin.
+
+    Fewer grams than ``w`` -> one window over them all; < k tokens ->
+    empty. Fingerprints are 15-char md5 hex prefixes (60 bits): min over
+    fixed-length hex strings is the same total order as the numeric value,
+    without the per-gram BigInteger parse conv() costs in a hot path
+    (measured 3.6x on the LSH keys).
     """
     toks = tokenize(col)
-    n = F.size(toks)
+    # coalesce: size(NULL array) is NULL, and `when(NULL < k)` falls through
+    # to the OTHERWISE branch — NULL text then emitted a phantom md5('')
+    # fingerprint (caught by the rows-form parity test)
+    n = F.coalesce(F.size(toks), F.lit(0))
     gram = lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15)
     grams = F.transform(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))), gram)
     n_windows = F.greatest(F.size(grams) - w + 1, F.lit(1))
@@ -221,6 +232,50 @@ def winnowing_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     )
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_sort(F.array_distinct(minima))
+    )
+
+
+def winnowing_fingerprint_rows(df, id_col: str, text_col: str, k: int = 4, w: int = 5):
+    """Corpus-scale winnowing: (id, fp) rows, each underlying expression
+    evaluated exactly once.
+
+    Same output set as ``explode(winnowing_fingerprints(text))`` (property-
+    tested), linear cost: posexplode tokens (tokenize runs once per doc in
+    the Generate), lead() rebuilds k-grams (the shingle_rows discipline),
+    then the per-window minimum is a frame aggregate ``min() OVER (ROWS
+    BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` — O(w) per gram with no
+    nested-lambda re-expansion, and the frame truncates itself at the
+    partition edge which is exactly the tail-window semantics. Shuffle: one
+    hash partition by id for the windows, then distinct on (id, fp).
+    """
+    from pyspark.sql import DataFrame, Window as W  # noqa: F401
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("__pos", "__tok")
+    )
+    worder = W.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(worder) for j in range(1, k)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("__pos").alias("__gpos"),
+            F.when(
+                parts[-1].isNotNull(),
+                F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 15),
+            ).alias("__gram"),
+        )
+        .filter(F.col("__gram").isNotNull())
+    )
+    wmin = W.partitionBy(id_col).orderBy("__gpos").rowsBetween(0, w - 1)
+    wcnt = W.partitionBy(id_col)
+    return (
+        grams.withColumn("__wmin", F.min("__gram").over(wmin))
+        .withColumn("__ng", F.count("*").over(wcnt))
+        # valid window starts: 0 .. n_grams-w (0-based), or just 0 when a
+        # doc has fewer than w grams (single window over them all)
+        .filter(F.col("__gpos") <= F.greatest(F.col("__ng") - w, F.lit(0)))
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
     )
 
 
@@ -236,6 +291,6 @@ def winnowing_fingerprints_sql(expr: str, k: int = 4, w: int = 5) -> str:
         f"i -> list_aggregate(list_slice({grams}, i, i + {w} - 1), 'min'))"
     )
     return (
-        f"CASE WHEN len({toks}) < {k} THEN CAST([] AS VARCHAR[]) "
+        f"CASE WHEN coalesce(len({toks}), 0) < {k} THEN CAST([] AS VARCHAR[]) "
         f"ELSE list_sort(list_distinct({minima})) END"
     )

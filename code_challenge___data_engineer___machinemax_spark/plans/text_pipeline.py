@@ -298,15 +298,17 @@ def winnowing_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     document fingerprint for overlap/plagiarism/contamination detection; a
     shared token run of length >= w+k-1 guarantees a shared fp.
 
-    Scale: fingerprints are ~1/w of the gram count and computed in one
-    narrow codegen pass (no shuffle); overlap detection downstream is an
-    equi-join on the 15-char fp key, the same shape as LSH banding."""
-    from ..functions.text import winnowing_fingerprints
+    Scale: fingerprints are ~1/w of the gram count; the rows form
+    (winnowing_fingerprint_rows) evaluates tokenize/grams exactly once per
+    document via posexplode + lead + frame-min — the single-expression
+    array form inlines the gram array into every window lambda and goes
+    quadratic in document length (SCALE.md round 3). Overlap detection
+    downstream is an equi-join on the 15-char fp key, the same shape as
+    LSH banding."""
+    from ..functions.text import winnowing_fingerprint_rows
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
-    )
+    return winnowing_fingerprint_rows(d, "doc_id", "text")
 
 
 @query(
@@ -329,11 +331,14 @@ def doc_overlap_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same bucketed-equi-join shape as LSH banding — a self-join
     on the 15-char fp key over a fingerprint table that is ~1/w of the
     gram count; never an all-pairs comparison. Hot keys (boilerplate
-    runs) take the same cap/salt mitigations as LSH band buckets."""
-    from ..functions.text import winnowing_fingerprints
+    runs) take the same cap/salt mitigations as LSH band buckets. The
+    fingerprint table comes from the linear rows form and is checkpointed
+    so the self-join's two sides read it once (763 s -> 5.5 s at sf0.1 —
+    SCALE.md round 3)."""
+    from ..functions.text import winnowing_fingerprint_rows
 
     d = load_table(spark, sf_dir, "documents")
-    fps = d.select("doc_id", F.explode(winnowing_fingerprints("text")).alias("fp"))
+    fps = winnowing_fingerprint_rows(d, "doc_id", "text").localCheckpoint()
     a = fps.alias("a")
     b = fps.alias("b")
     return (

@@ -169,3 +169,36 @@ def test_winnowing_fingerprint_guarantees(spark):
     # compression: fingerprints are a strict subset of the gram count
     n_grams = len(base.split()) - 4 + 1
     assert 0 < len(fps[1]) < n_grams
+
+
+def test_winnowing_rows_form_matches_array_form(spark):
+    # the corpus-scale rows form (explode + lead + frame-min) must produce
+    # exactly the array form's fingerprint set — including the edge docs:
+    # fewer grams than w (single window), exactly w grams, < k tokens
+    # (empty), repeated tokens (duplicate minima collapse via distinct)
+    from code_challenge___data_engineer___machinemax_spark.functions.text import (
+        winnowing_fingerprint_rows,
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four"),          # exactly k tokens -> 1 gram
+        (3, "one two three four five six"), # 3 grams < w
+        (4, "a b c d e f g h"),             # 5 grams == w -> 1 window
+        (5, "tiny doc"),                    # < k tokens -> empty
+        (6, "x y x y x y x y x y x y"),     # heavy repetition
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {
+        (r.doc_id, r.fp)
+        for r in df.select(
+            "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
+        ).collect()
+    }
+    new = {
+        (r.doc_id, r.fp)
+        for r in winnowing_fingerprint_rows(df, "doc_id", "text").collect()
+    }
+    assert old == new
