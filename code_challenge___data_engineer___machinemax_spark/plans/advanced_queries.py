@@ -544,6 +544,74 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminated_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT AS gram
+        FROM toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
+        WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+    scored AS (
+        SELECT train.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(trunc(CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) * 1e6) AS BIGINT) AS contamination_e6
+        FROM train LEFT JOIN bench ON train.gram = bench.gram
+        GROUP BY train.doc_id
+    )
+    SELECT doc_id, n_grams, contamination_e6
+    FROM scored WHERE contamination_e6 <= 200000
+    """,
+)
+def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT half of contamination checking: keep the training-split
+    documents whose trigram overlap with the benchmark split is <= 20%
+    (drop the leaked ones). benchmark_contamination measures bench->train
+    leakage; this filters train->bench — together they are the full
+    decontamination loop of an LLM data pipeline.
+
+    Scale shape is identical to benchmark_contamination (distinct 60-bit
+    gram hashes, shuffle_hash join — the bench gram set is the SMALL side
+    here but still corpus-derived, so no local-estimate broadcast), plus
+    one per-doc ratio filter. The ratio is scaled-int (one terminal
+    division) for cross-engine exactness."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("toks")).filter(F.size("toks") >= 3)
+    idx = F.sequence(F.lit(1), F.size("toks") - 2)
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3)))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    grams = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", gram_hash.alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    return (
+        train.join(
+            bench.select(F.col("gram").alias("hit_gram")).hint("shuffle_hash"),
+            F.col("gram") == F.col("hit_gram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.sum(hit).cast("double") / F.count("*") * 1e6)
+            .cast("bigint")
+            .alias("contamination_e6"),
+        )
+        .filter(F.col("contamination_e6") <= 200_000)
+    )
+
+
+@query(
     "fuzzy_adjacent_titles",
     oracle="""
     SELECT a.doc_id AS doc_id,

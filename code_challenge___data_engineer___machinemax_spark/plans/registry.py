@@ -39,9 +39,10 @@ _REGISTRY: dict[str, Registered] = {}
 # 23 oracle-bearing queries with no driver-green row yet — the 19 never-
 # rotated r1/r2 queries, the ANN pair (oracles added this round), and the
 # two new streaming-state queries — plus (b) two stable sentinels for cross-
-# round regression detection, plus (c) the 8 queries NEW in round 3 (SimHash
-# banded pairs, 2 more streaming-state, fixed-point k-means, bigram LM,
-# 3 distribution/cohort shapes), plus (d) refresh slots re-confirming
+# round regression detection, plus (c) the 11 queries NEW in round 3
+# (SimHash banded pairs, 3 more streaming-state, fixed-point k-means,
+# bigram LM, 3 distribution/cohort shapes, decontamination, RANGE-frame
+# rolling totals), plus (d) refresh slots re-confirming
 # queries whose only green row is from round 1. Everything outside the
 # window is cumulative-green from r1/r2 and stays covered by the local
 # sf0.01 parity sweep (tests/test_oracle_parity.py).
@@ -65,6 +66,8 @@ DRIVER_PRIORITY: list[str] = [
     "customer_order_distribution",
     "decile_revenue_share",
     "repeat_purchase_interval",
+    "decontaminated_corpus",
+    "user_value_rolling_1h",
     # never-driver-checked oracle-bearing queries (r1/r2 registrations)
     "doc_overlap_winnowing",
     "bpe_token_counts",
@@ -97,9 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "order_value_percentiles",
     "monthly_revenue_running",
     "pivot_priority_by_status",
-    "cube_status_priority",
     "rollup_order_stats",
-    "grouping_sets_order_stats",
     "point_lookup_order",
     "window_function_showcase",
 ]

@@ -888,3 +888,39 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
         (F.sum("gap_us").cast("double") / F.count("*")).cast("double").alias("avg_gap_us"),
     )
+
+
+@query(
+    "user_value_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS v_e6_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling totals per user at event granularity — the
+    RANGE-interval window frame (value-based, not row-based: frame
+    membership is `ts within the last hour`, so ties and gaps behave
+    correctly where a ROWS frame would not). Ordering key is exact integer
+    microseconds and the value sum is scaled-int, so frame membership and
+    the checked outputs are bit-identical cross-engine.
+
+    Scale: one hash partition by user_id; within a partition the frame is
+    maintained incrementally by the window operator (no per-row rescan)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    v_e6 = F.expr("CAST(value * 1e6 AS BIGINT)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(v_e6).over(w).cast("bigint").alias("v_e6_1h"),
+    )
