@@ -223,6 +223,65 @@ def kmeans_fixed_point(
     return assign(centroids).select(id_col, "centroid_id", "dist")
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in exact integer arithmetic -> (node, pr) after ``iters``
+    power iterations. Like :func:`kmeans_fixed_point`, the float version is
+    not cross-engine reproducible (damped sums re-associate); this variant
+    keeps all mass as int64 with explicit floor divisions, so every
+    iteration is bit-identical on any engine/partitioning and the whole
+    algorithm sits under the DuckDB value gate.
+
+    Recurrence (all integer ops, every value positive so trunc == floor):
+        pr0(v)  = scale // N
+        base    = ((100 - damping_pct) * (scale // N)) // 100
+        pr_k(v) = base + (damping_pct * inflow_k(v)) // 100
+        inflow_k(v) = sum over u->v of pr_{k-1}(u) // outdeg(u)
+    Dangling mass is dropped (documented simplification — ranking order is
+    unaffected for the connected use cases here).
+
+    Scale shape per iteration: one equi-join edges->pr on src (shuffle on
+    int keys), one hash-agg on dst, one left join back to nodes;
+    localCheckpoint caps lineage exactly like connected_components."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    pr0 = scale // n
+    base = ((100 - damping_pct) * pr0) // 100
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = nodes.withColumn("pr", F.lit(pr0).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        pr = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(inflow, 0L) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
 def inertia(assigned: DataFrame, centroids: DataFrame, vec_col: str) -> float:
     """Mean (1 - cosine) to the assigned centroid — the convergence metric."""
     joined = assigned.join(centroids, "centroid_id")

@@ -4,6 +4,7 @@ cluster resolution and k-means codebook (rows-only iterative ops)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_sql
 from ..operators.clustering import dedup_clusters, kmeans_lite
@@ -162,6 +163,71 @@ def kmeans_fixed_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed_point(e, "vec_id", "embedding", k=8, iters=2)
+
+
+def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """Generated DuckDB twin of operators.clustering.pagerank_fixed_point
+    over the customer<->supplier co-order graph: same integer recurrence
+    (floor divisions, positive values so trunc == floor), iterations
+    unrolled as CTEs. `//` (DuckDB) == `div` (Spark) on positive BIGINTs."""
+    base = f"((({100 - damping_pct}) * ({scale} // p.n)) // 100)"
+    parts = [
+        f"""
+    pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION
+        SELECT s * 2 + 1, c * 2 FROM pairs
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST({scale} // p.n AS BIGINT) AS pr FROM nodes, params p)"""
+    ]
+    prev = "pr0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    it{it} AS (
+        SELECT nodes.node,
+               CAST({base} + ({damping_pct} * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+        FROM nodes CROSS JOIN params p
+        LEFT JOIN (
+            SELECT dst, SUM(pr // outdeg) AS inflow
+            FROM edges JOIN {prev} ON {prev}.node = edges.src
+            JOIN outdeg USING (src)
+            GROUP BY dst
+        ) f ON f.dst = nodes.node
+    )""")
+        prev = f"it{it}"
+    return "WITH " + ",".join(parts) + f"\n    SELECT node, pr FROM {prev}"
+
+
+@query("pagerank_customer_supplier", oracle=_pagerank_oracle_sql())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the bipartite customer<->supplier co-order
+    graph (both directions, so mass actually circulates), 2 power
+    iterations in exact fixed-point arithmetic — graph centrality as a
+    value-checked capability class next to connected components. Node
+    encoding: customer = 2*custkey, supplier = 2*suppkey + 1 (disjoint id
+    spaces)."""
+    from ..operators.clustering import pagerank_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cust = (F.col("o_custkey") * 2).cast("bigint")
+    supp = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    edges = pairs.select(cust.alias("src"), supp.alias("dst")).unionByName(
+        pairs.select(supp.alias("src"), cust.alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=2)
 
 
 @query("kmeans_codebook", oracle=None)

@@ -39,10 +39,10 @@ _REGISTRY: dict[str, Registered] = {}
 # 23 oracle-bearing queries with no driver-green row yet — the 19 never-
 # rotated r1/r2 queries, the ANN pair (oracles added this round), and the
 # two new streaming-state queries — plus (b) two stable sentinels for cross-
-# round regression detection, plus (c) the 11 queries NEW in round 3
-# (SimHash banded pairs, 3 more streaming-state, fixed-point k-means,
-# bigram LM, 3 distribution/cohort shapes, decontamination, RANGE-frame
-# rolling totals), plus (d) refresh slots re-confirming
+# round regression detection, plus (c) the 12 queries NEW in round 3
+# (SimHash banded pairs, 3 more streaming-state, fixed-point k-means and
+# PageRank, bigram LM, 3 distribution/cohort shapes, decontamination,
+# RANGE-frame rolling totals), plus (d) refresh slots re-confirming
 # queries whose only green row is from round 1. Everything outside the
 # window is cumulative-green from r1/r2 and stays covered by the local
 # sf0.01 parity sweep (tests/test_oracle_parity.py).
@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "repeat_purchase_interval",
     "decontaminated_corpus",
     "user_value_rolling_1h",
+    "pagerank_customer_supplier",
     # never-driver-checked oracle-bearing queries (r1/r2 registrations)
     "doc_overlap_winnowing",
     "bpe_token_counts",
@@ -98,7 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "quality_scores",
     "order_rank_in_segment",
     "order_value_percentiles",
-    "monthly_revenue_running",
     "pivot_priority_by_status",
     "rollup_order_stats",
     "point_lookup_order",

@@ -111,3 +111,20 @@ def test_kmeans_fixed_point_separates_planted_clusters(spark):
     assert sorted((r.vec_id, r.centroid_id, r.dist) for r in a.collect()) == sorted(
         (r.vec_id, r.centroid_id, r.dist) for r in b.collect()
     )
+
+
+def test_pagerank_fixed_point_ranks_hubs_and_is_deterministic(spark):
+    # star graph: hub 0 <-> {2,4,6,8} (bidirectional). The hub must rank
+    # strictly above every leaf, and two runs must be bit-identical.
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        pagerank_fixed_point,
+    )
+
+    leaves = [2, 4, 6, 8]
+    rows = [(0, v) for v in leaves] + [(v, 0) for v in leaves]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    pr = {r.node: r.pr for r in pagerank_fixed_point(edges, iters=2).collect()}
+    assert all(pr[0] > pr[v] for v in leaves)
+    assert len({pr[v] for v in leaves}) == 1  # symmetric leaves tie exactly
+    pr2 = {r.node: r.pr for r in pagerank_fixed_point(edges, iters=2).collect()}
+    assert pr == pr2
