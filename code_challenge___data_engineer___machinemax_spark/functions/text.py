@@ -131,6 +131,55 @@ def tokenize_stemmed_sql(expr: str) -> str:
     return f"list_transform({tokenize_sql(expr)}, t -> {s_stem_sql('t')})"
 
 
+# --- Diacritic folding (Mongo $text is diacritic-INSENSITIVE) ---------------
+# Fixed explicit mapping (Latin-1 + common Latin Extended-A, lowercase — the
+# fold runs after lower()). An explicit translate table, not a library NFD
+# pass, so Spark, DuckDB and Python are guaranteed character-identical.
+_FOLD_PAIRS = [
+    ("àáâãäåāăą", "a"), ("èéêëēĕėęě", "e"), ("ìíîïĩīĭįı", "i"),
+    ("òóôõöøōŏő", "o"), ("ùúûüũūŭůűų", "u"), ("çćĉċč", "c"),
+    ("ñńņň", "n"), ("ýÿ", "y"), ("ĝğġģ", "g"), ("ĥħ", "h"), ("ĵ", "j"),
+    ("ķ", "k"), ("ĺļľł", "l"), ("ŕŗř", "r"), ("śŝşš", "s"), ("ţťŧ", "t"),
+    ("ŵ", "w"), ("źżž", "z"), ("đð", "d"), ("þ", "t"), ("ß", "s"),
+]
+_ACCENTED = "".join(chars for chars, _ in _FOLD_PAIRS)
+_FOLDED = "".join(base * len(chars) for chars, base in _FOLD_PAIRS)
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Replace accented Latin characters with their base letter (lowercase
+    input expected). The diacritic-insensitivity half of Mongo $text
+    analyzer parity (reference api.py:22-26; s_stem covers stemming)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENTED, _FOLDED)
+
+
+def fold_accents_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_accents` (same explicit table)."""
+    return f"translate({expr}, '{_ACCENTED}', '{_FOLDED}')"
+
+
+def fold_accents_py(s: str) -> str:
+    """Driver-side twin for query-token folding."""
+    return s.translate(str.maketrans(_ACCENTED, _FOLDED))
+
+
+def tokenize_folded(col: Column | str) -> Column:
+    """Lowercased, accent-folded tokens — fold BEFORE splitting so accented
+    characters are letters of their base token, not separators."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(fold_accents(F.lower(c)), _SEP), lambda t: t != "")
+
+
+def tokenize_folded_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize_folded`."""
+    return (
+        "list_filter(regexp_split_to_array("
+        + fold_accents_sql(f"lower({expr})")
+        + ", " + r"'[^\p{L}\p{N}]+')" + ", t -> t <> '')"
+    )
+
+
 def strip_html(paragraphs: Column) -> Column:
     """Join an array of HTML fragments, strip tags, trim; NULL iff the array
     is empty/NULL (reference newsspider.py:48-49: ``if text_contents else

@@ -76,6 +76,23 @@ def keyword_search_stemmed(df: DataFrame, keyword: str, text_col: str = "text") 
     )
 
 
+def keyword_search_folded(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
+    """Diacritic-insensitive keyword search: fold accents on both the query
+    tokens (driver-side) and the data tokens, then OR-overlap — the second
+    half of Mongo ``$text`` analyzer parity ($text is diacritic-insensitive
+    by default; s_stem covers the stemming half). 'cafe' matches 'café' and
+    vice versa. No ``contains`` pre-guard: the folded token need not be a
+    substring of the raw text."""
+    from ..functions.text import fold_accents_py, tokenize_folded
+
+    toks = sorted({fold_accents_py(t) for t in query_tokens(keyword)})
+    if not toks:
+        return df.limit(0)
+    return df.filter(
+        F.arrays_overlap(tokenize_folded(text_col), F.array(*[F.lit(t) for t in toks]))
+    )
+
+
 def build_inverted_index(
     df: DataFrame, key_col: str, text_col: str = "text", stemmed: bool = False
 ) -> DataFrame:

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize, tokenize_sql, tokenize_stemmed_sql
+from ..functions.text import (
+    tokenize,
+    tokenize_folded_sql,
+    tokenize_sql,
+    tokenize_stemmed_sql,
+)
 from ..operators.search import (
     build_inverted_index,
     indexed_keyword_search,
@@ -69,6 +74,26 @@ def keyword_search_stemmed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine returns ZERO rows for this query — the delta is the analyzer."""
     d = load_table(spark, sf_dir, "documents")
     return keyword_search_stemmed(d, "queries joins").select(*_SEARCH_COLS)
+
+
+@query(
+    "keyword_search_folded",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE list_has_any({tokenize_folded_sql('text')}, ['spark', 'window'])
+    """,
+)
+def keyword_search_folded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diacritic-insensitive search — the second analyzer-parity half of
+    Mongo $text (it folds diacritics by default; keyword_search_stemmed
+    covers stemming). The synthetic corpus happens to be accent-free, so
+    this returns the same hit set as the plain search — the oracle still
+    value-checks the folded tokenizer end-to-end, and the accent-bearing
+    semantics are pinned by tests/test_text.py on crafted data."""
+    from ..operators.search import keyword_search_folded
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_search_folded(d, "spark window").select(*_SEARCH_COLS)
 
 
 @query(

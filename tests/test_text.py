@@ -202,3 +202,36 @@ def test_winnowing_rows_form_matches_array_form(spark):
         for r in winnowing_fingerprint_rows(df, "doc_id", "text").collect()
     }
     assert old == new
+
+
+def test_fold_accents_three_twins_and_folded_search(spark):
+    from code_challenge___data_engineer___machinemax_spark.functions.text import (
+        _ACCENTED,
+        _FOLDED,
+        fold_accents,
+        fold_accents_py,
+        tokenize_folded,
+    )
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        keyword_search_folded,
+    )
+
+    assert len(_ACCENTED) == len(_FOLDED)
+    sample = "café naïve françois übermaß łódź señor"
+    df = spark.createDataFrame([(1, sample)], "doc_id long, text string")
+    spark_folded = df.select(fold_accents(F.lower(F.col("text"))).alias("f")).collect()[0].f
+    assert spark_folded == fold_accents_py(sample)
+    assert spark_folded == "cafe naive francois ubermas lodz senor"
+
+    corpus = spark.createDataFrame(
+        [(1, "Le café est ouvert"), (2, "the cafe is open"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    # unaccented query finds the accented doc and vice versa; plain search
+    # would miss doc 1 for 'cafe'
+    assert {r.doc_id for r in keyword_search_folded(corpus, "cafe").collect()} == {1, 2}
+    assert {r.doc_id for r in keyword_search_folded(corpus, "café").collect()} == {1, 2}
+    toks = corpus.filter(F.col("doc_id") == 1).select(
+        tokenize_folded("text").alias("t")
+    ).collect()[0].t
+    assert "cafe" in toks
