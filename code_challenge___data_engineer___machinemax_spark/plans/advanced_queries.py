@@ -781,6 +781,35 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("total_value", F.col("total_value").cast("double"))
 
 
+@query(
+    "salted_user_segment_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(e.value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_user_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join, oracle-proven equal to the plain join:
+    events' user_id is the hot-key side (a viral user at 100 TB), customer
+    the small side — salted_broadcast_left spreads each hot key over 8
+    (key, salt) partitions and replicates the dim side once per salt, so no
+    single reducer owns a hot user in the downstream aggregation. The salt
+    never changes join semantics (oracle = unsalted join + GROUP BY);
+    the per-segment sums are exact scaled-ints."""
+    from ..operators.skew import salted_broadcast_left
+
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_broadcast_left(e, c, "c_custkey", salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).cast("bigint").alias("v_e6"),
+    )
+
+
 @query("approx_order_percentiles", oracle=None)
 def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (approx_percentile / KLL-style, accuracy
