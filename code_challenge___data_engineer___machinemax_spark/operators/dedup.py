@@ -263,7 +263,12 @@ def simhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = fp.select(F.col(id_col), F.posexplode(band_vals).alias("band", "band_val"))
+    # carry the fingerprint through the banding so the verify step needs no
+    # joins back to the fingerprint table (8 extra bytes per banded row vs
+    # two corpus-sized equi-joins after candidate generation)
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "band_val")
+    )
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_val")
@@ -274,21 +279,20 @@ def simhash_near_dup_pairs(
         banded = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
-    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
-    return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .distinct()  # multi-band matches collapse; fps are id-determined
         .withColumn("hamming", hamming64(F.col("__fa"), F.col("__fb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
