@@ -180,6 +180,23 @@ def tokenize_folded_sql(expr: str) -> str:
     )
 
 
+def tokenize_analyzed(col: Column | str) -> Column:
+    """The FULL Mongo $text analyzer twin: lowercase -> diacritic fold ->
+    split -> S-stem. Composes the two parity halves in analyzer order
+    (fold before stem: 'cafés' -> 'cafes' -> 'cafe')."""
+    return F.transform(tokenize_folded(col), lambda t: s_stem(t))
+
+
+def tokenize_analyzed_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize_analyzed`."""
+    return f"list_transform({tokenize_folded_sql(expr)}, t -> {s_stem_sql('t')})"
+
+
+def analyze_token_py(token: str) -> str:
+    """Driver-side twin for query tokens (fold then stem)."""
+    return s_stem_py(fold_accents_py(token))
+
+
 def strip_html(paragraphs: Column) -> Column:
     """Join an array of HTML fragments, strip tags, trim; NULL iff the array
     is empty/NULL (reference newsspider.py:48-49: ``if text_contents else

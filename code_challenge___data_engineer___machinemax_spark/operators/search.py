@@ -319,3 +319,18 @@ def tfidf_rank(
         .orderBy(F.desc("tfidf"), F.asc(key_col))
         .limit(k)
     )
+
+
+def keyword_search_analyzed(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
+    """Full-analyzer keyword search: diacritic folding + S-stemming on both
+    sides (the composition of :func:`keyword_search_folded` and
+    :func:`keyword_search_stemmed`) — complete Mongo ``$text`` analyzer
+    parity in one predicate. 'cafés' matches 'cafe', 'CAFÉ', 'cafes'."""
+    from ..functions.text import analyze_token_py, tokenize_analyzed
+
+    toks = sorted({analyze_token_py(t) for t in query_tokens(keyword)})
+    if not toks:
+        return df.limit(0)
+    return df.filter(
+        F.arrays_overlap(tokenize_analyzed(text_col), F.array(*[F.lit(t) for t in toks]))
+    )

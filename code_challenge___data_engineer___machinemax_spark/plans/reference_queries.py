@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     tokenize,
+    tokenize_analyzed_sql,
     tokenize_folded_sql,
     tokenize_sql,
     tokenize_stemmed_sql,
@@ -94,6 +95,25 @@ def keyword_search_folded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return keyword_search_folded(d, "spark window").select(*_SEARCH_COLS)
+
+
+@query(
+    "keyword_search_analyzed",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE list_has_any({tokenize_analyzed_sql('text')}, ['query', 'join'])
+    """,
+)
+def keyword_search_analyzed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Mongo $text analyzer parity in one predicate: lowercase +
+    diacritic fold + S-stem on both sides ('cafés' matches 'cafe', 'CAFÉ',
+    'cafes' — pinned on crafted accents in tests/test_text.py; the
+    accent-free synthetic corpus makes this row equal the stemmed search,
+    which the oracle still value-checks through the composed analyzer)."""
+    from ..operators.search import keyword_search_analyzed
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_search_analyzed(d, "queries joins").select(*_SEARCH_COLS)
 
 
 @query(

@@ -235,3 +235,19 @@ def test_fold_accents_three_twins_and_folded_search(spark):
         tokenize_folded("text").alias("t")
     ).collect()[0].t
     assert "cafe" in toks
+
+
+def test_analyzed_search_folds_and_stems_together(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        keyword_search_analyzed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "les cafés sont ouverts"), (2, "the cafe is open"),
+         (3, "many queries arrive"), (4, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    # 'cafes' (no accent, plural) must hit both the accented plural and the
+    # plain singular; 'query' must hit the plural via stemming
+    assert {r.doc_id for r in keyword_search_analyzed(corpus, "cafes").collect()} == {1, 2}
+    assert {r.doc_id for r in keyword_search_analyzed(corpus, "café query").collect()} == {1, 2, 3}
