@@ -1,0 +1,53 @@
+"""Run the non-pair-emitting bench headline queries at an arbitrary sf dir
+(default the 10x key-shifted replica from make_scale.py) and print one JSON
+line of per-query timings — the 0.1 -> ~1 scaling evidence for SCALE.md.
+
+Pair-emitting queries (near_dup_pairs_minhash, simhash_near_dup_pairs,
+doc_overlap_winnowing) are excluded by default: the replica holds every
+document in 10 identical key-shifted copies, so their output is dominated
+by the deliberate worst-case cross-replica pair blowup measured separately
+in SCALE.md (hot-bucket-cap section), not by plan scaling.
+
+Usage: python scripts/run_scale_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from code_challenge___data_engineer___machinemax_spark import plans  # noqa: E402
+from code_challenge___data_engineer___machinemax_spark.session import get_spark  # noqa: E402
+from code_challenge___data_engineer___machinemax_spark.tables import TABLES, load_table  # noqa: E402
+
+PAIR_EMITTING = {"near_dup_pairs_minhash", "simhash_near_dup_pairs", "doc_overlap_winnowing"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ccdem_scale_sf1"
+    spark = get_spark("ccdem-scale-sweep")
+    queries = plans.all_queries()
+
+    queries["point_lookup_order"](spark, sf_dir).collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in PAIR_EMITTING:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "scale_sweep_total", "value": total, "unit": "sec", "queries": timings, "sf_dir": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
