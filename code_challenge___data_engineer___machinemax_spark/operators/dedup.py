@@ -195,30 +195,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     signed 64-bit long; token hash = first 15 md5 hex chars as an integer).
 
     Per-bit majority vote across a document's distinct tokens: bit_i =
-    [sum over tokens of (2*((h>>i)&1) - 1) > 0]; fingerprint = Σ bit_i·2^i.
+    [ones_i·2 > n] where ones_i = count of tokens with bit i set and n the
+    distinct-token count — identical to the textbook sum-of-±1 vote
+    (2·ones - n > 0) but each aggregate is a bare ``(h>>i)&1`` sum.
     Near-dup docs differ in few bits (compare via :func:`hamming64`).
 
-    Plan shape: explode tokens -> one hash-agg with ``bits`` sum columns
+    Plan shape: explode tokens -> one hash-agg with ``bits``+1 sum columns
     (partial map-side combine applies) -> arithmetic projection. One shuffle
-    on the id, no Python.
+    on the id, no Python. The per-token expansion is the expensive stage,
+    so a narrow scan (fewer partitions than cores — the local small-table
+    case) is spread first; at real scale the scan already has more
+    partitions than cores and no extra shuffle is added.
     """
     from functools import reduce
     from operator import add
 
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     token_hash = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint")
     exploded = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("__tok")
     ).withColumn("__h", token_hash)
     votes = exploded.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
         *[
-            F.sum((F.shiftright(F.col("__h"), i) % 2) * 2 - 1).alias(f"__v{i}")
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__v{i}")
             for i in range(bits)
-        ]
+        ],
     )
     fingerprint = reduce(
         add,
         [
-            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            F.when(F.col(f"__v{i}") * 2 > F.col("__n"), F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
             for i in range(bits)
         ],
     )
