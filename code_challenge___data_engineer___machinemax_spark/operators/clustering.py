@@ -223,6 +223,68 @@ def kmeans_fixed_point(
     return assign(centroids).select(id_col, "centroid_id", "dist")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    max_sqdist: int = 1_200_000_000_000,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup pairs -> (id_a, id_b, centroid_id,
+    sqdist), id_a < id_b: cluster first, then compare ONLY within a
+    cluster — never all-pairs (Abbas et al. 2023, "SemDeDup"; the
+    embedding twin of the banded MinHash/SimHash discipline, and a second
+    scale path beside the SRP bucketing in operators/similarity.py).
+
+    Built on :func:`kmeans_fixed_point`, so the full pipeline — clustering
+    AND the pair verify — is exact int64 arithmetic (sqdist over
+    trunc(x*scale) components) and sits under the DuckDB value gate; a
+    float cosine variant could only ever be rows-checked. On unit vectors
+    sqdist/scale^2 = ||a-b||^2 = 2(1-cos), so a cosine-0.95 dedup
+    threshold is max_sqdist = 0.1*scale^2.
+
+    Scale shape: pairing shuffles (id, centroid_id, qv) on centroid_id
+    only; cluster population is n/k on average, so k must grow with n to
+    bound per-cluster pairing (SemDeDup's own recipe), and
+    ``max_cluster_size`` drops over-populated clusters before pairing —
+    the same broadcast-anti-join hot-bucket cap as the LSH paths."""
+    quant = F.expr(
+        f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
+    )
+    assigned = kmeans_fixed_point(df, id_col, vec_col, k=k, iters=iters, scale=scale).select(
+        F.col(id_col), F.col("centroid_id")
+    )
+    aq = assigned.join(df.select(F.col(id_col), quant.alias("qv")), id_col)
+    if max_cluster_size is not None:
+        hot = (
+            aq.groupBy("centroid_id")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_cluster_size)
+            .select("centroid_id")
+        )
+        aq = aq.join(F.broadcast(hot), "centroid_id", "left_anti")
+    a = aq.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col("qv").alias("__qa")
+    )
+    b = aq.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col("qv").alias("__qb")
+    )
+    sqdist = F.expr(
+        "aggregate(zip_with(__qa, __qb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", sqdist)
+        .filter(F.col("sqdist") <= max_sqdist)
+        .select("id_a", "id_b", "centroid_id", "sqdist")
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

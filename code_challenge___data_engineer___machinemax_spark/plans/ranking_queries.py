@@ -93,12 +93,12 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, d, "doc_id")
 
 
-def _kmeans_fp_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
-    """Generated DuckDB twin of operators.clustering.kmeans_fixed_point:
-    same trunc-quantization, same exact-int distances, same floor(sum/n)
-    centroid update, ``iters`` assign+update rounds unrolled as CTEs plus
-    the final assignment. Every value is integer arithmetic, so the whole
-    iterative algorithm is bit-reproducible cross-engine."""
+def _kmeans_cte_parts(
+    k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000
+) -> list[str]:
+    """CTE chain (quantize, init, ``iters`` assign+update rounds, final
+    assignment ``afinal``) shared by the kmeans_fixed_point and
+    semantic_dedup_pairs oracles."""
     sqdist = (
         f"CAST(list_sum(list_transform(range({dim}), "
         "i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS BIGINT)"
@@ -145,9 +145,48 @@ def _kmeans_fp_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int 
         parts.append(update_cte(f"c{it}", f"a{it}"))
         cents = f"c{it}"
     parts.append(assign_cte("afinal", cents))
+    return parts
+
+
+def _kmeans_fp_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of operators.clustering.kmeans_fixed_point:
+    same trunc-quantization, same exact-int distances, same floor(sum/n)
+    centroid update, ``iters`` assign+update rounds unrolled as CTEs plus
+    the final assignment. Every value is integer arithmetic, so the whole
+    iterative algorithm is bit-reproducible cross-engine."""
+    parts = _kmeans_cte_parts(k, iters, dim, scale)
     return (
         "WITH " + ",".join(parts)
         + "\n    SELECT vec_id, centroid_id, dist FROM afinal"
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    max_sqdist: int = 1_200_000_000_000,
+) -> str:
+    """Generated DuckDB twin of operators.clustering.semantic_dedup_pairs:
+    the kmeans_fixed_point CTE chain, then within-cluster pairs (id_a <
+    id_b) verified with the same exact-int sqdist over the quantized
+    vectors carried through ``afinal``."""
+    parts = _kmeans_cte_parts(k, iters, dim, scale)
+    pair_sqdist = (
+        f"CAST(list_sum(list_transform(range({dim}), "
+        "i -> (a.qv[i+1] - b.qv[i+1]) * (a.qv[i+1] - b.qv[i+1]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT id_a, id_b, centroid_id, sqdist FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id AS centroid_id,
+               {pair_sqdist} AS sqdist
+        FROM afinal a JOIN afinal b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ) WHERE sqdist <= {max_sqdist}"""
     )
 
 
@@ -163,6 +202,22 @@ def kmeans_fixed_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed_point(e, "vec_id", "embedding", k=8, iters=2)
+
+
+@query("semantic_dedup_pairs", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: fixed-point k-means buckets, then
+    exact int64 sqdist pairs within a cluster only — the cluster-bucketed
+    twin of the SRP embedding near-dup path, with the ENTIRE pipeline
+    (iterative clustering + pair verify) under the value gate. The
+    threshold here (sqdist <= 1.2e12 = cosine >= ~0.4 on unit vectors)
+    mines similar pairs on this synthetic corpus, which plants no true
+    embedding dups; a production dedup run would use ~0.1*scale^2
+    (cosine >= 0.95) — the operator is threshold-parametric."""
+    from ..operators.clustering import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, "vec_id", "embedding", k=8, iters=2)
 
 
 def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:

@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "streamed_user_totals",
     "streamed_hourly_counts",
     "kmeans_fixed_point",
+    "semantic_dedup_pairs",
     "bigram_logprob_scores",
     "customer_order_distribution",
     "decile_revenue_share",
@@ -102,7 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "pivot_priority_by_status",
     "rollup_order_stats",
     "point_lookup_order",
-    "window_function_showcase",
+    # window_function_showcase rotated out (r1-green refresh slot) to keep
+    # the window at 50 with semantic_dedup_pairs in; still local-gated
 ]
 
 

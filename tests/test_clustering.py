@@ -113,6 +113,36 @@ def test_kmeans_fixed_point_separates_planted_clusters(spark):
     )
 
 
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    # two far-apart blobs; ids 0/1 share an identical vector, ids 10/11 are
+    # near-dups in the other blob. The cross-blob pairs are much closer in id
+    # but must never be compared (cluster-bucketed), and the identical pair
+    # must come out with sqdist == 0.
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    # ids 0 and 1 are the k-means seeds (k lowest ids), one per blob
+    rows = (
+        [(0, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.2, 0.1])]
+        + [(1, [-1.0, 0.5]), (11, [-1.0, 0.500001]), (12, [-1.3, 0.4])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup_pairs(
+        df, "vec_id", "embedding", k=2, iters=2, max_sqdist=10_000
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.sqdist for r in got}
+    assert pairs.get((0, 2)) == 0
+    assert (1, 11) in pairs and pairs[(1, 11)] <= 10_000
+    assert all(not ({a, b} & {0, 2, 3} and {a, b} & {1, 11, 12}) for a, b in pairs)
+
+    # hot-cluster cap drops the over-populated cluster before pairing
+    capped = semantic_dedup_pairs(
+        df, "vec_id", "embedding", k=2, iters=2, max_sqdist=10_000, max_cluster_size=2
+    ).collect()
+    assert capped == []
+
+
 def test_pagerank_fixed_point_ranks_hubs_and_is_deterministic(spark):
     # star graph: hub 0 <-> {2,4,6,8} (bidirectional). The hub must rank
     # strictly above every leaf, and two runs must be bit-identical.
