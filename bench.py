@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_overlap_winnowing",
     "simhash_near_dup_pairs",
     "kmeans_fixed_point",
+    "semantic_dedup_pairs",
 ]
 
 
