@@ -95,6 +95,21 @@ def test_best_order_per_segment_broadcasts_dim(spark, sf_dir):
     assert "partial_max_by" in txt
 
 
+def test_semantic_dedup_pairing_is_equi_join(spark, sf_dir):
+    # the within-cluster pairing must be an equi-join on centroid_id; the
+    # only nested-loop allowed is the k-row broadcast centroid scoring
+    # inside the k-means assign (k rows, never data-sized)
+    txt = explain_text(_QS["semantic_dedup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    # pairing shuffles both sides by centroid_id (the SemDeDup bucket key)
+    assert "hashpartitioning(centroid_id" in txt
+    # every nested-loop in the plan is the k-row centroid broadcast, never
+    # a data-sized side
+    for ln in txt.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln
+
+
 def test_pipeline_text_ops_stay_jvm_side(spark, sf_dir):
     for name in ("document_chunks", "pii_redaction", "benchmark_contamination"):
         txt = explain_text(_QS[name](spark, sf_dir))
