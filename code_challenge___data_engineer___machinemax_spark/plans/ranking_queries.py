@@ -220,6 +220,45 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, "vec_id", "embedding", k=8, iters=2)
 
 
+def _semantic_resolution_oracle_sql() -> str:
+    """Recursive-CTE closure over the semantic_dedup_pairs oracle edges —
+    the embedding-family twin of _cluster_oracle_sql: min(reachable) is the
+    fixpoint the Spark pointer-jumping label propagation converges to."""
+    pairs_sql = _get_registered("semantic_dedup_pairs").oracle
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT emb.vec_id,
+           COALESCE(comp.component, emb.vec_id) AS component,
+           emb.vec_id = COALESCE(comp.component, emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+    """
+
+
+@query("semantic_dedup_resolution", oracle=_semantic_resolution_oracle_sql())
+def semantic_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup act step for the embedding family: cluster-bucketed
+    pairs (semantic_dedup_pairs, itself value-gated through the fixed-point
+    k-means) resolved to components with min-id canonical keepers — the
+    keep-list a training pipeline consumes. Same pointer-jumping label
+    propagation / recursive-CTE-closure twin as dedup_cluster_resolution."""
+    from ..operators.clustering import dedup_clusters, semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(e, "vec_id", "embedding", k=8, iters=2)
+    return dedup_clusters(pairs, e, "vec_id")
+
+
 def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:
     """Generated DuckDB twin of operators.clustering.pagerank_fixed_point
     over the customer<->supplier co-order graph: same integer recurrence

@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "streamed_hourly_counts",
     "kmeans_fixed_point",
     "semantic_dedup_pairs",
+    "semantic_dedup_resolution",
     "bigram_logprob_scores",
     "customer_order_distribution",
     "decile_revenue_share",
@@ -102,9 +103,9 @@ DRIVER_PRIORITY: list[str] = [
     "order_value_percentiles",
     "pivot_priority_by_status",
     "rollup_order_stats",
-    "point_lookup_order",
-    # window_function_showcase rotated out (r1-green refresh slot) to keep
-    # the window at 50 with semantic_dedup_pairs in; still local-gated
+    # point_lookup_order and window_function_showcase rotated out (r1-green
+    # refresh slots) to keep the window at 50 with the two semantic-dedup
+    # queries in; both stay local-gated (golden + parity sweep)
 ]
 
 
