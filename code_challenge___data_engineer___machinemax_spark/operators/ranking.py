@@ -1,0 +1,120 @@
+"""Distributed global ranking without a single-partition window.
+
+``ntile``/``row_number`` over an unpartitioned window pull every row onto
+one task (Spark warns ``WindowExec: No Partition Defined``) — correct on a
+laptop, a scale-killer at 100 TB. These helpers reproduce the exact same
+semantics with a two-pass plan that stays distributed:
+
+1. ``repartitionByRange`` on the order keys — rows land in P contiguous,
+   globally ordered ranges (ties impossible when the order is total, which
+   callers must guarantee via a unique tie-break column).
+2. A per-partition ``row_number`` windowed BY PARTITION ID — P independent
+   windows, each ~n/P rows, instead of one window of n rows.
+3. Per-partition row counts (≤P rows — metadata-sized, NOT data) are
+   collected to the driver, prefix-summed into offsets, and broadcast-
+   joined back: ``global_rank = offset[pid] + local_rank``. This makes the
+   call eager (one count job at plan-build time) but keeps the final plan
+   free of unpartitioned windows entirely — even the tiny-frame kind that
+   still trips Spark's ``WindowExec: No Partition Defined`` warning.
+
+The input is persisted before step 2 because the plan references it twice
+(once for counts, once for ranking); persisting pins the range boundaries
+and partition ids to one materialization instead of trusting recomputation
+to re-sample identical range bounds. Callers pass the already-aggregated
+frame (e.g. one row per customer), so the cached footprint is the small
+post-agg relation, not the fact table.
+
+``ntile_from_rank`` then reproduces SQL ``NTILE(k)`` arithmetic exactly
+(first ``n % k`` tiles get ``ceil(n/k)`` rows, the rest ``floor(n/k)``),
+so results are bit-identical to the DuckDB oracle's ``ntile`` under the
+same total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_PID = "__rank_pid"
+_LOCAL = "__rank_local"
+_OFFSET = "__rank_offset"
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global row number under ``order`` (which must be a
+    TOTAL order — include a unique tie-break column) without ever moving
+    all rows to one partition. Optionally also adds the total row count as
+    ``total_col`` (needed by ntile arithmetic) for free — it falls out of
+    the same offsets frame.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(p, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    # ≤P (pid, count) rows — partition metadata, not data. Driver-side
+    # prefix sum; the eager count job also pins the persisted range layout.
+    counts = dict(parts.groupBy(_PID).count().collect())
+    total = sum(counts.values())
+    acc, rows = 0, []
+    for pid in sorted(counts):
+        rows.append((pid, acc))
+        acc += counts[pid]
+    offsets = spark.createDataFrame(rows or [(0, 0)], f"{_PID} int, {_OFFSET} bigint")
+    local = F.row_number().over(W.partitionBy(_PID).orderBy(*order))
+    out = (
+        parts.withColumn(_LOCAL, local)
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("bigint"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("bigint"))
+    return out.drop(_PID, _LOCAL, _OFFSET)
+
+
+def ntile_from_rank(rank: Column, total: Column, n_tiles: int) -> Column:
+    """SQL NTILE(n) from a 1-based global rank and the total row count,
+    as pure integer arithmetic (no window): with q = total div n and
+    rem = total % n, ranks 1..rem*(q+1) fall in tiles 1..rem (q+1 rows
+    each), the remainder in tiles of q rows. Matches DuckDB/Spark ntile
+    exactly under the same total order.
+    """
+    q = F.floor(total / n_tiles)
+    rem = total % n_tiles
+    cut = rem * (q + F.lit(1))
+    first = F.floor((rank + q) / (q + F.lit(1)))  # ceil(rank/(q+1))
+    rest = rem + F.floor((rank - cut + q - F.lit(1)) / q)  # rem + ceil((rank-cut)/q)
+    return F.when(rank <= cut, first).otherwise(rest).cast("int")
+
+
+def scalable_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order: list[Column],
+    *,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (ORDER BY order)`` with a distributed plan:
+    global_row_number + integer tile arithmetic. ``order`` must be total
+    (unique tie-break), exactly as reproducible ntile requires anyway."""
+    ranked = global_row_number(
+        df,
+        order,
+        rank_col="__nt_rank",
+        total_col="__nt_total",
+        num_partitions=num_partitions,
+    )
+    return ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("__nt_rank"), F.col("__nt_total"), n_tiles)
+    ).drop("__nt_rank", "__nt_total")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.ranking import scalable_ntile
 from ..tables import load_table
 from .registry import query
 
@@ -834,14 +835,20 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration: per-customer revenue (exact decimal sum),
-    ntile(10) deciles under a total deterministic order (revenue desc,
+    decile assignment under a total deterministic order (revenue desc,
     custkey tie-break — ntile is only reproducible under a total order),
-    then per-decile customer counts and exact revenue."""
+    then per-decile customer counts and exact revenue.
+
+    The decile is NOT a global ``ntile(10)`` window (that pulls every
+    customer onto one task — the r3 ``WindowExec: No Partition Defined``
+    warning); it is ``operators.ranking.scalable_ntile``: range-repartition
+    on the order keys, per-range local row_number, broadcast prefix-sum
+    offsets, and exact integer NTILE arithmetic — bit-identical to the
+    oracle's ntile, fully distributed."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("revenue"))
-    ranked = rev.withColumn(
-        "decile",
-        F.ntile(10).over(W.orderBy(F.desc("revenue"), F.asc("o_custkey"))),
+    ranked = scalable_ntile(
+        rev, 10, [F.desc("revenue"), F.asc("o_custkey")], tile_col="decile"
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
