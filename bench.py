@@ -66,6 +66,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # Warm the Python worker pool + Arrow serialization path the same way:
+    # the first pandas-UDF query otherwise pays worker spawn (~2s measured,
+    # the whole r2->r3 ann_topk_lsh "regression" — SCALE.md), which is
+    # session startup, not the plan under measurement.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).repartition(8).select(_warm("id")).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

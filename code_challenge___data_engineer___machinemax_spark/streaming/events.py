@@ -12,7 +12,7 @@ tests can drive the stream from the parquet fixtures and diff against batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -181,17 +181,44 @@ def stream_upsert_to_store(
         q.stop()
 
 
+#: hash-bucket fanout of the state store layout. At 100 TB of state this is
+#: the knob that bounds per-epoch IO: a micro-batch rewrites only the
+#: buckets its keys hash into, never the whole store.
+STORE_BUCKETS = 16
+
+
+def _store_bucket(key: Column, n_buckets: int = STORE_BUCKETS) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
 def merge_epoch_into_store(
-    batch_df: DataFrame, epoch_id: int, path: str, run_scope: str = "adhoc"
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    run_scope: str = "adhoc",
+    n_buckets: int = STORE_BUCKETS,
 ) -> bool:
     """Merge one micro-batch's per-event_type aggregate into the parquet
     state table at ``path``; returns False (no-op) when ``epoch_id`` was
     already applied BY THE SAME RUN — the idempotence that makes
     foreachBatch's at-least-once replay safe. A different ``run_scope``
     (new query run) always merges: its epoch counter is unrelated to the
-    stored one."""
+    stored one.
+
+    Store layout (r3 verdict "What's wrong" #2 — the O(store)-per-epoch
+    rewrite): the store is PARTITIONED BY a stable key-hash bucket
+    (``bucket = pmod(xxhash64(event_type), n_buckets)``). Each epoch
+    touches only the buckets its update keys hash into: partition pruning
+    bounds the read, and dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``) bounds the write — per-epoch cost
+    scales with the EPOCH's key set, not with accumulated state
+    (SCALE.md measures it). The replay guard is per-bucket (each bucket
+    carries the last (run_scope, epoch) that wrote it), so a crash between
+    partition commits replays only the buckets that missed the epoch —
+    already-written buckets skip, unwritten ones merge. Plain parquet still
+    can't make a single partition's swap atomic; a transactional format
+    (Delta MERGE) is the drop-in upgrade for that last gap."""
     import os
-    import shutil
 
     spark = batch_df.sparkSession
     # v: human-readable double sum. v_e6: exact scaled-integer sum — double
@@ -203,21 +230,43 @@ def merge_epoch_into_store(
         F.count("*").alias("n"),
         F.sum("value").alias("v"),
         F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).alias("v_e6"),
+    ).withColumn("bucket", _store_bucket(F.col("event_type"), n_buckets))
+    touched = [r.bucket for r in update.select("bucket").distinct().collect()]
+    if not touched:
+        return False
+    store_exists = os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
     )
-    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-        current = spark.read.parquet(path)
+    if store_exists:
+        # partition-pruned read: only the epoch's buckets, never full state
+        current = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
         if "last_epoch" in current.columns:
-            head = current.select(
-                F.max("last_epoch").alias("e"),
-                F.first("run_scope").alias("s") if "run_scope" in current.columns
-                else F.lit(None).cast("string").alias("s"),
-            ).collect()[0]
-            if head.s == run_scope and head.e is not None and epoch_id <= head.e:
+            # per-bucket guard rows: ≤len(touched) rows of metadata. Every
+            # row in a bucket carries the same (scope, epoch) — each bucket
+            # is rewritten atomically-per-partition with uniform literals.
+            meta = {
+                r.bucket: (r.s, r.e)
+                for r in current.groupBy("bucket")
+                .agg(F.max("last_epoch").alias("e"), F.first("run_scope").alias("s"))
+                .collect()
+            }
+            merge_buckets = [
+                b
+                for b in touched
+                if not (
+                    b in meta and meta[b][0] == run_scope and meta[b][1] >= epoch_id
+                )
+            ]
+            if not merge_buckets:
                 return False  # replayed micro-batch of THIS run — already merged
-            current = current.drop("last_epoch", "run_scope")
+            current = current.filter(F.col("bucket").isin(merge_buckets)).drop(
+                "last_epoch", "run_scope"
+            )
+        else:
+            merge_buckets = touched
         merged = (
-            current.unionByName(update)
-            .groupBy("event_type")
+            current.unionByName(update.filter(F.col("bucket").isin(merge_buckets)))
+            .groupBy("event_type", "bucket")
             .agg(
                 F.sum("n").alias("n"),
                 F.sum("v").alias("v"),
@@ -225,15 +274,17 @@ def merge_epoch_into_store(
             )
         )
     else:
-        merged = update
+        merged = update.select("event_type", "bucket", "n", "v", "v_e6")
     merged = merged.withColumn("last_epoch", F.lit(epoch_id)).withColumn(
         "run_scope", F.lit(run_scope)
     )
-    tmp = path + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    staged.write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # dynamic overwrite replaces ONLY the partitions present in `merged`
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return True
 
 

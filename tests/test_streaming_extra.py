@@ -111,6 +111,65 @@ def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + "__tmp")  # staging dir cleaned up
 
 
+def test_store_merge_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
+    """The r3 O(store)-per-epoch fix: an epoch whose keys hash into one
+    bucket must leave every other bucket's parquet files physically
+    untouched (same paths, same bytes) — per-epoch IO is bounded by the
+    epoch's key set, not accumulated state size."""
+    import glob
+    import os
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        merge_epoch_into_store,
+    )
+
+    path = str(tmp_path / "bucketed_store")
+    events = load_table(spark, sf_dir, "events")
+    assert merge_epoch_into_store(events.limit(2000), 0, path) is True
+    buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert len(buckets) > 1  # event types spread over multiple buckets
+
+    def snapshot():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/bucket=*/*.parquet")
+        }
+
+    before = snapshot()
+    one_type = events.filter(F.col("event_type") == "view").limit(100)
+    assert merge_epoch_into_store(one_type, 1, path) is True
+    after = snapshot()
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        _store_bucket,
+    )
+
+    touched = {
+        f"bucket={r.b}"
+        for r in one_type.select(_store_bucket(F.col("event_type")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(touched) == 1
+    for f, meta in before.items():
+        bucket_dir = os.path.basename(os.path.dirname(f))
+        if bucket_dir not in touched:
+            assert after.get(f) == meta, f"untouched bucket rewritten: {f}"
+    # and the store still reads consistently: n for 'view' grew by 100
+    got = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path).select("event_type", "n").collect()
+    }
+    base = {
+        r.event_type: r.n
+        for r in events.limit(2000).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got["view"] == base["view"] + 100
+    for k in base:
+        if k != "view":
+            assert got[k] == base[k]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     from code_challenge___data_engineer___machinemax_spark.streaming.events import (
         purchases_with_recent_view,
