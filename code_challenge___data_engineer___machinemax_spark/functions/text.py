@@ -135,32 +135,47 @@ def tokenize_stemmed_sql(expr: str) -> str:
 # Fixed explicit mapping (Latin-1 + common Latin Extended-A, lowercase — the
 # fold runs after lower()). An explicit translate table, not a library NFD
 # pass, so Spark, DuckDB and Python are guaranteed character-identical.
+# Characters whose Unicode fold EXPANDS to two letters (ß→ss, þ→th, and the
+# æ/œ ligatures) can't ride the 1:1 translate table — a 1:1 'ß'→'s' would
+# tokenize 'straße' as 'strase', unreachable from a query for 'strasse'
+# (round-3 advice). They get explicit replace() passes BEFORE translate, in
+# all three twins.
 _FOLD_PAIRS = [
     ("àáâãäåāăą", "a"), ("èéêëēĕėęě", "e"), ("ìíîïĩīĭįı", "i"),
     ("òóôõöøōŏő", "o"), ("ùúûüũūŭůűų", "u"), ("çćĉċč", "c"),
     ("ñńņň", "n"), ("ýÿ", "y"), ("ĝğġģ", "g"), ("ĥħ", "h"), ("ĵ", "j"),
     ("ķ", "k"), ("ĺļľł", "l"), ("ŕŗř", "r"), ("śŝşš", "s"), ("ţťŧ", "t"),
-    ("ŵ", "w"), ("źżž", "z"), ("đð", "d"), ("þ", "t"), ("ß", "s"),
+    ("ŵ", "w"), ("źżž", "z"), ("đð", "d"),
 ]
 _ACCENTED = "".join(chars for chars, _ in _FOLD_PAIRS)
 _FOLDED = "".join(base * len(chars) for chars, base in _FOLD_PAIRS)
+_EXPANSIONS = [("ß", "ss"), ("þ", "th"), ("æ", "ae"), ("œ", "oe")]
 
 
 def fold_accents(col: Column | str) -> Column:
     """Replace accented Latin characters with their base letter (lowercase
     input expected). The diacritic-insensitivity half of Mongo $text
-    analyzer parity (reference api.py:22-26; s_stem covers stemming)."""
+    analyzer parity (reference api.py:22-26; s_stem covers stemming).
+    Multi-char folds (ß→ss, þ→th, æ→ae, œ→oe) run as replace() passes
+    before the 1:1 translate table."""
     c = F.col(col) if isinstance(col, str) else col
+    for frm, to in _EXPANSIONS:
+        c = F.replace(c, F.lit(frm), F.lit(to))
     return F.translate(c, _ACCENTED, _FOLDED)
 
 
 def fold_accents_sql(expr: str) -> str:
-    """DuckDB twin of :func:`fold_accents` (same explicit table)."""
-    return f"translate({expr}, '{_ACCENTED}', '{_FOLDED}')"
+    """DuckDB twin of :func:`fold_accents` (same explicit tables)."""
+    e = expr
+    for frm, to in _EXPANSIONS:
+        e = f"replace({e}, '{frm}', '{to}')"
+    return f"translate({e}, '{_ACCENTED}', '{_FOLDED}')"
 
 
 def fold_accents_py(s: str) -> str:
     """Driver-side twin for query-token folding."""
+    for frm, to in _EXPANSIONS:
+        s = s.replace(frm, to)
     return s.translate(str.maketrans(_ACCENTED, _FOLDED))
 
 

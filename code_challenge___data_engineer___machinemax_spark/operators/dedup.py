@@ -190,7 +190,9 @@ def near_dup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60, spread: bool = False
+) -> DataFrame:
     """SimHash fingerprint per row, ``bits`` wide (<=60 so the value fits a
     signed 64-bit long; token hash = first 15 md5 hex chars as an integer).
 
@@ -202,17 +204,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
 
     Plan shape: explode tokens -> one hash-agg with ``bits``+1 sum columns
     (partial map-side combine applies) -> arithmetic projection. One shuffle
-    on the id, no Python. The per-token expansion is the expensive stage,
-    so a narrow scan (fewer partitions than cores — the local small-table
-    case) is spread first; at real scale the scan already has more
-    partitions than cores and no extra shuffle is added.
+    on the id, no Python. ``spread=True`` round-robins the input over
+    ``defaultParallelism`` partitions first — worth it ONLY when the input
+    is a narrow scan of a small file (the local bench case, measured in
+    SCALE.md); it is opt-in because the r3 default (an eager
+    ``df.rdd.getNumPartitions()`` probe + unconditional repartition) forced
+    a plan-to-RDD conversion and an extra shuffle on every tiny
+    intermediate frame a library caller passed (round-3 advice). At real
+    scale the scan already has more partitions than cores — leave it off.
     """
     from functools import reduce
     from operator import add
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     token_hash = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint")
     exploded = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("__tok")
@@ -249,6 +254,7 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a < b) via SimHash banding + exact Hamming verify.
 
@@ -267,7 +273,7 @@ def simhash_near_dup_pairs(
     """
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    fp = simhash(df, id_col, text_col, bits).localCheckpoint()
+    fp = simhash(df, id_col, text_col, bits, spread=spread).localCheckpoint()
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))

@@ -192,7 +192,11 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", bits=60, bands=4, max_hamming=3)
+    # spread=True: the local documents scan is one narrow file; the 61-sum
+    # explode stage is the cost center and wants all cores (SCALE.md)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=60, bands=4, max_hamming=3, spread=True
+    )
 
 
 @query("simhash_fingerprints", oracle=_simhash_oracle_sql())
@@ -203,4 +207,4 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note: documents whose text has zero tokens drop out (no rows to vote) —
     identical behavior both sides."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", spread=True)

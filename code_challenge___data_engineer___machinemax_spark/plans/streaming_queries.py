@@ -221,11 +221,20 @@ def streamed_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows + watermark maintained by the stream over two
+    """Tumbling 1-hour windows maintained by the stream over two
     micro-batches (complete mode: windows spanning the wave boundary must
     merge in the state store); oracle = the batch date_trunc GROUP BY.
     Counts and the scaled-int value sum are exact across micro-batch
-    merge order; the double sum stays out of the checked columns."""
+    merge order; the double sum stays out of the checked columns.
+
+    Watermark caveat (round-3 advice): in COMPLETE output mode the
+    watermark neither drops late rows nor evicts state — Spark keeps and
+    re-emits every window. That no-op is exactly what makes the batch
+    oracle equality hold (wave 2 is older than wave 1's max ts minus the
+    2h horizon; in append mode those rows would be dropped and the oracle
+    would NOT match). The withWatermark call is kept to pin that complete
+    mode ignores it — the append-mode eviction path is exercised by
+    tests/test_streaming.py's late-data test instead."""
     base = tempfile.mkdtemp(prefix="ccdem_streamed_hourly_")
     stream = _event_wave_stream(spark, sf_dir, base)
     agg = (

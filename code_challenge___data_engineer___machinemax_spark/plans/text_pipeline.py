@@ -259,7 +259,14 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-token ln P is trunc-scaled to e6 and summed as BIGINT
     (double sums over hundreds of terms are association-sensitive across
     engines; integer sums are exact). Spark's double->bigint cast truncates
-    toward zero == DuckDB trunc().
+    toward zero == DuckDB trunc(). One assumption is weaker than the
+    pure-integer exactness elsewhere (round-3 advice): JVM Math.log and
+    DuckDB's libm ln are not GUARANTEED bit-identical — a last-ulp
+    difference landing exactly on an integer boundary of ln*1e6 would flip
+    the truncated value. Both engines in this container delegate to the
+    same correctly-rounded-for-these-inputs double ln (every parity run
+    has matched), but the discipline here is "shared-libm", not
+    "integer-exact".
 
     Scale: the token explode is corpus-wide — this op runs at ingest next
     to index construction, not per query. The frequency join shuffles on
@@ -376,7 +383,8 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     as its own model; a document's score is the exact trunc-scaled integer
     sum of ln P over its bigram occurrences (same cross-engine determinism
     discipline as the unigram scorer — double sums re-associate, int64
-    sums don't).
+    sums don't; and the same shared-libm caveat: JVM vs DuckDB ln is
+    observed-identical, not guaranteed — see unigram_logprob_scores).
 
     Scale: bigram vocabulary is larger than unigram but the shape is
     identical — explode once, two count aggs, shuffle_hash joins on the

@@ -66,3 +66,62 @@ def test_user_running_totals_state(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-2
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark EVICTION semantics (append mode) — the half the
+    streamed_hourly_counts oracle deliberately does not exercise (complete
+    mode ignores the watermark; its docstring says so). Wave 1 carries a
+    far-future row that advances the watermark past wave 2's old events,
+    so in append mode wave 2 must be dropped and hour-0 emits wave-1
+    counts only."""
+    import datetime as dt
+    import os
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        run_to_memory,
+        windowed_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    waves = [
+        [
+            (1, 1, "view", 1.0, base + dt.timedelta(minutes=10)),
+            (2, 1, "view", 1.0, base + dt.timedelta(minutes=20)),
+            # sentinel far in the future: watermark advances to 10:00 - 2h
+            (3, 2, "view", 1.0, base + dt.timedelta(hours=10)),
+        ],
+        # the watermark computed from wave 0 takes effect from the NEXT
+        # batch on (it lags one batch); this filler batch lets it land
+        [(6, 4, "view", 1.0, base + dt.timedelta(hours=9, minutes=30))],
+        [
+            # older than the in-force watermark (8:00) -> late, dropped
+            (4, 3, "view", 1.0, base + dt.timedelta(minutes=30)),
+            (5, 3, "view", 1.0, base + dt.timedelta(minutes=40)),
+        ],
+    ]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    import glob
+    import shutil
+
+    # one file per wave = one micro-batch each under maxFilesPerTrigger=1
+    for i, data in enumerate(waves):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"w{i}"))
+        f = glob.glob(str(tmp_path / f"w{i}" / "*.parquet"))[0]
+        shutil.copy(f, f"{landing}/wave_{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    run_to_memory(windowed_counts(stream), "late_drop", "append")
+    got = {
+        (r.win_start.hour, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # hour-0 window emitted once the watermark passed: wave-1 rows only
+    assert got.get((0, "view")) == 2, got

@@ -217,11 +217,12 @@ def test_fold_accents_three_twins_and_folded_search(spark):
     )
 
     assert len(_ACCENTED) == len(_FOLDED)
-    sample = "café naïve françois übermaß łódź señor"
+    sample = "café naïve françois übermaß łódź señor æther œuvre þorn"
     df = spark.createDataFrame([(1, sample)], "doc_id long, text string")
     spark_folded = df.select(fold_accents(F.lower(F.col("text"))).alias("f")).collect()[0].f
     assert spark_folded == fold_accents_py(sample)
-    assert spark_folded == "cafe naive francois ubermas lodz senor"
+    # multi-char folds expand (ß→ss, æ→ae, œ→oe, þ→th), not truncate
+    assert spark_folded == "cafe naive francois ubermass lodz senor aether oeuvre thorn"
 
     corpus = spark.createDataFrame(
         [(1, "Le café est ouvert"), (2, "the cafe is open"), (3, "nothing here")],
@@ -235,6 +236,14 @@ def test_fold_accents_three_twins_and_folded_search(spark):
         tokenize_folded("text").alias("t")
     ).collect()[0].t
     assert "cafe" in toks
+
+    # the round-3 advice case: 'straße' must be reachable from 'strasse'
+    de = spark.createDataFrame(
+        [(1, "die straße ist lang"), (2, "the strasse is long")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in keyword_search_folded(de, "strasse").collect()} == {1, 2}
+    assert {r.doc_id for r in keyword_search_folded(de, "straße").collect()} == {1, 2}
 
 
 def test_analyzed_search_folds_and_stems_together(spark):
