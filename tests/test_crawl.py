@@ -184,3 +184,33 @@ def test_store_roundtrip_update_search(spark, tmp_path, result):
     assert len(vs) == 2
     old = store.latest(as_of_version=vs[0]).filter(F.col("url") == f"{BASE}/a1").collect()
     assert old[0].text == "Hello bold world. Second para."
+
+
+def test_bfs_frontier_order_golden(result):
+    """Pin the BFS round structure itself (reference index.py:121-142's
+    order of discovery), not just depth/no-refetch: per-round 'tries'
+    (the frontier actually fetched) and 'will_explore' (the next frontier
+    after dedup) on the fixture site. hub -> {a1, a2} -> {page2, page3}
+    -> {} (page2's only link /a1 is already visited; page3 404s)."""
+    from collections import defaultdict
+
+    by = defaultdict(set)
+    for r in result.journal.collect():
+        by[(r.event, r.round)].add(r.url)
+
+    assert by[("tries", 0)] == {f"{BASE}/"}
+    assert by[("will_explore", 0)] == {f"{BASE}/a1", f"{BASE}/a2"}
+    assert by[("tries", 1)] == {f"{BASE}/a1", f"{BASE}/a2"}
+    # a2's relative 'page3' resolves against {BASE}/a2 -> {BASE}/page3
+    # (proper urljoin — the reference's naive concat bug is NOT reproduced)
+    assert by[("will_explore", 1)] == {f"{BASE}/page2", f"{BASE}/page3"}
+    assert by[("tries", 2)] == {f"{BASE}/page2", f"{BASE}/page3"}
+    # page2 links only to the already-visited /a1 -> frontier drains
+    assert ("will_explore", 2) not in by or by[("will_explore", 2)] == set()
+    assert by[("fetch_error", 2)] == {f"{BASE}/page3"}
+    # doc/junk discovery rounds are pinned too (round 1 = links of round-1
+    # fetches of the hub's children... the hub itself links none)
+    assert by[("caught_doc", 1)] == {f"{BASE}/files/report.pdf"}
+    assert by[("regurgitate", 1)] == {f"{BASE}/img/photo.jpg", "http://other.site/x"}
+    # no event ever references a round beyond the drained frontier
+    assert max(r for _, r in by) == 2

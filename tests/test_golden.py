@@ -52,3 +52,32 @@ def test_golden(spark, name):
         canon = normalized_rows(cols, rows)
         digest = hashlib.md5("\n".join(repr(r) for r in canon).encode()).hexdigest()
         assert digest == golden["md5"], "values changed vs golden corpus"
+
+
+# the 6 driver-unverifiable rows-only queries: value-pinned at sf0.01
+# (scripts/make_golden.py ROWS_ONLY_VALUE_PIN; VERDICT r3 next-round #6).
+# Their outputs are deterministic across fresh sessions — float cosine and
+# fake-decode are pure functions, the seeded sampler and the HLL/quantile
+# sketches are deterministic given the pinned session layout (local[8],
+# shuffle=8, one input file).
+_VALUE_PINNED = [
+    "embedding_near_dup_pairs",
+    "bernoulli_sample_stats",
+    "approx_distinct_users",
+    "approx_order_percentiles",
+    "kmeans_codebook",
+    "media_decode_features",
+]
+
+
+@pytest.mark.parametrize("name", _VALUE_PINNED)
+def test_rows_only_value_pinned(spark, name):
+    golden = _load_golden(f"{name}.sf0_01")
+    df = _QS[name](spark, "/root/testdata/sf0.01")
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(r) for r in df.collect()]
+    assert ",".join(sorted(cols)) == golden["columns"]
+    assert len(rows) == int(golden["rows"])
+    canon = normalized_rows(cols, rows)
+    digest = hashlib.md5("\n".join(repr(r) for r in canon).encode()).hexdigest()
+    assert digest == golden["md5"], "values changed vs value-pinned golden"
