@@ -351,3 +351,33 @@ def inertia(assigned: DataFrame, centroids: DataFrame, vec_col: str) -> float:
         F.avg(1 - cosine(F.col(vec_col), F.col("cvec"))).alias("inertia")
     ).collect()[0]
     return float(row.inertia)
+
+
+def triangles(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Triangles (x < y < z) in an undirected graph whose edges are stored
+    once with ``a < b`` — the two-path + closing-edge plan: wedge join on
+    the shared middle vertex, then an equi-join probing for the closing
+    edge. Each triangle is emitted exactly once (the a<b storage order
+    makes x<y<z the only orientation that survives both joins), so no
+    post-dedup is needed.
+
+    Scale: both joins are equi-joins on int vertex ids; wedge fan-out is
+    sum-of-degrees-squared, which the caller bounds upstream (near-dup
+    graphs arrive hot-bucket-capped from the LSH generators). The input is
+    localCheckpointed so the three aliases of the self-join reuse one
+    materialization of what is typically an expensive pair pipeline."""
+    e = edges.select(F.col(a).alias("id_a"), F.col(b).alias("id_b")).localCheckpoint()
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    return (
+        ab.join(bc, F.col("bc.id_a") == F.col("ab.id_b"))
+        .join(
+            ac,
+            (F.col("ac.id_a") == F.col("ab.id_a"))
+            & (F.col("ac.id_b") == F.col("bc.id_b")),
+        )
+        .select(
+            F.col("ab.id_a").alias("id_a"),
+            F.col("ab.id_b").alias("id_b"),
+            F.col("bc.id_b").alias("id_c"),
+        )
+    )

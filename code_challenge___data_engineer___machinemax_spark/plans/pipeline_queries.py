@@ -1,0 +1,289 @@
+"""Round-4 training-pipeline + product-analytics shapes.
+
+Five operator families a large-scale corpus/analytics engine needs that the
+registry didn't cover yet: staged funnel conversion, deterministic
+hash-based dataset splits, contiguous sequence packing (context-window
+fill), monthly cohort retention, and triangle counting over the near-dup
+graph. Every query has an exact DuckDB oracle; all arithmetic that crosses
+the engine boundary is integer (month indexes, token counts, md5-derived
+buckets, int64 fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_sql
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_v FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_c
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_v
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_p
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that first qualifying click.
+    Each stage anchors on the MIN qualifying timestamp of the previous
+    stage — the standard product-analytics funnel, not mere event-type
+    co-occurrence (a click before any view does not advance the funnel).
+
+    Scale: three aggregations and two joins, ALL keyed on user_id — the
+    shuffles co-partition and AQE folds the join after the agg into the
+    same exchange; per-stage frames shrink monotonically, and the final
+    counts are metadata-sized. No windows, no skew risk beyond user_id
+    itself (power users bound by their own event count)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+# split thresholds: md5-bucket < 80 -> train, < 90 -> val, else test
+_SPLIT_BUCKETS = 100
+_TRAIN_LT, _VAL_LT = 80, 90
+
+
+def hash_split_bucket(key) -> F.Column:
+    """Deterministic 0..99 bucket from md5 of the key's string form — the
+    standard leakage-free dataset-split assignment: stable across runs,
+    engines and cluster layouts (no RNG, no partitioning dependence), and
+    new rows never reshuffle old ones between splits."""
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % _SPLIT_BUCKETS
+    )
+
+
+@query(
+    "hash_split_assignment",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_SPLIT_BUCKETS} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+                WHEN bucket < {_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bucket) AS BIGINT) AS bucket_sum
+    FROM b GROUP BY 1, 2
+    """,
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment by md5 hash bucket (80/10/10), with
+    per-(split, lang) doc counts and the bucket sum as a value witness that
+    both engines derived the SAME bucket per document (md5 hex -> first 8
+    chars -> int64 — byte-identical in Spark and DuckDB, verified).
+
+    Scale: one narrow projection + one small-domain groupBy; the md5 is
+    per-row JVM codegen. This is how 100 TB corpora are split — never by
+    rand() (irreproducible) or row position (reshuffles on append)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select("lang", hash_split_bucket("doc_id").alias("bucket"))
+    split = (
+        F.when(F.col("bucket") < _TRAIN_LT, "train")
+        .when(F.col("bucket") < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        b.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        )
+    )
+
+
+_PACK_BUDGET = 512  # tokens per context window
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT lang, n_tok,
+               CAST(floor(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for LM training: documents fill
+    fixed-size context windows ({_PACK_BUDGET} tokens) in deterministic
+    (lang, doc_id) order; a document's pack is the window its START token
+    falls into (exclusive prefix sum div budget — the streaming-friendly
+    packing used when documents may span window boundaries).
+
+    Scale: the window partitions by lang — in production the partition key
+    is the shard (source, file-group), so each window is one ingest
+    shard's docs, never a corpus-wide order; here lang is the stand-in
+    that keeps the oracle deterministic. Integer token counts cross the
+    engine boundary, never floats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(tokenize("text")).cast("bigint").alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS midx
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, MIN(midx) AS cohort_midx FROM m GROUP BY o_custkey
+    )
+    SELECT f.cohort_midx,
+           CAST(m.midx - f.cohort_midx AS BIGINT) AS month_offset,
+           CAST(COUNT(DISTINCT m.o_custkey) AS BIGINT) AS n_customers
+    FROM m JOIN first f ON m.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix: customers grouped by the month of
+    their FIRST order (integer month index — year*12+month, exact in both
+    engines), counted as retained in every later month they order again.
+    The classic growth-analytics triangle (cohort x offset).
+
+    Scale: two shuffles on o_custkey (first-order agg + join back, AQE
+    co-partitions them) and a final count-distinct on the tiny
+    (cohort, offset) domain — count-distinct shuffles (cohort, offset,
+    custkey) once rather than holding per-group sets."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("midx"),
+    )
+    first = m.groupBy("o_custkey").agg(F.min("midx").alias("cohort_midx"))
+    return (
+        m.join(first, "o_custkey")
+        .select(
+            "cohort_midx",
+            (F.col("midx") - F.col("cohort_midx")).cast("bigint").alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_midx", "month_offset")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("n_customers"))
+    )
+
+
+def _triangle_oracle_sql() -> str:
+    from .dedup_queries import _simhash_pairs_oracle_sql
+
+    return f"""
+    WITH pairs AS ({_simhash_pairs_oracle_sql()}),
+    e AS (SELECT id_a, id_b FROM pairs)
+    SELECT ab.id_a AS id_a, ab.id_b AS id_b, bc.id_b AS id_c
+    FROM e ab
+    JOIN e bc ON bc.id_a = ab.id_b
+    JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+    """
+
+
+@query("triangle_count", oracle=_triangle_oracle_sql())
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles (mutual near-dup triples, id_a < id_b < id_c) in the
+    SimHash near-duplicate graph — the graph-shape signal dedup resolution
+    uses to distinguish tight clusters (template families close under
+    every pairing) from chains (a~b~c but a!~c, where transitive keep-one
+    deletion is lossy).
+
+    Scale: the classic two-path + closing-edge plan. Because every edge is
+    stored a<b, each triangle is produced exactly once (a<b<c) with no
+    orientation dedup. Edges come from the banded LSH generator (already
+    hot-bucket capped, |E| ~ linear in docs), the wedge join shuffles on
+    the shared endpoint, and the closing-edge join on (min, max) int keys
+    — at 100 TB this is degree-bounded by the LSH cap, never all-pairs
+    (operators/clustering.py triangles, which also localCheckpoints the
+    pair frame so the self-join's three aliases reuse one materialization
+    instead of recomputing the LSH pipeline three times)."""
+    from ..operators.clustering import triangles
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=60, bands=4, max_hamming=3, spread=True
+    )
+    return triangles(pairs)
