@@ -2,6 +2,7 @@
 
 from . import reference_queries  # noqa: F401
 from . import relational  # noqa: F401
+from . import tpch_queries  # noqa: F401
 from . import text_pipeline  # noqa: F401
 from . import dedup_queries  # noqa: F401
 from . import similarity_queries  # noqa: F401

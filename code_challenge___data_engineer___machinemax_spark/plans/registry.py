@@ -71,7 +71,29 @@ DRIVER_PRIORITY: list[str] = [
     "sequence_packing",
     "cohort_retention",
     "triangle_count",
+    # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
+    # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     # refresh: green only in round 1's window — re-confirm post-r2/r3
+    # (the remaining r1/r2-only greens stay covered by the local sf0.01
+    # parity sweep and rotate back in next round)
     "segment_order_stats",
     "cube_status_priority",
     "grouping_sets_order_stats",
@@ -83,26 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "monthly_revenue_running",
     "window_function_showcase",
     "frequent_customers",
-    "purchasers_who_errored",
-    "viewers_never_purchased",
-    "all_active_users",
     "point_lookup_order",
-    "most_recent_orders",
-    # refresh: green only in round 2's window
-    "media_binary_stats",
-    "asof_purchase_to_view",
-    "bm25_keyword_ranking",
-    "dedup_cluster_resolution",
-    "benchmark_contamination",
-    "document_chunks",
-    "pii_redaction",
-    "tfidf_keyword_ranking",
-    "salted_event_type_stats",
-    "stratified_sample_per_source",
-    "weighted_corpus_mix",
-    "near_dup_pairs_minhash",
-    "winnowing_doc_fingerprints",
-    "adjacent_doc_jaccard",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens
