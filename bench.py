@@ -12,6 +12,11 @@ import os
 import sys
 import time
 
+# module-level so the pandas-UDF type hints (stringified by the
+# `from __future__ import annotations` semantics of the defining scope)
+# resolve against this module's globals
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from code_challenge___data_engineer___machinemax_spark import plans
@@ -49,6 +54,12 @@ HEADLINE = [
     "simhash_near_dup_pairs",
     "kmeans_fixed_point",
     "semantic_dedup_pairs",
+    # round-4: the heaviest shapes from the completed TPC-H suite — the
+    # 5-way star join (q9), the HAVING semi-join re-aggregation (q18), and
+    # the decorrelated EXISTS/NOT-EXISTS pair (q21)
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -70,14 +81,20 @@ def main() -> None:
     # the first pandas-UDF query otherwise pays worker spawn (~2s measured,
     # the whole r2->r3 ann_topk_lsh "regression" — SCALE.md), which is
     # session startup, not the plan under measurement.
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
-    spark.range(64).repartition(8).select(_warm("id")).collect()
+    # repartition to (at least) the executor-thread count so the FULL worker
+    # pool spawns here — an 8-partition warm-up leaves the remaining workers
+    # to be spawned inside whichever UDF query first runs wider (measured:
+    # kmeans_fixed_point +3s when it, not the warm-up, paid the spawn)
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(4 * n_workers).repartition(2 * n_workers).select(
+        _warm("id")
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
