@@ -42,6 +42,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="order results by relevance (reference returns an unordered cursor)")
     s.add_argument("--limit", type=int, default=10, help="top-k when ranking")
 
+    q = sub.add_parser("sql", help="ad-hoc Spark SQL over the standard tables")
+    q.add_argument("statement", help="SQL; the standard tables are registered as views")
+    q.add_argument("--tables-dir", required=True,
+                   help="parquet dir holding the standard tables (TESTDATA.md layout)")
+    q.add_argument("--limit", type=int, default=0, help="cap output rows (0 = no cap)")
+
+    r = sub.add_parser("run", help="run a registered engine query by name")
+    r.add_argument("name", nargs="?", default=None, help="queries() key; omit with --list")
+    r.add_argument("--tables-dir", default=None, help="parquet dir (TESTDATA.md layout)")
+    r.add_argument("--list", action="store_true", help="print registered query names")
+    r.add_argument("--limit", type=int, default=0, help="cap output rows (0 = no cap)")
+
     return p
 
 
@@ -76,6 +88,39 @@ def main(argv: list[str] | None = None) -> int:
             ArticleStore(spark, args.store).append(res.articles)
         # the reference's run report (index.py:144,212)
         print(json.dumps(res.stats))
+        return 0
+
+    if args.cmd == "sql":
+        from .tables import TABLES, load_table
+
+        for t in TABLES:
+            load_table(spark, args.tables_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.statement)
+        if args.limit:
+            df = df.limit(args.limit)
+        for line in df.toJSON().collect():
+            print(line)
+        return 0
+
+    if args.cmd == "run":
+        from . import plans
+
+        queries = plans.all_queries()
+        if args.list:
+            for name in queries:
+                print(name)
+            return 0
+        if args.name is None or args.tables_dir is None:
+            print("run: NAME and --tables-dir required (or use --list)", file=sys.stderr)
+            return 2
+        if args.name not in queries:
+            print(f"run: unknown query {args.name!r} (see --list)", file=sys.stderr)
+            return 2
+        df = queries[args.name](spark, args.tables_dir)
+        if args.limit:
+            df = df.limit(args.limit)
+        for line in df.toJSON().collect():
+            print(line)
         return 0
 
     if args.cmd == "search":

@@ -919,15 +919,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     >60 days after the order date; the slim schema has no commit/receipt
     dates). numwait counts distinct orders per supplier.
 
-    Shape: the EXISTS / NOT EXISTS pair decorrelates to one per-order
-    aggregate — distinct supplier count, distinct LATE supplier count — and
-    the sole-late-supplier condition becomes (n_supp > 1 AND n_late = 1 AND
+    Shape: the EXISTS / NOT EXISTS pair decorrelates to per-order counts —
+    distinct supplier count, distinct LATE supplier count — and the
+    sole-late-supplier condition becomes (n_supp > 1 AND n_late = 1 AND
     this supplier late), evaluated without any repeated lineitem probes.
 
-    Scale: one orderkey-partitioned aggregate over lineitem⋈orders replaces
-    the two correlated subqueries (which as literal joins would each
-    re-shuffle lineitem); supplier dim broadcast at the end.
+    Scale: one (orderkey, suppkey) aggregate over lineitem⋈orders, then the
+    per-order counts as a window over orderkey — one re-shuffle of the
+    already-reduced per-supplier rows and no self-join (the agg+join-back
+    form costs an extra exchange on each side plus a sort-merge join; the
+    window partitions are bounded by suppliers-per-order, so no skew).
+    Supplier dim broadcast at the end.
     """
+    from pyspark.sql import Window as W
+
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -937,12 +942,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("is_late"))
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum("is_late").alias("n_late"),
-    )
+    per_order = W.partitionBy("l_orderkey")
     waiting = (
-        per_supp.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        per_supp.withColumn("n_supp", F.count("*").over(per_order))
+        .withColumn("n_late", F.sum("is_late").over(per_order))
         .filter(
             (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )

@@ -27,6 +27,13 @@ from code_challenge___data_engineer___machinemax_spark.tables import TABLES, loa
 
 PAIR_EMITTING = {"near_dup_pairs_minhash", "simhash_near_dup_pairs", "doc_overlap_winnowing"}
 
+# semantic_dedup_pairs is also excluded: its oracle pins k=8 (right for the
+# sf0.01 gate), but the operator's documented scale path is k∝n — running
+# the fixed-k registered query at 100x the vectors measures quadratic
+# within-cluster pairing the operator contract says to avoid. SCALE.md's
+# k-scaling section measures the operator at the replica with k scaled.
+FIXED_PARAM = {"semantic_dedup_pairs"}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ccdem_scale_sf1"
@@ -39,7 +46,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name in PAIR_EMITTING:
+        if name in PAIR_EMITTING | FIXED_PARAM:
             continue
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

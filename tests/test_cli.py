@@ -70,3 +70,37 @@ def test_cli_ranked_search(spark, tmp_path, capsys):
         # positive relevance score (the reference's cursor had no ordering)
         assert [r["url"] for r in rows] == [f"{BASE}/a1"]
         assert rows[0][score_col] > 0
+
+
+def test_cli_sql(spark, capsys):
+    rc = main(["sql", "SELECT COUNT(*) AS n FROM orders",
+               "--tables-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1]) == {"n": 1500}
+
+
+def test_cli_sql_limit(spark, capsys):
+    rc = main(["sql", "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+               "--tables-dir", "/root/testdata/sf0.001", "--limit", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+
+
+def test_cli_run_registered_query(spark, capsys):
+    rc = main(["run", "q1_pricing_summary", "--tables-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["l_returnflag"] for r in rows} <= {"A", "N", "R"}
+    assert all("sum_qty" in r for r in rows)
+
+
+def test_cli_run_list_and_unknown(spark, capsys):
+    rc = main(["run", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert "q1_pricing_summary" in names and "q21_waiting_suppliers" in names
+
+    rc = main(["run", "no_such_query", "--tables-dir", "/root/testdata/sf0.001"])
+    assert rc == 2
