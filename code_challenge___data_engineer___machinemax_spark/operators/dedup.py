@@ -87,6 +87,31 @@ def minhash_signatures_df(
     return df.select(id_col).join(sigs, id_col, "left")
 
 
+def band_rows(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_key) rows — the MinHash-LSH bucketing layer.
+
+    Shared by batch candidate-pair generation (:func:`lsh_candidate_pairs`)
+    and the streaming near-dup admission store
+    (streaming/ingest.py::near_dedup_ingest_stream). band_key is the md5 of
+    the band's signature slice; documents with no shingles (< k tokens)
+    produce no rows (they cannot band-collide)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.dropna().select(id_col, F.posexplode(band_keys).alias("band", "band_key"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -112,21 +137,7 @@ def lsh_candidate_pairs(
     dedup upstream is the right tool for the identical-text mass in a hot
     bucket. AQE skew-join remains on for moderate skew below the cap.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.dropna().select(
-        id_col, F.posexplode(band_keys).alias("band", "band_key")
-    )
+    banded = band_rows(df, id_col, text_col, num_hashes, bands)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_key")

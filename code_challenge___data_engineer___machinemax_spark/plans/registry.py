@@ -71,6 +71,9 @@ DRIVER_PRIORITY: list[str] = [
     "sequence_packing",
     "cohort_retention",
     "triangle_count",
+    # new in round 4: streaming MinHash near-dup admission (the stateful
+    # LSH generalization of streamed_corpus_state)
+    "streamed_near_dedup",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -105,7 +108,6 @@ DRIVER_PRIORITY: list[str] = [
     "monthly_revenue_running",
     "window_function_showcase",
     "frequent_customers",
-    "point_lookup_order",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens

@@ -285,3 +285,122 @@ def streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return state
+
+
+def _near_dedup_oracle_sql() -> str:
+    """Closed-form batch SQL for the two-wave streaming near-dup admission
+    (streaming/ingest.py::near_dedup_ingest_stream; waves = evens, then all
+    documents re-delivered + odds).
+
+    Epoch-by-epoch CTEs mirror the stream's per-batch steps exactly:
+    within-batch exact survivor (min doc_id per digest) -> digest history
+    filter -> band-collision filter vs the stored bands -> within-batch
+    band-collision components (WITH RECURSIVE transitive closure, min-label
+    canonical — the fixpoint the Spark label propagation converges to).
+    NULL-signature (shingle-less) documents are excluded from banding in
+    both engines; they are admitted via the digest path only.
+    """
+    from ..functions.text import shingles_sql
+
+    def comp(prefix: str, src: str) -> str:
+        return f"""
+    {prefix}pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {src} a JOIN {src} b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {prefix}edges AS (
+        SELECT id_a AS src, id_b AS dst FROM {prefix}pairs
+        UNION SELECT id_b, id_a FROM {prefix}pairs
+    ),
+    {prefix}reach(id, r) AS (
+        SELECT src, src FROM {prefix}edges
+        UNION
+        SELECT e.src, {prefix}reach.r
+        FROM {prefix}edges e JOIN {prefix}reach ON e.dst = {prefix}reach.id
+    ),
+    {prefix}comp AS (SELECT id, MIN(r) AS component FROM {prefix}reach GROUP BY id)"""
+
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, source, n_chars, {_DIGEST_SQL} AS fp
+        FROM documents WHERE text IS NOT NULL
+    ),
+    banded_all AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|'))
+                   AS band_key
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, 8),
+                       i -> list_aggregate(
+                           list_transform({shingles_sql('text', 3)},
+                                          s -> md5(i || ':' || s)), 'min')) AS sig
+            FROM documents WHERE text IS NOT NULL
+        ), (SELECT unnest(range(0, 4)) AS b)
+        WHERE sig[1] IS NOT NULL
+    ),
+    e1x AS (SELECT MIN(doc_id) AS doc_id FROM docs
+            WHERE doc_id % 2 = 0 GROUP BY fp),
+    e1b AS (SELECT banded_all.* FROM banded_all JOIN e1x USING (doc_id)),
+    {comp('e1', 'e1b')},
+    e1admit AS (
+        SELECT e1x.doc_id FROM e1x LEFT JOIN e1comp ON e1comp.id = e1x.doc_id
+        WHERE e1comp.id IS NULL OR e1comp.component = e1x.doc_id
+    ),
+    s1_digests AS (SELECT DISTINCT fp FROM docs JOIN e1admit USING (doc_id)),
+    s1_bands AS (SELECT DISTINCT band, band_key FROM e1b),
+    e2x AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp),
+    e2f AS (
+        SELECT e2x.doc_id FROM e2x JOIN docs USING (doc_id)
+        WHERE docs.fp NOT IN (SELECT fp FROM s1_digests)
+    ),
+    e2b0 AS (SELECT banded_all.* FROM banded_all JOIN e2f USING (doc_id)),
+    e2coll AS (SELECT DISTINCT doc_id FROM e2b0
+               JOIN s1_bands USING (band, band_key)),
+    e2passed AS (SELECT doc_id FROM e2f
+                 WHERE doc_id NOT IN (SELECT doc_id FROM e2coll)),
+    e2b AS (SELECT e2b0.* FROM e2b0 JOIN e2passed USING (doc_id)),
+    {comp('e2', 'e2b')},
+    e2admit AS (
+        SELECT e2passed.doc_id FROM e2passed
+        LEFT JOIN e2comp ON e2comp.id = e2passed.doc_id
+        WHERE e2comp.id IS NULL OR e2comp.component = e2passed.doc_id
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM docs d
+    JOIN (SELECT doc_id FROM e1admit
+          UNION SELECT doc_id FROM e2admit) adm USING (doc_id)
+    """
+
+
+@query("streamed_near_dedup", oracle=_near_dedup_oracle_sql())
+def streamed_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission over two waves (evens, then everything
+    re-delivered plus the odds) — the stateful MinHash-LSH generalization of
+    streamed_corpus_state's exact dedup. The returned corpus contains only
+    documents that were neither exact nor band-collision near-dups of
+    anything seen in an earlier wave, with one canonical survivor per
+    within-wave near-dup component. The oracle replays the same admission
+    epoch-by-epoch in closed-form SQL (recursive-CTE components)."""
+    from ..streaming.ingest import near_dedup_ingest_stream
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_neardup_")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    os.makedirs(landing)
+
+    docs = load_table(spark, sf_dir, "documents")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 0), landing, "wave1")
+    near_dedup_ingest_stream(spark, landing, store)
+    _export_jsonl_wave(docs, landing, "wave2")
+    near_dedup_ingest_stream(spark, landing, store)
+
+    state = (
+        spark.read.parquet(os.path.join(store, "corpus"))
+        .select("doc_id", "source", "n_chars")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return state

@@ -137,3 +137,130 @@ def corpus_view(spark: SparkSession, store_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def near_dedup_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n_buckets: int = 16,
+) -> dict[str, int]:
+    """Streaming NEAR-dup admission: drain the landing directory (JSONL
+    documents), admitting only documents that are neither exact nor
+    MinHash-LSH near-duplicates of anything seen before.
+
+    Per micro-batch (the streaming generalization of the batch near-dup
+    pipeline, operators/dedup.py):
+
+    1. exact dedup within the batch (min doc_id per normalized-text digest
+       — identical texts share identical shingles, so banding the exact
+       survivors loses nothing);
+    2. digest anti-join against the ``digests/`` store (drops re-deliveries
+       and exact dups of history — including shingle-less short documents,
+       which have no bands to collide on);
+    3. LSH band rows (operators/dedup.py::band_rows) for the remainder,
+       semi-joined against the ``bands/`` store: ANY shared band rejects
+       the document as a near-dup of history. Admission is band-collision
+       only — the streaming-cheap LSH criterion; the verified-Jaccard
+       operator (near_dup_pairs) is the batch tool;
+    4. within-batch near-dup groups: band-collision pairs -> connected
+       components (operators/clustering.py) -> keep the min-doc_id
+       canonical per component;
+    5. append admitted docs to ``corpus/``, admitted digests to
+       ``digests/``, and the band rows of EVERY doc that reached step 3 to
+       ``bands/`` — storing bands of rejected docs too makes replays
+       self-healing (a re-delivered dropped doc collides with its own
+       stored bands) and transitively blocks future members of a dup
+       chain whose stored representative was itself dropped.
+
+    Scale: the ``bands/`` store is hash-bucketed on band_key (same
+    discipline as the events state store, streaming/events.py): each epoch
+    probes only the buckets its own band keys hash into (partition-pruned
+    scan of 32-byte keys), and appends are per-bucket files — per-epoch IO
+    is bounded by the epoch's bucket set, not store size. Duplicate band
+    rows from crash-replay appends are harmless (the probe is a semi-join).
+    """
+    corpus_dir = os.path.join(store_dir, "corpus")
+    digest_dir = os.path.join(store_dir, "digests")
+    bands_dir = os.path.join(store_dir, "bands")
+    checkpoint_dir = os.path.join(store_dir, "_checkpoint")
+
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import connected_components
+    from ..operators.dedup import band_rows
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = W.partitionBy("fingerprint").orderBy(F.asc("doc_id"), F.asc("source"))
+        batch = (
+            batch_df.filter(F.col("text").isNotNull())
+            .withColumn("fingerprint", text_digest("text"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        seen_digests = _read_or_empty(sess, digest_dir, "fingerprint string")
+        fresh = batch.join(seen_digests, "fingerprint", "left_anti").localCheckpoint()
+        if not fresh.take(1):
+            return
+
+        banded = (
+            band_rows(fresh, "doc_id", "text", num_hashes, bands)
+            .withColumn("bucket", F.pmod(F.xxhash64("band_key"), F.lit(n_buckets)).cast("int"))
+            .localCheckpoint()
+        )
+        touched = [r.bucket for r in banded.select("bucket").distinct().collect()]
+        seen_bands = _read_or_empty(
+            sess, bands_dir, "band int, band_key string, bucket int"
+        )
+        if touched:
+            seen_bands = seen_bands.filter(F.col("bucket").isin(touched))
+        collided = (
+            banded.join(seen_bands, ["band", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        passed = fresh.join(collided, "doc_id", "left_anti")
+        passed_bands = banded.join(passed.select("doc_id"), "doc_id", "left_semi")
+
+        a, b = passed_bands.alias("a"), passed_bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        dropped = (
+            connected_components(pairs)
+            .filter(F.col("component") < F.col("id"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        admitted = passed.join(dropped, "doc_id", "left_anti").localCheckpoint()
+
+        # corpus first, then the two filter stores (same failure-direction
+        # argument as dedup_ingest_stream: a crash between appends can only
+        # re-admit on replay, never lose documents)
+        admitted.write.mode("append").parquet(corpus_dir)
+        admitted.select("fingerprint").write.mode("append").parquet(digest_dir)
+        banded.write.partitionBy("bucket").mode("append").parquet(bands_dir)
+
+    stream = spark.readStream.schema(DOCUMENT_SCHEMA).json(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = _read_or_empty(spark, corpus_dir, _CORPUS_SCHEMA)
+    return {"corpus_docs": corpus.count()}

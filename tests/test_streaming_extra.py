@@ -353,3 +353,61 @@ def test_dedup_ingest_crash_window_loses_nothing(spark, tmp_path):
     view = corpus_view(spark, store)
     assert view.count() == 3
     assert {r.text for r in view.collect()} == {"alpha beta", "gamma delta", "epsilon zeta"}
+
+
+def _write_doc_wave(tmp_path, landing_name, docs):
+    import json as _json
+    import os as _os
+
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing, exist_ok=True)
+    with open(_os.path.join(landing, landing_name), "w") as f:
+        for doc_id, text in docs:
+            f.write(_json.dumps({
+                "doc_id": doc_id, "text": text, "lang": "en",
+                "source": "t", "n_chars": len(text),
+            }) + "\n")
+    return landing
+
+
+def test_near_dedup_ingest_stream_semantics(spark, tmp_path):
+    """Crafted two-wave run pinning every admission rule: within-wave
+    canonical per near-dup component, cross-wave band blocking, transitive
+    blocking through a DROPPED doc's stored bands, the digest path for
+    shingle-less docs, and re-delivery rejection."""
+    from code_challenge___data_engineer___machinemax_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near_a = base + " ending alpha"
+    near_b = base + " ending beta"      # near-dup of near_a (shares bands)
+    near_d = base + " ending delta"     # near-dup of the family, wave 2
+    near_f = base + " ending gamma"     # near-dup of the family, wave 2
+    uniq_c = " ".join(f"other{i}" for i in range(50))
+    short_e = "hi"                      # < 3 tokens: no shingles, no bands
+
+    store = str(tmp_path / "store")
+    landing = _write_doc_wave(tmp_path, "w1.jsonl", [(1, near_a), (2, near_b), (3, uniq_c)])
+    near_dedup_ingest_stream(spark, landing, store)
+    _write_doc_wave(
+        tmp_path, "w2.jsonl",
+        [(1, near_a), (2, near_b), (4, near_d), (5, short_e), (6, near_f)],
+    )
+    near_dedup_ingest_stream(spark, landing, store)
+
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(store + "/corpus").select("doc_id").collect()
+    )
+    # wave 1: doc 1 is the canonical of {1,2}; 3 unique. wave 2: 1/2 are
+    # digest re-deliveries; 4 and 6 band-collide with wave-1's stored bands
+    # (6 only via DROPPED doc 2's bands — transitive blocking); 5 has no
+    # bands and a novel digest -> admitted.
+    assert admitted == [1, 3, 5]
+
+    # replay with no new files: nothing changes
+    near_dedup_ingest_stream(spark, landing, store)
+    again = sorted(
+        r.doc_id for r in spark.read.parquet(store + "/corpus").select("doc_id").collect()
+    )
+    assert again == [1, 3, 5]
