@@ -199,3 +199,60 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         "environment; the operator contract is meta.width/height rewritten "
         f"to ({width}, {height}) with re-encoded data"
     )
+
+
+def pcm_features(df: DataFrame) -> DataFrame:
+    """Audio DSP over raw binary payloads — no codec needed: interpret
+    ``data`` as little-endian PCM16 and compute integer-exact per-item
+    features (sample count, energy as sum of squares, zero crossings, peak
+    amplitude) with vectorized numpy inside mapInPandas.
+
+    Unlike the codec-gated image path (decode_features(decoder="real")),
+    raw PCM needs no external library, so this is the REAL audio feature
+    extractor, not a stand-in — and because every output is an integer
+    derived from the bytes, it is value-checkable against a SQL oracle
+    (plans/multimodal_queries.py::audio_pcm_features).
+
+    Scale: one Arrow-batched pass over the payload column; features shuffle
+    nothing (narrow per-row outputs); odd trailing bytes are truncated.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    rows.append((media_id, None, None, None, None))
+                    continue
+                buf = bytes(data)
+                s = np.frombuffer(buf[: len(buf) // 2 * 2], dtype="<i2").astype(np.int64)
+                if s.size == 0:
+                    rows.append((media_id, 0, 0, 0, 0))
+                    continue
+                neg = s < 0
+                rows.append(
+                    (
+                        media_id,
+                        int(s.size),
+                        int((s * s).sum()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sum_sq", "zero_crossings", "peak"]
+            )
+
+    return df.select("media_id", "data").mapInPandas(run, out_schema)

@@ -68,3 +68,47 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_features(synth_media(d), decoder="fake")
+
+
+@query(
+    "audio_pcm_features",
+    oracle="""
+    WITH audio AS (
+        SELECT doc_id AS media_id, text
+        FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
+    ),
+    pcm AS (
+        SELECT media_id,
+               list_transform(
+                   range(1, (length(text) // 2) * 2, 2),
+                   i -> (ascii(substr(text, CAST(i AS INT), 1))
+                         + 256 * ascii(substr(text, CAST(i AS INT) + 1, 1))
+                         + 32768) % 65536 - 32768) AS s
+        FROM audio
+    )
+    SELECT media_id,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT)
+               AS sum_sq,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(s)),
+                    i -> CASE WHEN (s[CAST(i AS INT)] < 0)
+                              <> (s[CAST(i AS INT) + 1] < 0)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+           CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT)
+               AS peak
+    FROM pcm
+    """,
+)
+def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio feature extraction over binary columns: the synthetic
+    media table's audio payloads interpreted as little-endian PCM16,
+    reduced to integer-exact DSP features (sample count, energy,
+    zero-crossing count, peak) by vectorized numpy in mapInPandas. The
+    oracle recomputes the same int16 decode byte-by-byte in SQL (the ASCII
+    corpus makes text chars == payload bytes), so unlike the codec-gated
+    image path this multimodal operator is fully value-checked."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..operators.multimodal import pcm_features
+
+    media = synth_media(d).filter(F.col("kind") == "audio")
+    return pcm_features(media)

@@ -72,8 +72,10 @@ DRIVER_PRIORITY: list[str] = [
     "cohort_retention",
     "triangle_count",
     # new in round 4: streaming MinHash near-dup admission (the stateful
-    # LSH generalization of streamed_corpus_state)
+    # LSH generalization of streamed_corpus_state) + distributed OLS moments
     "streamed_near_dedup",
+    "ols_training_moments",
+    "audio_pcm_features",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -106,8 +108,6 @@ DRIVER_PRIORITY: list[str] = [
     "region_customer_counts",
     "brand_lineitem_stats",
     "monthly_revenue_running",
-    "window_function_showcase",
-    "frequent_customers",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens

@@ -413,3 +413,57 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(li).cast("bigint").alias("logprob_e6"),
         )
     )
+
+
+@query(
+    "ols_training_moments",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s_c,
+           CAST(SUM(v) AS BIGINT) AS s_v,
+           CAST(SUM(c * c) AS BIGINT) AS s_cc,
+           CAST(SUM(c * v) AS BIGINT) AS s_cv,
+           CAST(SUM(v * v) AS BIGINT) AS s_vv,
+           CAST(SUM(y) AS BIGINT) AS s_y,
+           CAST(SUM(c * y) AS BIGINT) AS s_cy,
+           CAST(SUM(v * y) AS BIGINT) AS s_vy
+    FROM (
+        SELECT n_chars AS c,
+               len(list_distinct({tokenize_sql('text')})) AS v,
+               len({tokenize_sql('text')}) AS y
+        FROM documents WHERE text IS NOT NULL
+    ) feats
+    """,
+)
+def ols_training_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of linear-model (OLS) training: exact integer
+    sufficient statistics for regressing token count on (n_chars, distinct
+    token count) with an intercept — the 3x3 Gram matrix X'X and the
+    3-vector X'y as one row of BIGINT sums.
+
+    The driver-side solve of the 3x3 normal equations is O(k^3) local work
+    (tests/test_pipeline_queries.py does it and checks the fit); at 100 TB
+    the whole training cost is this single pass: map-side partial sums into
+    a 1-row aggregate, no shuffle wider than the 9 accumulator cells. All
+    features are integers, so the moments are exact in both engines
+    regardless of partitioning/order (products < 2^53).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokenize("text")
+    feats = d.select(
+        F.col("n_chars").alias("c"),
+        F.size(F.array_distinct(toks)).cast("long").alias("v"),
+        F.size(toks).cast("long").alias("y"),
+    )
+    bsum = lambda col: F.sum(col).cast("bigint")  # noqa: E731
+    return feats.agg(
+        F.count("*").alias("n"),
+        bsum(F.col("c")).alias("s_c"),
+        bsum(F.col("v")).alias("s_v"),
+        bsum(F.col("c") * F.col("c")).alias("s_cc"),
+        bsum(F.col("c") * F.col("v")).alias("s_cv"),
+        bsum(F.col("v") * F.col("v")).alias("s_vv"),
+        bsum(F.col("y")).alias("s_y"),
+        bsum(F.col("c") * F.col("y")).alias("s_cy"),
+        bsum(F.col("v") * F.col("y")).alias("s_vy"),
+    )

@@ -58,3 +58,32 @@ def test_plain_join_shuffles_but_matches(spark, sf_dir, bucketed_tables):
         assert bucketed.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_q18_shape_zero_fact_exchange(spark, bucketed_tables):
+    """The TPC-H q18 core on the bucketed layout: the lineitem HAVING
+    aggregation, the semi-join of orders against the qualifying keys, and
+    the final per-order re-aggregation all ride the bucket distribution —
+    zero Exchange operators in the whole plan (DEPLOY.md L1's consumer
+    profile, verified end to end rather than join-only)."""
+    lt, rt = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(lt)
+        l = spark.table(rt)
+        big = (
+            l.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+            .filter(F.col("qty") > 300)
+        )
+        q18 = (
+            o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+        )
+        txt = explain_text(q18)
+        assert "Exchange" not in txt, "q18 shape must be exchange-free on buckets"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

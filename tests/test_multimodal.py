@@ -87,3 +87,29 @@ def test_real_decoder_decodes_image_dimensions(spark):
            for r in decode_features(df, "real").collect()}
     assert got[1] == (17, 9, "real")
     assert got[2] == (None, None, "real")  # undecodable payload keeps the row
+
+
+def test_pcm_features_crafted_bytes(spark):
+    """Known PCM16 payloads: signed decode, zero-crossing rule (sign change
+    across the >=0 / <0 boundary), odd-byte truncation, empty payload."""
+    import struct
+
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        pcm_features,
+    )
+
+    samples = [100, -200, 300, 0, -1]  # 3 sign flips: +/-, -/+, +/- (0 is +)
+    payload = struct.pack("<5h", *samples) + b"\x7f"  # trailing odd byte dropped
+    rows = [
+        (1, payload),
+        (2, b""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in pcm_features(df).collect()}
+    assert got[1].n_samples == 5
+    assert got[1].sum_sq == sum(s * s for s in samples)
+    assert got[1].zero_crossings == 3
+    assert got[1].peak == 300
+    assert got[2].n_samples == 0 and got[2].sum_sq == 0
+    assert got[3].n_samples is None

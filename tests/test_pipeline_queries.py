@@ -111,3 +111,29 @@ def test_cohort_retention_offsets_bounded_by_cohort_size(spark, sf_dir):
         # retention never exceeds the cohort's size
         assert r.cohort_midx in base
         assert r.n_customers <= base[r.cohort_midx]
+
+
+def test_ols_moments_solve_and_fit(spark, sf_dir):
+    """Driver-side completion of the distributed OLS training pass: solve
+    the 3x3 normal equations from the exact integer moments and check the
+    fit beats the intercept-only baseline (token count correlates with
+    n_chars by construction)."""
+    import numpy as np
+
+    r = _QS["ols_training_moments"](spark, sf_dir).collect()[0]
+    xtx = np.array(
+        [
+            [r.n, r.s_c, r.s_v],
+            [r.s_c, r.s_cc, r.s_cv],
+            [r.s_v, r.s_cv, r.s_vv],
+        ],
+        dtype=np.float64,
+    )
+    xty = np.array([r.s_y, r.s_cy, r.s_vy], dtype=np.float64)
+    beta = np.linalg.solve(xtx, xty)
+    # residual sum of squares via the same moments: y'y is not collected,
+    # but RSS relative ordering only needs the projection terms
+    explained = beta @ xty
+    baseline = r.s_y * r.s_y / r.n  # intercept-only model's explained sum
+    assert explained > baseline  # the features genuinely reduce RSS
+    assert beta[1] > 0  # more chars -> more tokens

@@ -140,3 +140,45 @@ def test_raw_sql_interface_matches_dataframe_path(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# --- TPC-H suite plan shapes (plans/tpch_queries.py) -----------------------
+
+def test_tpch_q21_has_no_self_join(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS decorrelation is a window over the per-supplier
+    # aggregate, not an aggregate joined back to itself
+    txt = explain_text(_QS["q21_waiting_suppliers"](spark, sf_dir))
+    assert "SortMergeJoin" not in txt
+    assert "Window" in txt
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_tpch_dims_broadcast(spark, sf_dir):
+    # star joins keep every dimension on the broadcast side
+    for name, min_bcast in [
+        ("q9_product_profit", 3),       # supplier, part, nation
+        ("q8_market_share", 4),         # part, supplier, nation x2, region
+        ("q10_returned_items", 1),      # nation
+        ("q19_discounted_revenue", 1),  # filtered part
+    ]:
+        txt = explain_text(_QS[name](spark, sf_dir))
+        assert txt.count("BroadcastHashJoin") >= min_bcast, name
+
+
+def test_tpch_filters_push_to_scan(spark, sf_dir):
+    # the selective predicates reach the parquet scan, not a post-scan Filter
+    txt = explain_text(_QS["q6_forecast_revenue"](spark, sf_dir))
+    pushed = txt.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_semi_and_anti_joins(spark, sf_dir):
+    # q4's EXISTS is a semi join (no fan-out), q16's NOT IN an anti join
+    assert "LeftSemi" in explain_text(_QS["q4_order_priority"](spark, sf_dir))
+    assert "LeftAnti" in explain_text(_QS["q16_part_supplier_variety"](spark, sf_dir))
+
+
+def test_tpch_topk_take_ordered(spark, sf_dir):
+    # LIMIT queries avoid global sort materialization
+    for name in ("q10_returned_items", "q18_large_orders", "q2_min_cost_supplier"):
+        assert "TakeOrderedAndProject" in explain_text(_QS[name](spark, sf_dir)), name
