@@ -282,9 +282,35 @@ def simhash_near_dup_pairs(
     ``max_bucket_size`` caps B^2 hot-bucket blowup exactly like the MinHash
     path (all-zero-band boilerplate buckets are the 100 TB risk).
     """
+    fp = simhash(df, id_col, text_col, bits, spread=spread).localCheckpoint()
+    return simhash_pairs_from_fingerprints(
+        fp, id_col, bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The banding + Hamming-verify stage of :func:`simhash_near_dup_pairs`
+    over an ALREADY-FINGERPRINTED frame ``(id, simhash)``.
+
+    This is the ingest-time materialization path (DEPLOY.md L4): the token
+    explode + vote aggregation — the measured cost center of the full
+    pipeline — runs once when documents land; pair generation against the
+    persisted fingerprint table is then pure int-key work (arithmetic band
+    projection -> equi-join -> bit_count), and incremental dedup of a new
+    batch is fingerprint-the-batch + band-join batch-vs-store, never
+    re-fingerprinting the corpus. ``tests/test_dedup.py`` pins equality
+    with the full pipeline; SCALE.md measures the A/B.
+    """
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    fp = simhash(df, id_col, text_col, bits, spread=spread).localCheckpoint()
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))

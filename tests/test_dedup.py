@@ -183,3 +183,29 @@ def test_simhash_hamming_locality(spark, corpus):
     assert same == 0  # identical docs -> identical fingerprint
     assert near < far  # one-token edit closer than unrelated content
     assert near <= 10 and far > 10
+
+
+def test_simhash_pairs_from_materialized_fingerprints(spark, sf_dir, tmp_path):
+    """DEPLOY.md L4: persisting simhash fingerprints at ingest and running
+    pair generation from the stored table yields exactly the full
+    pipeline's pairs — the fingerprint stage is the only part that needs
+    the text."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+        simhash_pairs_from_fingerprints,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(d, "doc_id", "text").collect()
+    }
+    path = str(tmp_path / "simhash_fp")
+    simhash(d, "doc_id", "text").write.parquet(path)
+    stored = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_from_fingerprints(spark.read.parquet(path)).collect()
+    }
+    assert stored == full and len(full) >= 0
