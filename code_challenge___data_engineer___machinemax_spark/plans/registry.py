@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "streamed_near_dedup",
     "ols_training_moments",
     "audio_pcm_features",
+    "bpe_merge_training",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -107,7 +108,6 @@ DRIVER_PRIORITY: list[str] = [
     "customers_with_orders",
     "region_customer_counts",
     "brand_lineitem_stats",
-    "monthly_revenue_running",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens

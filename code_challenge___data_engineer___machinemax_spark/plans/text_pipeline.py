@@ -467,3 +467,67 @@ def ols_training_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bsum(F.col("c") * F.col("y")).alias("s_cy"),
         bsum(F.col("v") * F.col("y")).alias("s_vy"),
     )
+
+
+def _bpe_oracle_sql(iters: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of operators/bpe.py::bpe_train: per
+    iteration, weighted adjacent-pair counts -> (cnt desc, a, b) argmax ->
+    greedy non-overlapping fusion as a list_reduce fold (same fold the
+    Spark side runs as a codegen'd aggregate lambda). Same unrolled-
+    iteration discipline as the fixed-point k-means oracle."""
+    parts = [
+        f"""w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({tokenize_sql('text')}) AS w
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY w
+    ),
+    s0 AS (
+        SELECT w, n,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)) AS syms
+        FROM w0
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""p{k} AS (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT s.n,
+                     s.syms[CAST(t.i AS INT)] AS a,
+                     s.syms[CAST(t.i AS INT) + 1] AS b
+              FROM s{k - 1} s, unnest(range(1, len(s.syms))) AS t(i))
+        GROUP BY a, b
+    ),
+    b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{k} AS (
+        SELECT s.w, s.n,
+               list_reduce(list_transform(s.syms, x -> [x]),
+                   (acc, x) -> CASE WHEN acc[-1] = b{k}.a AND x[1] = b{k}.b
+                               THEN list_concat(acc[:-2], [acc[-1] || x[1]])
+                               ELSE list_concat(acc, x) END) AS syms
+        FROM s{k - 1} s CROSS JOIN b{k}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b{k}"
+        for k in range(1, iters + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {selects}\n    ORDER BY step"
+
+
+@query("bpe_merge_training", oracle=_bpe_oracle_sql())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 4-rule BPE merge table from the corpus (operators/bpe.py) —
+    real subword-vocabulary training, distributed: iteration cost is
+    O(|word vocab|) via the word-frequency table, pair counts are map-side
+    combined, the argmax is a TakeOrderedAndProject, and only the scalar
+    merge rule reaches the driver per round. Integer counts + a total
+    tie-break make the learned table bit-identical to the DuckDB twin."""
+    from ..operators.bpe import bpe_train, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_frequencies(d), iters=4)
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, pair_count long"
+    )

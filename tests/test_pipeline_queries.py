@@ -137,3 +137,20 @@ def test_ols_moments_solve_and_fit(spark, sf_dir):
     baseline = r.s_y * r.s_y / r.n  # intercept-only model's explained sum
     assert explained > baseline  # the features genuinely reduce RSS
     assert beta[1] > 0  # more chars -> more tokens
+
+
+def test_bpe_train_crafted_semantics(spark):
+    """Hand-computed 3-step BPE run: corpus weighting, the (cnt desc, a, b)
+    tie-break, greedy non-overlapping fusion, and a learned symbol
+    participating in later merges."""
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame([("banana", 10), ("bandana", 5)], "w string, n long")
+    merges, final = bpe_train(words, iters=3)
+    # step 1: (a,n) appears twice in each word -> 2*10 + 2*5 = 30
+    # step 2: (an,a) and (b,an) tie at 15; 'an' < 'b' breaks the tie
+    # step 3: (b,an) at 15 wins
+    assert merges == [(1, "a", "n", 30), (2, "an", "a", 15), (3, "b", "an", 15)]
+    syms = {r.w: r.syms for r in final.collect()}
+    assert syms["banana"] == ["ban", "ana"]
+    assert syms["bandana"] == ["ban", "d", "ana"]
