@@ -103,3 +103,15 @@ def bpe_train(words: DataFrame, iters: int = 4) -> tuple[list[tuple], DataFrame]
         merges.append((step, a, b, cnt))
         cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b)).localCheckpoint()
     return merges, cur
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a learned merge table to a (w, n) word table — the encode half
+    of BPE. Merges apply in training order, each as the same greedy fold
+    the trainer used; k rules = k chained map-side expressions, no shuffle,
+    no Python. Returns (w, n, syms) with the final subword segmentation."""
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    cur = words.withColumn("syms", syms)
+    for _, a, b, _cnt in merges:
+        cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+    return cur

@@ -38,14 +38,15 @@ _REGISTRY: dict[str, Registered] = {}
 # Round-4 rotation (VERDICT r3 next-round #1): the window carries (a) the
 # last 3 oracle-bearing queries that have never had a driver row —
 # keyword_search_folded / keyword_search_analyzed / salted_user_segment_join
-# — closing the 115/115 cumulative-green bar, plus (b) the two stable
-# sentinels, plus (c) every query whose implementation is touched this round
-# (decile boundaries rewrite, bucketed streaming store, ANN/IVF plan fixes,
-# simhash spread opt-in, analyzer multi-char folds), plus (d) queries NEW in
-# round 4, plus (e) refresh slots re-confirming queries whose only green row
-# is from round 1 (16) or round 2 (the remainder). Everything outside the
-# window is cumulative-green from earlier rounds and stays covered by the
-# local sf0.01 parity sweep (tests/test_oracle_parity.py).
+# — closing the cumulative-green bar, plus (b) the two stable sentinels,
+# plus (c) every query whose implementation is touched this round (decile
+# boundaries rewrite, bucketed streaming store, ANN/IVF plan fixes, simhash
+# spread opt-in, analyzer multi-char folds), plus (d) the 25 queries NEW in
+# round 4 (5 relational shapes, the 18-query TPC-H completion, streaming
+# near-dup admission, OLS moments, PCM audio features, BPE train+encode),
+# plus (e) 7 refresh slots re-confirming round-1-only greens. Everything
+# outside the window is cumulative-green from earlier rounds and stays
+# covered by the local sf0.01 parity sweep (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
     # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
@@ -77,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "ols_training_moments",
     "audio_pcm_features",
     "bpe_merge_training",
+    "bpe_subword_token_counts",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -107,7 +109,6 @@ DRIVER_PRIORITY: list[str] = [
     "customers_without_orders",
     "customers_with_orders",
     "region_customer_counts",
-    "brand_lineitem_stats",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens

@@ -469,7 +469,7 @@ def ols_training_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(iters: int = 4) -> str:
+def _bpe_cte_parts(iters: int = 4) -> list[str]:
     """Unrolled-CTE DuckDB twin of operators/bpe.py::bpe_train: per
     iteration, weighted adjacent-pair counts -> (cnt desc, a, b) argmax ->
     greedy non-overlapping fusion as a list_reduce fold (same fold the
@@ -509,6 +509,12 @@ def _bpe_oracle_sql(iters: int = 4) -> str:
         FROM s{k - 1} s CROSS JOIN b{k}
     )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(iters: int = 4) -> str:
+    """Merge-table twin: emit the per-step argmax rows from the CTE chain."""
+    parts = _bpe_cte_parts(iters)
     selects = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b{k}"
         for k in range(1, iters + 1)
@@ -530,4 +536,53 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = bpe_train(word_frequencies(d), iters=4)
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def _bpe_subword_oracle_sql(iters: int = 4) -> str:
+    """Encode-half twin: segment every corpus word with the learned merge
+    table (the s{iters} CTE) and account subword tokens per source."""
+    parts = _bpe_cte_parts(iters)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    wlen AS (SELECT w, len(syms) AS n_sub FROM s{iters})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subwords
+    FROM (SELECT source, unnest({tokenize_sql('text')}) AS w
+          FROM documents WHERE text IS NOT NULL) t
+    JOIN wlen USING (w)
+    GROUP BY source
+    """
+    )
+
+
+@query("bpe_subword_token_counts", oracle=_bpe_subword_oracle_sql())
+def bpe_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of BPE, applied at corpus scale: segment every word
+    with the 4-rule learned merge table (operators/bpe.py::bpe_encode_words
+    — k chained map-side folds, no shuffle) and account subword tokens per
+    source. The corpus-side join probes the encoded VOCAB (broadcast-sized
+    by construction), so encoding cost is one pass over the corpus tokens
+    regardless of vocabulary iterations — the train->apply pipeline the
+    token-budget planner runs before a training job."""
+    from ..operators.bpe import bpe_encode_words, bpe_train, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    merges, _ = bpe_train(wf, iters=4)
+    wlen = bpe_encode_words(wf, merges).select(
+        "w", F.size("syms").cast("long").alias("n_sub")
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("source", F.explode(tokenize("text")).alias("w"))
+        .join(F.broadcast(wlen), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("total_subwords"),
+        )
     )
