@@ -931,3 +931,73 @@ def user_value_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.sum(v_e6).over(w).cast("bigint").alias("v_e6_1h"),
     )
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+               CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    grouped AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    ),
+    islands AS (
+        SELECT o_custkey, o_orderpriority, grp,
+               MIN(o_orderdate) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM grouped
+        GROUP BY o_custkey, o_orderpriority, grp
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, grp) AS valid_to,
+           n_orders,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, grp) IS NULL AS is_current
+    FROM islands
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension reconstruction from an event log —
+    the gaps-and-islands shape: consecutive orders with the same priority
+    collapse into one validity interval [valid_from, valid_to), the lead
+    boundary closes each interval, and the open interval is the current
+    state. (The streaming twin of this discipline is the article store's
+    versioned upsert; this is the warehouse-side history view.)
+
+    Scale: two windows and one aggregation, all partitioned by the customer
+    key — per-customer partitions are order-history-sized, no global window
+    anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    islands = grouped.groupBy("o_custkey", "o_orderpriority", "grp").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("valid_from", "grp")
+    return islands.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

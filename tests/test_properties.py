@@ -66,3 +66,32 @@ def test_jaccard_symmetric_and_bounded(spark, texts):
         assert j == vals[(b, a)]  # symmetry
         if py_tokenize(a) and set(py_tokenize(a)) == set(py_tokenize(b)):
             assert j == 1.0
+
+
+def py_greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping pair fusion."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = out[-1] + x
+        else:
+            out.append(x)
+    return out
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=2), min_size=1, max_size=10),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    st.sampled_from(["a", "b", "ab", "ba", "bb"]),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, syms, a, b):
+    """The codegen'd BPE merge fold (operators/bpe.py::_apply_merge) equals
+    the sequential Python reference on adversarial symbol streams — chained
+    merges ('aaa' with rule (a,a)), merged-symbol re-participation, and
+    rule symbols that are themselves merge outputs."""
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(_apply_merge(F.col("syms"), a, b).alias("m")).collect()[0].m
+    assert got == py_greedy_merge(syms, a, b)
