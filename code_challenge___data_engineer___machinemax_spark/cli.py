@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parquet dir holding the standard tables (TESTDATA.md layout)")
     q.add_argument("--limit", type=int, default=0, help="cap output rows (0 = no cap)")
 
+    e = sub.add_parser("explain", help="print a registered query's physical plan")
+    e.add_argument("name", help="queries() key")
+    e.add_argument("--tables-dir", required=True, help="parquet dir (TESTDATA.md layout)")
+    e.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "formatted", "cost", "codegen"])
+
     r = sub.add_parser("run", help="run a registered engine query by name")
     r.add_argument("name", nargs="?", default=None, help="queries() key; omit with --list")
     r.add_argument("--tables-dir", default=None, help="parquet dir (TESTDATA.md layout)")
@@ -100,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
             df = df.limit(args.limit)
         for line in df.toJSON().collect():
             print(line)
+        return 0
+
+    if args.cmd == "explain":
+        from . import plans
+
+        queries = plans.all_queries()
+        if args.name not in queries:
+            print(f"explain: unknown query {args.name!r} (see run --list)", file=sys.stderr)
+            return 2
+        queries[args.name](spark, args.tables_dir).explain(args.mode)
         return 0
 
     if args.cmd == "run":

@@ -104,3 +104,13 @@ def test_cli_run_list_and_unknown(spark, capsys):
 
     rc = main(["run", "no_such_query", "--tables-dir", "/root/testdata/sf0.001"])
     assert rc == 2
+
+
+def test_cli_explain(spark, capsys):
+    rc = main(["explain", "q1_pricing_summary", "--tables-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
+
+    rc = main(["explain", "nope", "--tables-dir", "/root/testdata/sf0.001"])
+    assert rc == 2
