@@ -411,3 +411,26 @@ def test_near_dedup_ingest_stream_semantics(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(store + "/corpus").select("doc_id").collect()
     )
     assert again == [1, 3, 5]
+
+
+def test_near_dedup_band_store_probe_prunes(spark, tmp_path):
+    """The band-store history probe reads only the buckets the epoch's band
+    keys hash into: the scan plans PartitionFilters on the bucket column
+    (the L5 discipline applied to the near-dup admission store)."""
+    from code_challenge___data_engineer___machinemax_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+    from tests.test_plans import explain_text
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    landing = _write_doc_wave(tmp_path, "w1.jsonl", [(1, base + " one"), (2, base + " two")])
+    store = str(tmp_path / "store")
+    near_dedup_ingest_stream(spark, landing, store)
+
+    from pyspark.sql import functions as F
+
+    bands = spark.read.parquet(store + "/bands")
+    probe = bands.filter(F.col("bucket").isin(0, 3, 7)).select("band", "band_key")
+    txt = explain_text(probe)
+    assert "PartitionFilters" in txt
+    assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
