@@ -41,10 +41,10 @@ _REGISTRY: dict[str, Registered] = {}
 # — closing the cumulative-green bar, plus (b) the two stable sentinels,
 # plus (c) every query whose implementation is touched this round (decile
 # boundaries rewrite, bucketed streaming store, ANN/IVF plan fixes, simhash
-# spread opt-in, analyzer multi-char folds), plus (d) the 26 queries NEW in
-# round 4 (5 relational shapes, the 18-query TPC-H completion, streaming
+# spread opt-in, analyzer multi-char folds), plus (d) the queries NEW in
+# round 4 — 27 total (5 relational shapes, the 18-query TPC-H completion, streaming
 # near-dup admission, OLS moments, PCM audio features, BPE train+encode,
-# SCD2 gaps-and-islands), plus (e) 6 refresh slots re-confirming
+# SCD2 gaps-and-islands, streaming q1), plus (e) 5 refresh slots re-confirming
 # round-1-only greens. Everything
 # outside the window is cumulative-green from earlier rounds and stays
 # covered by the local sf0.01 parity sweep (tests/test_oracle_parity.py).
@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_merge_training",
     "bpe_subword_token_counts",
     "scd2_priority_history",
+    "streamed_pricing_summary",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -109,7 +110,6 @@ DRIVER_PRIORITY: list[str] = [
     "grouping_sets_order_stats",
     "segments_above_avg",
     "customers_without_orders",
-    "customers_with_orders",
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
     # CORRECTNESS_r03 and still gated by the local parity sweep + goldens

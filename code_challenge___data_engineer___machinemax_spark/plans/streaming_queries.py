@@ -404,3 +404,70 @@ def streamed_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return state
+
+
+@query(
+    "streamed_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def streamed_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TPC-H q1: lineitem arrives as two micro-batches (orderkey
+    parity waves, maxFilesPerTrigger=1) and the pricing summary is
+    MAINTAINED as streaming aggregation state — the relational flagship
+    under the same gate as the batch q1 (its exact oracle is reused
+    verbatim). Decimal accumulation is what makes this checkable: the
+    DECIMAL sums merge exactly across micro-batch state updates in any
+    arrival order, so the final complete-mode state is bit-identical to the
+    one-pass batch aggregation (double sums would re-associate and drift).
+    """
+    from ..streaming.events import run_to_memory
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_q1_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    for i, wave in enumerate(
+        [li.filter(F.col("l_orderkey") % 2 == 0), li.filter(F.col("l_orderkey") % 2 == 1)]
+    ):
+        stage = os.path.join(base, f"__w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, f"wave{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    agg = (
+        stream.filter(
+            F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+            F.sum(price.cast("decimal(20,4)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(24,6)")).cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(24,6)"))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    run_to_memory(agg, "streamed_q1_state", "complete")
+    state = spark.sql("SELECT * FROM streamed_q1_state").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return state
