@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions.text import (
     tokenize,
@@ -214,6 +215,167 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("distinct_ratio", F.round("distinct_ratio", 6))
         .withColumn("keep", keep)
         .filter(keep)
+    )
+
+
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {tokenize_sql('text')} AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), lines AS (
+        SELECT doc_id, line FROM (
+            SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+            FROM base
+        ) raw WHERE line <> ''
+    ), line_groups AS (
+        SELECT doc_id, md5(line) AS lk, COUNT(*) AS cnt,
+               MAX(length(line)) AS line_chars
+        FROM lines GROUP BY doc_id, md5(line)
+    ), line_stats AS (
+        SELECT doc_id,
+               CAST(SUM(cnt * line_chars) AS BIGINT) AS total_line_chars,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt * line_chars ELSE 0 END)
+                    AS BIGINT) AS dup_line_chars
+        FROM line_groups GROUP BY doc_id
+    ), bigrams AS (
+        SELECT doc_id, bg, COUNT(*) AS cnt FROM (
+            SELECT doc_id, unnest({shingles_sql('text', 2)}) AS bg FROM base
+        ) g GROUP BY doc_id, bg
+    ), top_bigram AS (
+        SELECT doc_id, bg, cnt FROM (
+            SELECT doc_id, bg, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, bg ASC) AS rn
+            FROM bigrams
+        ) r WHERE rn = 1
+    ), tok_chars AS (
+        SELECT doc_id,
+               COALESCE(CAST(list_sum(list_transform(toks, t -> length(t)))
+                             AS BIGINT), 0) AS token_chars
+        FROM base
+    )
+    SELECT b.doc_id,
+           ROUND(CASE WHEN COALESCE(ls.total_line_chars, 0) > 0
+                      THEN CAST(ls.dup_line_chars AS DOUBLE) / ls.total_line_chars
+                      ELSE 0.0 END, 6) AS dup_line_char_frac,
+           tb.bg AS top_bigram,
+           CAST(COALESCE(tb.cnt, 0) AS BIGINT) AS top_bigram_count,
+           ROUND(CASE WHEN tc.token_chars > 0 AND tb.cnt IS NOT NULL
+                      THEN LEAST(1.0, CAST(tb.cnt * (length(tb.bg) - 1) AS DOUBLE)
+                                      / tc.token_chars)
+                      ELSE 0.0 END, 6) AS top_bigram_char_frac,
+           (ROUND(CASE WHEN COALESCE(ls.total_line_chars, 0) > 0
+                       THEN CAST(ls.dup_line_chars AS DOUBLE) / ls.total_line_chars
+                       ELSE 0.0 END, 6) <= 0.2
+            AND
+            ROUND(CASE WHEN tc.token_chars > 0 AND tb.cnt IS NOT NULL
+                       THEN LEAST(1.0, CAST(tb.cnt * (length(tb.bg) - 1) AS DOUBLE)
+                                       / tc.token_chars)
+                       ELSE 0.0 END, 6) <= 0.18) AS keep
+    FROM base b
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN top_bigram tb USING (doc_id)
+    LEFT JOIN tok_chars tc USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, "Scaling
+    Language Models", Table A1): per document, (a) the fraction of
+    characters in non-empty lines that belong to a line occurring more than
+    once within the document, and (b) the fraction of token characters
+    covered by the single most frequent word bigram (count x bigram chars,
+    capped at 1.0; ties broken lexicographically). ``keep`` applies the
+    published thresholds (dup-line char frac <= 0.2, top-2-gram char frac
+    <= 0.18) on the rounded signals so both engines gate identically.
+
+    These catch the repetition modes ``distinct_ratio`` (quality_scores)
+    misses: boilerplate lines repeated verbatim (headers, nav, licence
+    blocks) and degenerate n-gram loops with a diverse unigram vocabulary.
+
+    Scale: both signals are per-document aggregations — line dedup shuffles
+    (doc_id, md5(line)) 32-byte keys (never line bodies), the bigram stage
+    reuses shingle_rows' linear explode (the O(tokens^2) nested-lambda trap
+    documented there), and the top-bigram window partitions per doc_id so
+    no global ordering exists anywhere. The three signal tables re-join the
+    doc base on doc_id — narrow post-agg rows, AQE-coalesced."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    lines = (
+        base.select("doc_id", F.explode(F.split("text", "\n")).alias("__raw"))
+        .select("doc_id", F.trim(F.col("__raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    line_groups = lines.groupBy("doc_id", F.md5(F.col("line")).alias("lk")).agg(
+        F.count("*").alias("cnt"), F.max(F.length("line")).alias("line_chars")
+    )
+    line_stats = line_groups.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("line_chars")).alias("total_line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("line_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_line_chars"),
+    )
+    from ..operators.dedup import shingle_rows
+
+    bigrams = (
+        shingle_rows(base, "doc_id", "text", k=2)
+        .groupBy("doc_id", F.col("shingle").alias("bg"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bg").asc())
+    top_bigram = (
+        bigrams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bg", "cnt")
+    )
+    tok_chars = base.select(
+        "doc_id",
+        F.coalesce(
+            F.aggregate(
+                tokenize("text"),
+                F.lit(0).cast("bigint"),
+                lambda a, t: a + F.length(t),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("token_chars"),
+    )
+    dup_frac = F.round(
+        F.when(
+            F.coalesce(F.col("total_line_chars"), F.lit(0)) > 0,
+            F.col("dup_line_chars").cast("double") / F.col("total_line_chars"),
+        ).otherwise(0.0),
+        6,
+    )
+    top_frac = F.round(
+        F.when(
+            (F.col("token_chars") > 0) & F.col("cnt").isNotNull(),
+            F.least(
+                F.lit(1.0),
+                (F.col("cnt") * (F.length("bg") - 1)).cast("double")
+                / F.col("token_chars"),
+            ),
+        ).otherwise(0.0),
+        6,
+    )
+    return (
+        base.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+        .join(tok_chars, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_line_char_frac"),
+            F.col("bg").alias("top_bigram"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("top_bigram_count"),
+            top_frac.alias("top_bigram_char_frac"),
+            ((dup_frac <= 0.2) & (top_frac <= 0.18)).alias("keep"),
+        )
     )
 
 

@@ -154,3 +154,48 @@ def test_bpe_train_crafted_semantics(spark):
     syms = {r.w: r.syms for r in final.collect()}
     assert syms["banana"] == ["ban", "ana"]
     assert syms["bandana"] == ["ban", "d", "ana"]
+
+
+def test_repetition_signals_crafted(spark, tmp_path):
+    """Hand-computed Gopher repetition signals: a boilerplate-line doc, a
+    degenerate bigram loop, a clean doc, a NULL text (excluded), and an
+    empty text (zero signals, kept)."""
+    clean = " ".join(f"w{i:02d}" for i in range(30))
+    docs = [
+        (1, "alpha beta gamma\ndup line here\ndup line here\nunique tail"),
+        (2, "spam ham spam ham spam ham spam ham"),
+        (3, clean),
+        (4, None),
+        (5, ""),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.doc_id: r
+        for r in _QS["repetition_signals"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}  # NULL text excluded
+    # doc 1: "dup line here" (13 chars) twice of 53 line chars -> 26/53;
+    # top bigram ties at 2 between "dup line"/"line here", lexicographic min
+    r1 = rows[1]
+    assert r1.dup_line_char_frac == round(26 / 53, 6)
+    assert (r1.top_bigram, r1.top_bigram_count) == ("dup line", 2)
+    assert r1.top_bigram_char_frac == round(2 * 7 / 46, 6)
+    assert not r1.keep
+    # doc 2: one line (no dup), "spam ham" x4 covers all 28 token chars
+    r2 = rows[2]
+    assert r2.dup_line_char_frac == 0.0
+    assert (r2.top_bigram, r2.top_bigram_count) == ("spam ham", 4)
+    assert r2.top_bigram_char_frac == 1.0
+    assert not r2.keep
+    # doc 3: all bigrams unique -> lexicographic min wins; under thresholds
+    r3 = rows[3]
+    assert (r3.top_bigram, r3.top_bigram_count) == ("w00 w01", 1)
+    assert r3.dup_line_char_frac == 0.0
+    assert r3.top_bigram_char_frac == round(6 / 90, 6)
+    assert r3.keep
+    # doc 5: no lines, no tokens -> zero signals, NULL top bigram, kept
+    r5 = rows[5]
+    assert (r5.dup_line_char_frac, r5.top_bigram, r5.top_bigram_count) == (0.0, None, 0)
+    assert r5.top_bigram_char_frac == 0.0 and r5.keep
