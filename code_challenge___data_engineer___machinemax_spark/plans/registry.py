@@ -83,6 +83,7 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_priority_history",
     "streamed_pricing_summary",
     "repetition_signals",
+    "source_mixture_weights",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -109,9 +110,9 @@ DRIVER_PRIORITY: list[str] = [
     "segment_order_stats",
     "cube_status_priority",
     "grouping_sets_order_stats",
-    "segments_above_avg",
-    # customers_without_orders (r1-green) yields its refresh slot to
-    # repetition_signals; it stays covered by the local sf0.01 sweep
+    # customers_without_orders / segments_above_avg (both r1-green) yield
+    # their refresh slots to repetition_signals / source_mixture_weights;
+    # they stay covered by the local sf0.01 sweep
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

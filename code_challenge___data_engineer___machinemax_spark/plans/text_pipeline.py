@@ -141,6 +141,70 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({tokenize_sql('text')})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ), weighted AS (
+        SELECT source, n_docs, total_tokens,
+               CAST(trunc(sqrt(CAST(total_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS w_e6
+        FROM per_source
+    ), tot AS (
+        SELECT CAST(SUM(total_tokens) AS BIGINT) AS tok_total,
+               CAST(SUM(w_e6) AS BIGINT) AS w_total
+        FROM weighted
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / tot.tok_total, 6) AS token_share,
+           ROUND(CAST(w_e6 AS DOUBLE) / tot.w_total, 6) AS mix_weight
+    FROM weighted CROSS JOIN tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per corpus source: the temperature-scaled
+    multinomial sampling step of multi-source LLM training (alpha = 0.5,
+    i.e. weight proportional to sqrt(token count) — the standard smoothing
+    that up-samples small sources without letting any source dominate;
+    cf. multilingual-model sampling, Conneau et al. 2020 sec. 3).
+
+    Determinism: alpha = 0.5 keeps the power inside IEEE-exact sqrt (unlike
+    pow(x, 0.3), sqrt is correctly rounded in both engines), and each
+    weight is truncated to an int64 (trunc(sqrt*1e6)) BEFORE normalizing so
+    the denominator is an exact integer sum — order-free, unlike a double
+    sum (the same discipline as the logprob scorers). The final division of
+    two exact numbers is a single correctly-rounded double op.
+
+    Scale: one partial+final agg over the corpus scan, then a broadcast of
+    the one-row totals — no shuffle after the per-source agg."""
+    per_source = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize("text"))).alias("total_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "w_e6",
+        (F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1e6)).cast("bigint"),
+    )
+    tot = weighted.agg(
+        F.sum("total_tokens").alias("tok_total"), F.sum("w_e6").alias("w_total")
+    )
+    return weighted.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / F.col("tok_total"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.col("w_e6").cast("double") / F.col("w_total"), 6).alias(
+            "mix_weight"
+        ),
+    )
+
+
+@query(
     "corpus_profile",
     oracle=f"""
     SELECT lang,

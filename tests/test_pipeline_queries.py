@@ -199,3 +199,27 @@ def test_repetition_signals_crafted(spark, tmp_path):
     r5 = rows[5]
     assert (r5.dup_line_char_frac, r5.top_bigram, r5.top_bigram_count) == (0.0, None, 0)
     assert r5.top_bigram_char_frac == 0.0 and r5.keep
+
+
+def test_source_mixture_weights_crafted(spark, tmp_path):
+    """Hand-computed sqrt-temperature mixing: 4 vs 16 tokens gives exact
+    integer weights 2e6 vs 4e6 -> mix 1/3 vs 2/3, flattening the 0.2/0.8
+    raw token share."""
+    docs = [
+        (1, "a", "one two three four"),
+        (2, "b", " ".join(f"t{i}" for i in range(16))),
+    ]
+    spark.createDataFrame(docs, "doc_id long, source string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.source: r
+        for r in _QS["source_mixture_weights"](spark, str(tmp_path)).collect()
+    }
+    assert rows["a"].total_tokens == 4 and rows["b"].total_tokens == 16
+    assert (rows["a"].token_share, rows["b"].token_share) == (0.2, 0.8)
+    assert rows["a"].mix_weight == round(1 / 3, 6)
+    assert rows["b"].mix_weight == round(2 / 3, 6)
+    # sqrt smoothing moved both sources toward uniform (0.5)
+    assert rows["a"].token_share < rows["a"].mix_weight < 0.5
+    assert 0.5 < rows["b"].mix_weight < rows["b"].token_share
