@@ -362,8 +362,10 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, md5(line)) 32-byte keys (never line bodies), the bigram stage
     reuses shingle_rows' linear explode (the O(tokens^2) nested-lambda trap
     documented there), and the top-bigram window partitions per doc_id so
-    no global ordering exists anywhere. The three signal tables re-join the
-    doc base on doc_id — narrow post-agg rows, AQE-coalesced."""
+    no global ordering exists anywhere. The two aggregated signal tables
+    re-join the doc base on doc_id (narrow post-agg rows, AQE-coalesced);
+    token_chars stays an inline projection on the base — never a
+    same-cardinality join."""
     base = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -398,7 +400,10 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "bg", "cnt")
     )
-    tok_chars = base.select(
+    # token_chars is a per-row projection, not an aggregation — compute it
+    # inline on the doc base instead of joining a same-cardinality frame
+    # back on doc_id (which would be a full-width shuffle join for nothing)
+    doc_base = base.select(
         "doc_id",
         F.coalesce(
             F.aggregate(
@@ -428,10 +433,8 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        base.select("doc_id")
-        .join(line_stats, "doc_id", "left")
+        doc_base.join(line_stats, "doc_id", "left")
         .join(top_bigram, "doc_id", "left")
-        .join(tok_chars, "doc_id", "left")
         .select(
             "doc_id",
             dup_frac.alias("dup_line_char_frac"),

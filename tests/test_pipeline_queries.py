@@ -223,3 +223,23 @@ def test_source_mixture_weights_crafted(spark, tmp_path):
     # sqrt smoothing moved both sources toward uniform (0.5)
     assert rows["a"].token_share < rows["a"].mix_weight < 0.5
     assert 0.5 < rows["b"].mix_weight < rows["b"].token_share
+
+
+def test_repetition_and_mixture_plan_shapes(spark, sf_dir):
+    """Plan guards: repetition_signals keeps every window partitioned (no
+    single-task global ordering) and joins exactly the two aggregated
+    signal tables; source_mixture_weights broadcasts its one-row totals."""
+    from tests.test_plans import explain_text
+
+    rep = explain_text(_QS["repetition_signals"](spark, sf_dir))
+    assert "Window" in rep
+    # every Window operator carries a partition spec (doc_id)
+    for line in rep.splitlines():
+        if "Arguments" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line
+    # two signal joins, not three: token_chars is inlined on the base
+    assert rep.count("SortMergeJoin") + rep.count("ShuffledHashJoin") <= 2
+
+    mix = explain_text(_QS["source_mixture_weights"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in mix or "BroadcastHashJoin" in mix
+    assert "SortMergeJoin" not in mix
