@@ -208,3 +208,55 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical behavior both sides."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", spread=True)
+
+
+@query(
+    "repeated_passages",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({shingles_sql('text', 5)}) AS passage
+        FROM documents
+    )
+    SELECT passage,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM g GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
+    LIMIT 50
+    """,
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage mining (the ExactSubstr observation,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", at gram granularity): every 5-token passage occurring in two
+    or more distinct documents, ranked by spread then frequency. Pairwise
+    near-dup (MinHash/SimHash) misses these when the surrounding documents
+    differ; passage mining finds the shared boilerplate itself, which is
+    what an ExactSubstr-style dedup would then cut from each document.
+
+    Scale: shingle_rows' linear explode (never the nested-lambda quadratic
+    form), then one groupBy on the passage — hash partial aggregation
+    collapses within-partition duplicates map-side, so the shuffle carries
+    each distinct (partition, passage) once; the distinct-doc count rides
+    the same shuffle via Spark's two-phase distinct expansion. Top-50 under
+    a total ordering (spread, frequency, passage) is
+    TakeOrderedAndProject — no global sort."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(d, "doc_id", "text", k=5)
+    return (
+        grams.groupBy(F.col("shingle").alias("passage"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("passage").asc(),
+        )
+        .limit(50)
+    )

@@ -84,6 +84,7 @@ DRIVER_PRIORITY: list[str] = [
     "streamed_pricing_summary",
     "repetition_signals",
     "source_mixture_weights",
+    "repeated_passages",
     # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
     # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
     "q2_min_cost_supplier",
@@ -109,10 +110,10 @@ DRIVER_PRIORITY: list[str] = [
     # parity sweep and rotate back in next round)
     "segment_order_stats",
     "cube_status_priority",
-    "grouping_sets_order_stats",
-    # customers_without_orders / segments_above_avg (both r1-green) yield
-    # their refresh slots to repetition_signals / source_mixture_weights;
-    # they stay covered by the local sf0.01 sweep
+    # customers_without_orders / segments_above_avg / grouping_sets_order_stats
+    # (all r1-green) yield their refresh slots to repetition_signals /
+    # source_mixture_weights / repeated_passages; they stay covered by the
+    # local sf0.01 sweep
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

@@ -209,3 +209,25 @@ def test_simhash_pairs_from_materialized_fingerprints(spark, sf_dir, tmp_path):
         for r in simhash_pairs_from_fingerprints(spark.read.parquet(path)).collect()
     }
     assert stored == full and len(full) >= 0
+
+
+def test_repeated_passages_crafted(spark, tmp_path):
+    """Passage mining semantics: a 5-token passage shared by two docs is
+    found; one repeated only WITHIN a single doc is not (n_docs >= 2);
+    ranking is (spread, frequency, passage)."""
+    import __spark_entry__ as mod
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different remainder text"),
+        # internal repeat only: same 5-gram twice in one doc
+        (3, "solo uno dos tres cuatro x solo uno dos tres cuatro"),
+        (4, "nothing in common with anything else at all"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = mod.queries()["repeated_passages"](spark, str(tmp_path)).collect()
+    got = {r.passage: (r.n_docs, r.n_occurrences) for r in rows}
+    assert got == {shared: (2, 2)}
