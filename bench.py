@@ -60,6 +60,11 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_orders",
     "q21_waiting_suppliers",
+    # round-4 (late): the Gopher repetition gate and cross-doc passage
+    # mining — the two new text-corpus shapes (line-digest agg + gram
+    # explode with top-k) worth a regression guard
+    "repetition_signals",
+    "repeated_passages",
 ]
 
 
