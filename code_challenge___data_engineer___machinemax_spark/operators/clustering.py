@@ -120,6 +120,9 @@ def kmeans_lite(
     per-dimension mean agg — no Python in the data path."""
     from pyspark.sql import Window as W
 
+    # the unpartitioned window spans exactly the k (<=64) rows surviving the
+    # limit — the WindowExec "No Partition Defined" warning it logs is benign
+    # at any scale (constant-size input, never the corpus)
     init = (
         df.orderBy(id_col)
         .limit(k)
@@ -183,6 +186,8 @@ def kmeans_fixed_point(
             f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
         ).alias("qv"),
     ).localCheckpoint()
+    # unpartitioned, but spans only the k (<=64) post-limit rows: the
+    # WindowExec warning this logs in bench tails is benign at any scale
     w_init = W.orderBy(id_col)
     centroids = (
         q.orderBy(id_col)
