@@ -260,3 +260,49 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "duplicate_rate_by_source",
+    oracle="""
+    WITH keyed AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')))
+                   AS fp
+        FROM documents
+    ), per_group AS (
+        SELECT source, fp, COUNT(*) AS cnt
+        FROM keyed GROUP BY source, fp
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_redundant,
+           ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_rate
+    FROM per_group GROUP BY source
+    """,
+)
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate mass per corpus source — the triage report a dedup
+    pass starts from: for each source, total docs, distinct normalized
+    fingerprints, redundant copies (docs minus distinct), and the dup rate.
+    Sources with high rates get deduped (or dropped) first; the fingerprint
+    is the same normalized-text digest dedup_exact_groups keys on.
+
+    Scale: shuffle keys are (source, 32-byte digest) with map-side partial
+    aggregation; the second agg re-shuffles only (source, cnt) rows. The
+    dup_rate division happens on exact int64 sums — no float accumulation."""
+    from ..operators.dedup import text_digest
+
+    d = load_table(spark, sf_dir, "documents")
+    per_group = d.groupBy("source", text_digest("text").alias("fp")).agg(
+        F.count("*").alias("cnt")
+    )
+    return per_group.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("cnt") - F.count("*")).alias("n_redundant"),
+        F.round(
+            (F.sum("cnt") - F.count("*")).cast("double") / F.sum("cnt"), 6
+        ).alias("dup_rate"),
+    )

@@ -231,3 +231,29 @@ def test_repeated_passages_crafted(spark, tmp_path):
     rows = mod.queries()["repeated_passages"](spark, str(tmp_path)).collect()
     got = {r.passage: (r.n_docs, r.n_occurrences) for r in rows}
     assert got == {shared: (2, 2)}
+
+
+def test_duplicate_rate_by_source_crafted(spark, tmp_path):
+    """Rate math pinned: source 'a' has 3 docs, 2 sharing a normalized
+    fingerprint (case/punct differences) -> 1 redundant, rate 1/3; source
+    'b' is all-distinct -> rate 0."""
+    import __spark_entry__ as mod
+
+    docs = [
+        (1, "a", "Hello, World!"),
+        (2, "a", "hello world"),  # same normalized fingerprint as doc 1
+        (3, "a", "something else"),
+        (4, "b", "unique one"),
+        (5, "b", "unique two"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, source string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.source: r
+        for r in mod.queries()["duplicate_rate_by_source"](spark, str(tmp_path)).collect()
+    }
+    a, b = rows["a"], rows["b"]
+    assert (a.n_docs, a.n_distinct, a.n_redundant) == (3, 2, 1)
+    assert a.dup_rate == round(1 / 3, 6)
+    assert (b.n_docs, b.n_distinct, b.n_redundant, b.dup_rate) == (2, 2, 0, 0.0)
