@@ -182,3 +182,20 @@ def test_tpch_topk_take_ordered(spark, sf_dir):
     # LIMIT queries avoid global sort materialization
     for name in ("q10_returned_items", "q18_large_orders", "q2_min_cost_supplier"):
         assert "TakeOrderedAndProject" in explain_text(_QS[name](spark, sf_dir)), name
+
+
+def test_driver_priority_names_resolve_and_fill_window():
+    """Rotation guard: every DRIVER_PRIORITY name must exist in the
+    registry (a typo would silently shrink the driver's 50-query window)
+    and must carry an oracle (rows-only queries waste a window slot), and
+    the window must be exactly full."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        _REGISTRY,
+    )
+
+    unknown = [n for n in DRIVER_PRIORITY if n not in _REGISTRY]
+    assert not unknown, f"DRIVER_PRIORITY names not registered: {unknown}"
+    rows_only = [n for n in DRIVER_PRIORITY if _REGISTRY[n].oracle is None]
+    assert not rows_only, f"rows-only queries waste window slots: {rows_only}"
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)) == 50
