@@ -815,3 +815,56 @@ def bpe_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("bigint").alias("total_subwords"),
         )
     )
+
+
+@query(
+    "c4_line_cleanse",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines
+        FROM documents WHERE text IS NOT NULL
+    ), kept AS (
+        SELECT doc_id, len(lines) AS n_lines,
+               list_filter(lines, l ->
+                   trim(l) <> ''
+                   AND right(trim(l), 1) IN ('.', '!', '?', '"')
+                   AND len({tokenize_sql('l')}) >= 3) AS keep_lines
+        FROM base
+    )
+    SELECT doc_id, n_lines,
+           len(keep_lines) AS n_kept,
+           COALESCE(array_to_string(list_transform(keep_lines, l -> trim(l)),
+                                    chr(10)), '') AS cleaned_text
+    FROM kept
+    """,
+)
+def c4_line_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleansing (Raffel et al. 2020 sec. 2.2): keep
+    only lines that end in terminal punctuation and carry at least 3
+    tokens — the rule that strips nav menus, cookie banners, and list
+    fragments before document-level filters run. Returns per-doc line
+    accounting plus the cleaned text (kept lines re-joined, trimmed).
+
+    Scale: a single codegen'd projection — split/filter/transform/join are
+    all higher-order array expressions evaluated in one pass over the scan;
+    no explode, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lines = F.split("text", "\n")
+
+    def _keep(l):  # noqa: E741 - mirrors the oracle's lambda var
+        t = F.trim(l)
+        return (
+            (t != "")
+            & F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(tokenize(l)) >= 3)
+        )
+
+    kept = F.filter(lines, _keep)
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n").alias(
+            "cleaned_text"
+        ),
+    )

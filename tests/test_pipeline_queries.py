@@ -243,3 +243,24 @@ def test_repetition_and_mixture_plan_shapes(spark, sf_dir):
     mix = explain_text(_QS["source_mixture_weights"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in mix or "BroadcastHashJoin" in mix
     assert "SortMergeJoin" not in mix
+
+
+def test_c4_line_cleanse_crafted(spark, tmp_path):
+    """C4 line rules pinned: terminal punctuation required, >= 3 tokens
+    required, kept lines re-joined trimmed, empty result is '' not NULL."""
+    docs = [
+        (1, "Good sentence here.\nnav menu\nAnother good line!\nshort."),
+        (2, "no punctuation at all\nhome | about | contact"),
+        (3, '  Quoted words end."  \nx.'),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in _QS["c4_line_cleanse"](spark, str(tmp_path)).collect()}
+    r1 = rows[1]
+    assert (r1.n_lines, r1.n_kept) == (4, 2)  # menu line and 1-token line drop
+    assert r1.cleaned_text == "Good sentence here.\nAnother good line!"
+    r2 = rows[2]
+    assert (r2.n_kept, r2.cleaned_text) == (0, "")
+    r3 = rows[3]  # padded quote-terminated line kept and trimmed; "x." too short
+    assert (r3.n_kept, r3.cleaned_text) == (1, 'Quoted words end."')
