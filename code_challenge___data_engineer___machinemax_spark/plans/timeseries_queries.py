@@ -1,0 +1,264 @@
+"""Telemetry / time-series shapes: regular-grid resampling with forward
+fill, interval-overlap joins, and robust (median/MAD) outlier detection.
+
+These are the operations a machine-telemetry analytics surface runs on an
+event stream once it lands: fill sensor gaps onto an hourly grid, join
+activity intervals against reference windows, and flag anomalous readings
+without assuming normality. Every oracle is exact: counts and scaled-int
+value sums for the grid, and the doubled-median trick (2*quantile_cont of
+an int column is integer-valued, hence bit-comparable across engines) for
+the robust statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM agg GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT g.event_type, g.hour,
+           COALESCE(a.n, 0) AS n,
+           last_value(a.v_e6 IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_e6_filled,
+           CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM grid g LEFT JOIN agg a USING (event_type, hour)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a dense per-type hourly grid and
+    forward-fill the exact scaled-int value sum across gap hours — the
+    standard telemetry densification (a silent sensor still has a row per
+    hour, carrying its last observed reading).
+
+    Scale: the expensive input is reduced FIRST (groupBy event_type, hour —
+    partial map-side combine; output is bounded by types x hours, not by
+    raw events), the grid is generated from a types-sized bounds frame via
+    sequence+explode (no driver loop, no cross join), and the left join +
+    forward-fill window both key on (event_type, hour) / event_type — one
+    co-partitioned shuffle, window partitions bounded by the calendar, not
+    the data volume. v_e6 is the trunc(value*1e6) int idiom shared with the
+    streaming rollups, so the fill is bit-exact cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.expr("CAST(value * 1e6 AS BIGINT)").alias("v_i"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"), F.sum("v_i").alias("v_e6"))
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = grid.join(agg, ["event_type", "hour"], "left")
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.last("v_e6", ignorenulls=True).over(w).alias("v_e6_filled"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+@query(
+    "session_peak_overlap",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        FROM gaps
+    ), sessions AS (
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end
+        FROM sess GROUP BY user_id, sno
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ), peak AS (
+        SELECT hour FROM hourly ORDER BY n DESC, hour LIMIT 24
+    ), spanned AS (
+        SELECT s.user_id, s.session_start, s.session_end,
+               unnest(generate_series(date_trunc('hour', s.session_start),
+                                      date_trunc('hour', s.session_end),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM sessions s
+    )
+    SELECT sp.user_id, sp.session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_peak_hours
+    FROM spanned sp JOIN peak p USING (hour)
+    WHERE sp.hour < sp.session_end
+    GROUP BY sp.user_id, sp.session_start
+    """,
+)
+def session_peak_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per user session (30-minute-gap islands,
+    session_end = last event + gap, matching the streaming session_window
+    semantics), count how many of the corpus's 24 busiest hours the session
+    interval [start, end) overlaps. Sessions with zero peak overlap drop
+    out (inner join semantics).
+
+    Scale: the classic range-join-to-equi-join rewrite — instead of a
+    theta join on interval overlap (which Spark would plan as a broadcast
+    nested loop), each session explodes into the hour buckets it spans
+    (bounded by session length / 1h, small by construction of the 30-min
+    gap rule) and overlap becomes an equi-join on the hour bucket. The
+    peak-hour side is 24 rows — broadcast. The sessionization window
+    partitions by user_id (bounded per-user), and the final regroup keys
+    on (user_id, session_start) — already co-partitioned with the
+    session window's shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(uw) > 1800)
+        | F.lag("ts").over(uw).isNull()
+    ).cast("int")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("new_session", gap)
+        .withColumn("sno", F.sum("new_session").over(run))
+        .groupBy("user_id", "sno")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("session_end"),
+        )
+    )
+    peak = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "hour")
+        .limit(24)
+        .select("hour")
+    )
+    spanned = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', session_start),"
+                " date_trunc('hour', session_end), interval 1 hour)"
+            )
+        ).alias("hour"),
+    ).filter(F.col("hour") < F.col("session_end"))
+    return (
+        spanned.join(F.broadcast(peak), "hour")
+        .groupBy("user_id", "session_start")
+        .agg(F.count("*").cast("bigint").alias("n_peak_hours"))
+    )
+
+
+@query(
+    "value_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(trunc(value * 100) AS BIGINT) AS v_c
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(v_c, 0.5) AS BIGINT) AS med2
+        FROM v GROUP BY 1
+    ), dev AS (
+        SELECT v.event_type, v.v_c, ABS(2 * v.v_c - m.med2) AS d2, m.med2
+        FROM v JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ANY_VALUE(d.med2) AS med2,
+           ANY_VALUE(m.mad4) AS mad4,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 2 * d.d2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median / median-absolute-deviation
+    on the cent-quantized value, flagging readings with |v - median| >
+    3*MAD — the distribution-free anomaly gate telemetry uses instead of
+    z-scores (one stuck sensor shifts a mean, not a median).
+
+    Exactness: medians are interpolated, so they can land on .5 — both
+    engines therefore carry DOUBLED statistics (med2 = 2*median of ints,
+    mad4 = 4*MAD), which are integer-valued by construction; the outlier
+    test 2*|2v - med2| > 3*mad4 is the 3-MAD rule in pure int64 arithmetic.
+    Spark's exact `percentile` and DuckDB's `quantile_cont` interpolate
+    identically on the sorted ints.
+
+    Scale: two aggregations over event_type (tiny domain) with the
+    per-type medians joined back via broadcast; exact percentile does sort
+    per group — at real scale the same shape swaps `percentile` for
+    `approx_percentile` with no plan change, which the docring notes
+    rather than silently doing (the oracle pins the exact variant)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_type", F.expr("CAST(value * 100 AS BIGINT)").alias("v_c")
+    )
+    med = v.groupBy("event_type").agg(
+        (2 * F.percentile(F.col("v_c"), F.lit(0.5))).cast("bigint").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("v_c") - F.col("med2")).alias("d2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.percentile(F.col("d2"), F.lit(0.5))).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med2").alias("med2"),
+            F.any_value("mad4").alias("mad4"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((2 * F.col("d2") > 3 * F.col("mad4")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
