@@ -1,0 +1,199 @@
+"""Sketch-family operators under the exact value gate.
+
+Probabilistic summaries are how a 100 TB engine answers cardinality /
+heavy-hitter questions without a full shuffle of the key domain — but the
+usual objection is that sketches are untestable. Not so: with a
+deterministic hash (md5, byte-identical in Spark and DuckDB) the ENTIRE
+sketch state is a pure function of the data, so the DuckDB oracle can
+rebuild the same registers / cells and the comparison is exact int64 — the
+same value-gate discipline the repo uses for k-means and PageRank. The
+engine's built-in approx variants (`approx_count_distinct`,
+`approx_percentile`) stay covered by their rows-only queries; these
+queries pin the sketch MATH itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+# HyperLogLog layout: 2 hex chars -> 256 registers (p=8); the remaining 13
+# hex chars are a 52-bit suffix whose leading-zero count is the register
+# candidate. rho = 53 - bitlength(suffix), with the all-zero suffix pinned
+# to the max rank 53.
+_HLL_RHO = """CAST(CASE WHEN {sfx} = 0 THEN 53
+                   ELSE 53 - length(bin({sfx})) END AS INT)"""
+
+# Count-min layout: depth 4 x width 512; row r's bucket for key k is the
+# first 8 md5 hex chars of 'r:k' mod 512.
+_CMS_D, _CMS_W = 4, 512
+
+
+@query(
+    "hll_user_registers",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS reg,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 13))
+                    AS BIGINT) AS sfx
+        FROM events
+    )
+    SELECT event_type, reg,
+           MAX({_HLL_RHO.format(sfx="sfx")}) AS max_rho
+    FROM h GROUP BY event_type, reg
+    """,
+)
+def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register state (p=8, 256 registers) for the distinct-user
+    count per event type, built from first principles: md5 prefix selects
+    the register, the leading-zero rank of the 52-bit suffix is the
+    candidate, and the register holds the max rank. The register table IS
+    the mergeable sketch — the estimate is the standard harmonic-mean
+    formula over these rows (float, so the oracle pins the registers, not
+    the estimate; `approx_distinct_users` covers the built-in estimator).
+
+    Scale: this is the whole point of HLL on a cluster — max() is
+    commutative, so Spark's partial aggregation reduces every partition to
+    at most types x 256 rows before the shuffle; the final state is
+    KB-sized regardless of input volume, and unioning two corpora is a
+    register-wise max (the same merge Spark's own approx_count_distinct
+    does inside its ImperativeAggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    sfx = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(sfx == 0, 53)
+        .otherwise(53 - F.length(F.bin(sfx)))
+        .cast("int")
+    )
+    return (
+        e.select(
+            "event_type",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+        SELECT r,
+               CAST(('0x' || substring(
+                        md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events, (SELECT unnest(['0','1','2','3']) AS r)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 25 = 0
+    ), probe_rows AS (
+        SELECT p.user_id, r,
+               CAST(('0x' || substring(
+                        md5(r || ':' || CAST(p.user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM probes p, (SELECT unnest(['0','1','2','3']) AS r)
+    ), est AS (
+        SELECT pr.user_id, MIN(c.c) AS est_n
+        FROM probe_rows pr JOIN cells c USING (r, bucket)
+        GROUP BY pr.user_id
+    ), truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events WHERE user_id % 25 = 0 GROUP BY user_id
+    )
+    SELECT e.user_id, e.est_n, t.true_n, e.est_n - t.true_n AS overcount
+    FROM est e JOIN truth t USING (user_id)
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 512) over per-user event counts,
+    probed for the deterministic heavy-hitter candidate set (user_id % 25
+    = 0): estimate = min over the 4 rows' cells, reported against the true
+    count (overcount >= 0 is the CMS guarantee; the oracle would catch a
+    broken hash by the estimates, not just the sketch, diverging).
+
+    Scale: the sketch is a FIXED 2048-cell table however large the input —
+    partial aggregation collapses each partition to <= 2048 rows, the
+    shuffle moves KBs, and the probe join broadcasts. This is the
+    frequency-query shape (abuse/top-talker detection) that at 100 TB
+    replaces a full user_id groupBy when only point estimates are needed;
+    the exact `truth` side here exists for the gate, not the production
+    path."""
+    e = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(str(r)) for r in range(_CMS_D)])).alias("r")
+
+    def bucket(key: F.Column) -> F.Column:
+        cell = F.md5(F.concat(F.col("r"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(cell, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    cells = (
+        e.select("user_id", rows)
+        .select("r", bucket(F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        e.filter(F.col("user_id") % 25 == 0)
+        .select("user_id")
+        .distinct()
+        .select("user_id", rows)
+        .select("user_id", "r", bucket(F.col("user_id")).alias("bucket"))
+    )
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    truth = (
+        e.filter(F.col("user_id") % 25 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+    )
+    return est.join(truth, "user_id").select(
+        "user_id",
+        "est_n",
+        "true_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+@query(
+    "priority_sample_docs",
+    oracle="""
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR)) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample: the 200 documents with the smallest
+    md5(doc_id) priority — a hash-ordered 'reservoir' that is reproducible
+    across runs, engines and partitionings (unlike rand()-based sampling,
+    which the rows-only bernoulli query covers), and composable: the
+    union of two corpora's priority samples contains the union's sample.
+
+    Scale: Catalyst plans ORDER BY + LIMIT as TakeOrderedAndProject — each
+    partition keeps its local top-200 and only k rows per partition reach
+    the driver-side merge; no global sort materializes. This is how you
+    cut a fixed-size eval slice from a 100 TB corpus in one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(200)
+    )
