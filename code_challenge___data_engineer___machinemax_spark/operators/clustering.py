@@ -349,6 +349,51 @@ def pagerank_fixed_point(
     return pr
 
 
+def bfs_hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS shortest hop distance from a source set -> (node, hop), hop in
+    [0, max_hops]. ``sources`` is a one-column ("node") frame; unreachable
+    nodes (within the bound) simply don't appear.
+
+    Level-synchronous frontier expansion: each round joins the CURRENT
+    frontier (not the whole visited set) against the edge list, anti-joins
+    out already-settled nodes, and tags survivors with the round number —
+    the first time BFS reaches a node is its shortest distance, so no
+    min-relaxation pass is needed. Per round: one equi-join on int node
+    keys + one anti-join; localCheckpoint caps lineage like the other
+    iterative operators here. The driver loop is bounded by the constant
+    max_hops with an early exit when a frontier empties (one lightweight
+    isEmpty action per round)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = sources.select("node").distinct().withColumn(
+        "hop", F.lit(0).cast("int")
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").withColumn(
+            "hop", F.lit(k).cast("int")
+        )
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = dist.filter(F.col("hop") == k).select("node")
+    return dist
+
+
 def inertia(assigned: DataFrame, centroids: DataFrame, vec_col: str) -> float:
     """Mean (1 - cosine) to the assigned centroid — the convergence metric."""
     joined = assigned.join(centroids, "centroid_id")

@@ -324,6 +324,58 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, iters=2)
 
 
+@query(
+    "bfs_hops_from_customer",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION
+        SELECT s * 2 + 1, c * 2 FROM pairs
+    ),
+    walk(node, hop) AS (
+        SELECT CAST(2 AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS hop FROM walk GROUP BY node
+    """,
+)
+def bfs_hops_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance (BFS, <= 3 hops) from customer 1 over the same
+    bipartite customer<->supplier co-order graph pagerank uses — graph
+    traversal as a value-checked capability next to centrality and
+    components. The oracle is a recursive CTE whose UNION-dedup'd (node,
+    hop) state space makes MIN(hop) the BFS distance.
+
+    Scale: the Spark side expands only the CURRENT frontier per level
+    (join + anti-join on int node keys), never re-walks settled nodes, and
+    runs a constant number of rounds — per-round cost is proportional to
+    the frontier's edge boundary, the shape that survives a billion-edge
+    graph where a recursive CTE (the oracle's form) would not."""
+    from ..operators.clustering import bfs_hop_distances
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cust = (F.col("o_custkey") * 2).cast("bigint")
+    supp = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    edges = pairs.select(cust.alias("src"), supp.alias("dst")).unionByName(
+        pairs.select(supp.alias("src"), cust.alias("dst"))
+    )
+    sources = spark.range(1).select(F.lit(2).cast("bigint").alias("node"))
+    return bfs_hop_distances(edges, sources, max_hops=3)
+
+
 @query("kmeans_codebook", oracle=None)
 def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means assignments (k=8, 2 rounds) — the IVF

@@ -158,3 +158,28 @@ def test_pagerank_fixed_point_ranks_hubs_and_is_deterministic(spark):
     assert len({pr[v] for v in leaves}) == 1  # symmetric leaves tie exactly
     pr2 = {r.node: r.pr for r in pagerank_fixed_point(edges, iters=2).collect()}
     assert pr == pr2
+
+
+def test_bfs_hop_distances_chain_and_unreachable(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        bfs_hop_distances,
+    )
+
+    # directed chain 1->2->3->4->5 plus an unreachable island 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+
+    hops = {r.node: r.hop for r in bfs_hop_distances(edges, sources, max_hops=3).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond the bound, 10/11 unreachable
+
+    # early exit: bound far beyond the diameter still settles each node at
+    # its first (shortest) visit, and visits nothing twice
+    hops = {r.node: r.hop for r in bfs_hop_distances(edges, sources, max_hops=50).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # shortcut edge: shortest path wins over the longer route
+    edges2 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    hops = {r.node: r.hop for r in bfs_hop_distances(edges2, sources, max_hops=5).collect()}
+    assert hops == {1: 0, 2: 1, 3: 1}
