@@ -6,7 +6,7 @@ is impractical; unit tests in tests/test_dedup.py pin its semantics.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_sql, tokenize_sql
@@ -305,4 +305,88 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.sum("cnt") - F.count("*")).cast("double") / F.sum("cnt"), 6
         ).alias("dup_rate"),
+    )
+
+
+@query(
+    "line_dedup_stats",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, source, string_split(text, chr(10)) AS lines
+        FROM documents WHERE text IS NOT NULL
+    ), occ AS (
+        SELECT s.doc_id, s.source, g.pos,
+               md5(trim(s.lines[g.pos])) AS digest
+        FROM split s,
+             LATERAL unnest(generate_series(1, len(s.lines))) AS g(pos)
+        WHERE trim(s.lines[g.pos]) <> ''
+    ), ranked AS (
+        SELECT source, digest,
+               row_number() OVER (PARTITION BY digest
+                                  ORDER BY doc_id, pos) AS occ_rank
+        FROM occ
+    ), spread AS (
+        SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+        FROM occ GROUP BY digest
+    )
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT r.digest) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN r.occ_rank > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_occurrences,
+           CAST(SUM(CASE WHEN s.n_docs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate
+    FROM ranked r JOIN spread s USING (digest)
+    GROUP BY r.source
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact LINE dedup accounting (the RefinedWeb/C4
+    boilerplate pass, one level below document dedup): every non-empty
+    trimmed line is digested, an occurrence is a duplicate if the same
+    digest appeared earlier in (doc_id, pos) corpus order, and a line is
+    boilerplate if its digest spans >= 5 distinct documents (nav menus,
+    cookie banners). Reported per source — the triage view that says which
+    feed needs line-level cleaning before training.
+
+    Scale: one posexplode, then everything keys on the 32-char digest —
+    the first-occurrence window and the doc-spread aggregation shuffle on
+    the same key (co-partitioned exchange reuse), and per-digest groups
+    are bounded by a line's corpus frequency, with the heavy boilerplate
+    digests exactly the rows AQE's skew split handles. The final rollup is
+    a tiny per-source frame. No text leaves the first projection — only
+    digests shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occ = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", "\n")).alias("pos0", "line"),
+        )
+        .filter(F.trim("line") != "")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.trim("line")).alias("digest"),
+        )
+    )
+    w = W.partitionBy("digest").orderBy("doc_id", "pos")
+    ranked = occ.withColumn("occ_rank", F.row_number().over(w))
+    spread = occ.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        ranked.join(spread, "digest")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            F.sum((F.col("occ_rank") > 1).cast("int")).cast("bigint").alias(
+                "n_dup_occurrences"
+            ),
+            F.sum((F.col("n_docs") >= 5).cast("int")).cast("bigint").alias(
+                "n_boilerplate"
+            ),
+        )
     )
