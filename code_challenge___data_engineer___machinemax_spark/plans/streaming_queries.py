@@ -471,3 +471,104 @@ def streamed_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.sql("SELECT * FROM streamed_q1_state").localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return state
+
+
+@query(
+    "streamed_append_windows",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    kept AS (
+        SELECT e.* FROM events e, mx
+        WHERE e.ts >= date_trunc('hour', mx.m) - INTERVAL 72 HOUR
+           OR e.event_id % 7 <> 0
+    )
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+    FROM kept
+    GROUP BY 1, 2, 3
+    HAVING win_end <= (SELECT m - INTERVAL 2 HOUR FROM mx)
+    """,
+)
+def streamed_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation where the watermark does real work
+    (the half `streamed_hourly_counts` deliberately leaves to complete
+    mode): three waves — the historical bulk, then the newest 72 hours
+    (which advances the watermark to max-2h), then late stragglers
+    (event_id % 7 == 0 rows held back from wave 1) that arrive BELOW the
+    in-force watermark and are dropped. The emitted result is exactly the
+    windows the watermark finalized.
+
+    Why this is deterministic (and hence oracle-checkable): Spark filters
+    late rows with the PREVIOUS trigger's watermark but evicts/emits with
+    the CURRENT one (measured here: a 3-wave run kept stragglers newer
+    than max(wave1)-2h — the stale filter watermark — while emitting with
+    the fresh one; tests/test_streaming.py's filler-batch comment pins the
+    same lag). The newest data therefore ships as TWO waves (newest half
+    first, so the max event time is on the books one batch early): by the
+    straggler batch both watermarks equal max(ts)-2h, every straggler —
+    all older than cutoff <= max-2h — is dropped to a row, and no wave
+    raises the max afterwards. The final emitted set is closed-form:
+    hourly windows with win_end <= max(ts)-2h over {rows >= cutoff} +
+    {rows with event_id % 7 != 0}, which is the oracle's HAVING. Windows
+    in the last 2 hours stay open and are correctly ABSENT from append
+    output.
+
+    Scale: this is the production shape for late-tolerant rollups — state
+    is bounded by the watermark horizon (open windows only), eviction is
+    what bounds it, and emitted rows are written exactly once."""
+    from ..streaming.events import run_to_memory
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts.replace(minute=0, second=0, microsecond=0)) - F.expr(
+        "interval 72 hours"
+    )
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_append_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    mid = F.lit(max_ts.replace(minute=0, second=0, microsecond=0)) - F.expr(
+        "interval 36 hours"
+    )
+    waves = [
+        e.filter((F.col("ts") < cutoff) & (F.col("event_id") % 7 != 0)),
+        # newest half FIRST: puts the global max event time on the books one
+        # batch early, so the (lagging) late-row filter watermark reaches
+        # max-2h before the stragglers arrive
+        e.filter(F.col("ts") >= mid),
+        e.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)),
+        e.filter((F.col("ts") < cutoff) & (F.col("event_id") % 7 == 0)),
+    ]
+    for i, wave in enumerate(waves):
+        stage = os.path.join(base, f"__w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, f"wave{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).alias("v_e6"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "v_e6",
+        )
+    )
+    run_to_memory(agg, "ccdem_streamed_append", "append")
+    out = spark.sql("SELECT * FROM ccdem_streamed_append").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
