@@ -105,15 +105,17 @@ DRIVER_PRIORITY: list[str] = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    # refresh: green only in round 1's window — re-confirm post-r2/r3
-    # (the remaining r1/r2-only greens stay covered by the local sf0.01
-    # parity sweep and rotate back in next round)
-    "segment_order_stats",
-    "cube_status_priority",
-    # customers_without_orders / segments_above_avg / grouping_sets_order_stats
-    # (all r1-green) yield their refresh slots to repetition_signals /
-    # source_mixture_weights / repeated_passages; they stay covered by the
-    # local sf0.01 sweep
+    # new in round 4 (late): the append-mode watermark flagship (the one
+    # streaming query whose oracle depends on real eviction semantics) and
+    # the telemetry gap-fill — these two take the refresh slots;
+    # segment_order_stats / cube_status_priority (r1-green refresh
+    # candidates) and the rest of the late additions (session_peak_overlap,
+    # value_mad_outliers, hll_user_registers, cms_heavy_hitters,
+    # priority_sample_docs, bfs_hops_from_customer, line_dedup_stats) stay
+    # covered by the local sf0.01 parity sweep + sf0.001 goldens and
+    # rotate into the round-5 window
+    "streamed_append_windows",
+    "events_gap_fill",
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
