@@ -199,3 +199,51 @@ def test_driver_priority_names_resolve_and_fill_window():
     rows_only = [n for n in DRIVER_PRIORITY if _REGISTRY[n].oracle is None]
     assert not rows_only, f"rows-only queries waste window slots: {rows_only}"
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)) == 50
+
+
+def test_session_peak_overlap_no_nested_loop(spark, sf_dir):
+    # the range-join-to-equi-join rewrite must hold: overlap is an
+    # equi-join on the spanned hour bucket (broadcast 24-row peak dim),
+    # never a data-sized nested loop
+    txt = explain_text(_QS["session_peak_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+    for ln in txt.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    # hash-priority sampling must not materialize a global sort
+    txt = explain_text(_QS["priority_sample_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt
+    assert "Sort [" not in txt  # no separate global Sort node
+
+
+def test_gap_fill_windows_are_partitioned(spark, sf_dir):
+    # the forward-fill window partitions by event_type — never the
+    # single-partition global window decile_revenue_share once had
+    txt = explain_text(_QS["events_gap_fill"](spark, sf_dir))
+    assert "Window" in txt
+    assert "hashpartitioning(event_type" in txt
+
+
+def test_sketch_aggs_have_partial_phase(spark, sf_dir):
+    # the whole scale story of the sketches is map-side combine: partial
+    # max (HLL register merge) / partial count (CMS cells) before shuffle
+    txt = explain_text(_QS["hll_user_registers"](spark, sf_dir))
+    assert "partial_max" in txt
+    txt = explain_text(_QS["cms_heavy_hitters"](spark, sf_dir))
+    assert "partial_count" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_line_dedup_shuffles_digests_not_text(spark, sf_dir):
+    # only 32-char digests shuffle: the exploded line text must be
+    # projected away before the exchange
+    txt = explain_text(_QS["line_dedup_stats"](spark, sf_dir))
+    assert "hashpartitioning(digest" in txt
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\([^)]*\)", txt):
+        assert "line" not in m.group(0)
