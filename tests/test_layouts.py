@@ -55,3 +55,88 @@ def test_events_partitioned_by_date_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in txt
     assert "event_date" in txt.split("PartitionFilters", 1)[1][:200]
     assert day.count() < store.count()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered events (user_id x hour-of-history): per-file parquet
+    min/max stats must be selective on BOTH columns — the property a
+    single-column sort cannot give. Footer stats are read the way any
+    pruning reader (Spark row-group pushdown included) consumes them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from code_challenge___data_engineer___machinemax_spark.sources.zorder import (
+        write_zordered,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_hour", (F.unix_timestamp("ts") / 3600).cast("long")
+    )
+    lo = e.agg(F.min("ts_hour")).collect()[0][0]
+    e = e.withColumn("ts_hour", F.col("ts_hour") - F.lit(lo))
+    path = str(tmp_path / "events_z")
+    # balance the two dimensions to comparable bucket counts before
+    # interleaving (the docstring's contract): a dimension with more bits
+    # would otherwise dominate the code's high bits and the layout would
+    # degenerate into a single-column sort
+    u_span_all = e.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    h_span_all = e.agg(F.max("ts_hour")).collect()[0][0]
+    write_zordered(
+        e,
+        path,
+        "user_id",
+        "ts_hour",
+        n_files=16,
+        scale_a=max(1, u_span_all // 128),
+        scale_b=max(1, h_span_all // 128),
+    )
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 8  # range partitioner actually split the code space
+
+    def files_overlapping(col, pred_lo, pred_hi):
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            if min(mins) <= pred_hi and max(maxs) >= pred_lo:
+                hit += 1
+        return hit
+
+    users = [r[0] for r in e.agg(F.min("user_id"), F.max("user_id")).collect()[0:1]]
+    u_lo, u_hi = e.agg(F.min("user_id")).collect()[0][0], e.agg(F.max("user_id")).collect()[0][0]
+    h_hi = e.agg(F.max("ts_hour")).collect()[0][0]
+
+    # a narrow slice in EITHER dimension touches a strict minority of files
+    u_span = max(1, (u_hi - u_lo) // 8)
+    h_span = max(1, h_hi // 8)
+    u_hits = files_overlapping("user_id", u_lo, u_lo + u_span)
+    h_hits = files_overlapping("ts_hour", 0, h_span)
+    assert u_hits <= len(files) // 2, (u_hits, len(files))
+    assert h_hits <= len(files) // 2, (h_hits, len(files))
+
+    # and the data survives the round trip
+    assert spark.read.parquet(path).count() == e.count()
+
+
+def test_morton_code_interleaves(spark):
+    from code_challenge___data_engineer___machinemax_spark.sources.zorder import (
+        morton_code,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (0xFFFF, 0xFFFF)], "a long, b long"
+    ).select(morton_code(F.col("a"), F.col("b")).alias("z")).collect()
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    expect = [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (0xFFFF, 0xFFFF)]]
+    assert [r.z for r in rows] == expect
