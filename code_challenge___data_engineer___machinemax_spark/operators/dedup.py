@@ -201,6 +201,101 @@ def near_dup_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (token-set Jaccard >= ``threshold``)
+    via prefix filtering — the AllPairs/PPJoin family (Bayardo et al.,
+    WWW'07), the third near-dup candidate generator next to MinHash-LSH
+    (probabilistic) and SimHash banding (Hamming): unlike those two this
+    one is lossless, so its output is the full exact answer, not a
+    high-recall approximation.
+
+    The pruning identities, both exact:
+
+    - length filter: Jaccard(a,b) >= t implies ``t * max(|a|,|b|) <=
+      min(|a|,|b|)`` (intersection <= min, union >= max).
+    - prefix filter: order all tokens by one global total order and keep
+      each set's first ``|d| - ceil(t*|d|) + 1`` tokens; any pair with
+      overlap >= ceil(t*|d|) must collide inside these prefixes. The order
+      used is (document frequency asc, token asc) — rarest-first, which
+      makes prefixes collide as little as possible. Any consistent total
+      order is CORRECT; rarest-first is the performance choice.
+
+    A 1e-6 slack is folded into both filters so a pair whose float Jaccard
+    sits a last-ulp below ``threshold`` but rounds up to it (the verify
+    step rounds to 6 places, mirroring the DuckDB oracle) is never pruned
+    by candidate generation — candidate pruning must be a superset of the
+    rounded verify.
+
+    Plan shape / 100 TB: tokenize once -> explode -> token doc-frequency
+    agg (map-side partial) -> join freq back on the token -> per-document
+    row_number window (partitions are single documents — tiny) -> prefix
+    rows self-equi-join ON THE TOKEN -> distinct candidate ids -> exact
+    verify on the token arrays. No O(n^2) stage anywhere; shuffle keys are
+    tokens and int ids. The skew risk is a frequent token landing in many
+    prefixes (near-duplicate boilerplate corpora); ``max_token_bucket``
+    drops prefix tokens occurring in more than that many prefixes before
+    the self-join — the same bounded-pair-generation guard as
+    :func:`lsh_candidate_pairs`'s ``max_bucket_size`` (opt-in because it
+    trades exactness for a bound; the oracle-checked config leaves it
+    off, and rarest-first ordering already keeps prefixes to rare tokens).
+    """
+    eps = 1e-6
+    toks = (
+        df.select(F.col(id_col), F.array_distinct(tokenize(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__sz", F.size("__toks"))
+    )
+    occ = toks.select(id_col, "__sz", F.explode("__toks").alias("__tok"))
+    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
+    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
+    prefix = (
+        occ.join(dfreq, "__tok")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(id_col, "__sz", "__tok")
+    )
+    if max_token_bucket is not None:
+        hot = (
+            prefix.groupBy("__tok")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_token_bucket)
+            .select("__tok")
+        )
+        prefix = prefix.join(F.broadcast(hot), "__tok", "left_anti")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__tok"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    cand = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sza") * F.lit(threshold - eps) <= F.col("__szb"))
+            & (F.col("__szb") * F.lit(threshold - eps) <= F.col("__sza"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    left = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
+    right = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", F.round(jaccard_arrays(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60, spread: bool = False
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from ..operators.dedup import (
     dedup_exact,
     minhash_signatures_df,
     near_dup_pairs,
+    prefix_filter_pairs,
     simhash,
 )
 from ..tables import load_table
@@ -390,3 +391,29 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "set_similarity_prefix_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks FROM documents
+    ), nz AS (SELECT * FROM t WHERE len(toks) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM nz a JOIN nz b ON b.doc_id > a.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    """,
+)
+def set_similarity_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.8 near-dup pairs via prefix filtering
+    (operators.dedup.prefix_filter_pairs — AllPairs/PPJoin): the lossless
+    candidate generator, vs MinHash-LSH (probabilistic recall) and SimHash
+    banding (Hamming proxy). The oracle is the semantic ground truth — a
+    brute-force all-pairs join, feasible only at oracle scale — so a green
+    row proves the pruning identities lose no pair; the Spark plan itself
+    never goes O(n^2)."""
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, "doc_id", "text", threshold=0.8)

@@ -257,3 +257,69 @@ def test_duplicate_rate_by_source_crafted(spark, tmp_path):
     assert (a.n_docs, a.n_distinct, a.n_redundant) == (3, 2, 1)
     assert a.dup_rate == round(1 / 3, 6)
     assert (b.n_docs, b.n_distinct, b.n_redundant, b.dup_rate) == (2, 2, 0, 0.0)
+
+
+def test_prefix_filter_pairs_matches_bruteforce(spark, corpus):
+    """The lossless claim: prefix filtering returns EXACTLY the all-pairs
+    Jaccard>=t result, on a corpus with exact dups, a near dup, an
+    unrelated doc, and a punctuation variant."""
+    from itertools import combinations
+
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = corpus.select(
+        "doc_id", F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+        ).alias("toks")
+    ).collect()
+    toks = {r.doc_id: set(r.toks) for r in rows}
+    expected = {}
+    for a, b in combinations(sorted(toks), 2):
+        u = toks[a] | toks[b]
+        j = round(len(toks[a] & toks[b]) / len(u), 6) if u else 0.0
+        if j >= 0.5:
+            expected[(a, b)] = j
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == expected
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+
+
+def test_prefix_filter_pairs_empty_and_short_docs(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "one"), (5, "one two"), (6, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    # single-token docs pair at 1.0; {one} vs {one,two} = 0.5 survives the
+    # boundary; empty/whitespace/null docs never appear
+    assert got == {(3, 4): 1.0, (3, 5): 0.5, (4, 5): 0.5}
+
+
+def test_prefix_filter_hot_token_cap_bounds_pairs(spark):
+    """The skew guard: 40 docs sharing one boilerplate phrase pair-bomb
+    without the cap; with it, the hot prefix token is dropped and the pair
+    set collapses (bounded generation, exactness traded explicitly)."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, "accept all cookies to continue reading") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = prefix_filter_pairs(df, "doc_id", "text", threshold=0.5).count()
+    assert uncapped == 40 * 39 // 2
+    capped = prefix_filter_pairs(
+        df, "doc_id", "text", threshold=0.5, max_token_bucket=10
+    ).count()
+    assert capped == 0

@@ -247,3 +247,13 @@ def test_line_dedup_shuffles_digests_not_text(spark, sf_dir):
 
     for m in re.finditer(r"Arguments: hashpartitioning\([^)]*\)", txt):
         assert "line" not in m.group(0)
+
+
+def test_prefix_pairs_no_cartesian_and_partitioned_window(spark, sf_dir):
+    # prefix filtering must plan as token equi-joins with per-document
+    # windows — never a cartesian/data-sized nested loop, never a global
+    # (unpartitioned) window
+    txt = explain_text(_QS["set_similarity_prefix_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    assert "NestedLoopJoin" not in txt
+    assert "hashpartitioning(doc_id" in txt  # the per-doc prefix window
