@@ -868,3 +868,94 @@ def c4_line_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_text"
         ),
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+        FROM (SELECT doc_id, source, unnest({tokenize_sql('text')}) AS t
+              FROM documents WHERE text IS NOT NULL)
+    ), counts AS (
+        SELECT b,
+               SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS cnt_t,
+               SUM(CASE WHEN source NOT IN ('src0','src1') THEN 1 ELSE 0 END) AS cnt_r
+        FROM occ GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(cnt_t) AS BIGINT) AS tt,
+               CAST(SUM(cnt_r) AS BIGINT) AS tr
+        FROM counts
+    ), lut AS (
+        SELECT b,
+               CAST(trunc(ln(CAST(cnt_t + 1 AS DOUBLE) / (tt + 256)) * 1e6) AS BIGINT)
+               - CAST(trunc(ln(CAST(cnt_r + 1 AS DOUBLE) / (tr + 256)) * 1e6) AS BIGINT)
+                 AS c_e6
+        FROM counts CROSS JOIN tot
+    )
+    SELECT occ.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lut.c_e6) AS BIGINT) AS logratio_e6
+    FROM occ JOIN lut USING (b)
+    WHERE occ.source NOT IN ('src0','src1')
+    GROUP BY occ.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw-pool document by how much more likely its hashed-unigram
+    features are under a target-domain bag-of-words model than under the raw
+    pool's own model. Target = sources src0/src1; features = unigrams hashed
+    into 256 buckets (the hashing trick bounds model size independent of
+    vocabulary); both models add-1 smoothed. A document's log importance
+    weight is the sum over its token occurrences of
+    ln p_target(bucket) - ln p_raw(bucket) — the selection key for
+    resampling raw data toward the target distribution.
+
+    Determinism: per-bucket log terms are trunc-scaled to e6 BIGINTs and
+    summed exactly (the shared-libm discipline of unigram_logprob_scores;
+    Spark's double->bigint cast == DuckDB trunc toward zero). Token
+    bucketing reuses the engine-wide md5 15-hex-char derivation, identical
+    in both engines.
+
+    Scale: the bucket-count model is 256 rows — it (and the 1-row totals)
+    BROADCAST to the per-token scoring join, so the only corpus-sized
+    shuffles are the bucket-count partial agg and the final per-doc regroup
+    on (doc_id, bigint) — narrow rows. This is DSIR's point at 100 TB: the
+    n-gram model is O(buckets), never O(vocabulary), so importance scoring
+    is one broadcast map-side join per token occurrence."""
+    B = 256
+    target = ("src0", "src1")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occ = (
+        d.select("doc_id", "source", F.explode(tokenize("text")).alias("t"))
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint") % B,
+        )
+        .drop("t")
+    )
+    is_t = F.col("source").isin(*target)
+    counts = occ.groupBy("b").agg(
+        F.sum(is_t.cast("long")).alias("cnt_t"),
+        F.sum((~is_t).cast("long")).alias("cnt_r"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_t").cast("bigint").alias("tt"),
+        F.sum("cnt_r").cast("bigint").alias("tr"),
+    )
+    c_e6 = (
+        (F.log((F.col("cnt_t") + 1).cast("double") / (F.col("tt") + B)) * 1e6).cast("bigint")
+        - (F.log((F.col("cnt_r") + 1).cast("double") / (F.col("tr") + B)) * 1e6).cast("bigint")
+    )
+    lut = counts.crossJoin(F.broadcast(tot)).select("b", c_e6.alias("c_e6"))
+    return (
+        occ.filter(~is_t)
+        .join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c_e6").cast("bigint").alias("logratio_e6"),
+        )
+    )

@@ -257,3 +257,11 @@ def test_prefix_pairs_no_cartesian_and_partitioned_window(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "NestedLoopJoin" not in txt
     assert "hashpartitioning(doc_id" in txt  # the per-doc prefix window
+
+
+def test_dsir_scoring_join_broadcasts_model(spark, sf_dir):
+    # the 256-bucket model must broadcast to the per-token scoring join —
+    # the corpus-sized side never shuffles on the bucket key
+    txt = explain_text(_QS["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt

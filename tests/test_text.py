@@ -260,3 +260,30 @@ def test_analyzed_search_folds_and_stems_together(spark):
     # plain singular; 'query' must hit the plural via stemming
     assert {r.doc_id for r in keyword_search_analyzed(corpus, "cafes").collect()} == {1, 2}
     assert {r.doc_id for r in keyword_search_analyzed(corpus, "café query").collect()} == {1, 2, 3}
+
+
+def test_dsir_importance_weights_ranks_target_like_docs(spark, tmp_path):
+    """DSIR semantics pinned on a crafted pool: the raw doc written in the
+    target domain's vocabulary must out-score the off-domain raw doc
+    (higher ln p_target - ln p_raw per token)."""
+    import __spark_entry__ as mod
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    docs = [
+        (1, "src0", target_text),
+        (2, "src1", "alpha beta gamma delta epsilon alpha beta"),
+        (10, "src5", "alpha beta gamma delta alpha beta gamma"),  # target-like
+        (11, "src6", "zork quux blarg wibble zork quux blarg wibble"),
+        (12, "src7", None),  # null text never scores
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in mod.queries()["dsir_importance_weights"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {10, 11}  # raw pool only, nulls dropped
+    per_tok_10 = rows[10].logratio_e6 / rows[10].n_tokens
+    per_tok_11 = rows[11].logratio_e6 / rows[11].n_tokens
+    assert per_tok_10 > per_tok_11
