@@ -20,6 +20,7 @@ from ..functions.text import shingles_sql
 
 shingles_sql2 = shingles_sql("text", 2)
 from ..operators.dedup import text_digest
+from ..operators.ranking import scalable_ntile
 from ..tables import load_table
 from .registry import query
 
@@ -957,5 +958,87 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum("c_e6").cast("bigint").alias("logratio_e6"),
+        )
+    )
+
+
+@query(
+    "perplexity_tercile_mix",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    scored AS (
+        SELECT occ.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CAST(trunc(ln(CAST(freq.cnt AS DOUBLE) / tot.total) * 1e6)
+                              AS BIGINT)) AS BIGINT) AS logprob_e6
+        FROM occ JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY occ.doc_id
+    ),
+    tiled AS (
+        SELECT d.source, s.n_tokens,
+               ntile(3) OVER (
+                   ORDER BY CAST(s.logprob_e6 AS DOUBLE) / s.n_tokens DESC,
+                            s.doc_id
+               ) AS tercile
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source, tercile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM tiled GROUP BY source, tercile
+    """,
+)
+def perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by its corpus-LM per-token log-probability (the unigram KenLM
+    stand-in from unigram_logprob_scores), split the corpus into head /
+    middle / tail terciles of that score, and report the (source, tercile)
+    mix — the table a curriculum/mixing step samples from, and the triage
+    view showing which feeds skew toward the low-fluency tail.
+
+    The tercile is a corpus-wide NTILE under a total order (per-token score
+    desc — head=1 is most fluent — tie-broken by doc_id). Like
+    decile_revenue_share it uses operators.ranking.scalable_ntile, NOT a
+    global window: range-repartition on the order key, per-range local
+    row_number, broadcast prefix-sum offsets, exact integer tile
+    arithmetic — bit-identical to the oracle's ntile with no
+    single-partition stage. The per-token score is ONE IEEE double division
+    of two exact int64s (deterministic cross-engine); the summed quantities
+    stay integer end-to-end.
+
+    Scale: LM scoring is the unigram scorer's plan (token-frequency join,
+    narrow re-agg); the ntile adds a range exchange on an 8-byte double;
+    the final (source, tercile) rollup is tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+    li = (F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6).cast("bigint")
+    scored = (
+        occ.join(freq.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(li).cast("bigint").alias("logprob_e6"),
+        )
+    )
+    per_tok = F.col("logprob_e6").cast("double") / F.col("n_tokens")
+    tiled = scalable_ntile(
+        scored.withColumn("__score", per_tok),
+        3,
+        [F.desc("__score"), F.asc("doc_id")],
+        tile_col="tercile",
+    )
+    return (
+        tiled.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "tercile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )

@@ -265,3 +265,11 @@ def test_dsir_scoring_join_broadcasts_model(spark, sf_dir):
     txt = explain_text(_QS["dsir_importance_weights"](spark, sf_dir))
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_perplexity_terciles_have_no_global_window(spark, sf_dir):
+    # the corpus-wide NTILE must be the scalable_ntile plan (range
+    # exchange + partitioned local ranks), never a single-partition window
+    txt = explain_text(_QS["perplexity_tercile_mix"](spark, sf_dir))
+    assert "rangepartitioning" in txt.lower()
+    assert "ntile(" not in txt.lower()  # tile comes from rank arithmetic

@@ -287,3 +287,23 @@ def test_dsir_importance_weights_ranks_target_like_docs(spark, tmp_path):
     per_tok_10 = rows[10].logratio_e6 / rows[10].n_tokens
     per_tok_11 = rows[11].logratio_e6 / rows[11].n_tokens
     assert per_tok_10 > per_tok_11
+
+
+def test_perplexity_terciles_head_is_fluent(spark, tmp_path):
+    """Tercile semantics pinned: docs made of corpus-frequent tokens land
+    in the head (tercile 1), rare-token gibberish in the tail (3)."""
+    import __spark_entry__ as mod
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = (
+        [(i, "srcA", common) for i in range(6)]
+        + [(10 + i, "srcB", f"xq{i}z wubble{i} frobnitz{i} glark{i}") for i in range(3)]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = mod.queries()["perplexity_tercile_mix"](spark, str(tmp_path)).collect()
+    by = {(r.source, r.tercile): r.n_docs for r in rows}
+    assert by.get(("srcA", 1), 0) == 3  # 9 docs -> terciles of 3; head all srcA
+    assert by.get(("srcB", 3), 0) == 3  # gibberish fills the tail
+    assert ("srcB", 1) not in by
