@@ -956,3 +956,56 @@ def null_ordering_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
         .limit(50)
     )
+
+
+@query(
+    "k_anonymity_release",
+    oracle="""
+    SELECT c.c_nationkey, c.c_mktsegment,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           COUNT(*) >= 10 AS released,
+           CASE WHEN COUNT(*) >= 10
+                THEN CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+           END AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey, c.c_mktsegment, order_year
+    """,
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002) for releasing aggregate
+    statistics from a training-data pipeline: group on the quasi-identifier
+    tuple (nation, market segment, order year) and release per-group
+    revenue ONLY where the group holds >= k=10 individuals' orders — the
+    re-identification guard applied before exporting per-cohort stats next
+    to pii_redaction's content scrubbing. Suppressed groups stay visible as
+    (count, released=false, revenue NULL) so the release is auditable.
+
+    Scale: one shuffle on the (small-domain) QI tuple after a broadcast
+    customer join at oracle SF (at 100 TB the customer join shuffles on
+    custkey and the QI agg stays a partial+final hash agg); money in
+    DECIMAL per the engine-wide discipline; the released gate is a
+    projection over the finished aggregate, never a second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = 10
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("__rev"),
+        )
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "order_year",
+        "n_orders",
+        (F.col("n_orders") >= k).alias("released"),
+        F.when(F.col("n_orders") >= k, F.col("__rev")).alias("revenue"),
+    )

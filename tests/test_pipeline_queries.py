@@ -264,3 +264,29 @@ def test_c4_line_cleanse_crafted(spark, tmp_path):
     assert (r2.n_kept, r2.cleaned_text) == (0, "")
     r3 = rows[3]  # padded quote-terminated line kept and trimmed; "x." too short
     assert (r3.n_kept, r3.cleaned_text) == (1, 'Quoted words end."')
+
+
+def test_k_anonymity_boundary(spark, tmp_path):
+    """k=10 boundary pinned: a QI group with exactly 10 orders releases its
+    revenue; 9 orders suppresses (count visible, revenue NULL)."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    orders = [
+        (i, 1 if i < 10 else 2, 100.0, datetime.datetime(2024, 3, 1))
+        for i in range(19)  # custkey 1: 10 orders, custkey 2: 9 orders
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 7, "AUTO"), (2, 8, "BIKE")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    rows = {
+        r.c_nationkey: r
+        for r in mod.queries()["k_anonymity_release"](spark, str(tmp_path)).collect()
+    }
+    assert rows[7].released and rows[7].revenue == 1000.0 and rows[7].n_orders == 10
+    assert not rows[8].released and rows[8].revenue is None and rows[8].n_orders == 9
