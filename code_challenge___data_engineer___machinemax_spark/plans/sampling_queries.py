@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.text import tokenize, tokenize_sql
 from ..tables import load_table
 from .registry import query
 
@@ -83,3 +84,70 @@ def bernoulli_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     s = d.sample(fraction=0.2, seed=42)
     return s.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(SUM(len({tokenize_sql('text')})) AS BIGINT) AS tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM counts),
+    q AS (
+        SELECT source, tokens,
+               (1000000 * tokens) // total AS qf,
+               (1000000 * tokens) % total AS rem
+        FROM counts CROSS JOIN tot
+    ), s AS (SELECT CAST(1000000 - SUM(qf) AS BIGINT) AS leftover FROM q)
+    SELECT source, tokens,
+           CAST(qf + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                               <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM q CROSS JOIN s
+    """,
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a 1M-token training budget across sources proportionally
+    to their token mass with the largest-remainder (Hamilton) method: each
+    source gets floor(budget * tokens / total), and the leftover seats go
+    to the largest fractional remainders (tie-break source asc). Quotas are
+    exact integers that sum to the budget exactly — the materialized
+    sampling plan a mixture loader executes, with no float weights to
+    drift. (source_mixture_weights is the temperature-weighted float
+    cousin; this is the exact-integer contract.)
+
+    Scale: per-source token counts are a partial+final agg over per-doc
+    token sizes (no explode); everything after operates on the per-source
+    frame — bounded by the source-catalog domain (tens to thousands of
+    rows), so the remainder ranking's unpartitioned window is over that
+    tiny post-agg frame, the monthly_revenue_running precedent, never over
+    corpus-sized data. All arithmetic is int64 (budget*tokens at 100 TB:
+    1e6 * ~1e13 overflows int64 — at that mass switch the multiply to
+    DECIMAL(38,0); documented here so the cap is explicit)."""
+    budget = 1_000_000
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = (
+        d.select("source", F.size(tokenize("text")).alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("bigint").alias("tokens"))
+    )
+    tot = counts.agg(F.sum("tokens").cast("bigint").alias("total"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({budget} * tokens) DIV total").alias("__qf"),
+        ((F.lit(budget) * F.col("tokens")) % F.col("total")).alias("__rem"),
+    )
+    leftover = q.agg((F.lit(budget) - F.sum("__qf")).cast("bigint").alias("leftover"))
+    w = W.orderBy(F.desc("__rem"), F.asc("source"))
+    return (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "source",
+            "tokens",
+            (
+                F.col("__qf")
+                + F.when(F.col("__rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )

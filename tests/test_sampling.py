@@ -43,3 +43,25 @@ def test_bernoulli_sample_seed_stable(spark, sf_dir):
     total = sum(a.values())
     n = load_table(spark, sf_dir, "documents").count()
     assert 0.05 * n < total < 0.5 * n  # fraction=0.2 within loose tolerance
+
+
+def test_token_budget_apportionment_sums_exactly(spark, tmp_path):
+    """Hamilton-method invariants pinned: quotas are integers summing
+    EXACTLY to the budget, ordered fairly by remainder."""
+    import __spark_entry__ as mod
+
+    # three sources with token masses 7, 5, 3 (sum 15) -> 1M budget:
+    # floors 466666/333333/200000 (sum 999999), one leftover seat goes to
+    # the largest remainder: 1M*7 % 15 = 10, 1M*5 % 15 = 5, 1M*3 % 15 = 0
+    docs = [
+        (1, "a", "t1 t2 t3 t4 t5 t6 t7"),
+        (2, "b", "t1 t2 t3 t4 t5"),
+        (3, "c", "t1 t2 t3"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, source string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.source: r.quota for r in
+            mod.queries()["token_budget_apportionment"](spark, str(tmp_path)).collect()}
+    assert sum(rows.values()) == 1_000_000
+    assert rows == {"a": 466667, "b": 333333, "c": 200000}
