@@ -7,10 +7,10 @@ the exact result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_topk_lsh, cosine_topk, l2_norm
+from ..operators.similarity import ann_topk_lsh, cosine, cosine_topk, l2_norm
 from ..tables import load_table
 from .registry import query
 
@@ -224,3 +224,61 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") != 0)
     centroids = label_centroids_df(e, "embedding", "label")
     return ivf_topk(corpus, _query_df(spark, sf_dir), centroids, "vec_id", "embedding", k=10, nprobe=3)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qvec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT a.anchor_id, e.vec_id, e.label,
+               ROUND({_DOT_SQL.format(a='e.embedding', b='a.qvec')}
+                     / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT_SQL.format(a='a.qvec', b='a.qvec')})), 6) AS cosine
+        FROM embeddings e JOIN anchors a
+          ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, vec_id, label, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector (vec_id <
+    10), the 3 most-cosine-similar vectors carrying a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is what
+    a contrastive/embedding trainer wants in its batch next to the
+    positives. Exact brute force at oracle scale; at 100 TB the candidate
+    generation step swaps to the ANN bucketing in operators/similarity.py
+    (SRP tables or IVF probes) with this same different-label verify on
+    the shortlist.
+
+    Plan shape: the 10-row anchor frame BROADCASTS into the label-inequality
+    theta join (a broadcast nested loop over 10 rows — bounded by the
+    anchor count, never corpus x corpus); scoring is JVM-side zip_with
+    arithmetic; the per-anchor top-3 is a window over anchor_id partitions
+    (10 partitions, each corpus-sized — at scale, pre-reduce with a
+    per-partition local top-3 via the ANN shortlist before the window)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("__qvec"),
+        )
+    )
+    scored = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select("anchor_id", "vec_id", "label", "cosine")
+    )

@@ -117,3 +117,26 @@ def test_srp_near_dup_hot_bucket_cap(spark):
         df, "vec_id", "embedding", threshold=0.9, max_bucket_size=10).collect()}
     assert not any(x < 80 and y < 80 for x, y in capped)
     assert (100, 101) in capped
+
+
+def test_hard_negative_mining_crafted(spark, tmp_path):
+    """The mined negative is the closest DIFFERENT-label vector: same-label
+    near-twins are never negatives; the top negative is the boundary one."""
+    import __spark_entry__ as mod
+
+    vecs = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),    # nearest overall but same label
+        (2, [0.9, 0.4], "B"),     # the hard negative
+        (3, [-1.0, 0.0], "B"),
+        (4, [0.0, 1.0], "C"),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = [
+        r for r in mod.queries()["hard_negative_mining"](spark, str(tmp_path)).collect()
+        if r.anchor_id == 0
+    ]
+    assert [r.vec_id for r in rows] == [2, 4, 3]  # by descending cosine
+    assert all(r.label != "A" for r in rows)
