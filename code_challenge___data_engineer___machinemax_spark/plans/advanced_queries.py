@@ -21,7 +21,7 @@ arg_max.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize, tokenize_sql
@@ -1008,4 +1008,130 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("n_orders") >= k).alias("released"),
         F.when(F.col("n_orders") >= k, F.col("__rev")).alias("revenue"),
+    )
+
+
+@query(
+    "pipeline_funnel_report",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT doc_id, lang, {tokenize_sql('text')} AS toks,
+               md5(trim(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g'))) AS digest
+        FROM documents
+    ),
+    s2 AS (SELECT * FROM s1 WHERE toks IS NOT NULL AND len(toks) >= 5),
+    s3 AS (SELECT * FROM s2 WHERE lang = 'en'),
+    s4 AS (
+        SELECT doc_id, toks FROM (
+            SELECT doc_id, toks,
+                   ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+            FROM s3)
+        WHERE rn = 1
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT AS gram
+        FROM s4, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+    scored AS (
+        SELECT train.doc_id,
+               CAST(trunc(CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) * 1e6) AS BIGINT) AS c_e6
+        FROM train LEFT JOIN bench ON train.gram = bench.gram
+        GROUP BY train.doc_id
+    ),
+    s5 AS (SELECT s4.doc_id, s4.toks FROM s4 JOIN scored USING (doc_id)
+           WHERE c_e6 <= 200000)
+    SELECT * FROM (
+        SELECT 1 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(len(toks), 0)) AS BIGINT) AS n_tokens FROM s1
+        UNION ALL
+        SELECT 2, 'admitted', COUNT(*), CAST(SUM(len(toks)) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'lang_en', COUNT(*), CAST(SUM(len(toks)) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'exact_dedup', COUNT(*), CAST(SUM(len(toks)) AS BIGINT) FROM s4
+        UNION ALL
+        SELECT 5, 'decontaminated', COUNT(*), CAST(SUM(len(toks)) AS BIGINT) FROM s5
+    )
+    """,
+)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline as ONE DAG with per-stage
+    accounting — the funnel report a data-curation run publishes: raw ->
+    admitted (non-null, >=5 tokens) -> language gate (en) -> exact dedup
+    (min-doc_id survivor per normalized digest) -> decontamination (drop
+    train docs with >20% trigram overlap vs the doc_id%10 benchmark split,
+    bench grams drawn from the SURVIVING corpus so the stages genuinely
+    compose). Each stage reuses the registered operator's exact semantics
+    (dedup_exact_groups, decontaminated_corpus), so this query is the
+    integration test that the operators compose into a pipeline, and the
+    per-stage (docs, tokens) deltas are the curation yield numbers.
+
+    Scale: one tokenize pass feeds every stage (toks carried, text
+    dropped); dedup windows per digest; contamination shuffles 60-bit gram
+    ints; the five stage aggregates are partial+final counts unioned as
+    one-row frames — the funnel adds no corpus-sized stage beyond its
+    component operators."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import text_digest
+
+    s1 = d.select(
+        "doc_id",
+        "lang",
+        tokenize("text").alias("toks"),
+        text_digest("text").alias("digest"),
+    )
+    s2 = s1.filter(F.col("toks").isNotNull() & (F.size("toks") >= 5))
+    s3 = s2.filter(F.col("lang") == "en")
+    w = W.partitionBy("digest").orderBy("doc_id")
+    s4 = (
+        s3.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "toks")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3)))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    grams = (
+        s4.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", gram_hash.alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    scored = (
+        train.join(bench.hint("shuffle_hash").withColumn("__hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count("*") * 1e6
+            ).cast("bigint").alias("c_e6")
+        )
+    )
+    s5 = s4.join(scored, "doc_id").filter(F.col("c_e6") <= 200000).select("doc_id", "toks")
+
+    def _stage(df: DataFrame, stage: int, name: str, raw: bool = False) -> DataFrame:
+        tokens = (
+            F.coalesce(F.size("toks"), F.lit(0)) if raw
+            else F.size("toks")
+        )
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+            F.sum(tokens).cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        _stage(s1, 1, "raw", raw=True)
+        .unionAll(_stage(s2, 2, "admitted"))
+        .unionAll(_stage(s3, 3, "lang_en"))
+        .unionAll(_stage(s4, 4, "exact_dedup"))
+        .unionAll(_stage(s5, 5, "decontaminated"))
     )

@@ -116,6 +116,11 @@ DRIVER_PRIORITY: list[str] = [
     # rotate into the round-5 window
     "streamed_append_windows",
     "events_gap_fill",
+    # round-5 window candidates (added late in round 4, window already
+    # full; all oracle-checked by the local sf0.01 parity sweep + goldens):
+    # set_similarity_prefix_pairs, dsir_importance_weights,
+    # perplexity_tercile_mix, k_anonymity_release,
+    # token_budget_apportionment, hard_negative_mining
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

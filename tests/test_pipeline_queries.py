@@ -290,3 +290,35 @@ def test_k_anonymity_boundary(spark, tmp_path):
     }
     assert rows[7].released and rows[7].revenue == 1000.0 and rows[7].n_orders == 10
     assert not rows[8].released and rows[8].revenue is None and rows[8].n_orders == 9
+
+
+def test_pipeline_funnel_every_stage_drops(spark, tmp_path):
+    """Composition pinned on a corpus where EVERY funnel stage removes
+    documents: null text, short text, wrong language, an exact duplicate,
+    and a benchmark-contaminated train doc."""
+    import __spark_entry__ as mod
+
+    long_en = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "en", long_en),
+        (2, "en", long_en),                      # exact dup of 1 -> dropped at stage 4
+        (3, "en", "too short"),                  # dropped at stage 2
+        (4, "fr", "le renard brun saute par dessus le chien paresseux"),  # stage 3
+        (5, "en", None),                         # dropped at stage 2
+        (10, "en", "alpha beta gamma delta epsilon zeta eta theta"),  # benchmark doc (id%10=0)
+        (11, "en", "alpha beta gamma delta epsilon unrelated tail words here"),  # contaminated train doc
+        (12, "en", "completely disjoint content about spark shuffles and joins"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.stage_name: r for r in
+            mod.queries()["pipeline_funnel_report"](spark, str(tmp_path)).collect()}
+    assert rows["raw"].n_docs == 8
+    assert rows["admitted"].n_docs == 6       # drops 3 (short) and 5 (null)
+    assert rows["lang_en"].n_docs == 5        # drops 4 (fr)
+    assert rows["exact_dedup"].n_docs == 4    # collapses 1/2
+    # stage 5: benchmark doc 10 leaves the train split; doc 11 shares 3 of
+    # its trigrams with it (>20%); docs 1 and 12 survive
+    assert rows["decontaminated"].n_docs == 2
+    assert rows["decontaminated"].n_tokens == len(long_en.split()) + 8
