@@ -1135,3 +1135,110 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_stage(s4, 4, "exact_dedup"))
         .unionAll(_stage(s5, 5, "decontaminated"))
     )
+
+
+@query(
+    "table_stats_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the orders table — rows, nulls,
+    exact NDV, min/max per column (numerics and timestamps as doubles/epoch
+    micros, strings as strings) — the statistics a cost-based optimizer
+    ingests and a pipeline's data-quality monitor diffs between snapshots.
+
+    Exact NDV on every column in one aggregate forces Spark's Expand (one
+    scan replicated per distinct aggregate) — acceptable at gate scale and
+    what the oracle needs; the production path at 100 TB is
+    approx_count_distinct (HLL, single pass, mergeable — the engine's
+    hll_user_registers pins that sketch math) or one pass per column.
+    Min/max/null counts stay single-pass partial aggregates either way.
+    Timestamps are profiled as exact integer epoch micros, never formatted
+    strings (cross-engine timestamp rendering differs)."""
+    o = load_table(spark, sf_dir, "orders")
+    num = lambda c: F.col(c).cast("double")  # noqa: E731
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            x
+            for c in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+            for x in (
+                (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+            )
+        ],
+        (F.count("*") - F.count("o_orderdate")).alias("o_orderdate__nulls"),
+        F.countDistinct("o_orderdate").alias("o_orderdate__nd"),
+        F.min(num("o_orderkey")).alias("o_orderkey__min"),
+        F.max(num("o_orderkey")).alias("o_orderkey__max"),
+        F.min(num("o_custkey")).alias("o_custkey__min"),
+        F.max(num("o_custkey")).alias("o_custkey__max"),
+        F.min(num("o_totalprice")).alias("o_totalprice__min"),
+        F.max(num("o_totalprice")).alias("o_totalprice__max"),
+        F.min(F.unix_micros("o_orderdate").cast("double")).alias("o_orderdate__min"),
+        F.max(F.unix_micros("o_orderdate").cast("double")).alias("o_orderdate__max"),
+        F.min("o_orderstatus").alias("o_orderstatus__smin"),
+        F.max("o_orderstatus").alias("o_orderstatus__smax"),
+        F.min("o_orderpriority").alias("o_orderpriority__smin"),
+        F.max("o_orderpriority").alias("o_orderpriority__smax"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def _row(name: str, numeric: bool) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{name}__nulls").alias("n_nulls"),
+            F.col(f"{name}__nd").alias("n_distinct"),
+            (F.col(f"{name}__min") if numeric else null_d).alias("min_num"),
+            (F.col(f"{name}__max") if numeric else null_d).alias("max_num"),
+            (null_s if numeric else F.col(f"{name}__smin")).alias("min_str"),
+            (null_s if numeric else F.col(f"{name}__smax")).alias("max_str"),
+        )
+
+    rows = F.array(
+        _row("o_orderkey", True),
+        _row("o_custkey", True),
+        _row("o_totalprice", True),
+        _row("o_orderdate", True),
+        _row("o_orderstatus", False),
+        _row("o_orderpriority", False),
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")
