@@ -65,6 +65,16 @@ HEADLINE = [
     # explode with top-k) worth a regression guard
     "repetition_signals",
     "repeated_passages",
+    # round-4 (final session): the data-selection flagships and the
+    # composed curation funnel — broadcast micro-model scoring, the
+    # distributed-ntile LM bucketing, and the five-stage DAG.
+    # set_similarity_prefix_pairs is deliberately NOT here: its true
+    # result on the self-similar synthetic corpus is ~3M pairs at sf0.1
+    # (24% of all pairs exceed 0.8 Jaccard), so its cost is output-bound
+    # — measured and explained in SCALE.md instead.
+    "dsir_importance_weights",
+    "perplexity_tercile_mix",
+    "pipeline_funnel_report",
 ]
 
 

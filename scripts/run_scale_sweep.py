@@ -25,7 +25,12 @@ from code_challenge___data_engineer___machinemax_spark import plans  # noqa: E40
 from code_challenge___data_engineer___machinemax_spark.session import get_spark  # noqa: E402
 from code_challenge___data_engineer___machinemax_spark.tables import TABLES, load_table  # noqa: E402
 
-PAIR_EMITTING = {"near_dup_pairs_minhash", "simhash_near_dup_pairs", "doc_overlap_winnowing"}
+PAIR_EMITTING = {
+    "near_dup_pairs_minhash",
+    "simhash_near_dup_pairs",
+    "doc_overlap_winnowing",
+    "set_similarity_prefix_pairs",
+}
 
 # semantic_dedup_pairs is also excluded: its oracle pins k=8 (right for the
 # sf0.01 gate), but the operator's documented scale path is k∝n — running
