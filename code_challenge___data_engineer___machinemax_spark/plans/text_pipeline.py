@@ -1042,3 +1042,66 @@ def perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "quantile_normalized_scores",
+    oracle="""
+    WITH g AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gpos
+        FROM documents
+    ), n AS (SELECT COUNT(*) AS total FROM documents),
+    s AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS ns
+        FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           g.n_chars AS norm_chars
+    FROM s CROSS JOIN n
+    JOIN g ON g.gpos = (s.r * n.total + s.ns - 1) // s.ns
+    """,
+)
+def quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score (n_chars) across
+    sources — the cross-source calibration step (Bolstad et al. 2003,
+    standard in any multi-feed quality pipeline): a document at within-
+    source rank r of n_s is remapped to the value the GLOBAL score
+    distribution holds at the equivalent quantile, position
+    ceil(r * N / n_s) — so every source's score distribution becomes the
+    same reference distribution and a threshold means the same thing on
+    every feed. All positions are exact integer arithmetic under total
+    orders (score, doc_id), so the mapping is bit-identical cross-engine.
+
+    Scale: the within-source rank is an ordinary partitioned window; the
+    GLOBAL reference ranking is operators.ranking.global_row_number
+    (range repartition + offset arithmetic — no single-partition window);
+    the final remap is an equi-join on the int position. The reference
+    table is (gpos, value) — 16-byte rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.ranking import global_row_number
+
+    g = global_row_number(
+        d.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        rank_col="gpos",
+        total_col="total",
+    )
+    ref = g.select("gpos", F.col("n_chars").alias("norm_chars"))
+    total = g.select(F.max("total").alias("total")).limit(1)
+    sw = W.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    s = (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("r", F.row_number().over(sw))
+        .withColumn("ns", F.count("*").over(W.partitionBy("source")))
+        .crossJoin(F.broadcast(total))
+    )
+    pos = F.expr("(r * total + ns - 1) DIV ns")
+    return (
+        s.withColumn("gpos", pos)
+        .join(ref, "gpos")
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )

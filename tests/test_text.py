@@ -307,3 +307,24 @@ def test_perplexity_terciles_head_is_fluent(spark, tmp_path):
     assert by.get(("srcA", 1), 0) == 3  # 9 docs -> terciles of 3; head all srcA
     assert by.get(("srcB", 3), 0) == 3  # gibberish fills the tail
     assert ("srcB", 1) not in by
+
+
+def test_quantile_normalization_equalizes_sources(spark, tmp_path):
+    """After normalization both sources carry the SAME value multiset —
+    the defining property of quantile normalization — and the within-
+    source order is preserved."""
+    import __spark_entry__ as mod
+
+    docs = [
+        (1, "A", "x", 10), (2, "A", "x", 20), (3, "A", "x", 30),
+        (4, "B", "x", 100), (5, "B", "x", 200), (6, "B", "x", 300),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = mod.queries()["quantile_normalized_scores"](spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.norm_chars))
+    a = sorted(by_src["A"]); b = sorted(by_src["B"])
+    assert [v for _, v in a] == [v for _, v in b] == [20, 100, 300]
