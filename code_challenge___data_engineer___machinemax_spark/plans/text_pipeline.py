@@ -1105,3 +1105,82 @@ def quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ref, "gpos")
         .select("doc_id", "source", "n_chars", "norm_chars")
     )
+
+
+@query(
+    "pmi_cooccurrence",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+    occ AS (
+        SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+        FROM toks
+    ),
+    uni AS (SELECT t, COUNT(*) AS c FROM occ GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni),
+    pairs AS (
+        SELECT a.t AS w1, b.t AS w2
+        FROM occ a JOIN occ b
+          ON b.doc_id = a.doc_id AND (b.i - a.i = 1 OR b.i - a.i = 2)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    pt AS (SELECT CAST(SUM(c12) AS BIGINT) AS P FROM pc)
+    SELECT w1, w2, c12,
+           CAST(trunc(ln(CAST(c12 * tt * tt AS DOUBLE)
+                         / CAST(P * u1.c * u2.c AS DOUBLE)) * 1e6) AS BIGINT)
+               AS pmi_e6
+    FROM pc CROSS JOIN tot CROSS JOIN pt
+    JOIN uni u1 ON u1.t = w1
+    JOIN uni u2 ON u2.t = w2
+    WHERE c12 >= 5
+    ORDER BY pmi_e6 DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 pointwise-mutual-information token pairs within a ±2 skip-
+    gram window (Church & Hanks 1990) — the classic collocation /
+    word-association signal (and the count matrix word2vec implicitly
+    factorizes, Levy & Goldberg 2014). PMI = ln((c12/P)/((c1/T)(c2/T))),
+    computed as ONE double division of two exact int64 products
+    (c12·T² / P·c1·c2) then trunc-scaled — the shared-libm discipline;
+    int64 holds while total tokens < ~3M (beyond that the products move
+    to DECIMAL(38), noted here).
+
+    Scale: pair enumeration is LINEAR — lead(1)/lead(2) over per-document
+    position windows (the shingle_rows pattern), never a positions
+    self-join; pair and unigram counts are partial+final aggs on token
+    keys; the two total counts broadcast; the top-50 is
+    TakeOrderedAndProject under a total order, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.posexplode(tokenize("text")).alias("i", "t"))
+    uni = occ.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("tt"))
+    w = W.partitionBy("doc_id").orderBy("i")
+    led = occ.select(
+        F.col("t").alias("w1"),
+        F.lead("t", 1).over(w).alias("__n1"),
+        F.lead("t", 2).over(w).alias("__n2"),
+    )
+    pairs = led.select(
+        "w1", F.explode(F.array("__n1", "__n2")).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pt = pc.agg(F.sum("c12").cast("bigint").alias("P"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(
+            (F.col("c12") * F.col("tt") * F.col("tt")).cast("double")
+            / (F.col("P") * F.col("c1") * F.col("c2")).cast("double")
+        ) * 1e6
+    ).cast("bigint")
+    return (
+        pc.filter(F.col("c12") >= 5)
+        .join(u1.hint("shuffle_hash"), "w1")
+        .join(u2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pt))
+        .select("w1", "w2", "c12", pmi.alias("pmi_e6"))
+        .orderBy(F.desc("pmi_e6"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )

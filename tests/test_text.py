@@ -328,3 +328,23 @@ def test_quantile_normalization_equalizes_sources(spark, tmp_path):
         by_src.setdefault(r.source, []).append((r.n_chars, r.norm_chars))
     a = sorted(by_src["A"]); b = sorted(by_src["B"])
     assert [v for _, v in a] == [v for _, v in b] == [20, 100, 300]
+
+
+def test_pmi_collocation_outranks_chance_pair(spark, tmp_path):
+    """PMI semantics pinned: a token pair that ALWAYS co-occurs ('hong
+    kong') scores higher than frequent-but-independent pairs."""
+    import __spark_entry__ as mod
+
+    filler = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    docs = []
+    for i in range(10):
+        # 'hong kong' always adjacent; filler tokens shuffle deterministically
+        pad = " ".join(filler[i % 8:] + filler[: i % 8])
+        docs.append((i, f"hong kong {pad} hong kong {pad}"))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = mod.queries()["pmi_cooccurrence"](spark, str(tmp_path)).collect()
+    assert rows, "no pairs cleared the min-count gate"
+    top = rows[0]
+    assert (top.w1, top.w2) == ("hong", "kong")
