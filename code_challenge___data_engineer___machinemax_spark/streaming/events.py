@@ -327,3 +327,63 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def type_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-event-type running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (StatefulProcessor + typed ValueState),
+    the successor surface to applyInPandasWithState used by
+    :func:`user_running_totals`. Same exactness discipline: the state
+    carries an exact scaled-integer value sum (int accumulation commutes
+    across micro-batch and partition order), so the final emission is
+    oracle-checkable against one-pass batch SQL.
+
+    Scale: state is one 16-byte tuple per key in the state store; each
+    micro-batch touches only the keys present in the batch. TTL, list/map
+    state and timers are available on the same handle when an operator
+    needs them (none are needed for a monotone accumulator).
+
+    CAPABILITY-GATED like the PIL decode path: pyspark's TWS runtime
+    requires the protobuf package (its Python<->JVM state protocol),
+    which this container lacks — the operator raises a clear RuntimeError
+    then, and tests skip (tests/test_streaming_extra.py). The
+    applyInPandasWithState twin (user_running_totals) carries the
+    driver-gate coverage for custom stateful operators."""
+    try:  # the TWS runtime speaks protobuf to the JVM state server
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - absent in this container
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's TWS state protocol); not installed in this "
+            "environment - use user_running_totals "
+            "(applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, v_e6 bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v += int((pdf["value"] * 1e6).astype("int64").sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "value_e6": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        TotalsProcessor(),
+        "event_type string, n_events bigint, value_e6 bigint",
+        "Update",
+        "None",
+    )

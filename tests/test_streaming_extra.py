@@ -434,3 +434,61 @@ def test_near_dedup_band_store_probe_prunes(spark, tmp_path):
     txt = explain_text(probe)
     assert "PartitionFilters" in txt
     assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
+
+
+def test_transform_with_state_totals_or_gate(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of user_running_totals:
+    runs when protobuf is available (final state == batch agg), otherwise
+    the operator must fail with the documented capability error."""
+    import pytest
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        type_running_totals_tws,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_proto = True
+    except ImportError:
+        has_proto = False
+
+    if not has_proto:
+        events = load_table(spark, sf_dir, "events")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            type_running_totals_tws(events)
+        return
+
+    import shutil, tempfile
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        run_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="ccdem_tws_test_")
+    events = load_table(spark, sf_dir, "events")
+    landing = f"{base}/landing"
+    events.coalesce(1).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    run_to_memory(type_running_totals_tws(stream), "ccdem_tws_test", "update")
+    got = {
+        r.event_type: (r.n_events, r.value_e6)
+        for r in spark.sql(
+            "SELECT event_type, max(n_events) AS n_events, max(value_e6) AS value_e6 "
+            "FROM ccdem_tws_test GROUP BY event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.v)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("value") * 1e6).cast("bigint")).alias("v"))
+        .collect()
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == want
