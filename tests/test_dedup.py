@@ -323,3 +323,36 @@ def test_prefix_filter_hot_token_cap_bounds_pairs(spark):
         df, "doc_id", "text", threshold=0.5, max_token_bucket=10
     ).count()
     assert capped == 0
+
+
+def test_prefix_filter_pairs_random_corpora_match_bruteforce(spark):
+    """Losslessness across randomized corpora: three seeded corpora with
+    overlapping vocab, varied doc lengths and thresholds — the operator
+    must equal the python brute force exactly every time."""
+    import random
+    from itertools import combinations
+
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    for seed, thr in [(1, 0.5), (2, 0.7), (3, 0.8)]:
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 25))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        toks = {i: set(t.split()) for i, t in rows}
+        expected = {}
+        for a, b in combinations(sorted(toks), 2):
+            u = toks[a] | toks[b]
+            j = round(len(toks[a] & toks[b]) / len(u), 6) if u else 0.0
+            if j >= thr:
+                expected[(a, b)] = j
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_pairs(df, "doc_id", "text", threshold=thr).collect()
+        }
+        assert got == expected, f"seed={seed} thr={thr}"

@@ -65,3 +65,28 @@ def test_token_budget_apportionment_sums_exactly(spark, tmp_path):
             mod.queries()["token_budget_apportionment"](spark, str(tmp_path)).collect()}
     assert sum(rows.values()) == 1_000_000
     assert rows == {"a": 466667, "b": 333333, "c": 200000}
+
+
+def test_apportionment_invariants_random_masses(spark, tmp_path):
+    """Hamilton invariants across randomized source masses: quotas always
+    sum exactly to the budget and never differ from the exact proportional
+    share by a full unit (no-deviation property of largest remainder)."""
+    import random
+
+    import __spark_entry__ as mod
+
+    rng = random.Random(7)
+    docs, did = [], 0
+    masses = {f"s{i}": rng.randint(1, 40) for i in range(9)}
+    for src, n_tok in masses.items():
+        docs.append((did, src, " ".join(f"t{j}" for j in range(n_tok))))
+        did += 1
+    spark.createDataFrame(docs, "doc_id long, source string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = mod.queries()["token_budget_apportionment"](spark, str(tmp_path)).collect()
+    total_mass = sum(masses.values())
+    assert sum(r.quota for r in rows) == 1_000_000
+    for r in rows:
+        exact = 1_000_000 * masses[r.source] / total_mass
+        assert abs(r.quota - exact) < 1, (r.source, r.quota, exact)
