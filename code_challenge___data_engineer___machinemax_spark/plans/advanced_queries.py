@@ -1242,3 +1242,64 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _row("o_orderpriority", False),
     )
     return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+    ins AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM base WHERE o_orderkey % 7 = 0
+    ),
+    del AS (SELECT o_orderkey FROM base
+            WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0),
+    touched AS (SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM del),
+    merged AS (
+        SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture MERGE on plain parquet — the generalization of
+    the reference's single-record upsert (apitestmongo.py:53 update_one /
+    SURVEY op 7) to a full insert/update/delete batch, expressed as the
+    anti-join + union plan a production pipeline runs when no
+    transactional table format (Delta/Iceberg MERGE INTO) is available:
+    survivors = base ANTI-JOIN touched-keys, then UNION the updated and
+    inserted rows. The CDC delta here is derived deterministically from
+    the orders table (keys %10=0 insert, %7=0 update +10.00, %13=0 and
+    not updated delete) so the oracle is closed-form; output is the
+    post-merge per-status rowcount + DECIMAL revenue.
+
+    Scale: one shuffle family on o_orderkey — the anti-join's key set is
+    the delta (small vs base, broadcast it); unions are free (no
+    exchange); partition-bucket the base by key hash (DEPLOY.md L5) and
+    the rewrite touches only buckets holding delta keys — the same
+    bounded-IO story as the streaming state store."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.filter(key % 10 != 0)
+    ins = o.filter(key % 10 == 0)
+    upd = base.filter(key % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    dele = base.filter((key % 13 == 0) & (key % 7 != 0)).select("o_orderkey")
+    touched = upd.select("o_orderkey").unionAll(dele)
+    merged = (
+        base.join(F.broadcast(touched), "o_orderkey", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )

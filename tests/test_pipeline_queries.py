@@ -322,3 +322,32 @@ def test_pipeline_funnel_every_stage_drops(spark, tmp_path):
     # its trigrams with it (>20%); docs 1 and 12 survive
     assert rows["decontaminated"].n_docs == 2
     assert rows["decontaminated"].n_tokens == len(long_en.split()) + 8
+
+
+def test_cdc_merge_semantics_crafted(spark, tmp_path):
+    """MERGE semantics pinned on a 5-row base: the updated key keeps its
+    new value exactly once, the deleted key is gone, the insert lands,
+    untouched rows survive."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    dt = datetime.datetime(2024, 1, 1)
+    orders = [
+        # key, custkey, status, price, date, priority
+        (3, 1, "O", 100.0, dt, "1-URGENT"),    # untouched (not %7/%13/%10)
+        (14, 1, "O", 100.0, dt, "1-URGENT"),   # %7=0 -> updated to 110
+        (26, 1, "F", 100.0, dt, "1-URGENT"),   # %13=0, %7!=0 -> deleted
+        (91, 1, "F", 100.0, dt, "1-URGENT"),   # %7=0 AND %13=0 -> update wins
+        (20, 1, "P", 50.0, dt, "1-URGENT"),    # %10=0 -> insert
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {r.o_orderstatus: r for r in
+            mod.queries()["cdc_merge_apply"](spark, str(tmp_path)).collect()}
+    assert (rows["O"].n_rows, rows["O"].revenue) == (2, 210.0)   # 3 + updated 14
+    assert (rows["F"].n_rows, rows["F"].revenue) == (1, 110.0)   # 91 updated, 26 deleted
+    assert (rows["P"].n_rows, rows["P"].revenue) == (1, 50.0)    # insert
