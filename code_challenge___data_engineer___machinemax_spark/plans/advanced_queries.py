@@ -1303,3 +1303,131 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         _dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+    ins AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM base WHERE o_orderkey % 7 = 0
+    ),
+    del AS (SELECT o_orderkey FROM base
+            WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(SUM(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN m.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                          AND b.o_totalprice <> m.o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                          AND b.o_totalprice = m.o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM base b FULL OUTER JOIN merged m USING (o_orderkey)
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot reconciliation — the audit companion to
+    cdc_merge_apply: full-outer join the pre- and post-merge snapshots on
+    the key and classify every key as added / removed / changed /
+    unchanged. This is the diff a pipeline publishes alongside a merge
+    (and the check that a CDC feed applied exactly: the counts must equal
+    the delta's I/U/D cardinalities, which the crafted test pins).
+
+    Scale: ONE full-outer sort-merge join on the key, then a single
+    partial+final conditional-count aggregate — the canonical two-snapshot
+    diff plan; with both snapshots bucketed by key (DEPLOY L1/L5) the
+    exchange disappears entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.filter(key % 10 != 0)
+    ins = o.filter(key % 10 == 0)
+    upd = base.filter(key % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    dele = base.filter((key % 13 == 0) & (key % 7 != 0)).select("o_orderkey")
+    touched = upd.select("o_orderkey").unionAll(dele)
+    merged = (
+        base.join(F.broadcast(touched), "o_orderkey", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins)
+    )
+    b = base.select("o_orderkey", F.col("o_totalprice").alias("__bp"))
+    m = merged.select("o_orderkey", F.col("o_totalprice").alias("__mp"))
+    j = b.join(m, "o_orderkey", "full_outer")
+    return j.agg(
+        F.sum(F.col("__bp").isNull().cast("int")).cast("bigint").alias("n_added"),
+        F.sum(F.col("__mp").isNull().cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(
+            (F.col("__bp").isNotNull() & F.col("__mp").isNotNull()
+             & (F.col("__bp") != F.col("__mp"))).cast("int")
+        ).cast("bigint").alias("n_changed"),
+        F.sum(
+            (F.col("__bp").isNotNull() & F.col("__mp").isNotNull()
+             & (F.col("__bp") == F.col("__mp"))).cast("int")
+        ).cast("bigint").alias("n_unchanged"),
+    )
+
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH freq AS (
+        SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_per_key
+        FROM freq
+    ), top AS (
+        SELECT l_orderkey, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, l_orderkey) AS rk
+        FROM freq
+    )
+    SELECT t.l_orderkey AS hot_key, CAST(t.c AS BIGINT) AS key_rows,
+           s.n_keys, s.n_rows, s.max_per_key,
+           CAST(trunc(CAST(s.max_per_key * s.n_keys AS DOUBLE) / s.n_rows * 1e6)
+                AS BIGINT) AS skew_factor_e6
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= 5
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profiling query behind every salting
+    / AQE-skew decision in this repo (operators/skew.py): per-key row
+    counts on the lineitem join key, the 5 heaviest keys, and the skew
+    factor max/mean (trunc-scaled). A factor near 1e6 means uniform; large
+    factors say 'salt this join or let AQE split it'.
+
+    Scale: the frequency table is a partial+final count on the join key
+    (the same shuffle the join itself would do); the top-5 is
+    TakeOrdered; the stats row broadcasts. Nothing touches row payloads —
+    keys and counts only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    stats = freq.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_per_key"),
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("l_orderkey")).limit(5)
+    skew = (
+        (F.col("max_per_key") * F.col("n_keys")).cast("double")
+        / F.col("n_rows") * 1e6
+    ).cast("bigint")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_orderkey").alias("hot_key"),
+            F.col("c").cast("bigint").alias("key_rows"),
+            "n_keys", "n_rows", "max_per_key",
+            skew.alias("skew_factor_e6"),
+        )
+    )

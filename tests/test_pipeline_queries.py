@@ -351,3 +351,29 @@ def test_cdc_merge_semantics_crafted(spark, tmp_path):
     assert (rows["O"].n_rows, rows["O"].revenue) == (2, 210.0)   # 3 + updated 14
     assert (rows["F"].n_rows, rows["F"].revenue) == (1, 110.0)   # 91 updated, 26 deleted
     assert (rows["P"].n_rows, rows["P"].revenue) == (1, 50.0)    # insert
+
+
+def test_snapshot_diff_counts_equal_delta_cardinalities(spark, tmp_path):
+    """The diff must reconcile exactly with the CDC delta that produced
+    the second snapshot: added == |I|, removed == |D|, changed == |U|."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    dt = datetime.datetime(2024, 1, 1)
+    rows = []
+    for k in range(1, 200):
+        rows.append((k, 1, "O", 100.0, dt, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    keys = list(range(1, 200))
+    n_ins = sum(1 for k in keys if k % 10 == 0)
+    base = [k for k in keys if k % 10 != 0]
+    n_upd = sum(1 for k in base if k % 7 == 0)
+    n_del = sum(1 for k in base if k % 13 == 0 and k % 7 != 0)
+    r = mod.queries()["snapshot_diff"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_added, r.n_removed, r.n_changed) == (n_ins, n_del, n_upd)
+    assert r.n_unchanged == len(base) - n_upd - n_del
