@@ -384,3 +384,101 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_lite(e, "vec_id", "embedding", k=8, iters=2)
     return assigned.select("vec_id", "centroid_id")
+
+
+def _cluster_keywords_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """Generated twin of cluster_keywords: the kmeans_fixed_point CTE
+    chain, then distinct-token presence counts per cluster vs corpus and
+    an exact lift score (one IEEE division of int64 products, trunc-scaled
+    — no libm dependence)."""
+    parts = _kmeans_cte_parts(k, iters, dim, scale)
+    return (
+        "WITH " + ",".join(parts) + f""",
+    assign AS (SELECT vec_id, centroid_id FROM afinal),
+    occ AS (
+        SELECT doc_id, unnest(list_distinct({tokenize_sql('text')})) AS tok
+        FROM documents
+    ),
+    joined AS (
+        SELECT a.centroid_id, o.doc_id, o.tok
+        FROM occ o JOIN assign a ON a.vec_id = o.doc_id
+    ),
+    ctok AS (SELECT centroid_id, tok, COUNT(*) AS c FROM joined GROUP BY 1, 2),
+    csize AS (SELECT centroid_id, COUNT(DISTINCT doc_id) AS n_docs FROM joined GROUP BY 1),
+    gtok AS (SELECT tok, COUNT(*) AS g FROM joined GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM joined),
+    scored AS (
+        SELECT ct.centroid_id, ct.tok, ct.c,
+               CAST(trunc(CAST(ct.c * t.n_total AS DOUBLE)
+                          / CAST(cs.n_docs * g.g AS DOUBLE) * 1e6) AS BIGINT) AS lift_e6
+        FROM ctok ct
+        JOIN csize cs USING (centroid_id)
+        JOIN gtok g USING (tok)
+        CROSS JOIN tot t
+        WHERE ct.c >= 3
+    )
+    SELECT centroid_id, tok, CAST(c AS BIGINT) AS c, lift_e6
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                       ORDER BY lift_e6 DESC, tok) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """
+    )
+
+
+@query("cluster_keywords", oracle=_cluster_keywords_oracle_sql())
+def cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the composition showcase: fixed-point k-means
+    clusters the embeddings (bit-reproducible assignments), then each
+    cluster is described by its 3 most DISTINCTIVE tokens from the joined
+    documents — highest lift = P(token | cluster) / P(token | corpus),
+    computed as one IEEE division of exact int64 products and
+    trunc-scaled (deterministic with no libm dependence), presence
+    counted over distinct tokens per doc, min support 3. This is the
+    human-readable face of the clustering family (SemDeDup buckets, IVF
+    lists): what IS cluster 4, in words.
+
+    Scale: the k-means rounds broadcast k centroids; the token stage is
+    one distinct-explode joined to the (id, centroid) assignment — int
+    keys; per-cluster top-3 windows over the tiny (cluster, token)
+    aggregate."""
+    from ..operators.clustering import kmeans_fixed_point
+    from ..functions.text import tokenize
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assign = kmeans_fixed_point(e, "vec_id", "embedding", k=8, iters=2).select(
+        "vec_id", "centroid_id"
+    )
+    occ = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("tok")
+    )
+    joined = occ.join(assign, occ.doc_id == assign.vec_id).select(
+        "centroid_id", "doc_id", "tok"
+    )
+    ctok = joined.groupBy("centroid_id", "tok").agg(F.count("*").alias("c"))
+    csize = joined.groupBy("centroid_id").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    gtok = joined.groupBy("tok").agg(F.count("*").alias("g"))
+    tot = joined.agg(F.countDistinct("doc_id").alias("n_total"))
+    lift = (
+        (F.col("c") * F.col("n_total")).cast("double")
+        / (F.col("n_docs") * F.col("g")).cast("double") * 1e6
+    ).cast("bigint")
+    scored = (
+        ctok.filter(F.col("c") >= 3)
+        .join(F.broadcast(csize), "centroid_id")
+        .join(gtok.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("centroid_id", "tok", "c", lift.alias("lift_e6"))
+    )
+    w = W.partitionBy("centroid_id").orderBy(F.desc("lift_e6"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("centroid_id", "tok", F.col("c").cast("bigint").alias("c"), "lift_e6")
+    )
