@@ -1184,3 +1184,42 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_e6"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_intersect({tokenize_sql('text')}, ['the','a','of','and','to','in']))  AS en_score,
+               len(list_intersect({tokenize_sql('text')}, ['le','la','et','les','des','un'])) AS fr_score,
+               len(list_intersect({tokenize_sql('text')}, ['der','die','und','das','ein','ist'])) AS de_score,
+               len(list_intersect({tokenize_sql('text')}, ['el','la','de','y','los','que']))  AS es_score
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(en_score, fr_score, de_score, es_score) = 0 THEN 'unk'
+                    WHEN en_score >= greatest(fr_score, de_score, es_score) THEN 'en'
+                    WHEN fr_score >= greatest(de_score, es_score) THEN 'fr'
+                    WHEN de_score >= es_score THEN 'de'
+                    ELSE 'es' END AS lang_guess
+        FROM scored
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM guessed GROUP BY lang, lang_guess
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation surface over the engine's own language-ID
+    heuristic: the (true lang, guessed lang) confusion matrix — the table
+    per-language precision/recall reads straight off, and the quality
+    gate a pipeline watches when it swaps language models. Reuses
+    lang_id_heuristic's exact scoring expressions; one partial+final agg
+    on a tiny label-pair domain."""
+    scored = lang_id_heuristic(spark, sf_dir)
+    return scored.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == F.col("lang_guess")).cast("int"))
+        .cast("bigint").alias("n_correct"),
+    )
