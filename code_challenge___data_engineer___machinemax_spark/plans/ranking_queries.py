@@ -482,3 +482,116 @@ def cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("centroid_id", "tok", F.col("c").cast("bigint").alias("c"), "lift_e6")
     )
+
+
+@query(
+    "search_ndcg_eval",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN ('merge', 'vector') GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), bm25 AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * (tf * 2.2::DOUBLE)
+                   / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                          + 0.75::DOUBLE * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (token) JOIN doc_len USING (doc_id) CROSS JOIN corpus
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    ), rel AS (
+        SELECT doc_id, LEAST(CAST(SUM(tf) AS BIGINT), 3) AS rel FROM tf GROUP BY doc_id
+    ), ranked AS (
+        SELECT b.doc_id,
+               ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS pos,
+               COALESCE(r.rel, 0) AS rel
+        FROM bm25 b LEFT JOIN rel r USING (doc_id)
+    ), dcg AS (
+        SELECT CAST(SUM(CAST(trunc(
+                   CAST((1 << rel) - 1 AS DOUBLE) * ln(2.0::DOUBLE)
+                   / ln(CAST(pos + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS dcg_e6
+        FROM ranked
+    ), ideal AS (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC) AS pos
+        FROM (SELECT rel FROM rel ORDER BY rel DESC LIMIT 10)
+    ), idcg AS (
+        SELECT CAST(SUM(CAST(trunc(
+                   CAST((1 << rel) - 1 AS DOUBLE) * ln(2.0::DOUBLE)
+                   / ln(CAST(pos + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS idcg_e6
+        FROM ideal
+    )
+    SELECT dcg_e6, idcg_e6,
+           CAST(trunc(CAST(dcg_e6 AS DOUBLE) / idcg_e6 * 1e6) AS BIGINT) AS ndcg_e6
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the engine's own BM25 ranking ('merge vector' query) —
+    the IR-evaluation surface next to the search operators: graded
+    relevance = query-term frequency capped at 3, DCG with the standard
+    (2^rel - 1)/log2(pos+1) gain, IDCG from the corpus-ideal top-10
+    relevance sequence. Every DCG term is trunc-scaled to int64 BEFORE
+    summation (10-term double sums re-associate; int sums don't), log2
+    is spelled ln(2)/ln(pos+1) so both engines make the same libm calls
+    in the same order (the shared-libm discipline), and the final NDCG is
+    one division of two exact ints.
+
+    Scale: BM25 is the match-bound plan from bm25_keyword_ranking; the
+    position windows run over 10-row post-LIMIT frames (the documented
+    bounded-domain exception, like the k-means init windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokenize
+
+    ranked10 = bm25_rank(d, "doc_id", "merge vector", k=10)
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = (
+        toks.filter(F.col("token").isin("merge", "vector"))
+        .groupBy("doc_id")
+        .agg(F.least(F.sum(F.lit(1)).cast("bigint"), F.lit(3)).alias("rel"))
+    )
+    wpos = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ranked = (
+        ranked10.withColumn("pos", F.row_number().over(wpos))
+        .join(tf, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    gain = (  # (2^rel - 1) for rel in 0..3, as exact integers
+        F.when(F.col("rel") == 0, 0)
+        .when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .otherwise(7)
+    )
+    term = (
+        gain.cast("double")
+        * F.log(F.lit(2.0))
+        / F.log((F.col("pos") + 1).cast("double"))
+        * 1e6
+    ).cast("bigint")
+    dcg = ranked.agg(F.sum(term).cast("bigint").alias("dcg_e6"))
+    ideal = (
+        tf.orderBy(F.desc("rel")).limit(10)
+        .withColumn("pos", F.row_number().over(W.orderBy(F.desc("rel"))))
+    )
+    idcg = ideal.agg(F.sum(term).cast("bigint").alias("idcg_e6"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "dcg_e6",
+            "idcg_e6",
+            (F.col("dcg_e6").cast("double") / F.col("idcg_e6") * 1e6)
+            .cast("bigint").alias("ndcg_e6"),
+        )
+    )

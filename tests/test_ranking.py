@@ -73,3 +73,12 @@ def test_decile_revenue_share_distributed(spark, sf_dir):
     q, rem = divmod(n, 10)
     for d, cnt in rows.items():
         assert cnt == (q + 1 if d <= rem else q)
+
+
+def test_ndcg_invariants(spark, sf_dir):
+    """DCG can never exceed the ideal DCG, and NDCG is a [0, 1] ratio."""
+    import __spark_entry__ as mod
+
+    r = mod.queries()["search_ndcg_eval"](spark, sf_dir).collect()[0]
+    assert 0 <= r.dcg_e6 <= r.idcg_e6
+    assert 0 <= r.ndcg_e6 <= 1_000_000
