@@ -273,3 +273,26 @@ def test_perplexity_terciles_have_no_global_window(spark, sf_dir):
     txt = explain_text(_QS["perplexity_tercile_mix"](spark, sf_dir))
     assert "rangepartitioning" in txt.lower()
     assert "ntile(" not in txt.lower()  # tile comes from rank arithmetic
+
+
+def test_cdc_merge_anti_join_broadcasts_touched_keys(spark, sf_dir):
+    # survivors = base ANTI-JOIN touched-keys must broadcast the delta key
+    # set; the merge never shuffles the base on its own
+    txt = explain_text(_QS["cdc_merge_apply"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_hard_negative_join_is_broadcast_bounded(spark, sf_dir):
+    # the label-inequality theta join is legal ONLY because the anchor side
+    # broadcasts (bounded by the anchor count) — never a data-sized loop
+    txt = explain_text(_QS["hard_negative_mining"](spark, sf_dir))
+    for ln in txt.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln
+    assert "CartesianProduct" not in txt
+
+
+def test_cluster_keywords_windows_are_partitioned(spark, sf_dir):
+    txt = explain_text(_QS["cluster_keywords"](spark, sf_dir))
+    assert "hashpartitioning(centroid_id" in txt  # per-cluster top-3 window
