@@ -431,3 +431,77 @@ def triangles(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
             F.col("bc.id_b").alias("id_c"),
         )
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """k-Center-Greedy coreset selection (Sener & Savarese 2018, the
+    active-learning / data-subset selection baseline) in exact integer
+    arithmetic: start from the lowest-id vector, then repeatedly add the
+    point FARTHEST from the chosen set (max over points of min sqdist to
+    any center, ties -> lowest id). Returns one row per selected center:
+    (sel_order, id, radius_sq) where radius_sq is the point's min-distance
+    at selection time — the classic 2-approximation's coverage radius
+    sequence, non-increasing by construction.
+
+    Same fixed-point discipline as kmeans_fixed_point: components quantize
+    to trunc(x*scale) int64 once, every distance is an exact integer, so
+    all k selections are bit-reproducible cross-engine and the whole
+    greedy loop has an unrolled-CTE DuckDB oracle.
+
+    Scale shape: k-1 rounds, each = one broadcast of the single new center
+    into a min-update projection plus one TakeOrdered(1) argmax — per
+    round one scan of the (id, qv, md) frame, shuffling only the 1-row
+    top; localCheckpoint caps lineage across rounds. The selected-center
+    frames are 1-row each; the driver never holds data rows."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with siblings)
+
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint()
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    seed = q.orderBy(id_col).limit(1)
+    picked = [
+        seed.select(
+            F.lit(1).cast("int").alias("sel_order"),
+            F.col(id_col).alias("center_id"),
+            F.lit(None).cast("bigint").alias("radius_sq"),
+        )
+    ]
+    cur = (
+        q.crossJoin(F.broadcast(seed.select(F.col("qv").alias("cv"))))
+        .withColumn("md", sqdist)
+        .select(id_col, "qv", "md")
+        .localCheckpoint()
+    )
+    for step in range(2, k + 1):
+        far = cur.orderBy(F.desc("md"), F.asc(id_col)).limit(1).localCheckpoint()
+        picked.append(
+            far.select(
+                F.lit(step).cast("int").alias("sel_order"),
+                F.col(id_col).alias("center_id"),
+                F.col("md").alias("radius_sq"),
+            )
+        )
+        if step < k:
+            cur = (
+                cur.crossJoin(F.broadcast(far.select(F.col("qv").alias("cv"))))
+                .withColumn("md", F.least(F.col("md"), sqdist))
+                .select(id_col, "qv", "md")
+                .localCheckpoint()
+            )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out

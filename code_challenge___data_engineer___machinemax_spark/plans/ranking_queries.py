@@ -595,3 +595,60 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("ndcg_e6"),
         )
     )
+
+
+def _kcenter_oracle_sql(k: int = 5, dim: int = 64, scale: int = 1_000_000) -> str:
+    """Generated DuckDB twin of operators.clustering.kcenter_greedy: the
+    quantize CTE, then k-1 unrolled (argmax, min-update) rounds — every
+    value exact int64, so the whole greedy selection is bit-reproducible
+    (the kmeans_fixed_point oracle pattern applied to a different
+    iterative algorithm)."""
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range({dim}), "
+            f"i -> ({a}.qv[i+1] - {b}.cv[i+1]) * ({a}.qv[i+1] - {b}.cv[i+1])))"
+            " AS BIGINT)"
+        )
+
+    parts = [
+        f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(trunc(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+        FROM embeddings
+    )""",
+        "c1 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT q.vec_id, q.qv, {sq('q', 'c1')} AS md FROM q CROSS JOIN c1)",
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f"c{s} AS (SELECT vec_id AS cid, qv AS cv, md FROM d{s-1} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if s < k:
+            parts.append(
+                f"d{s} AS (SELECT d.vec_id, d.qv, LEAST(d.md, {sq('d', f'c{s}')}) AS md "
+                f"FROM d{s-1} d CROSS JOIN c{s})"
+            )
+    selects = [
+        "SELECT 1 AS sel_order, cid AS center_id, CAST(NULL AS BIGINT) AS radius_sq FROM c1"
+    ] + [
+        f"SELECT {s}, cid, md FROM c{s}" for s in range(2, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("kcenter_coreset", oracle=_kcenter_oracle_sql())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Center-Greedy coreset over the embeddings (k=5): the diversity-
+    maximizing data-subset selection baseline — each pick is the vector
+    farthest from everything already chosen, and the emitted radius
+    sequence is the coverage guarantee (non-increasing; the classic
+    2-approximation of the k-center optimum). Third member of the
+    iterative-algorithm family under the exact-int value gate, next to
+    fixed-point k-means and PageRank."""
+    from ..operators.clustering import kcenter_greedy
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(e, "vec_id", "embedding", k=5)

@@ -183,3 +183,29 @@ def test_bfs_hop_distances_chain_and_unreachable(spark):
     edges2 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     hops = {r.node: r.hop for r in bfs_hop_distances(edges2, sources, max_hops=5).collect()}
     assert hops == {1: 0, 2: 1, 3: 1}
+
+
+def test_kcenter_greedy_picks_farthest_and_radii_decrease(spark):
+    """Greedy k-center on a crafted 1-D-ish layout: the seed is the lowest
+    id, the first pick is the farthest point, radii never increase, and a
+    tight near-twin of the seed is never selected before spread-out
+    points."""
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0]),       # seed
+        (1, [0.001, 0.0]),     # near-twin of seed — must not be picked early
+        (2, [10.0, 0.0]),      # farthest -> pick 2
+        (3, [5.0, 0.0]),       # then the midpoint
+        (4, [0.0, 3.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = sorted(
+        kcenter_greedy(df, "vec_id", "embedding", k=4).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [r.center_id for r in rows] == [0, 2, 3, 4]
+    radii = [r.radius_sq for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
