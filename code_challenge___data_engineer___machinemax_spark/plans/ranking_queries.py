@@ -652,3 +652,154 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy(e, "vec_id", "embedding", k=5)
+
+
+_BM25_TOP10_CTES = f"""
+    tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN ('merge', 'vector') GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), bm25top AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * (tf * 2.2::DOUBLE)
+                   / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                          + 0.75::DOUBLE * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (token) JOIN doc_len USING (doc_id) CROSS JOIN corpus
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    )"""
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Generated twin of mmr_diverse_rerank: the BM25 top-10 CTE, the
+    10x10 pairwise token-Jaccard (bounded by the candidate count), then
+    k-1 unrolled greedy rounds. All scores integer: rel_e6 from the
+    rounded bm25, sim_e6 trunc-scaled, MMR = 7*rel - 3*maxsim (lambda=0.7
+    scaled by 10)."""
+    sel_union = lambda n: " UNION ALL ".join(  # noqa: E731
+        f"SELECT doc_id FROM s{j}" for j in range(1, n + 1)
+    )
+    parts = [
+        _BM25_TOP10_CTES.strip(),
+        f"""cand AS (
+        SELECT b.doc_id, CAST(b.bm25 * 1e6 AS BIGINT) AS rel_e6,
+               list_distinct({tokenize_sql('d.text')}) AS tk
+        FROM bm25top b JOIN documents d ON d.doc_id = b.doc_id
+    )""",
+        """sim AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(trunc(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) * 1e6) AS BIGINT) AS sim_e6
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    )""",
+        """s1 AS (
+        SELECT doc_id, CAST(7 * rel_e6 AS BIGINT) AS score
+        FROM cand ORDER BY rel_e6 DESC, doc_id LIMIT 1
+    )""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(f"""s{j} AS (
+        SELECT c.doc_id,
+               CAST(7 * c.rel_e6 - 3 * MAX(s.sim_e6) AS BIGINT) AS score
+        FROM cand c JOIN sim s
+          ON s.ida = c.doc_id AND s.idb IN ({sel_union(j - 1)})
+        WHERE c.doc_id NOT IN ({sel_union(j - 1)})
+        GROUP BY c.doc_id, c.rel_e6
+        ORDER BY score DESC, c.doc_id LIMIT 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {j} AS sel_order, doc_id, score FROM s{j}" for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@query("mmr_diverse_rerank", oracle=_mmr_oracle_sql())
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    of the BM25 top-10: greedily pick the candidate maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-selected (lambda=0.7,
+    similarity = token-set Jaccard) — the retrieval-diversity operator
+    that keeps a result page from being ten near-copies, sitting next to
+    search_ndcg_eval on the IR-quality surface. All arithmetic integer
+    (rel from the rounded bm25, sim trunc-scaled, MMR = 7*rel - 3*maxsim)
+    so the greedy selections are bit-reproducible with an unrolled-CTE
+    oracle.
+
+    Scale: candidate generation is the match-bound BM25 plan; everything
+    after operates on the k-bounded candidate frame (10 rows) — the
+    pairwise sim join and per-round argmaxes are bounded by the REQUESTED
+    page size, never the corpus (the kcenter_greedy loop shape on a
+    parameter-sized frame)."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    from ..functions.text import tokenize
+    from ..operators.dedup import jaccard_arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_rank(d, "doc_id", "merge vector", k=10)
+    cand = (
+        top.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("bm25") * 1e6).cast("bigint").alias("rel_e6"),
+            F.array_distinct(tokenize("text")).alias("tk"),
+        )
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("doc_id").alias("ida"), F.col("tk").alias("ta"))
+    b = cand.select(F.col("doc_id").alias("idb"), F.col("tk").alias("tb"))
+    sim = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select(
+            "ida", "idb",
+            (jaccard_arrays(F.col("ta"), F.col("tb")) * 1e6)
+            .cast("bigint").alias("sim_e6"),
+        )
+        .localCheckpoint()
+    )
+    first = (
+        cand.orderBy(F.desc("rel_e6"), F.asc("doc_id")).limit(1)
+        .select(
+            F.lit(1).cast("int").alias("sel_order"),
+            "doc_id",
+            (F.lit(7) * F.col("rel_e6")).cast("bigint").alias("score"),
+        )
+        .localCheckpoint()
+    )
+    picked = [first]
+    selected = first.select("doc_id")
+    k = 5
+    for step in range(2, k + 1):
+        nxt = (
+            cand.join(selected, "doc_id", "left_anti")
+            .join(sim, cand.doc_id == sim.ida)
+            .join(selected.withColumnRenamed("doc_id", "idb"), "idb")
+            .groupBy(cand.doc_id, "rel_e6")
+            .agg(F.max("sim_e6").alias("ms"))
+            .select(
+                "doc_id",
+                (F.lit(7) * F.col("rel_e6") - F.lit(3) * F.col("ms"))
+                .cast("bigint").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("sel_order"), "doc_id", "score")
+            .localCheckpoint()
+        )
+        picked.append(nxt)
+        selected = selected.unionByName(nxt.select("doc_id")).localCheckpoint()
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out

@@ -82,3 +82,25 @@ def test_ndcg_invariants(spark, sf_dir):
     r = mod.queries()["search_ndcg_eval"](spark, sf_dir).collect()[0]
     assert 0 <= r.dcg_e6 <= r.idcg_e6
     assert 0 <= r.ndcg_e6 <= 1_000_000
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """MMR semantics pinned: given a top result and a near-duplicate of it
+    with slightly lower relevance, the reranker picks the DIFFERENT doc
+    second even though the duplicate out-scores it on pure relevance."""
+    import __spark_entry__ as mod
+
+    best = "merge vector merge vector alpha beta gamma delta"
+    near_dup = best + " epsilon"  # same vocab, one extra token -> sim 6/7
+    different = "merge vector merge vector omega psi chi phi"  # sim 2/10
+    docs = [(1, best), (2, near_dup), (3, different)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sorted(
+        mod.queries()["mmr_diverse_rerank"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert rows[0].doc_id == 1          # pure relevance first
+    assert rows[1].doc_id == 3          # diversity beats the near-dup
+    assert rows[2].doc_id == 2
