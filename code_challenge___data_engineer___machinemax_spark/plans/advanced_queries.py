@@ -1431,3 +1431,54 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             skew.alias("skew_factor_e6"),
         )
     )
+
+
+@query(
+    "ols_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS s_x,
+           CAST(SUM(p) AS BIGINT) AS s_y,
+           CAST(SUM(d * d) AS BIGINT) AS s_xx,
+           CAST(SUM(d * p) AS BIGINT) AS s_xy
+    FROM (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(trunc(o_totalprice * 100) AS BIGINT) AS p
+        FROM orders
+    ) f JOIN customer c ON c.c_custkey = f.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped linear-trend training: per market segment, the exact
+    integer sufficient statistics (n, Sx, Sy, Sxx, Sxy) for regressing
+    order value (cents) on order date (epoch days) — the grouped
+    generalization of ols_training_moments: same one-pass map-side-
+    combined contract, but one model per group, which is how a pipeline
+    fits thousands of per-cohort trend lines in a single job. The slope /
+    intercept solve is two scalar ops per group (the unit test does it
+    and sanity-checks the fit); the emitted moments stay integer-exact so
+    the driver gate is bit-for-bit.
+
+    Scale: one shuffle on custkey for the dimension join (broadcast at
+    oracle SF), then a partial+final agg keyed by the tiny segment
+    domain; int64 holds to ~1e18 cell sums — beyond that the moment
+    columns move to DECIMAL(38,0), same note as the apportionment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = F.expr("unix_micros(o_orderdate) DIV 86400000000").cast("bigint")
+    p = (F.col("o_totalprice") * 100).cast("bigint")
+    f = o.select("o_custkey", d.alias("d"), p.alias("p"))
+    return (
+        f.join(c, f.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("d").cast("bigint").alias("s_x"),
+            F.sum("p").cast("bigint").alias("s_y"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s_xx"),
+            F.sum(F.col("d") * F.col("p")).cast("bigint").alias("s_xy"),
+        )
+    )

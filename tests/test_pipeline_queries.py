@@ -377,3 +377,37 @@ def test_snapshot_diff_counts_equal_delta_cardinalities(spark, tmp_path):
     r = mod.queries()["snapshot_diff"](spark, str(tmp_path)).collect()[0]
     assert (r.n_added, r.n_removed, r.n_changed) == (n_ins, n_del, n_upd)
     assert r.n_unchanged == len(base) - n_upd - n_del
+
+
+def test_ols_by_segment_solves_planted_trend(spark, tmp_path):
+    """The grouped moments must recover a planted linear trend per group:
+    segment A has slope 200 cents/day, segment B slope -100, both exact."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    rows, cust = [], []
+    for seg, cks, slope, icpt in [("A", (1, 2), 200, 50_000), ("B", (3,), -100, 90_000)]:
+        for ck in cks:
+            cust.append((ck, seg))
+        for day in range(10, 40):
+            rows.append(
+                (len(rows), cks[day % len(cks)],
+                 (icpt + slope * day) / 100.0,
+                 datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day))
+            )
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(cust, "c_custkey long, c_mktsegment string").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    out = {r.c_mktsegment: r for r in
+           mod.queries()["ols_by_segment"](spark, str(tmp_path)).collect()}
+    for seg, want_slope, want_icpt in [("A", 200, 50_000), ("B", -100, 90_000)]:
+        m = out[seg]
+        den = m.n * m.s_xx - m.s_x * m.s_x
+        slope = (m.n * m.s_xy - m.s_x * m.s_y) / den
+        icpt = (m.s_y - slope * m.s_x) / m.n
+        assert round(slope, 6) == want_slope, seg
+        assert round(icpt, 6) == want_icpt, seg
