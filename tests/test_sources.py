@@ -55,3 +55,27 @@ def test_csv_roundtrip_documented_null_caveat(spark, tmp_path):
     assert back["http://s/b"].title is None
     assert back["http://s/c"].title is None
     assert back["http://s/a"].text == "alpha body"
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Snapshot-evolution read: a v2 writer adds a column; mergeSchema
+    reads both generations with NULL backfill for v1 rows, and the old
+    fixed-schema read path still works against the union."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, text string"
+    ).write.parquet(base + "/gen=1")
+    spark.createDataFrame(
+        [(3, "gamma", "en")], "id long, text string, lang string"
+    ).write.parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].lang is None and rows[3].lang == "en"
+    # a reader pinned to the v1 schema keeps working across generations
+    from pyspark.sql import types as T
+
+    v1 = T.StructType([T.StructField("id", T.LongType()), T.StructField("text", T.StringType())])
+    old_reader = spark.read.schema(v1).parquet(base + "/gen=1", base + "/gen=2")
+    assert old_reader.count() == 3 and set(old_reader.columns) == {"id", "text"}
