@@ -1001,3 +1001,91 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "pit_priority_revenue",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+               CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    grouped AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    ),
+    islands AS (
+        SELECT o_custkey, o_orderpriority, grp,
+               MIN(o_orderdate) AS valid_from
+        FROM grouped
+        GROUP BY o_custkey, o_orderpriority, grp
+    ),
+    hist AS (
+        SELECT o_custkey, o_orderpriority, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY valid_from, grp) AS valid_to
+        FROM islands
+    ),
+    f AS (
+        SELECT o.o_custkey, l.l_shipdate,
+               CAST(l.l_extendedprice AS DECIMAL(20,4)) AS price
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT COALESCE(h.o_orderpriority, 'none') AS priority_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.price) AS DOUBLE) AS revenue
+    FROM f LEFT JOIN hist h
+      ON h.o_custkey = f.o_custkey
+     AND f.l_shipdate >= h.valid_from
+     AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+    GROUP BY priority_at_ship
+    """,
+)
+def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct dimension join — the canonical warehouse
+    operation over an SCD2 history: each lineitem is attributed to the
+    priority regime its CUSTOMER was in WHEN THE LINE SHIPPED (not the
+    current or the order-time value), by joining the shipment date into
+    the validity intervals scd2_priority_history reconstructs. A line
+    shipping before the customer's first interval maps to 'none'.
+
+    The Spark side does NOT run the oracle's interval theta-join: because
+    SCD2 intervals are consecutive, interval membership == backward as-of
+    match on valid_from, so the plan is operators.asof.asof_join — one
+    union + per-customer running window, a sort-merge-join-shaped cost
+    with no range predicate anywhere (the same rewrite discipline as
+    session_peak_overlap). Degenerate zero-length islands (two priority
+    changes on one date) are dropped first — they can never match an
+    interval query, which also makes (custkey, valid_from) unique, the
+    as-of precondition."""
+    from ..operators.asof import asof_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_priority_history(spark, sf_dir).filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(20,4)").alias("price"),
+    )
+    pit = asof_join(
+        f,
+        hist.select("o_custkey", "valid_from", "o_orderpriority"),
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        value_cols=["o_orderpriority"],
+    )
+    return pit.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("none")).alias("priority_at_ship")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

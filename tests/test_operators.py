@@ -102,3 +102,37 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
 
             rank = bisect.bisect_left(xs, a) / n
             assert abs(rank - q / 100) <= 0.02, (status, q, rank)
+
+
+def test_pit_join_attributes_to_regime_at_ship_time(spark, tmp_path):
+    """The PIT property pinned: a line SHIPPED during regime 2 is
+    attributed to regime 2 even though its order was placed in regime 1;
+    a line shipped before any history maps to 'none'."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    d = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    orders = [
+        # custkey 1: priority A from 2024-01-01, B from 2024-03-01
+        (100, 1, "O", 10.0, d("2024-01-01"), "A"),
+        (101, 1, "O", 10.0, d("2024-03-01"), "B"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    lines = [
+        (100, 1, 100.0, d("2024-04-01")),   # ordered under A, SHIPPED under B
+        (100, 2, 50.0, d("2024-01-15")),    # shipped under A
+        (100, 3, 25.0, d("2023-12-01")),    # shipped before any history
+    ]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber long, l_extendedprice double, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {r.priority_at_ship: r for r in
+            mod.queries()["pit_priority_revenue"](spark, str(tmp_path)).collect()}
+    assert rows["B"].n_lines == 1 and rows["B"].revenue == 100.0
+    assert rows["A"].n_lines == 1 and rows["A"].revenue == 50.0
+    assert rows["none"].n_lines == 1 and rows["none"].revenue == 25.0
