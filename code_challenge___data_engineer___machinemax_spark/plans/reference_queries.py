@@ -529,3 +529,71 @@ def download_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.count("*").alias("n_total"),
     )
+
+
+@query(
+    "upsert_time_travel",
+    oracle="""
+    WITH versions AS (
+        SELECT doc_id, 1 AS version, text FROM documents
+        UNION ALL
+        SELECT doc_id, 2 AS version, 'updated: ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 3 AS version, 'tombstone' AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ), snapshots AS (SELECT unnest([1, 2, 3]) AS as_of)
+    SELECT s.as_of,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v.version > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+           CAST(SUM(length(v.text)) AS BIGINT) AS total_chars
+    FROM snapshots s
+    JOIN (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, sn.as_of2
+                                     ORDER BY version DESC) AS rn
+        FROM versions, (SELECT unnest([1, 2, 3]) AS as_of2) sn
+        WHERE version <= sn.as_of2
+    ) v ON v.as_of2 = s.as_of AND v.rn = 1
+    WHERE v.text <> 'tombstone'
+    GROUP BY s.as_of
+    """,
+)
+def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned plain-Parquet store — the
+    generalization of upsert_latest_wins that the Roadmap maps to Delta's
+    `VERSION AS OF`: reconstruct the store's state at EACH historical
+    version (latest-wins among rows with version <= as_of, tombstones
+    excluded) and report per-snapshot document counts / modified counts /
+    content size. Version 3 deletes every 20th doc via a tombstone row, so
+    the three snapshots show the store growing THEN shrinking — the audit
+    view an append-only versioned store gives for free.
+
+    Scale: the snapshot dimension (3 rows) BROADCASTS onto the version
+    log; latest-wins windows partition by (doc_id, as_of) — per-key
+    partitions bounded by the version-chain length; one narrow final
+    rollup. At a real deployment the version log is partition-pruned by
+    version ranges, so an as-of read touches only files with version <=
+    as_of (DEPLOY L5's bucketing note applies to the key dimension)."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.lit(1).alias("version"), "text")
+    v2 = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.lit(2).alias("version"),
+        F.concat(F.lit("updated: "), F.substring("text", 1, 40)).alias("text"),
+    )
+    v3 = d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.lit(3).alias("version"), F.lit("tombstone").alias("text")
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+    snapshots = spark.range(1, 4).select(F.col("id").cast("int").alias("as_of"))
+    w = W.partitionBy("doc_id", "as_of").orderBy(F.desc("version"))
+    state = (
+        versions.join(F.broadcast(snapshots), F.col("version") <= F.col("as_of"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("text") != "tombstone"))
+    )
+    return state.groupBy("as_of").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("version") > 1).cast("int")).cast("bigint").alias("n_modified"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
