@@ -1223,3 +1223,61 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lang") == F.col("lang_guess")).cast("int"))
         .cast("bigint").alias("n_correct"),
     )
+
+
+@query(
+    "dataset_card_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, text, {tokenize_sql('text')} AS toks,
+               md5(trim(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g'))) AS digest
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(len(toks), 0)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(trunc(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) * 1e6) AS BIGINT) AS en_share_e6,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+           CAST(MIN(len(toks)) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(toks)) AS BIGINT) AS max_tokens,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text
+    FROM base
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row (datasheets for datasets, Gebru et al.
+    2021): corpus size, token mass, source/language diversity, English
+    share, exact-duplicate mass, token-length range, and null-text count —
+    the one-line health report a pipeline publishes with every corpus
+    snapshot, composing the engine's counting, dedup-digest, and language
+    columns in a single pass.
+
+    Scale: one scan, one aggregate; the distinct counts ride Spark's
+    Expand (3 distinct aggregates) — at 100 TB swap NDV to
+    approx_count_distinct exactly as table_stats_profile documents, and
+    the dup mass to the digest-groupBy pre-aggregation."""
+    from ..operators.dedup import text_digest
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokenize("text"))
+    base = d.select(
+        "doc_id", "source", "lang", "text",
+        toks.alias("nt"),
+        text_digest("text").alias("digest"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("nt"), F.lit(0))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (
+            F.sum((F.col("lang") == "en").cast("int")).cast("double")
+            / F.count("*") * 1e6
+        ).cast("bigint").alias("en_share_e6"),
+        (F.count("*") - F.countDistinct("digest")).cast("bigint").alias("n_exact_dups"),
+        F.min("nt").cast("bigint").alias("min_tokens"),
+        F.max("nt").cast("bigint").alias("max_tokens"),
+        F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
+    )
