@@ -117,10 +117,17 @@ DRIVER_PRIORITY: list[str] = [
     "streamed_append_windows",
     "events_gap_fill",
     # round-5 window candidates (added late in round 4, window already
-    # full; all oracle-checked by the local sf0.01 parity sweep + goldens):
+    # full; every one oracle-checked by the local sf0.01 parity sweep,
+    # the single-session driver-style sweep, AND sf0.001 goldens):
     # set_similarity_prefix_pairs, dsir_importance_weights,
     # perplexity_tercile_mix, k_anonymity_release,
-    # token_budget_apportionment, hard_negative_mining
+    # token_budget_apportionment, hard_negative_mining,
+    # pipeline_funnel_report, table_stats_profile,
+    # quantile_normalized_scores, pmi_cooccurrence, cdc_merge_apply,
+    # snapshot_diff, join_skew_report, cluster_keywords,
+    # langid_confusion_matrix, search_ndcg_eval, kcenter_coreset,
+    # mmr_diverse_rerank, ols_by_segment, pit_priority_revenue,
+    # upsert_time_travel, dataset_card_report, corpus_entropy_report
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

@@ -1281,3 +1281,90 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nt").cast("bigint").alias("max_tokens"),
         F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
     )
+
+
+@query(
+    "corpus_entropy_report",
+    oracle=f"""
+    WITH src AS (SELECT source AS k, COUNT(*) AS c FROM documents GROUP BY source),
+    lng AS (SELECT lang AS k, COUNT(*) AS c FROM documents GROUP BY lang),
+    voc AS (
+        SELECT token AS k, COUNT(*) AS c
+        FROM (SELECT unnest({tokenize_sql('text')}) AS token FROM documents)
+        GROUP BY token
+    ),
+    srct AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM src),
+    lngt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM lng),
+    voct AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM voc),
+    ent AS (
+        SELECT 'source' AS dist, CAST(COUNT(*) AS BIGINT) AS n_categories,
+               MAX(t) AS n_items,
+               CAST(SUM(CAST(trunc(-ln(CAST(c AS DOUBLE) / t) * c * 1e6)
+                             AS BIGINT)) AS BIGINT) AS ent_num_e6
+        FROM src CROSS JOIN srct
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(*) AS BIGINT), MAX(t),
+               CAST(SUM(CAST(trunc(-ln(CAST(c AS DOUBLE) / t) * c * 1e6)
+                             AS BIGINT)) AS BIGINT)
+        FROM lng CROSS JOIN lngt
+        UNION ALL
+        SELECT 'vocabulary', CAST(COUNT(*) AS BIGINT), MAX(t),
+               CAST(SUM(CAST(trunc(-ln(CAST(c AS DOUBLE) / t) * c * 1e6)
+                             AS BIGINT)) AS BIGINT)
+        FROM voc CROSS JOIN voct
+    )
+    SELECT dist, n_categories, n_items,
+           CAST(trunc(CAST(ent_num_e6 AS DOUBLE) / n_items) AS BIGINT)
+               AS entropy_nats_e6
+    FROM ent
+    """,
+)
+def corpus_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy diversity report over three corpus distributions —
+    sources, languages, vocabulary: H = -sum p ln p in nats, the standard
+    balance/diversity metrics a data card quotes (a source entropy far
+    below ln(n_sources) means the mix is dominated; vocabulary entropy is
+    the unigram-LM cross-entropy floor). Per-category terms are
+    trunc-scaled ints weighted by count BEFORE summation (the shared-libm
+    ln discipline; the sum is order-free), with ONE terminal division by
+    the item count.
+
+    Scale: three partial+final aggs (source and lang domains are tiny;
+    the vocabulary agg is the token-frequency table the LM queries already
+    build); each distribution's 1-row total broadcasts back — no
+    unpartitioned window anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def ent(df: DataFrame, name: str) -> DataFrame:
+        # totals via agg + broadcast, never an unpartitioned window — the
+        # vocabulary frame is vocab-sized at scale
+        tot = df.agg(F.sum("c").cast("bigint").alias("__tot"))
+        term = (
+            -F.log(F.col("c").cast("double") / F.col("__tot"))
+            * F.col("c") * 1e6
+        ).cast("bigint")
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .withColumn("__t", term)
+            .agg(
+                F.lit(name).alias("dist"),
+                F.count("*").cast("bigint").alias("n_categories"),
+                F.sum("c").cast("bigint").alias("n_items"),
+                F.sum("__t").cast("bigint").alias("__num"),
+            )
+            .select(
+                "dist", "n_categories", "n_items",
+                (F.col("__num").cast("double") / F.col("n_items"))
+                .cast("bigint").alias("entropy_nats_e6"),
+            )
+        )
+
+    src = d.groupBy(F.col("source").alias("k")).agg(F.count("*").alias("c"))
+    lng = d.groupBy(F.col("lang").alias("k")).agg(F.count("*").alias("c"))
+    voc = (
+        d.select(F.explode(tokenize("text")).alias("k"))
+        .groupBy("k").agg(F.count("*").alias("c"))
+    )
+    return ent(src, "source").unionByName(ent(lng, "lang")).unionByName(
+        ent(voc, "vocabulary")
+    )

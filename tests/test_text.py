@@ -348,3 +348,21 @@ def test_pmi_collocation_outranks_chance_pair(spark, tmp_path):
     assert rows, "no pairs cleared the min-count gate"
     top = rows[0]
     assert (top.w1, top.w2) == ("hong", "kong")
+
+
+def test_entropy_uniform_vs_skewed(spark, tmp_path):
+    """Entropy semantics pinned: a uniform 4-source mix hits ln(4) (within
+    the e6 truncation), a fully-skewed mix scores 0."""
+    import math
+
+    import __spark_entry__ as mod
+
+    docs = [(i, f"s{i % 4}", "one two") for i in range(40)]  # uniform sources
+    spark.createDataFrame(docs, "doc_id long, source string, text string") \
+        .withColumn("lang", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("en")) \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.dist: r for r in
+            mod.queries()["corpus_entropy_report"](spark, str(tmp_path)).collect()}
+    assert abs(rows["source"].entropy_nats_e6 - int(math.log(4) * 1e6)) <= 4
+    assert rows["lang"].entropy_nats_e6 == 0          # single language
+    assert rows["vocabulary"].entropy_nats_e6 == int(math.log(2) * 1e6)  # two equal tokens
