@@ -151,3 +151,43 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("quota"),
         )
     )
+
+
+@query(
+    "stratified_kfold_counts",
+    oracle="""
+    WITH assigned AS (
+        SELECT source,
+               CAST((ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     - 1) % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY source, fold
+    """,
+)
+def stratified_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (k=5): within each
+    source stratum, documents are ordered by a deterministic hash
+    (md5 of the id — pseudorandom but reproducible anywhere, the
+    engine-wide hash-order sampling discipline) and dealt round-robin
+    into folds, so every (stratum, fold) cell is balanced to within one
+    document BY CONSTRUCTION — the property the test pins, and what
+    hash_split_assignment's independent Bernoulli-style split cannot
+    guarantee. Emitted as the (source, fold) count matrix an evaluation
+    harness consumes.
+
+    Scale: one window per source stratum (bounded by stratum size) and a
+    tiny rollup; the md5 order key is computed in the scan projection."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    assigned = d.select(
+        "source",
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )
+    return assigned.groupBy("source", "fold").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -90,3 +90,21 @@ def test_apportionment_invariants_random_masses(spark, tmp_path):
     for r in rows:
         exact = 1_000_000 * masses[r.source] / total_mass
         assert abs(r.quota - exact) < 1, (r.source, r.quota, exact)
+
+
+def test_kfold_balance_within_one(spark, sf_dir):
+    """Every (stratum, fold) cell is balanced to within one document, and
+    fold sizes per stratum sum back to the stratum size."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["stratified_kfold_counts"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.fold] = r.n_docs
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    sizes = {r.source: r.n for r in load_table(spark, sf_dir, "documents")
+             .groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for src, folds in by_src.items():
+        assert max(folds.values()) - min(folds.values()) <= 1, src
+        assert sum(folds.values()) == sizes[src]
