@@ -282,3 +282,78 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= 3)
         .select("anchor_id", "vec_id", "label", "cosine")
     )
+
+
+@query(
+    "embedding_drift_report",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+               list_transform(embedding,
+                   v -> CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label, half, d.i AS dim,
+               CAST(FLOOR(SUM(qv[d.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM q CROSS JOIN (SELECT unnest(range(64)) AS i) d
+        GROUP BY label, half, d.i
+    ),
+    drift AS (
+        SELECT a.label,
+               CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS drift_sq
+        FROM comp a JOIN comp b
+          ON b.label = a.label AND b.dim = a.dim AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    ),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM q GROUP BY label
+    )
+    SELECT label, n_ref, n_cur, drift_sq
+    FROM counts JOIN drift USING (label)
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the vectors into a
+    reference and a current snapshot (even/odd ids stand in for the two
+    ingest windows), compute each label's exact fixed-point centroid in
+    both (the kmeans trunc-quantize + floor-mean discipline, so the
+    result is bit-reproducible), and report the squared centroid shift
+    per label — the drift alarm an embedding pipeline watches across
+    model or corpus updates. Labels present in only one snapshot drop out
+    (inner join; they are a presence alarm, not a drift number).
+
+    Scale: one posexplode + a (label, half, dim) partial+final agg —
+    shuffle rows are (small-domain key, int64); the drift join touches
+    only the centroid table (labels x 2 x dims rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.expr(
+            "transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
+        ).alias("qv"),
+    )
+    comp = (
+        q.select("label", "half", F.posexplode("qv").alias("dim", "val"))
+        .groupBy("label", "half", "dim")
+        .agg(F.floor(F.sum("val") / F.count("*")).cast("bigint").alias("c"))
+    )
+    a = comp.filter(F.col("half") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = comp.filter(F.col("half") == 1).select("label", "dim", F.col("c").alias("cb"))
+    drift = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint").alias("drift_sq")
+        )
+    )
+    counts = q.groupBy("label").agg(
+        F.sum((F.col("half") == 0).cast("int")).cast("bigint").alias("n_ref"),
+        F.sum((F.col("half") == 1).cast("int")).cast("bigint").alias("n_cur"),
+    )
+    return counts.join(drift, "label").select("label", "n_ref", "n_cur", "drift_sq")

@@ -140,3 +140,24 @@ def test_hard_negative_mining_crafted(spark, tmp_path):
     ]
     assert [r.vec_id for r in rows] == [2, 4, 3]  # by descending cosine
     assert all(r.label != "A" for r in rows)
+
+
+def test_drift_report_detects_planted_shift(spark, tmp_path):
+    """A label whose current snapshot is shifted by +1.0 in one dimension
+    drifts by ~(1e6)^2; an unshifted label reports 0."""
+    import __spark_entry__ as mod
+
+    vecs = []
+    for i in range(8):
+        vecs.append((i, [1.0, 2.0], "stable"))          # both halves identical
+    for i in range(8, 16):
+        shift = 1.0 if i % 2 else 0.0                   # odd (current) shifted
+        vecs.append((i, [1.0 + shift, 2.0], "moved"))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {r.label: r for r in
+            mod.queries()["embedding_drift_report"](spark, str(tmp_path)).collect()}
+    assert rows["stable"].drift_sq == 0
+    assert rows["moved"].drift_sq == 1_000_000 ** 2
+    assert rows["moved"].n_ref == 4 and rows["moved"].n_cur == 4
