@@ -75,6 +75,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "perplexity_tercile_mix",
     "pipeline_funnel_report",
+    # the two remaining expensive NEW shapes: the PIT as-of join over the
+    # SCD2 history and the skip-gram pair explode
+    "pit_priority_revenue",
+    "pmi_cooccurrence",
 ]
 
 
