@@ -1089,3 +1089,55 @@ def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "rfm_segment_counts",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(epoch_us(MAX(o_orderdate)) // 86400000000 AS BIGINT) AS recency_day,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT ntile(5) OVER (ORDER BY recency_day, o_custkey) AS r_tile,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_tile,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_tile
+        FROM per_cust
+    )
+    SELECT r_tile, f_tile, m_tile, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_tile, f_tile, m_tile
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintiles per
+    customer (tile 5 = most recent / most frequent / highest spend under
+    ascending ntile order), rolled up to the 125-cell segment grid a
+    marketing or cohort pipeline consumes. Three corpus-wide NTILEs, each
+    under a total order with the custkey tie-break.
+
+    Scale: every quintile is operators.ranking.scalable_ntile (range
+    exchange + offset arithmetic) — three global rankings, ZERO
+    unpartitioned windows; recency is an exact integer epoch-day and
+    monetary is the DECIMAL-summed double, both engine-portable order
+    keys."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr("unix_micros(MAX(o_orderdate)) DIV 86400000000")
+        .cast("bigint").alias("recency_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        _dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    scored = scalable_ntile(
+        per_cust, 5, [F.asc("recency_day"), F.asc("o_custkey")], tile_col="r_tile"
+    )
+    scored = scalable_ntile(
+        scored, 5, [F.asc("frequency"), F.asc("o_custkey")], tile_col="f_tile"
+    )
+    scored = scalable_ntile(
+        scored, 5, [F.asc("monetary"), F.asc("o_custkey")], tile_col="m_tile"
+    )
+    return scored.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

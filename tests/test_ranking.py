@@ -104,3 +104,19 @@ def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
     assert rows[0].doc_id == 1          # pure relevance first
     assert rows[1].doc_id == 3          # diversity beats the near-dup
     assert rows[2].doc_id == 2
+
+
+def test_rfm_quintile_marginals_balanced(spark, sf_dir):
+    """Each RFM dimension's marginal tile sizes are balanced ntile
+    partitions (within 1), and the cells sum to the customer count."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["rfm_segment_counts"](spark, sf_dir).collect()
+    total = sum(r.n_customers for r in rows)
+    for dim in ("r_tile", "f_tile", "m_tile"):
+        marg = {}
+        for r in rows:
+            marg[getattr(r, dim)] = marg.get(getattr(r, dim), 0) + r.n_customers
+        assert set(marg) == {1, 2, 3, 4, 5}
+        assert max(marg.values()) - min(marg.values()) <= 1, dim
+        assert sum(marg.values()) == total
