@@ -128,7 +128,8 @@ DRIVER_PRIORITY: list[str] = [
     # langid_confusion_matrix, search_ndcg_eval, kcenter_coreset,
     # mmr_diverse_rerank, ols_by_segment, pit_priority_revenue,
     # upsert_time_travel, dataset_card_report, corpus_entropy_report,
-    # stratified_kfold_counts, embedding_drift_report, rfm_segment_counts
+    # stratified_kfold_counts, embedding_drift_report, rfm_segment_counts,
+    # streamed_dataset_card
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokenize, tokenize_sql
 from ..streaming.events import read_event_stream, stream_upsert_to_store
 from ..streaming.ingest import dedup_ingest_stream
 from ..tables import load_table
@@ -570,5 +571,53 @@ def streamed_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "ccdem_streamed_append", "append")
     out = spark.sql("SELECT * FROM ccdem_streamed_append").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "streamed_dataset_card",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(len({tokenize_sql('text')}), 0)) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+    FROM documents
+    """,
+)
+def streamed_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card counters maintained AS STREAMING STATE over two
+    disjoint document ingest waves (evens, then odds — each wave one
+    micro-batch): a complete-mode global aggregate whose final emission
+    must equal the batch card over the full corpus, because every counter
+    is a monotone exact-integer sum that commutes across micro-batch
+    merges (the streamed_pricing_summary discipline applied to the corpus
+    health report). Distinct-valued card columns (sources, digests) are
+    deliberately absent — distinct aggregates aren't streamable; the
+    batch dataset_card_report carries those."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_card_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 0), landing, "wave1")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 1), landing, "wave2")
+    from ..streaming.events import run_to_memory
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    card = stream.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.size(tokenize("text")), F.lit(0)))
+        .cast("bigint").alias("n_tokens"),
+        F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("n_en"),
+    )
+    run_to_memory(card, "ccdem_streamed_card", "complete")
+    out = spark.sql(
+        "SELECT n_docs, n_tokens, n_null_text, n_en FROM ccdem_streamed_card"
+    ).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
