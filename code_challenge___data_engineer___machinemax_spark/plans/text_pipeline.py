@@ -1368,3 +1368,73 @@ def corpus_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent(src, "source").unionByName(ent(lng, "lang")).unionByName(
         ent(voc, "vocabulary")
     )
+
+
+@query(
+    "readability_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({tokenize_sql('text')}) AS words,
+               greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                        s -> trim(s) <> '')), 1) AS sentences,
+               greatest(CAST(list_sum(list_transform({tokenize_sql('text')},
+                   w -> len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT), 1)
+                   AS syllables
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences, syllables,
+           CAST(trunc(206835
+                      - 1015 * CAST(words AS DOUBLE) / sentences
+                      - 84600 * CAST(syllables AS DOUBLE) / words) AS BIGINT)
+               AS flesch_e3
+    FROM t WHERE words > 0
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (scaled e3), from exact integer
+    counts: words (the engine tokenizer), sentences (non-blank [.!?]
+    splits, floored at 1), syllables (vowel-group runs per word — the
+    standard dictionary-free proxy). The readability feature family next
+    to quality_scores' length/repetition signals; low scores flag
+    academic/garbled text, implausibly high ones flag listicles/fragments.
+
+    Determinism: the formula is two IEEE double divisions of exact ints
+    plus integer-coefficient arithmetic (constants scaled e3), evaluated
+    in the same order in both engines — no libm at all. Scale: pure
+    per-row projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.size(tokenize("text"))
+    sentences = F.greatest(
+        F.size(F.filter(F.split("text", r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    syllables = F.greatest(
+        F.aggregate(
+            F.transform(
+                tokenize("text"),
+                lambda w: F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint"),
+        ),
+        F.lit(1).cast("bigint"),
+    )
+    flesch = (
+        F.lit(206835)
+        - F.lit(1015) * words.cast("double") / sentences
+        - F.lit(84600) * syllables.cast("double") / words
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            words.cast("bigint").alias("words"),
+            sentences.cast("bigint").alias("sentences"),
+            syllables.alias("syllables"),
+            flesch.alias("flesch_e3"),
+        )
+        .filter(F.col("words") > 0)
+    )

@@ -366,3 +366,18 @@ def test_entropy_uniform_vs_skewed(spark, tmp_path):
     assert abs(rows["source"].entropy_nats_e6 - int(math.log(4) * 1e6)) <= 4
     assert rows["lang"].entropy_nats_e6 == 0          # single language
     assert rows["vocabulary"].entropy_nats_e6 == int(math.log(2) * 1e6)  # two equal tokens
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """Flesch arithmetic pinned on a hand-countable sentence: 'the cat sat
+    on the mat.' = 6 words, 1 sentence, 6 single-vowel-group syllables."""
+    import __spark_entry__ as mod
+
+    docs = [(1, "the cat sat on the mat.")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = mod.queries()["readability_scores"](spark, str(tmp_path)).collect()[0]
+    assert (r.words, r.sentences, r.syllables) == (6, 1, 6)
+    # 206.835 - 1.015*6 - 84.6*1 = 116.145 -> 116145 scaled e3
+    assert r.flesch_e3 == 116145
