@@ -129,7 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     # mmr_diverse_rerank, ols_by_segment, pit_priority_revenue,
     # upsert_time_travel, dataset_card_report, corpus_entropy_report,
     # stratified_kfold_counts, embedding_drift_report, rfm_segment_counts,
-    # streamed_dataset_card
+    # streamed_dataset_card, readability_scores, churn_label_table
 
     # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
     # shapes, winnowing overlap, showcase set) rotate out — all confirmed in

@@ -1141,3 +1141,68 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "churn_label_table",
+    oracle="""
+    WITH cutoff AS (
+        SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders
+    ),
+    feats AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o.o_orderdate > cutoff.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recent
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        CROSS JOIN cutoff
+        GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders > 0 AND n_recent = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_never_active,
+           CAST(trunc(CAST(SUM(CASE WHEN n_orders > 0 AND n_recent = 0
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) * 1e6) AS BIGINT) AS churn_rate_e6
+    FROM feats GROUP BY c_mktsegment
+    """,
+)
+def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation — the label-engineering step of a tabular-ML
+    pipeline: a customer is CHURNED if they have order history but
+    nothing in the 90 days before the corpus horizon (max order date);
+    never-active customers are a separate class, not churn. Rolled up per
+    segment as the class-balance report a trainer reads before fitting
+    (the per-customer label table is the pre-rollup frame).
+
+    Scale: the horizon is a 1-row broadcast; one left join on custkey +
+    two aggregations with tiny group domains; the churn predicate is a
+    pure projection over the per-customer counts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cutoff = o.agg(
+        F.date_sub(F.max("o_orderdate").cast("date"), 90).alias("cut_d")
+    ).select(F.col("cut_d").cast("timestamp").alias("cut"))
+    feats = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .crossJoin(F.broadcast(cutoff))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_orderdate") > F.col("cut")).cast("int"))
+            .cast("bigint").alias("n_recent"),
+        )
+        .withColumn("n_recent", F.coalesce(F.col("n_recent"), F.lit(0)))
+    )
+    churned = (F.col("n_orders") > 0) & (F.col("n_recent") == 0)
+    return feats.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(churned.cast("int")).cast("bigint").alias("n_churned"),
+        F.sum((F.col("n_orders") == 0).cast("int")).cast("bigint").alias("n_never_active"),
+        (F.sum(churned.cast("int")).cast("double") / F.count("*") * 1e6)
+        .cast("bigint").alias("churn_rate_e6"),
+    )

@@ -411,3 +411,30 @@ def test_ols_by_segment_solves_planted_trend(spark, tmp_path):
         icpt = (m.s_y - slope * m.s_x) / m.n
         assert round(slope, 6) == want_slope, seg
         assert round(icpt, 6) == want_icpt, seg
+
+
+def test_churn_classes_crafted(spark, tmp_path):
+    """Label semantics pinned: active-recent is not churned, active-stale
+    is churned, never-active is its own class."""
+    import datetime
+
+    import __spark_entry__ as mod
+
+    d = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    orders = [
+        (1, 10, "O", 10.0, d("2024-06-01"), "P"),   # cust 10: recent -> active
+        (2, 11, "O", 10.0, d("2024-01-01"), "P"),   # cust 11: stale -> churned
+        (3, 10, "O", 10.0, d("2024-01-05"), "P"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "SEG"), (11, "SEG"), (12, "SEG")],  # 12 never ordered
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    r = mod.queries()["churn_label_table"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.n_churned, r.n_never_active) == (3, 1, 1)
+    assert r.churn_rate_e6 == 333333
