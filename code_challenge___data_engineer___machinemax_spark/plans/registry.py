@@ -52,88 +52,70 @@ DRIVER_PRIORITY: list[str] = [
     # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
     "keyword_search_hit",
-    # the last 3 oracle-bearing queries with no driver row ever (r3 #1)
-    "keyword_search_folded",
-    "keyword_search_analyzed",
-    "salted_user_segment_join",
-    # implementations touched in round 4 — re-confirm under the driver
-    "decile_revenue_share",
-    "streamed_corpus_state",
-    "streamed_event_rollup",
-    "streamed_user_totals",
-    "streamed_hourly_counts",
-    "streamed_sessions",
-    "ann_topk_lsh",
-    "ivf_topk",
+    # Round-5 rotation (VERDICT r4 next-round #1): ALL 38 oracle-bearing
+    # queries that have never had a driver CORRECTNESS row — computed as
+    # oracle_sql() minus the union of CORRECTNESS_r01–r04 keys — enter the
+    # window. Green here makes cumulative driver coverage 188/188.
+    "upsert_time_travel",
+    "pit_priority_revenue",
+    "rfm_segment_counts",
+    "churn_label_table",
+    "c4_line_cleanse",
+    "dsir_importance_weights",
+    "perplexity_tercile_mix",
+    "quantile_normalized_scores",
+    "pmi_cooccurrence",
+    "langid_confusion_matrix",
+    "dataset_card_report",
+    "corpus_entropy_report",
+    "readability_scores",
+    "duplicate_rate_by_source",
+    "line_dedup_stats",
+    "set_similarity_prefix_pairs",
+    "hard_negative_mining",
+    "embedding_drift_report",
+    "bfs_hops_from_customer",
+    "cluster_keywords",
+    "search_ndcg_eval",
+    "kcenter_coreset",
+    "mmr_diverse_rerank",
+    "token_budget_apportionment",
+    "stratified_kfold_counts",
+    "k_anonymity_release",
+    "pipeline_funnel_report",
+    "table_stats_profile",
+    "cdc_merge_apply",
+    "snapshot_diff",
+    "join_skew_report",
+    "ols_by_segment",
+    "streamed_dataset_card",
+    "session_peak_overlap",
+    "value_mad_outliers",
+    "hll_user_registers",
+    "cms_heavy_hitters",
+    "priority_sample_docs",
+    # 10 refresh slots: queries whose implementation or bench path is
+    # touched in round 5 (simhash/ANN store wiring, BM25 index variant,
+    # contamination A/B) plus r1-only greens due a re-confirm
+    # (segment_order_stats / cube_status_priority, flagged since r4).
     "simhash_near_dup_pairs",
-    "keyword_search_stemmed",
-    # new in round 4
-    "funnel_conversion",
-    "hash_split_assignment",
-    "sequence_packing",
-    "cohort_retention",
-    "triangle_count",
-    # new in round 4: streaming MinHash near-dup admission (the stateful
-    # LSH generalization of streamed_corpus_state) + distributed OLS moments
-    "streamed_near_dedup",
-    "ols_training_moments",
-    "audio_pcm_features",
-    "bpe_merge_training",
-    "bpe_subword_token_counts",
-    "scd2_priority_history",
-    "streamed_pricing_summary",
-    "repetition_signals",
-    "source_mixture_weights",
-    "repeated_passages",
-    # new in round 4: the completed TPC-H suite (plans/tpch_queries.py;
-    # q1/q3/q5 are long-green, q13's shape is customer_order_distribution)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # new in round 4 (late): the append-mode watermark flagship (the one
-    # streaming query whose oracle depends on real eviction semantics) and
-    # the telemetry gap-fill — these two take the refresh slots;
-    # segment_order_stats / cube_status_priority (r1-green refresh
-    # candidates) and the rest of the late additions (session_peak_overlap,
-    # value_mad_outliers, hll_user_registers, cms_heavy_hitters,
-    # priority_sample_docs, bfs_hops_from_customer, line_dedup_stats) stay
-    # covered by the local sf0.01 parity sweep + sf0.001 goldens and
-    # rotate into the round-5 window
-    "streamed_append_windows",
-    "events_gap_fill",
-    # round-5 window candidates (added late in round 4, window already
-    # full; every one oracle-checked by the local sf0.01 parity sweep,
-    # the single-session driver-style sweep, AND sf0.001 goldens):
-    # set_similarity_prefix_pairs, dsir_importance_weights,
-    # perplexity_tercile_mix, k_anonymity_release,
-    # token_budget_apportionment, hard_negative_mining,
-    # pipeline_funnel_report, table_stats_profile,
-    # quantile_normalized_scores, pmi_cooccurrence, cdc_merge_apply,
-    # snapshot_diff, join_skew_report, cluster_keywords,
-    # langid_confusion_matrix, search_ndcg_eval, kcenter_coreset,
-    # mmr_diverse_rerank, ols_by_segment, pit_priority_revenue,
-    # upsert_time_travel, dataset_card_report, corpus_entropy_report,
-    # stratified_kfold_counts, embedding_drift_report, rfm_segment_counts,
-    # streamed_dataset_card, readability_scores, churn_label_table
+    "ann_topk_lsh",
+    "bm25_keyword_ranking",
+    "benchmark_contamination",
+    "keyword_search_indexed",
+    "segment_order_stats",
+    "cube_status_priority",
+    "near_dup_pairs_minhash",
+    "cosine_topk_bruteforce",
+    "asof_purchase_to_view",
+    # Round-5 NEW queries (store-backed bench variants etc.) register after
+    # this list and land immediately after slot 50 only if the window is
+    # full; if any slot above is freed they slide in. They are all gated by
+    # the local sf0.01 parity sweep + goldens regardless.
 
-    # r3-green queries (kmeans, semantic dedup, pagerank, bigram LM, cohort
-    # shapes, winnowing overlap, showcase set) rotate out — all confirmed in
-    # CORRECTNESS_r03 and still gated by the local parity sweep + goldens
+    # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
+    # audio features, repetition/mixture text ops) rotate out — confirmed in
+    # CORRECTNESS_r04 and still gated by the local parity sweep + goldens
 ]
 
 

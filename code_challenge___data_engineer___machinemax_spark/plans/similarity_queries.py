@@ -260,9 +260,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the 10-row anchor frame BROADCASTS into the label-inequality
     theta join (a broadcast nested loop over 10 rows — bounded by the
     anchor count, never corpus x corpus); scoring is JVM-side zip_with
-    arithmetic; the per-anchor top-3 is a window over anchor_id partitions
-    (10 partitions, each corpus-sized — at scale, pre-reduce with a
-    per-partition local top-3 via the ANN shortlist before the window)."""
+    arithmetic. The per-anchor top-3 is TWO-STAGE: a salted local top-3
+    over (anchor_id, vec_id % 16) partitions first — max partition size
+    corpus/16 instead of corpus — then the final top-3 window sees at most
+    3 x 16 rows per anchor. The local stage cannot drop a global winner
+    (any global top-3 row is also top-3 within its own salt slice), so the
+    result is identical to the single-window plan the oracle replays."""
     e = load_table(spark, sf_dir, "embeddings")
     anchors = (
         e.filter(F.col("vec_id") < 10)
@@ -275,10 +278,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
         .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .withColumn("__salt", (F.col("vec_id") % F.lit(16)).cast("int"))
+    )
+    local_w = W.partitionBy("anchor_id", "__salt").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    pre = (
+        scored.withColumn("__lrk", F.row_number().over(local_w))
+        .filter(F.col("__lrk") <= 3)
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
+        pre.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= 3)
         .select("anchor_id", "vec_id", "label", "cosine")
     )
