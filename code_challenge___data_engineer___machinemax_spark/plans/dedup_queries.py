@@ -200,6 +200,25 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("simhash_near_dup_pairs_from_store", oracle=_simhash_pairs_oracle_sql())
+def simhash_near_dup_pairs_from_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`simhash_near_dup_pairs` over the persisted L4 fingerprint table
+    (DEPLOY.md L4) — the production read path. The 61-sum explode vote (the
+    measured cost center of the full pipeline) ran once at ingest; pair
+    generation here scans 16-byte (doc_id, simhash) rows and does pure
+    int-key work: arithmetic band projection -> equi-join -> bit_count
+    verify. Same oracle as the self-contained variant — fingerprints are
+    deterministic, so the pairs are identical."""
+    from ..operators.dedup import simhash_pairs_from_fingerprints
+    from ..stores import ensure_simhash_store
+
+    fp_path = ensure_simhash_store(spark, sf_dir, bits=60)
+    fp = spark.read.parquet(fp_path)
+    return simhash_pairs_from_fingerprints(
+        fp, "doc_id", bits=60, bands=4, max_hamming=3
+    )
+
+
 @query("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 60-bit fingerprints, value-checked against a generated

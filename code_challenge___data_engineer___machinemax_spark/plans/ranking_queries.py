@@ -54,6 +54,28 @@ def bm25_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import get as _get_registered
 
 
+@query(
+    "bm25_keyword_indexed",
+    # the self-contained twin's oracle verbatim: the layout is a cache of
+    # deterministic ingest work, so the result set is identical and the
+    # formula SQL keeps one source of truth
+    oracle=_get_registered("bm25_keyword_ranking").oracle,
+)
+def bm25_keyword_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the persisted L2 posting layout (VERDICT r4 #7):
+    candidate generation is the pruned index probe — PartitionFilters on
+    the token bucket, EqualTo(token, ...) pushed to the scan — and tf/dl/df
+    all derive from the probed rows plus the one-row (n_docs, avgdl) stats
+    table, so the query never touches the corpus. Same oracle as
+    `bm25_keyword_ranking`: the layout is a cache of deterministic ingest
+    work, the scores are bit-identical."""
+    from ..operators.search import bm25_rank_from_index
+    from ..stores import ensure_bm25_index_store
+
+    path = ensure_bm25_index_store(spark, sf_dir)
+    return bm25_rank_from_index(spark, path, "merge vector", key_col="doc_id", k=10)
+
+
 def _cluster_oracle_sql() -> str:
     """Recursive-CTE oracle for connected components: reuse the registered
     near-dup-pairs oracle as the edge list (identical parameters:

@@ -151,6 +151,56 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)
 
 
+@query(
+    "ann_topk_lsh_from_store",
+    oracle=f"""
+    WITH {_SRP_BUCKETS_SQL},
+    qb AS (SELECT DISTINCT t, bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM buckets b JOIN qb USING (t, bucket)
+      WHERE b.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_DOT_SQL.format(a='e.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_lsh_from_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_topk_lsh` probing the persisted L3 SRP bucket table (DEPLOY.md
+    L3) instead of re-bucketing the corpus per query — the production read
+    path. The query vector's 8 buckets are computed driver-side (planning
+    work, like tokenizing a keyword query); the probe is a literal
+    (t, bucket) disjunction the parquet scan prunes on (partition filter on
+    t, row-group min/max skip on the sorted bucket column); only the
+    candidate ids are rescored. Same oracle as `ann_topk_lsh` — identical
+    hyperplanes, so identical candidates and scores; no Python UDF in the
+    probe plan at all."""
+    from ..stores import ensure_srp_store, srp_query_buckets, srp_store_candidates
+
+    store_path = ensure_srp_store(spark, sf_dir)
+    qvec = _query_df(spark, sf_dir).head()[0]
+    probes = srp_query_buckets(list(qvec))
+    cand_ids = srp_store_candidates(spark, store_path, probes).filter(
+        F.col("vec_id") != 0
+    )
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cand = e.join(cand_ids, "vec_id", "left_semi").crossJoin(
+        F.broadcast(_query_df(spark, sf_dir))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query("embedding_near_dup_pairs", oracle=None)
 def embedding_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup at cosine >= 0.9 via SRP-LSH bucketed

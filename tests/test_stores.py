@@ -1,0 +1,130 @@
+"""The persisted L3/L4 layouts wired into query paths (stores.py): the
+store-backed queries must return EXACTLY what their self-contained twins
+return (the store is a cache of deterministic ingest work, never a
+semantic change), the probe plans must carry the pruning evidence, and a
+regenerated source table must never serve a stale store."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_challenge___data_engineer___machinemax_spark import plans
+from code_challenge___data_engineer___machinemax_spark.stores import (
+    _source_signature,
+    ensure_simhash_store,
+    ensure_srp_store,
+    srp_query_buckets,
+    srp_store_candidates,
+)
+from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+from tests.test_plans import explain_text
+
+
+@pytest.fixture()
+def store_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    return str(tmp_path / "stores")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_simhash_store_pairs_equal_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["simhash_near_dup_pairs_from_store"](spark, sf_dir)
+    fresh = qs["simhash_near_dup_pairs"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_ann_store_topk_equals_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["ann_topk_lsh_from_store"](spark, sf_dir)
+    fresh = qs["ann_topk_lsh"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_ensure_is_idempotent(spark, sf_dir, store_env):
+    p1 = ensure_simhash_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_simhash_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_signature_tracks_source_files(tmp_path):
+    """The store path is keyed by (name, size, mtime) of the source parquet
+    — regenerating testdata changes the signature, so a stale layout can
+    never be read (a fresh one is written beside it)."""
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1-bytes")
+    sig1 = _source_signature(str(tmp_path), "documents")
+    os.utime(src, ns=(1, 1))
+    sig2 = _source_signature(str(tmp_path), "documents")
+    assert sig1 != sig2
+
+
+def test_srp_probe_plan_prunes_and_has_no_python(spark, sf_dir, store_env):
+    """The probe is the production read path: bucket equalities pushed to
+    the parquet scan (row-group min/max skip over the sorted bucket
+    column), partition filters on the table id, and NO Python evaluation
+    anywhere — the corpus-side matmul ran at ingest, the query-side
+    bucketing runs on the driver."""
+    path = ensure_srp_store(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).head()["embedding"])
+    probes = srp_query_buckets(qvec)
+    assert len(probes) == 8
+    cand = srp_store_candidates(spark, path, probes)
+    txt = explain_text(cand)
+    assert "PushedFilters" in txt
+    assert "EqualTo(bucket" in txt.split("PushedFilters", 1)[1][:400]
+    assert "PartitionFilters" in txt
+    assert "ArrowEvalPython" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_bm25_indexed_equals_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["bm25_keyword_indexed"](spark, sf_dir)
+    fresh = qs["bm25_keyword_ranking"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_bm25_index_probe_prunes(spark, sf_dir, store_env):
+    """The BM25 probe is the pruned index scan: bucket partition filter +
+    token pushed filter, and the plan never reads the documents table."""
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        bm25_rank_from_index,
+    )
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_bm25_index_store,
+    )
+
+    path = ensure_bm25_index_store(spark, sf_dir)
+    df = bm25_rank_from_index(spark, path, "merge vector")
+    txt = explain_text(df)
+    assert "PartitionFilters" in txt and "bucket" in txt.split("PartitionFilters", 1)[1][:120]
+    assert "In(token, [merge,vector]" in txt
+    assert "documents.parquet" not in txt
+
+
+def test_driver_side_buckets_match_udf_buckets(spark, sf_dir, store_env):
+    """srp_query_buckets (driver numpy) and the store's _srp_buckets_udf
+    (Arrow batch numpy) are the same arithmetic — the probe keys must hit
+    the buckets the store was written with, for every vector not just the
+    query."""
+    path = ensure_srp_store(spark, sf_dir)
+    store = spark.read.parquet(path)
+    sample = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(5).collect()
+    for row in sample:
+        expect = sorted(srp_query_buckets(list(row["embedding"])))
+        got = sorted(
+            (r["t"], r["bucket"])
+            for r in store.filter(F.col("vec_id") == row["vec_id"]).collect()
+        )
+        assert got == expect
