@@ -1,0 +1,183 @@
+"""Pure-stdlib PNG codec (zlib + struct + numpy): the live branch behind
+``decode_features(decoder="real")`` and ``resize_images``.
+
+The container ships no image library, but PNG itself needs none: the
+format is zlib-compressed filtered scanlines (RFC 2083). This module
+implements a real decoder — signature/chunk walk, IHDR parse, IDAT
+inflate, per-row unfilter (all five filter types, Paeth included), pixel
+assembly for gray/RGB/palette/alpha at bit depth 8 — and a matching
+encoder (RGB8, filter 0), so image operators decode, transform, and
+re-encode genuine bytes end to end with no third-party codec.
+
+Deliberately NOT supported (raise ValueError, callers map to NULL/skip):
+interlaced images (Adam7), bit depths other than 8. Those are a
+completeness tail, not a different architecture.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (before palette expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND")
+
+
+def png_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from IHDR — the cheap metadata probe (no inflate)."""
+    for ctype, body in _chunks(bytes(data)):
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            return int(w), int(h)
+        break
+    raise ValueError("IHDR not first chunk")
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. ``raw`` is the inflated byte stream:
+    height rows of (1 filter byte + stride data bytes). Returns (height,
+    stride) uint8. Row-sequential by spec (each row depends on the previous
+    reconstructed row); within-row ops are numpy where the filter allows."""
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row = data[y]
+        f = int(filters[y])
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub — sequential in x (carry), bpp-strided
+            rec = row.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up — fully vectorized
+            rec = (row + prior) & 0xFF
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode to a (height, width, channels) uint8 array. Palette images
+    expand through their PLTE; gray stays 1-channel; alpha is kept."""
+    data = bytes(data)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if bit_depth != 8:
+        raise ValueError(f"bit depth {bit_depth} not supported (8 only)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unknown color type {color_type}")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    px = _unfilter(raw, height, stride, bpp=ch).reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode a (height, width, 3) or (height, width) uint8 array as an
+    RGB8 / gray8 PNG (filter 0 rows — correctness over ratio)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    height, width, ch = px.shape
+    if ch == 1:
+        color_type = 0
+    elif ch == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"encode supports 1 or 3 channels, got {ch}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((height, 1), dtype=np.uint8), px.reshape(height, width * ch)], axis=1
+    )
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (deterministic integer source indices —
+    floor(i * src/dst), the standard sample-grid mapping)."""
+    src_h, src_w = px.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * src_h) // height
+    xs = (np.arange(width, dtype=np.int64) * src_w) // width
+    return px[ys][:, xs]

@@ -1,15 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The engine treats media as first-class columns: `data: binary` plus a typed
-``meta`` struct, processed by Arrow-batched mapInPandas operators. The
-actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so decoding is
-split into:
+``meta`` struct, processed by Arrow-batched mapInPandas operators.
 
-- real Spark plumbing (tested): schema, partitioning, UDF signatures, batch
-  iteration, frame-sampling arithmetic, byte-level feature extraction;
-- the codec call itself, behind ``decoder=`` — ``"fake"`` is a deterministic
-  byte-level stand-in; ``"real"`` raises NotImplementedError until the
-  library is present (import-gated), without touching the surrounding plan.
+Codecs: images are REAL — the pure-stdlib PNG codec
+(functions/png_codec.py: zlib inflate + scanline unfilter + pixel
+assembly) decodes genuine payloads with no third-party library, so
+``decode_features(decoder="real")`` and :func:`resize_images` run live in
+this container (PIL, when present, serves as a fallback for non-PNG
+formats). Audio is real via :func:`pcm_features` (raw PCM needs no
+codec). Only compressed audio/video decode (librosa/ffmpeg) stays gated:
+``sample_frames`` does the real frame-index arithmetic and the per-frame
+pixel decode remains the documented NotImplementedError boundary.
+
+``decoder="fake"`` remains the deterministic byte-level stand-in used by
+the oracle-checked byte-statistics path.
 """
 
 from __future__ import annotations
@@ -85,26 +90,26 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     ``decoder="fake"``: deterministic byte statistics (length, mean,
     empirical entropy) — exercises the full Arrow round-trip with binary
-    columns. ``decoder="real"``: image rows are decoded with PIL (true pixel
-    dimensions in ``decoded_width``/``decoded_height``; undecodable payloads
-    keep NULLs); raises NotImplementedError when PIL is absent, and audio/
-    video stay byte-level (librosa/ffmpeg are gated the same way the day
-    they exist).
+    columns. ``decoder="real"``: image rows are decoded — PNG payloads by
+    the built-in pure-stdlib codec (functions/png_codec.py, always
+    available), other formats by PIL when it exists — and true pixel
+    dimensions land in ``decoded_width``/``decoded_height``; undecodable
+    payloads keep the row with NULL dims. Audio rows get their real
+    features from :func:`pcm_features`; compressed audio/video stay
+    byte-level here until librosa/ffmpeg exist.
     """
     import numpy as np
     import pandas as pd
 
-    if decoder == "real":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "real media decoding needs PIL/librosa/ffmpeg, not present in "
-                "this environment; use decoder='fake' for the plumbing path"
-            ) from exc
-
     def _image_dims(data: bytes) -> tuple[int | None, int | None]:
         try:
+            from ..functions.png_codec import png_dimensions
+
+            w, h = png_dimensions(data)
+            return int(w), int(h)
+        except Exception:
+            pass
+        try:  # pragma: no cover - exercised only where PIL exists
             import io
 
             from PIL import Image
@@ -192,13 +197,93 @@ def sample_frames(df: DataFrame, every_n: int = 24) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: real pixel work needs PIL (absent). The Spark-side
-    contract (schema in == schema out, meta rewritten) is real."""
-    raise NotImplementedError(
-        "resize requires an image codec (PIL), not present in this "
-        "environment; the operator contract is meta.width/height rewritten "
-        f"to ({width}, {height}) with re-encoded data"
-    )
+    """REAL image resize: decode PNG payloads with the built-in codec,
+    nearest-neighbor resample to (width, height), re-encode, and rewrite
+    ``meta.width``/``meta.height``. Schema in == schema out (MEDIA_SCHEMA);
+    only image rows are emitted; an undecodable image payload keeps its row
+    with ``data`` NULL and NULL meta dims (the dead-letter convention of
+    the crawl fetcher, reference index.py:124-129 — tolerate, don't
+    abort)."""
+    import pandas as pd
+
+    from ..functions.png_codec import decode_png, encode_png, resize_nearest
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                try:
+                    px = decode_png(bytes(r["data"]))
+                    if px.shape[2] == 1:
+                        px = px[:, :, 0]
+                    elif px.shape[2] == 4:
+                        px = px[:, :, :3]  # drop alpha for RGB re-encode
+                    out_data = bytearray(encode_png(resize_nearest(px, width, height)))
+                    w, h = width, height
+                except Exception:
+                    out_data, w, h = None, None, None
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": "image",
+                        "data": out_data,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "meta"],
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_png_media(documents: DataFrame, modulus_w: int = 13, modulus_h: int = 7) -> DataFrame:
+    """Media table whose image payloads are GENUINE PNGs, synthesized
+    deterministically from doc_id: an image row (doc_id % 3 == 0) carries a
+    gray gradient of size (doc_id % modulus_w + 1, doc_id % modulus_h + 1)
+    encoded by the built-in codec. Because the true pixel dimensions are a
+    pure function of doc_id, `decode_features(decoder="real")` over this
+    table is SQL-oracle-checkable end to end — the decoder either inflates
+    and unfilters the real bytes correctly or the dims mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.png_codec import encode_png
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = int(r["doc_id"])
+                if doc_id % 3 != 0:
+                    continue
+                w = doc_id % modulus_w + 1
+                h = doc_id % modulus_h + 1
+                px = (np.arange(h * w, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w)
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "kind": "image",
+                        "data": bytearray(encode_png(px)),
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return documents.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
 
 
 def pcm_features(df: DataFrame) -> DataFrame:

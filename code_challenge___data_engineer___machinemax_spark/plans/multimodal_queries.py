@@ -71,6 +71,31 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_decode_real_png",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 13 + 1 AS INT) AS decoded_width,
+           CAST(doc_id % 7 + 1 AS INT) AS decoded_height
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decoder, value-checked end to end: synthesize genuine
+    PNG payloads whose pixel dimensions are a pure function of doc_id
+    (synth_png_media), run them through decode_features(decoder="real") —
+    the pure-stdlib codec must walk the chunks, inflate the IDAT, and parse
+    the real bytes — and compare the decoded dimensions against the SQL
+    formula. A decoder bug (wrong header parse, bad inflate handling,
+    swapped width/height) fails the oracle; corrupted-payload tolerance is
+    pinned separately in tests/test_multimodal.py."""
+    from ..operators.multimodal import synth_png_media
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features(synth_png_media(d), decoder="real")
+    return feats.select("media_id", "decoded_width", "decoded_height")
+
+
+@query(
     "audio_pcm_features",
     oracle="""
     WITH audio AS (

@@ -1,16 +1,26 @@
 """Multimodal plumbing: binary round-trip through Arrow, fake-decoder
-determinism, frame sampling arithmetic, stub gating."""
+determinism, frame sampling arithmetic, REAL PNG decode/resize (pure-stdlib
+codec — no skip gates left on the image path)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from code_challenge___data_engineer___machinemax_spark.functions.png_codec import (
+    decode_png,
+    encode_png,
+    png_dimensions,
+    resize_nearest,
+)
 from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_features,
     resize_images,
     sample_frames,
     synth_media,
+    synth_png_media,
 )
 from code_challenge___data_engineer___machinemax_spark.tables import load_table
 
@@ -48,45 +58,150 @@ def test_frame_sampling_arithmetic(media):
         assert r["count"] == expect
 
 
-def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+# --- pure-stdlib PNG codec -------------------------------------------------
 
 
-@pytest.mark.skipif(_has_pil(), reason="PIL present: the real path is live, not gated")
-def test_real_decoder_stub_gates_clearly(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_features(media, "real")
+def test_png_roundtrip_gray_and_rgb():
+    gray = (np.arange(9 * 17) % 256).astype(np.uint8).reshape(9, 17)
+    assert png_dimensions(encode_png(gray)) == (17, 9)
+    out = decode_png(encode_png(gray))
+    assert out.shape == (9, 17, 1)
+    assert np.array_equal(out[:, :, 0], gray)
+
+    rgb = (np.arange(5 * 7 * 3) % 251).astype(np.uint8).reshape(5, 7, 3)
+    out = decode_png(encode_png(rgb))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, rgb)
 
 
-def test_resize_stub_gates_clearly(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        resize_images(media, 224, 224)
+def _apply_filter(ftype: int, px: np.ndarray, bpp: int) -> bytes:
+    """Forward-filter scanlines per the PNG spec (the encoder side of what
+    _unfilter reverses) so the decoder is exercised on ALL filter types,
+    not just the filter-0 rows our encoder emits."""
+    h, stride = px.shape
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        out.append(ftype)
+        out += bytes(filt.astype(np.uint8))
+        prior = row
+    return bytes(out)
 
 
-@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decoder_handles_every_filter_type(ftype):
+    import struct
+    import zlib
+
+    px = (np.arange(6 * 11) * 7 % 256).astype(np.uint8).reshape(6, 11)
+    ihdr = struct.pack(">IIBBBBB", 11, 6, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(_apply_filter(ftype, px, 1)))
+            + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert np.array_equal(out[:, :, 0], px)
+
+
+def test_png_decoder_rejects_junk_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not an image")
+    # interlaced header
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(data)
+
+
+def test_resize_nearest_exact_indices():
+    px = np.arange(4 * 4, dtype=np.uint8).reshape(4, 4)
+    out = resize_nearest(px, 2, 2)
+    # floor(i * 4/2): rows/cols 0 and 2
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2]])
+
+
+# --- the real decoder through the Spark plan --------------------------------
+
+
 def test_real_decoder_decodes_image_dimensions(spark):
-    # proven the day the container gains PIL: a genuine PNG round-trips
-    # through the Arrow batch and comes back with true pixel dimensions
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (17, 9)).save(buf, format="PNG")
-    rows = [(1, "image", bytearray(buf.getvalue()), (17, 9, None, None)),
+    # a genuine PNG round-trips through the Arrow batch and comes back with
+    # true pixel dimensions — decoded by the pure-stdlib codec, no PIL
+    png = encode_png((np.zeros((9, 17), dtype=np.uint8)))
+    rows = [(1, "image", bytearray(png), (17, 9, None, None)),
             (2, "image", bytearray(b"not an image"), (None, None, None, None))]
-    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import MEDIA_SCHEMA
-
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: (r.decoded_width, r.decoded_height, r.decoder)
            for r in decode_features(df, "real").collect()}
     assert got[1] == (17, 9, "real")
     assert got[2] == (None, None, "real")  # undecodable payload keeps the row
+
+
+def test_synth_png_media_decodes_to_formula_dims(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    feats = decode_features(synth_png_media(d), decoder="real")
+    rows = feats.collect()
+    assert rows
+    for r in rows:
+        assert r.decoded_width == r.media_id % 13 + 1
+        assert r.decoded_height == r.media_id % 7 + 1
+
+
+def test_resize_images_real(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    resized = resize_images(synth_png_media(d), 8, 5).collect()
+    assert resized
+    for r in resized:
+        if r.data is None:
+            continue
+        assert r.meta.width == 8 and r.meta.height == 5
+        px = decode_png(bytes(r.data))
+        assert px.shape[:2] == (5, 8)
+    # and the pixel content is the nearest-neighbor resample of the source
+    src = synth_png_media(d).filter(F.col("media_id") == resized[0].media_id).first()
+    expect = resize_nearest(decode_png(bytes(src.data)), 8, 5)
+    got = decode_png(bytes(resized[0].data))
+    assert np.array_equal(got, expect)
+
+
+def test_resize_tolerates_undecodable_payload(spark):
+    rows = [(1, "image", bytearray(b"junk"), (None, None, None, None)),
+            (2, "audio", bytearray(b"pcm"), (None, None, 16000, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 4, 4).collect()
+    assert len(out) == 1  # audio row filtered, junk image kept as dead-letter
+    assert out[0].media_id == 1 and out[0].data is None
+    assert out[0].meta.width is None
 
 
 def test_pcm_features_crafted_bytes(spark):
