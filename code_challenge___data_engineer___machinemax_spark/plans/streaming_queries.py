@@ -275,12 +275,14 @@ def streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream events through the foreachBatch read-modify-merge sink
     (streaming/events.py) and return the final per-event_type rollup state;
     the oracle is the equivalent one-pass batch aggregation."""
+    from ..streaming.events import read_state_store
+
     base = tempfile.mkdtemp(prefix="ccdem_streamed_rollup_")
     store = os.path.join(base, "store")
     stream = read_event_stream(spark, sf_dir)
     stream_upsert_to_store(stream, store)
     state = (
-        spark.read.parquet(store)
+        read_state_store(spark, store)
         .select("event_type", "n", "v_e6")
         .localCheckpoint()
     )

