@@ -214,3 +214,54 @@ def test_bfs_frontier_order_golden(result):
     assert by[("regurgitate", 1)] == {f"{BASE}/img/photo.jpg", "http://other.site/x"}
     # no event ever references a round beyond the drained frontier
     assert max(r for _, r in by) == 2
+
+
+def _deep_site(depth: int) -> dict:
+    """Synthetic binary-tree site, heap-indexed: node i links to children
+    2i+1 / 2i+2, plus a back-link to its parent and to the root (revisits
+    the dedup sets must absorb every round, reference index.py:117-119).
+    2^depth - 1 pages; BFS level of node i is floor(log2(i+1))."""
+    n = 2**depth - 1
+    site = {}
+    for i in range(n):
+        links = [f"/n{c}" for c in (2 * i + 1, 2 * i + 2) if c < n]
+        if i > 0:
+            links += [f"/n{(i - 1) // 2}", "/n0"]
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        html = ('<html><head><meta property="og:type" content="website"></head>'
+                f"<body>{body}</body></html>")
+        site[f"{BASE}/n{i}"] = (200, "text/html", html)
+    return site
+
+
+def test_bfs_deep_site_rounds_and_counts(spark):
+    """Scale pin for the driver-side BFS loop (VERDICT r4 #8): a site 10x
+    deeper than the fixture (10 BFS levels, 1023 pages). Pins: round count
+    == tree depth (the localCheckpoint-bounded loop neither stalls nor
+    overshoots), per-round frontier == exactly the BFS level (2^r nodes —
+    the back-links to parent/root are absorbed by the visited anti-join
+    every round), no page fetched twice, and the loop drains."""
+    import time
+    from collections import defaultdict
+
+    depth = 10
+    site = _deep_site(depth)
+    t0 = time.perf_counter()
+    res = crawl(spark, [f"{BASE}/n0"], dict_fetcher(site), BASE,
+                max_depth=depth + 3, fetch_partitions=8)
+    wall = time.perf_counter() - t0
+
+    by = defaultdict(set)
+    for r in res.journal.filter(F.col("event") == "tries").collect():
+        by[r.round].add(r.url)
+    assert sorted(by) == list(range(depth))  # exactly `depth` rounds
+    for rnd in range(depth):
+        assert len(by[rnd]) == 2**rnd, f"round {rnd}: {len(by[rnd])} != {2**rnd}"
+    # every page fetched exactly once
+    assert res.visited.count() == len(site)
+    assert res.stats["pages_found"] == len(site)
+    assert res.stats["fetch_failures"] == 0
+    # sanity ceiling so a pathological per-round blowup fails loudly rather
+    # than silently burning CI time (measured ~0.5-1 s/round on local[8];
+    # SCALE.md records the profile)
+    assert wall < 240, f"deep crawl took {wall:.0f}s"
