@@ -88,6 +88,10 @@ HEADLINE = [
     "simhash_near_dup_pairs_from_store",
     "ann_topk_lsh_from_store",
     "bm25_keyword_indexed",
+    # round-5: incremental ingest admission — fingerprint ONLY the new
+    # batch, band-join it against the persisted corpus fingerprints (the
+    # L4 ingest loop; the corpus is never re-fingerprinted)
+    "simhash_incremental_admission",
 ]
 
 

@@ -384,6 +384,58 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_cross_pairs(
+    fp_batch: DataFrame,
+    fp_corpus: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two fingerprinted frames (batch × corpus) —
+    the incremental-ingest half of the L4 story (DEPLOY.md): fingerprint
+    only the new batch, band-join it against the persisted corpus
+    fingerprints, never re-fingerprint (or self-join) the corpus. Output
+    one row per (batch id, corpus id) pair within ``max_hamming``.
+
+    Same pigeonhole recall as :func:`simhash_pairs_from_fingerprints`;
+    no ``id_a < id_b`` constraint because the two sides are disjoint
+    sets by construction (callers split on the id domain)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    def _banded(fp: DataFrame) -> DataFrame:
+        vals = F.array(
+            *[
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ]
+        )
+        return fp.select(
+            F.col(id_col), F.col("simhash"), F.posexplode(vals).alias("band", "band_val")
+        )
+
+    a = _banded(fp_batch).alias("a")
+    b = _banded(fp_corpus).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("__fa"), F.col("__fb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "corpus_id", "hamming")
+    )
+
+
 def simhash_pairs_from_fingerprints(
     fp: DataFrame,
     id_col: str = "doc_id",

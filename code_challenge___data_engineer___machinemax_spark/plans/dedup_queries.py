@@ -219,6 +219,79 @@ def simhash_near_dup_pairs_from_store_q(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def _simhash_incremental_oracle_sql(
+    bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of the incremental admission: same generated fingerprint
+    CTE for BOTH sides (batch = doc_id%10=7, corpus = the rest), banded
+    batch×corpus join, per-batch-doc near-dup count, admitted iff zero."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH fp AS ({_simhash_oracle_sql(bits)}),
+    bf AS (SELECT * FROM fp WHERE doc_id % 10 = 7),
+    cf AS (SELECT * FROM fp WHERE doc_id % 10 <> 7),
+    bb AS (
+        SELECT doc_id, simhash, b AS band,
+               (simhash >> (b * {band_bits})) & {mask} AS band_val
+        FROM bf, (SELECT unnest(range(0, {bands})) AS b)
+    ),
+    cb AS (
+        SELECT doc_id, simhash, b AS band,
+               (simhash >> (b * {band_bits})) & {mask} AS band_val
+        FROM cf, (SELECT unnest(range(0, {bands})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid,
+               bb.simhash AS fa, cb.simhash AS fb
+        FROM bb JOIN cb ON bb.band = cb.band AND bb.band_val = cb.band_val
+    ),
+    m AS (
+        SELECT bid, COUNT(*) AS n FROM cand
+        WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+        GROUP BY bid
+    )
+    SELECT f.doc_id,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n_near_dups,
+           COALESCE(m.n, 0) = 0 AS admitted
+    FROM bf f LEFT JOIN m ON m.bid = f.doc_id
+    """
+
+
+@query("simhash_incremental_admission", oracle=_simhash_incremental_oracle_sql())
+def simhash_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the L4 ingest loop (DEPLOY.md):
+    a NEW batch (doc_id % 10 == 7 stands in for today's ingest) is
+    fingerprinted in-plan, then band-joined against the PERSISTED corpus
+    fingerprints (everything else, read from the L4 store — the corpus is
+    never re-fingerprinted, its 16-byte fp rows are simply scanned); a
+    batch document is admitted iff no stored document sits within
+    hamming<=3. This is the batch twin of the streaming
+    `streamed_near_dedup` admission, with the corpus side coming from the
+    materialized layout instead of state-store history."""
+    from ..operators.dedup import simhash, simhash_cross_pairs
+    from ..stores import ensure_simhash_store
+
+    fp_path = ensure_simhash_store(spark, sf_dir, bits=60)
+    corpus_fp = spark.read.parquet(fp_path).filter(F.col("doc_id") % 10 != 7)
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    batch_fp = simhash(batch, "doc_id", "text", 60, spread=True).localCheckpoint()
+    matches = (
+        simhash_cross_pairs(batch_fp, corpus_fp, "doc_id")
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        batch_fp.join(matches, batch_fp["doc_id"] == matches["batch_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
 @query("simhash_fingerprints", oracle=_simhash_oracle_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 60-bit fingerprints, value-checked against a generated

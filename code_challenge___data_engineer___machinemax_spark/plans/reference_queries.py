@@ -135,6 +135,30 @@ def keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyword_search_stored_index",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE list_has_any({tokenize_sql('text')}, ['merge', 'vector'])
+    """,
+)
+def keyword_search_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 14 on the PERSISTED L2 index (DEPLOY.md L2; the twin of
+    `keyword_search_indexed`, which builds its postings in-plan): the probe
+    reads only the query tokens' bucket partitions with the token equality
+    pushed into parquet — Mongo's B-tree walk as partition pruning — then
+    broadcast-semi-joins back to the corpus. Index materialization is
+    ingest-time work (primed once per store signature)."""
+    from ..operators.search import search_with_materialized_index
+    from ..stores import ensure_inverted_index_store
+
+    path = ensure_inverted_index_store(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    return search_with_materialized_index(
+        spark, d, path, "doc_id", "merge vector"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
     "term_frequencies",
     oracle=f"""
     SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -108,10 +108,13 @@ DRIVER_PRIORITY: list[str] = [
     "near_dup_pairs_minhash",
     "cosine_topk_bruteforce",
     "asof_purchase_to_view",
-    # Round-5 NEW queries (store-backed bench variants etc.) register after
-    # this list and land immediately after slot 50 only if the window is
-    # full; if any slot above is freed they slide in. They are all gated by
-    # the local sf0.01 parity sweep + goldens regardless.
+    # Round-6 window candidates — the 7 queries NEW in round 5, all
+    # oracle-green in the local sf0.01 parity sweep + sf0.001 goldens but
+    # registered after the window filled:
+    # simhash_near_dup_pairs_from_store, ann_topk_lsh_from_store,
+    # bm25_keyword_indexed, ivf_topk_from_store,
+    # keyword_search_stored_index, simhash_incremental_admission,
+    # media_decode_real_png
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

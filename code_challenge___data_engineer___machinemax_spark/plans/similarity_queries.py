@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import ann_topk_lsh, cosine, cosine_topk, l2_norm
 from ..tables import load_table
+from .registry import get as _get_registered
 from .registry import query
 
 _DOT_SQL = (
@@ -274,6 +275,51 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") != 0)
     centroids = label_centroids_df(e, "embedding", "label")
     return ivf_topk(corpus, _query_df(spark, sf_dir), centroids, "vec_id", "embedding", k=10, nprobe=3)
+
+
+@query(
+    "ivf_topk_from_store",
+    # the self-contained twin's oracle verbatim: the store caches the
+    # deterministic assignment, so the result sets are identical
+    oracle=_get_registered("ivf_topk").oracle,
+)
+def ivf_topk_from_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_topk` probing the persisted L3 IVF layout (DEPLOY.md L3
+    verbatim: vectors partitioned by centroid_id): the codebook and the
+    full-corpus assignment argmin ran at ingest; the probe scores the
+    query against the tiny stored codebook, picks nprobe=3 lists
+    driver-side (planning metadata, like query tokens), and scans ONLY
+    those partitions — `PartitionFilters [centroid_id IN (...)]` — before
+    rescoring. Same oracle as `ivf_topk`."""
+    from ..stores import ensure_ivf_store
+
+    store = ensure_ivf_store(spark, sf_dir)
+    import os as _os
+
+    centroids = spark.read.parquet(_os.path.join(store, "centroids"))
+    q = _query_df(spark, sf_dir)
+    probe_rows = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
+        .orderBy(F.desc("__d"), F.asc("centroid_id"))
+        .limit(3)
+        .select("centroid_id")
+        .collect()
+    )
+    probes = [r.centroid_id for r in probe_rows]
+    cand = (
+        spark.read.parquet(_os.path.join(store, "assigned"))
+        .filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
 
 
 @query(

@@ -123,6 +123,28 @@ def ensure_srp_store(
     return path
 
 
+def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the L3 IVF layout for ``embeddings``: the label-centroid
+    codebook (``centroids/``, tiny) and the assigned vectors written
+    PARTITIONED BY ``centroid_id`` (``assigned/``) — DEPLOY.md L3 verbatim.
+    An nprobe-list probe is then a partition-pruned scan of ~nprobe/C of
+    the store; the assignment argmin (the full-corpus work) ran once,
+    here."""
+    from .operators.similarity import ivf_assign, label_centroids_df
+
+    path = _store_path(sf_dir, "embeddings", "l3_ivf")
+    if not _ready(os.path.join(path, "assigned")):
+        e = load_table(spark, sf_dir, "embeddings")
+        centroids = label_centroids_df(e, "embedding", "label")
+        centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        assigned = ivf_assign(e, spark.read.parquet(os.path.join(path, "centroids")),
+                              "embedding", id_col="vec_id")
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(path, "assigned")
+        )
+    return path
+
+
 def ensure_bm25_index_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the BM25-scored posting layout for ``documents`` (L2 +
     per-doc lengths + corpus scalars; see
@@ -133,6 +155,20 @@ def ensure_bm25_index_store(spark: SparkSession, sf_dir: str) -> str:
     if not _ready(os.path.join(path, "stats")):
         d = load_table(spark, sf_dir, "documents")
         materialize_bm25_index(d, "doc_id", path)
+    return path
+
+
+def ensure_inverted_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the token-bucket-partitioned inverted index for
+    ``documents`` (DEPLOY.md L2; ``operators.search
+    .materialize_inverted_index``) — the replacement for the reference's
+    per-request index build (api.py:22)."""
+    from .operators.search import materialize_inverted_index
+
+    path = _store_path(sf_dir, "documents", "l2_postings")
+    if not _ready(path):
+        d = load_table(spark, sf_dir, "documents")
+        materialize_inverted_index(d, "doc_id", path)
     return path
 
 

@@ -30,6 +30,11 @@ PAIR_EMITTING = {
     "simhash_near_dup_pairs",
     "doc_overlap_winnowing",
     "set_similarity_prefix_pairs",
+    # the store-backed/incremental twins hit the same deliberate
+    # cross-replica near-dup blowup (10 identical key-shifted copies of
+    # every document) — candidate volume, not plan scaling, dominates
+    "simhash_near_dup_pairs_from_store",
+    "simhash_incremental_admission",
 }
 
 # semantic_dedup_pairs is also excluded: its oracle pins k=8 (right for the

@@ -113,6 +113,52 @@ def test_bm25_index_probe_prunes(spark, sf_dir, store_env):
     assert "documents.parquet" not in txt
 
 
+def test_ivf_store_equals_self_contained_and_prunes(spark, sf_dir, store_env):
+    import os as _os
+
+    from code_challenge___data_engineer___machinemax_spark.stores import ensure_ivf_store
+
+    qs = plans.all_queries()
+    stored = qs["ivf_topk_from_store"](spark, sf_dir)
+    fresh = qs["ivf_topk"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+    # the probe scan is partition-pruned on centroid_id
+    store = ensure_ivf_store(spark, sf_dir)
+    probe = spark.read.parquet(_os.path.join(store, "assigned")).filter(
+        F.col("centroid_id").isin([0, 1])
+    )
+    txt = explain_text(probe.select("vec_id"))
+    assert "PartitionFilters" in txt
+    assert "centroid_id" in txt.split("PartitionFilters", 1)[1][:200]
+
+
+def test_stored_keyword_index_equals_in_plan_index(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["keyword_search_stored_index"](spark, sf_dir)
+    fresh = qs["keyword_search_indexed"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_incremental_admission_consistent_with_full_pairs(spark, sf_dir, store_env):
+    """A batch doc is refused iff the FULL pair query (self-contained, over
+    all documents) contains a pair linking it to a non-batch doc — the
+    incremental path must agree with the ground truth exactly."""
+    qs = plans.all_queries()
+    admitted = {
+        r.doc_id: r.admitted for r in qs["simhash_incremental_admission"](spark, sf_dir).collect()
+    }
+    pairs = qs["simhash_near_dup_pairs"](spark, sf_dir).collect()
+    linked = set()
+    for p in pairs:
+        a_batch, b_batch = p.id_a % 10 == 7, p.id_b % 10 == 7
+        if a_batch and not b_batch:
+            linked.add(p.id_a)
+        if b_batch and not a_batch:
+            linked.add(p.id_b)
+    for doc_id, ok in admitted.items():
+        assert ok == (doc_id not in linked), doc_id
+
+
 def test_driver_side_buckets_match_udf_buckets(spark, sf_dir, store_env):
     """srp_query_buckets (driver numpy) and the store's _srp_buckets_udf
     (Arrow batch numpy) are the same arithmetic — the probe keys must hit
