@@ -174,6 +174,36 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_sequence(frames: list[bytes]) -> bytes:
+    """Concatenate encoded PNG frames into a length-prefixed container
+    (4-byte big-endian frame length + frame bytes, repeated) — the minimal
+    video-as-frame-sequence format (the MJPEG idea with PNG frames), so
+    frame-sampling operators can decode REAL bytes without ffmpeg."""
+    out = bytearray()
+    for f in frames:
+        out += struct.pack(">I", len(f))
+        out += f
+    return bytes(out)
+
+
+def png_frame_offsets(data: bytes) -> list[tuple[int, int]]:
+    """[(offset, length)] of each frame in a length-prefixed sequence —
+    O(n_frames) header walk, no frame decode; lets a sampler seek straight
+    to the frames it keeps."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 4 + length > n:
+            raise ValueError("truncated frame sequence")
+        out.append((pos + 4, length))
+        pos += 4 + length
+    if pos != n:
+        raise ValueError("trailing bytes after last frame")
+    return out
+
+
 def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample (deterministic integer source indices —
     floor(i * src/dst), the standard sample-grid mapping)."""

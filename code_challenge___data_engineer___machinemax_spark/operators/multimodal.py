@@ -245,6 +245,109 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_png_video(documents: DataFrame, max_frames: int = 24) -> DataFrame:
+    """Video rows (doc_id % 3 == 2) whose payloads are GENUINE length-
+    prefixed PNG frame sequences: doc_id % 24 + 1 constant-gray frames of
+    size (doc_id % 5 + 1, doc_id % 4 + 1), frame f's pixel value
+    (doc_id*7 + f*13) % 256. Every decoded quantity is a closed-form
+    function of (doc_id, f), so real frame decode is SQL-oracle-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.png_codec import encode_png, encode_png_sequence
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = int(r["doc_id"])
+                if doc_id % 3 != 2:
+                    continue
+                w = doc_id % 5 + 1
+                h = doc_id % 4 + 1
+                nf = doc_id % max_frames + 1
+                frames = [
+                    encode_png(
+                        np.full((h, w), (doc_id * 7 + f * 13) % 256, dtype=np.uint8)
+                    )
+                    for f in range(nf)
+                ]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "kind": "video",
+                        "data": bytearray(encode_png_sequence(frames)),
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "n_frames": nf,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return documents.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_sampled_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """REAL per-frame decode of sampled video frames: walk the length-
+    prefixed frame index (no decode of skipped frames — the seek a frame
+    sampler wants), decode every ``every_n``-th frame with the built-in
+    PNG codec, and emit integer-exact pixel evidence (dims + pixel sum).
+    Undecodable frames/payloads yield NULL columns, keeping the row
+    (dead-letter convention). Closes the formerly-gated video decode step
+    for PNG-sequence payloads; real containers (mp4 etc.) still need
+    ffmpeg and raise upstream at synth/ingest, not here."""
+    import pandas as pd
+
+    from ..functions.png_codec import decode_png, png_frame_offsets
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("pixel_sum", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or r["data"] is None:
+                    continue
+                payload = bytes(r["data"])
+                try:
+                    offsets = png_frame_offsets(payload)
+                except ValueError:
+                    continue  # corrupt container — dead-letter at item level
+                for f in range(0, len(offsets), every_n):
+                    off, length = offsets[f]
+                    try:
+                        px = decode_png(payload[off : off + length])
+                        w, h = int(px.shape[1]), int(px.shape[0])
+                        psum = int(px.astype("int64").sum())
+                    except Exception:
+                        w = h = psum = None
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": f,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": psum,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "width", "height", "pixel_sum"]
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_png_media(documents: DataFrame, modulus_w: int = 13, modulus_h: int = 7) -> DataFrame:
     """Media table whose image payloads are GENUINE PNGs, synthesized
     deterministically from doc_id: an image row (doc_id % 3 == 0) carries a

@@ -96,6 +96,38 @@ def media_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_sampled_frame_decode",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 4 + 1 AS h,
+               doc_id % 24 + 1 AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_index,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(((doc_id * 7 + f * 13) % 256) * w * h AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id, w, h, unnest(range(0, nf, 4)) AS f FROM v)
+    """,
+)
+def video_sampled_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sampled-frame video decode, value-checked end to end: synthesize
+    genuine PNG frame sequences whose every decoded quantity is a closed-
+    form function of (doc_id, frame) — synth_png_video — then walk the
+    container index, decode every 4th frame with the pure-stdlib codec,
+    and emit integer-exact (dims, pixel sum) per kept frame. The oracle
+    recomputes the same numbers from the formulas; a decode bug (wrong
+    frame offsets, bad unfilter, wrong frame picked) breaks the hash.
+    Completes the multimodal trio: image decode (media_decode_real_png),
+    audio DSP (audio_pcm_features), video frame sampling+decode (here)."""
+    from ..operators.multimodal import decode_sampled_frames, synth_png_video
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_sampled_frames(synth_png_video(d), every_n=4)
+
+
+@query(
     "audio_pcm_features",
     oracle="""
     WITH audio AS (

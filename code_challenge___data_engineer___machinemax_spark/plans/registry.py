@@ -114,7 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     # simhash_near_dup_pairs_from_store, ann_topk_lsh_from_store,
     # bm25_keyword_indexed, ivf_topk_from_store,
     # keyword_search_stored_index, simhash_incremental_admission,
-    # media_decode_real_png
+    # media_decode_real_png, video_sampled_frame_decode
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

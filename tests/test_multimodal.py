@@ -204,6 +204,57 @@ def test_resize_tolerates_undecodable_payload(spark):
     assert out[0].meta.width is None
 
 
+def test_png_sequence_container_roundtrip():
+    from code_challenge___data_engineer___machinemax_spark.functions.png_codec import (
+        encode_png_sequence,
+        png_frame_offsets,
+    )
+
+    frames = [encode_png(np.full((2, 3), v, dtype=np.uint8)) for v in (0, 7, 255)]
+    seq = encode_png_sequence(frames)
+    offs = png_frame_offsets(seq)
+    assert len(offs) == 3
+    for (off, ln), f in zip(offs, frames):
+        assert seq[off : off + ln] == f
+    with pytest.raises(ValueError, match="truncated|trailing"):
+        png_frame_offsets(seq[:-1])
+
+
+def test_sampled_frame_decode_values(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        decode_sampled_frames,
+        synth_png_video,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(90)
+    out = decode_sampled_frames(synth_png_video(d), every_n=4).collect()
+    assert out
+    for r in out:
+        doc_id, f = r.media_id, r.frame_index
+        w, h = doc_id % 5 + 1, doc_id % 4 + 1
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == ((doc_id * 7 + f * 13) % 256) * w * h
+        assert f % 4 == 0
+    # every video got ceil(nf/4) sampled frames
+    from collections import Counter
+
+    per = Counter(r.media_id for r in out)
+    for doc_id, n in per.items():
+        nf = doc_id % 24 + 1
+        assert n == (nf - 1) // 4 + 1
+
+
+def test_sampled_frame_decode_tolerates_corrupt_container(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        decode_sampled_frames,
+    )
+
+    rows = [(1, "video", bytearray(b"\x00\x00\x00\x10short"), (None, None, None, 1)),
+            (2, "image", bytearray(b"x"), (None, None, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert decode_sampled_frames(df).collect() == []
+
+
 def test_pcm_features_crafted_bytes(spark):
     """Known PCM16 payloads: signed decode, zero-crossing rule (sign change
     across the >=0 / <0 boundary), odd-byte truncation, empty payload."""
