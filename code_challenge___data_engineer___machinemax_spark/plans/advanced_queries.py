@@ -1482,3 +1482,142 @@ def ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d") * F.col("p")).cast("bigint").alias("s_xy"),
         )
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'customer' AS table_name, 'c_custkey_unique' AS constraint_name,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           COUNT(*) = COUNT(DISTINCT c_custkey) AS passed
+    FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_custkey_in_customer',
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders', 'o_totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity_in_1_50',
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                    OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey_in_orders',
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'documents', 'text_nonempty',
+           CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN text IS NULL OR length(text) = 0
+                    THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'events', 'ts_nonnull',
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification: one row per declared constraint
+    with its violation count, row total, and PASS verdict — uniqueness of
+    the customer key, referential integrity orders->customer and
+    lineitem->orders, value-range and positivity rules, non-empty text,
+    non-null event timestamps. This is the admission gate a production
+    pipeline runs before a snapshot is published (the generalization of the
+    reference's status/content-type admission check, index.py:130-131, from
+    per-page to per-dataset).
+
+    Scale: every column rule is a single-pass partial aggregate over its
+    own scan (conditional sums — no distinct explosion; uniqueness uses
+    count vs count(distinct) which Spark plans as one partial_count +
+    partial-distinct agg, not a self-join). The two referential checks are
+    the only shuffles, each keyed on the join key it validates, and the
+    dimension side broadcasts when small. Output is one row per rule —
+    metadata-sized however large the tables — so the report can run on
+    every ingest batch."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+
+    def report(table: str, name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("constraint_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    def rule(df: DataFrame, bad: F.Column) -> DataFrame:
+        return df.agg(
+            F.sum(bad.cast("bigint")).alias("violations"),
+            F.count("*").alias("total"),
+        )
+
+    uniq = c.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("violations"),
+        F.count("*").alias("total"),
+    )
+    o_ref = rule(
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "left"),
+        F.col("c_custkey").isNull(),
+    )
+    l_ref = rule(
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left"),
+        F.col("o_orderkey").isNull(),
+    )
+    return (
+        report("customer", "c_custkey_unique", uniq)
+        .unionByName(report("orders", "o_custkey_in_customer", o_ref))
+        .unionByName(
+            report(
+                "orders",
+                "o_totalprice_positive",
+                rule(o, F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)),
+            )
+        )
+        .unionByName(
+            report(
+                "lineitem",
+                "l_quantity_in_1_50",
+                rule(
+                    li,
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50),
+                ),
+            )
+        )
+        .unionByName(report("lineitem", "l_orderkey_in_orders", l_ref))
+        .unionByName(
+            report(
+                "documents",
+                "text_nonempty",
+                rule(d, F.col("text").isNull() | (F.length("text") == 0)),
+            )
+        )
+        .unionByName(
+            report("events", "ts_nonnull", rule(e, F.col("ts").isNull()))
+        )
+    )

@@ -287,3 +287,69 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", bits=60, bands=4, max_hamming=3, spread=True
     )
     return triangles(pairs)
+
+
+_SHUFFLE_SEED, _SHUFFLE_SHARDS = "42", 16
+
+
+@query(
+    "shuffle_shard_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS priority
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, priority,
+               CAST(('0x' || substring(priority, 1, 8)) AS BIGINT)
+                   % {_SHUFFLE_SHARDS} AS shard
+        FROM keyed
+    ), ordered AS (
+        SELECT shard, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY priority, doc_id) AS pos
+        FROM sharded
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY shard
+    """,
+)
+def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a seeded
+    md5 priority, the first 8 hex chars route it to one of 16 shards, and
+    a per-shard rank fixes its position — the (shard, position) pair IS
+    the epoch's read order. Reported per shard with an order checksum
+    (sum of pos * (doc_id % 997)) that pins the full permutation: any
+    engine that ranks even two documents differently breaks the hash.
+    Seeded-hash ordering is how corpus shuffles stay reproducible across
+    runs, engines, and cluster layouts — rand() gives a different epoch
+    every run, and zipWithIndex freezes the accidental partition layout.
+
+    Scale: the one window runs PARTITION BY shard — never a global
+    ORDER BY — so each rank partition holds corpus/16 rows; at 100 TB the
+    shard count is the knob (hash-balanced by construction, so shards stay
+    even and each sort fits an executor, e.g. 2^14 shards ~ 6 GB each).
+    New epochs change only the seed literal; nothing is re-materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")))
+    sharded = d.select(
+        "doc_id",
+        pri.alias("priority"),
+        (
+            F.conv(F.substring(pri, 1, 8), 16, 10).cast("bigint") % _SHUFFLE_SHARDS
+        ).alias("shard"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("priority", "doc_id")
+    )
+    return (
+        sharded.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("pos") * (F.col("doc_id") % 997))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+    )

@@ -108,13 +108,14 @@ DRIVER_PRIORITY: list[str] = [
     "near_dup_pairs_minhash",
     "cosine_topk_bruteforce",
     "asof_purchase_to_view",
-    # Round-6 window candidates — the 7 queries NEW in round 5, all
+    # Round-6 window candidates — the queries NEW in round 5, all
     # oracle-green in the local sf0.01 parity sweep + sf0.001 goldens but
     # registered after the window filled:
     # simhash_near_dup_pairs_from_store, ann_topk_lsh_from_store,
     # bm25_keyword_indexed, ivf_topk_from_store,
     # keyword_search_stored_index, simhash_incremental_admission,
-    # media_decode_real_png, video_sampled_frame_decode
+    # media_decode_real_png, video_sampled_frame_decode,
+    # bloom_membership_report, data_quality_report, shuffle_shard_order
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

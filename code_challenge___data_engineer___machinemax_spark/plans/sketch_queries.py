@@ -31,6 +31,13 @@ _HLL_RHO = """CAST(CASE WHEN {sfx} = 0 THEN 53
 # first 8 md5 hex chars of 'r:k' mod 512.
 _CMS_D, _CMS_W = 4, 512
 
+# Bloom layout: m bits, k hash functions; hash i's bit for key x is the
+# first 8 md5 hex chars of 'i:x' mod m. The member set (customers with a
+# recent urgent order) is ~23% of the probe universe, so both the
+# no-false-negative guarantee AND a realized FP count are observable.
+_BLOOM_M, _BLOOM_K = 4096, 3
+_BLOOM_KEY_PRED = "o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '2001-01-01'"
+
 
 @query(
     "hll_user_registers",
@@ -163,6 +170,99 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         "true_n",
         (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+@query(
+    "bloom_membership_report",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE {_BLOOM_KEY_PRED}
+    ), hs AS (
+        SELECT unnest(['0','1','2']) AS i
+    ), bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substring(
+                        md5(i || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM keys, hs
+    ), probe AS (
+        SELECT c_custkey, i,
+               CAST(('0x' || substring(
+                        md5(i || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM customer, hs
+    ), hit AS (
+        SELECT p.c_custkey, COUNT(b.pos) AS n_hit
+        FROM probe p LEFT JOIN bits b USING (pos)
+        GROUP BY p.c_custkey
+    ), truth AS (
+        SELECT c.c_custkey, (k.o_custkey IS NOT NULL) AS actual_member
+        FROM customer c LEFT JOIN keys k ON c.c_custkey = k.o_custkey
+    )
+    SELECT t.actual_member, h.n_hit = {_BLOOM_K} AS bloom_positive,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM truth t JOIN hit h USING (c_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m=4096 bits, k=3 md5-derived hashes) built over the
+    customers holding a recent urgent order (~23% of customers), then
+    probed for EVERY customer and scored against ground truth: one row per
+    (actual_member, bloom_positive) cell. The no-false-negative guarantee
+    means the (true, false) cell must be empty — a golden test pins that —
+    while the (false, true) cell is the realized FP count for this m/k/n
+    (nonzero at the gate SF, so the probabilistic behavior itself is under
+    the value gate, not just the happy path). The oracle rebuilds the
+    identical bit set, so a broken hash or bit layout shifts the cells.
+
+    Scale: the filter state is the distinct set-bit table — at most m rows
+    regardless of key volume, reduced map-side by partial distinct before a
+    KB-sized shuffle, and mergeable across corpora by union (bitwise OR).
+    The probe broadcasts those <= m rows and never shuffles the probed
+    table. In production m grows with the expected key count (constant
+    bits-per-key keeps FP fixed); it is a literal here so both engines
+    agree. This is the membership-sketch shape that at 100 TB replaces the
+    exact anti-join when a bounded FP rate is acceptable (seen-URL checks,
+    decontamination pre-filters fronting the exact gram join); the exact
+    `truth` side here exists for the gate, not the production path."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    hs = F.explode(F.array(*[F.lit(str(i)) for i in range(_BLOOM_K)])).alias("i")
+
+    def pos(key: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.col("i"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_M
+
+    keys = o.filter(F.expr(_BLOOM_KEY_PRED)).select("o_custkey").distinct()
+    bits = (
+        keys.select("o_custkey", hs)
+        .select(pos(F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = c.select("c_custkey", hs).select(
+        "c_custkey", pos(F.col("c_custkey")).alias("pos")
+    )
+    hit = (
+        probe.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("set_").alias("n_hit"))
+    )
+    truth = c.select("c_custkey").join(
+        keys.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "member_", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", F.col("member_").isNotNull().alias("actual_member"))
+    return (
+        truth.join(hit, "c_custkey")
+        .groupBy(
+            "actual_member",
+            (F.col("n_hit") == _BLOOM_K).alias("bloom_positive"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
 
 
