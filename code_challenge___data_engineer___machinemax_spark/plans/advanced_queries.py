@@ -1621,3 +1621,78 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             report("events", "ts_nonnull", rule(e, F.col("ts").isNull()))
         )
     )
+
+
+from .registry import get as _get_registered  # noqa: E402  (needs prior defs)
+
+# Bloom prefilter sizing for the contamination join: 2^17 bits, 2 xxhash64
+# probes. Spark-side only — the filter never changes the RESULT (no false
+# negatives), so the oracle is the exact join's, verbatim.
+_DECON_BLOOM_M, _DECON_BLOOM_K = 1 << 17, 2
+
+
+@query(
+    "bloom_prefilter_contamination",
+    oracle=_get_registered("benchmark_contamination").oracle,
+)
+def bloom_prefilter_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`benchmark_contamination` with the production 100 TB join strategy:
+    a Bloom filter built over the benchmark grams fronts the exact join, so
+    the train-split gram table — the corpus-scale side — is pruned MAP-SIDE
+    before any shuffle. Each of the k=2 bit probes is a broadcast semi-join
+    against the <= m-row set-bit table (xxhash64 positions; Spark-side only,
+    so no cross-engine hash constraint), i.e. the whole membership test
+    runs inside the scan stage; only bloom-positive train grams (true hits
+    + the bounded FP leakage) reach the exchange. Because a Bloom filter
+    has no false negatives, every train gram that matches a benchmark gram
+    survives the prefilter — the final LEFT JOIN result is bit-identical
+    to the exact query, which is why this reuses benchmark_contamination's
+    oracle verbatim. tests assert the plan shape (broadcast probes feeding
+    the exchange) and the realized pruning ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("toks")).filter(F.size("toks") >= 3)
+    idx = F.sequence(F.lit(1), F.size("toks") - 2)
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(3)))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    grams = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", gram_hash.alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0)
+    train = grams.filter(F.col("doc_id") % 10 != 0).select("gram")
+
+    def bit(i: int, col) -> F.Column:
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_DECON_BLOOM_M))
+
+    # the filter state: distinct set bits of the benchmark grams (<= m rows)
+    bits = [
+        bench.select(bit(i, F.col("gram")).alias(f"__b{i}")).distinct()
+        for i in range(_DECON_BLOOM_K)
+    ]
+    # k map-side membership probes: broadcast semi-join per bit position —
+    # no shuffle of the train side anywhere before the final exact join
+    survivors = train
+    for i, b in enumerate(bits):
+        survivors = survivors.join(
+            F.broadcast(b), bit(i, F.col("gram")) == F.col(f"__b{i}"), "left_semi"
+        )
+    rest = survivors.distinct()
+    hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    return (
+        bench.join(
+            rest.select(F.col("gram").alias("hit_gram")).hint("shuffle_hash"),
+            F.col("gram") == F.col("hit_gram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+            (F.sum(hit).cast("double") / F.count("*") * 1e6)
+            .cast("bigint")
+            .alias("contamination_e6"),
+        )
+    )

@@ -115,7 +115,8 @@ DRIVER_PRIORITY: list[str] = [
     # bm25_keyword_indexed, ivf_topk_from_store,
     # keyword_search_stored_index, simhash_incremental_admission,
     # media_decode_real_png, video_sampled_frame_decode,
-    # bloom_membership_report, data_quality_report, shuffle_shard_order
+    # bloom_membership_report, data_quality_report, shuffle_shard_order,
+    # ann_recall_eval, bloom_prefilter_contamination
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -464,3 +464,123 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("half") == 1).cast("int")).cast("bigint").alias("n_cur"),
     )
     return counts.join(drift, "label").select("label", "n_ref", "n_cur", "drift_sq")
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_SRP_BUCKETS_SQL},
+    qb AS (SELECT vec_id AS qid, t, bucket FROM buckets WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT qb.qid, b.vec_id
+      FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+      WHERE b.vec_id <> qb.qid
+    ),
+    qv AS (SELECT vec_id AS qid, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qv.qid, e.vec_id,
+             ROUND({_DOT_SQL.format(a='e.embedding', b='qvec')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> qv.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 10
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id, ROW_NUMBER() OVER (
+            PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rk
+        FROM scored s JOIN cand c ON c.qid = s.qid AND c.vec_id = s.vec_id
+      ) WHERE rk <= 10
+    )
+    SELECT e.qid AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10
+                AS BIGINT) AS recall_pct
+    FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SRP-LSH ANN index against exact brute force, per
+    query (vec_id < 5) — the approximation-quality report an index owner
+    runs before trusting an ANN path in production, here value-checked
+    end-to-end: the oracle replays the hyperplane arithmetic, both top-10s,
+    and the overlap counts exactly. One shared scored frame feeds both
+    rankings, so the eval can't silently compare different score functions.
+
+    Plan shape: buckets come from ONE Arrow matmul pass over the corpus
+    (the same vectorized-UDF slot ann_topk_lsh earns); the 40-row query
+    bucket frame broadcasts into the candidate equi-join. Both top-10s use
+    the two-stage salted window (local top-10 per (qid, vec_id % 16), then
+    a final window over <= 160 rows per qid) — never a corpus-sized rank
+    partition. The exact arm is deliberate brute force: recall eval runs
+    on a SAMPLE of queries (5 here), so its cost is bounded by the sample,
+    not the corpus squared; at 100 TB the same plan holds with the sample
+    broadcast unchanged."""
+    from ..operators.similarity import _srp_buckets_udf, hyperplane
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tables = [
+        [hyperplane(t * 1009 + i, 64) for i in range(8)] for t in range(8)
+    ]
+    buckets_udf = _srp_buckets_udf(tables)
+    buckets = e.select(
+        "vec_id", F.posexplode(buckets_udf(F.col("embedding"))).alias("__t", "__bucket")
+    )
+    qb = buckets.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "__t", "__bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["__t", "__bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .select("qid", "vec_id", "cosine")
+        .withColumn("__salt", (F.col("vec_id") % 16).cast("int"))
+    )
+
+    def top10(df: DataFrame) -> DataFrame:
+        local_w = W.partitionBy("qid", "__salt").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        pre = df.withColumn("__l", F.row_number().over(local_w)).filter(
+            F.col("__l") <= 10
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            pre.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    exact = top10(scored)
+    ann = top10(scored.join(cand, ["qid", "vec_id"], "left_semi")).withColumn(
+        "__hit", F.lit(1)
+    )
+    hit = F.col("__hit").isNotNull().cast("bigint")
+    return (
+        exact.join(ann, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            (F.sum(hit) * 10).cast("bigint").alias("recall_pct"),
+        )
+    )

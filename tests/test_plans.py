@@ -356,3 +356,29 @@ def test_shuffle_shard_window_is_partitioned(spark, sf_dir):
     n_total = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_total
     assert {r.shard for r in rows} <= set(range(16))
+
+
+def test_ann_recall_eval_bounds_and_partitioned_windows(spark, sf_dir):
+    df = _QS["ann_recall_eval"](spark, sf_dir)
+    txt = explain_text(df)
+    # rank partitions are (qid, salt) then qid — never the global window
+    assert "hashpartitioning(qid" in txt
+    assert "CartesianProduct" not in txt
+    rows = df.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_pct == r.n_overlap * 10
+
+
+def test_bloom_prefilter_matches_exact_and_prunes(spark, sf_dir):
+    # the bloom-fronted plan must return EXACTLY the exact join's result
+    # (no false negatives), while actually pruning the train gram table
+    exact = {tuple(r) for r in _QS["benchmark_contamination"](spark, sf_dir).collect()}
+    fast = {tuple(r) for r in _QS["bloom_prefilter_contamination"](spark, sf_dir).collect()}
+    assert fast == exact
+    txt = explain_text(_QS["bloom_prefilter_contamination"](spark, sf_dir))
+    # the k membership probes are map-side broadcast semi-joins
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in txt
