@@ -92,6 +92,18 @@ HEADLINE = [
     # batch, band-join it against the persisted corpus fingerprints (the
     # L4 ingest loop; the corpus is never re-fingerprinted)
     "simhash_incremental_admission",
+    # round-5 (late): the sketch/eval/quality additions — the Bloom
+    # membership scorecard, the bloom-fronted decontamination next to its
+    # exact twin above (SCALE.md pins the 10x crossover), the per-rule
+    # data-quality gate, the sampled-frame real video decode, the seeded
+    # epoch shuffle, and the ANN recall eval (its exact brute-force arm is
+    # the deliberate cost model: 5 sample queries x corpus)
+    "bloom_membership_report",
+    "bloom_prefilter_contamination",
+    "data_quality_report",
+    "video_sampled_frame_decode",
+    "shuffle_shard_order",
+    "ann_recall_eval",
 ]
 
 
