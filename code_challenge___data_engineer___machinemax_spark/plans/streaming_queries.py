@@ -623,3 +623,119 @@ def streamed_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "streamed_segment_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(trunc(e.value * 1000000) AS BIGINT)) AS BIGINT) AS v_e6
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def streamed_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched against the static
+    customer dimension (the fixture maps user_id + 1 onto c_custkey), then
+    aggregated per (segment, event_type) across two micro-batches — the
+    canonical streaming-enrichment topology (clickstream x profile table).
+    The static side is planned per micro-batch as an ordinary broadcast
+    hash join — no stream state for the dimension at all, which is the
+    point: only the aggregation holds state. Complete-mode counts and the
+    scaled-int value sum are exact across batch merge order, so the batch
+    join+GROUP BY oracle must match bit-for-bit.
+
+    Scale: the dimension broadcasts per batch (or bucket-joins via L1 when
+    the profile table outgrows broadcast); stream state is bounded by the
+    (segment x type) domain, KB-sized forever."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_enrich_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(F.broadcast(cust), cust.c_custkey == stream.user_id + 1)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value * 1e6 AS BIGINT)")).alias("v_e6"),
+        )
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(agg, "ccdem_streamed_enrich", "complete")
+    out = spark.sql("SELECT * FROM ccdem_streamed_enrich").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
+    "streamed_purchase_attribution",
+    oracle="""
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS max_gap_us
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join: view events joined to purchase events of the
+    same user within the following hour — last-touch attribution — with
+    both sides arriving as independent streams over two micro-batches, so
+    the join state genuinely buffers rows across batches (a wave-0 view
+    matches a wave-1 purchase and vice versa). Joined pairs are emitted
+    append-mode into the sink; the per-user rollup runs as a batch step
+    over the emitted pairs (Spark restricts aggs stacked on stream-stream
+    joins — and the two-phase shape is the production one anyway: the
+    join's append log is the durable artifact, rollups are cheap replays).
+    The oracle is the batch self-join: equality certifies no pair was
+    dropped or duplicated across the batch boundary.
+
+    The 90-day watermark exceeds the fixture's 30-day span, pinning the
+    no-eviction semantics the oracle needs; production shrinks the horizon
+    to bound state (evicting exactly the rows that can no longer match the
+    1-hour range — the range condition is what lets Spark compute that
+    bound per side)."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_attr_")
+    landing = _stage_event_waves(spark, sf_dir, base)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "90 days")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    pairs = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(pairs, "ccdem_streamed_attr", "append")
+    out = (
+        spark.sql("SELECT * FROM ccdem_streamed_attr")
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max(
+                F.unix_micros("p_ts") - F.unix_micros("v_ts")
+            ).cast("bigint").alias("max_gap_us"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -502,3 +502,31 @@ def test_transform_with_state_totals_or_gate(spark, sf_dir):
     }
     shutil.rmtree(base, ignore_errors=True)
     assert got == want
+
+
+def test_purchase_attribution_fixture_requires_cross_batch_state(spark, sf_dir):
+    """The wave split (event_id parity) must put at least one (view,
+    purchase) attribution pair on OPPOSITE sides of the micro-batch
+    boundary — otherwise the stream-stream join query would pass without
+    ever buffering state across batches and the oracle equality would
+    prove nothing about the join state machine."""
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"),
+        (F.col("event_id") % 2).alias("vw"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts"),
+        (F.col("event_id") % 2).alias("pw"),
+    )
+    pairs = v.join(p, "u").filter(
+        (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    cross = pairs.filter(F.col("vw") != F.col("pw")).count()
+    assert cross > 0
+    assert pairs.count() > cross  # and some same-batch pairs too
