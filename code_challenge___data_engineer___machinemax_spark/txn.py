@@ -101,6 +101,7 @@ class ManifestStore:
         replace_buckets: list[int],
         meta: dict | None = None,
         crash_before_publish: bool = False,
+        meta_by_bucket: dict[int, dict] | None = None,
     ) -> int:
         """Atomically publish a new snapshot: ``replace_buckets`` get the
         rows of ``df`` (which must carry an int ``bucket`` column covering
@@ -137,7 +138,8 @@ class ManifestStore:
                 # declared-but-empty bucket: the new snapshot drops it
                 buckets.pop(str(b), None)
                 continue
-            buckets[str(b)] = {"dir": written[b], "meta": meta or {}}
+            b_meta = meta_by_bucket.get(b, {}) if meta_by_bucket is not None else (meta or {})
+            buckets[str(b)] = {"dir": written[b], "meta": b_meta}
         manifest = {"version": new_version, "buckets": buckets}
         os.makedirs(self._manifest_dir, exist_ok=True)
         mpath = os.path.join(self._manifest_dir, f"v{new_version}.json")
@@ -195,6 +197,35 @@ class ManifestStore:
             merged = upserts
         return self.commit(
             merged, touched, meta=meta, crash_before_publish=crash_before_publish
+        )
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> int:
+        """Rewrite the given buckets (default: all) into one fresh commit
+        with ONE file per bucket — the OPTIMIZE step that undoes small-file
+        accumulation after many single-bucket epoch commits. Content is
+        byte-for-byte the same rows; each bucket's manifest meta (the
+        replay guard) carries over unchanged, so an epoch resuming after a
+        compaction still sees its watermark. Published like any commit:
+        one pointer swap, readers see pre- or post-compaction, never a mix;
+        the superseded dirs become gc() fodder.
+
+        The repartition(n, bucket) puts every bucket's rows in exactly one
+        task (hash of the bucket value is deterministic; co-hashed buckets
+        just share a task), so the partitionBy write emits exactly one
+        part-file per bucket dir — at 100 TB, compaction IO is bounded by
+        the buckets selected, never the table."""
+        m = self.manifest()
+        if m is None:
+            return -1
+        committed = [int(b) for b in m["buckets"]]
+        target = committed if buckets is None else [b for b in committed if b in set(buckets)]
+        if not target:
+            return self.version()
+        cur = self.read(spark, buckets=target)
+        merged = cur.repartition(len(target), "bucket")
+        metas = self.bucket_meta()
+        return self.commit(
+            merged, target, meta_by_bucket={b: metas.get(b, {}) for b in target}
         )
 
     def gc(self) -> list[str]:

@@ -170,3 +170,55 @@ def test_reader_mid_commit_sees_old_then_new(spark, tmp_path):
     # CURRENT content is valid JSON with the new version
     with open(tmp_path / "s" / "CURRENT") as f:
         assert json.load(f)["version"] == 1
+
+
+def _bucket_files(store):
+    """{bucket: n_part_files} of the committed snapshot."""
+    m = store.manifest()
+    out = {}
+    for b, e in m["buckets"].items():
+        d = os.path.join(store.path, e["dir"])
+        out[int(b)] = len([f for f in os.listdir(d) if f.startswith("part-")])
+    return out
+
+
+def test_compact_merges_small_files_preserving_content_and_meta(spark, tmp_path):
+    store = ManifestStore(str(tmp_path / "s"))
+    # many single-bucket commits, each fragmented into several part files
+    for v in range(3):
+        rows = [(f"k{v}-{i}", i, v) for i in range(8)]
+        frag = _df(spark, rows).repartition(4)  # ~4 files in this bucket dir
+        store.commit(frag, [v], meta={"last_epoch": v * 10})
+    before = _bucket_files(store)
+    assert sum(before.values()) > 3  # fragmentation actually happened
+    content_before = sorted(tuple(r) for r in store.read(spark).collect())
+    metas_before = store.bucket_meta()
+    v_before = store.version()
+
+    assert store.compact(spark) == v_before + 1
+    after = _bucket_files(store)
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values())  # one file per bucket
+    assert sorted(tuple(r) for r in store.read(spark).collect()) == content_before
+    assert store.bucket_meta() == metas_before  # replay guards survive
+
+    # superseded fragment dirs are orphaned and gc-able; content unaffected
+    removed = store.gc()
+    assert removed
+    assert sorted(tuple(r) for r in store.read(spark).collect()) == content_before
+
+
+def test_compact_subset_leaves_other_buckets_untouched(spark, tmp_path):
+    store = ManifestStore(str(tmp_path / "s"))
+    for v in range(2):
+        store.commit(_df(spark, [(f"k{v}-{i}", i, v) for i in range(6)]).repartition(3), [v])
+    dir_b1_before = store.manifest()["buckets"]["1"]["dir"]
+    store.compact(spark, buckets=[0])
+    m = store.manifest()
+    assert m["buckets"]["1"]["dir"] == dir_b1_before  # untouched carry-over
+    assert _bucket_files(store)[0] == 1
+
+
+def test_compact_empty_store_is_noop(spark, tmp_path):
+    store = ManifestStore(str(tmp_path / "s"))
+    assert store.compact(spark) == -1
