@@ -353,3 +353,52 @@ def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_checksum"),
         )
     )
+
+
+@query(
+    "python_datasource_rollup",
+    oracle="""
+    WITH r AS (SELECT unnest(range(5000)) AS i),
+    h AS (SELECT i, md5('s42:' || CAST(i AS VARCHAR)) AS h FROM r),
+    ev AS (
+        SELECT i AS event_id,
+               CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 1000 AS user_id,
+               ['view','click','purchase','error'][
+                   CAST(CAST(('0x' || substring(h, 9, 2)) AS BIGINT) % 4 AS INT) + 1
+               ] AS event_type,
+               CAST(('0x' || substring(h, 11, 8)) AS BIGINT) % 1000000 AS value_e6
+        FROM h)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value_e6) AS BIGINT) AS total_value_e6,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ev GROUP BY event_type
+    """,
+)
+def python_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A rollup over the custom Python DataSource (sources/pyds.py, the
+    Spark 4 ``pyspark.sql.datasource`` API): 5000 generated events read
+    through ``spark.read.format("synthetic_events")`` across 8 planned
+    input partitions, aggregated per event type. Every generated cell is
+    md5(seed:i)-derived, so the DuckDB oracle replays the generator in SQL
+    — the value gate covers the SOURCE integration (partition planning,
+    Python->Arrow row transfer, option plumbing), not just downstream
+    operators. The source also implements Python-side filter pushdown
+    (event_type equality never materializes non-matching rows —
+    tests/test_sources.py pins it); this query reads unfiltered so the
+    totals cover the full domain."""
+    from ..sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .option("seed", "s42")
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value_e6").cast("bigint").alias("total_value_e6"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

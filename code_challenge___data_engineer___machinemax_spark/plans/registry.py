@@ -117,7 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     # media_decode_real_png, video_sampled_frame_decode,
     # bloom_membership_report, data_quality_report, shuffle_shard_order,
     # ann_recall_eval, bloom_prefilter_contamination,
-    # streamed_segment_enrichment, streamed_purchase_attribution
+    # streamed_segment_enrichment, streamed_purchase_attribution,
+    # python_datasource_rollup
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

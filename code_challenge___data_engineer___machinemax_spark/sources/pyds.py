@@ -1,0 +1,113 @@
+"""Custom Python DataSource (the Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic event generator whose every cell is a pure
+function of ``md5(seed:i)`` — so the source's CONTENT, not just its
+plumbing, sits under the DuckDB value gate (the oracle replays the same
+md5 arithmetic over ``range(n)``).
+
+What it demonstrates, beyond file formats the engine already reads
+(parquet testdata, JSONL with dead-letter quarantine in sources/jsonl.py):
+
+- partition planning: ``partitions()`` splits the row domain into
+  contiguous ranges, one ``InputPartition`` per task — Spark reads them in
+  parallel exactly like file splits, so the source scales with the
+  cluster, not the driver;
+- Python-side filter pushdown: ``pushFilters`` accepts ``event_type``
+  equality filters and the reader then never materializes non-matching
+  rows — the Arrow transfer and the Python->JVM boundary carry only the
+  selected slice (the same contract PushedFilters gives a parquet scan);
+  unsupported filters are handed back for Spark to re-apply.
+
+This is the blueprint for wrapping a real external system (a REST API, a
+message queue, a proprietary scanner) as a first-class DataFrame source:
+the reference's requests-based fetch (index.py:125) is exactly such a
+system, and crawl/fetcher.py wraps it at the operator level; this module
+shows the engine-level integration point.
+
+Generator derivation (hex digits of ``md5(f"{seed}:{i}")``):
+  user_id  = int(h[0:8], 16) % 1000
+  type_ix  = int(h[8:10], 16) % 4   -> (view, click, purchase, error)
+  value_e6 = int(h[10:18], 16) % 1000000
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+EVENT_TYPES = ("view", "click", "purchase", "error")
+
+_SCHEMA = "event_id bigint, user_id bigint, event_type string, value_e6 bigint"
+
+
+def _row(seed: str, i: int) -> tuple[int, int, str, int]:
+    h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+    return (
+        i,
+        int(h[0:8], 16) % 1000,
+        EVENT_TYPES[int(h[8:10], 16) % 4],
+        int(h[10:18], 16) % 1000000,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = options.get("seed", "s42")
+        self.type_eq: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.type_eq = f.value  # handled here: rows never materialize
+            else:
+                yield f  # unsupported -> Spark re-applies it post-read
+
+    def partitions(self) -> list[InputPartition]:
+        per = -(-self.rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            row = _row(self.seed, i)
+            if self.type_eq is not None and row[2] != self.type_eq:
+                continue
+            yield row
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine —
+    latest wins per Spark's DataSourceRegistration). Implementing
+    ``pushFilters`` requires the runtime conf
+    ``spark.sql.python.filterPushdown.enabled`` (Spark refuses to silently
+    ignore a pushdown implementation when the feature flag is off)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

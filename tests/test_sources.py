@@ -79,3 +79,48 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     v1 = T.StructType([T.StructField("id", T.LongType()), T.StructField("text", T.StringType())])
     old_reader = spark.read.schema(v1).parquet(base + "/gen=1", base + "/gen=2")
     assert old_reader.count() == 3 and set(old_reader.columns) == {"id", "text"}
+
+
+# -- custom Python DataSource (sources/pyds.py) -----------------------------
+
+
+def test_pyds_pushdown_handles_type_eq_and_returns_rest():
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        SyntheticEventsReader,
+        _RangePartition,
+    )
+
+    r = SyntheticEventsReader({"rows": "200", "seed": "s42"})
+    unsupported = list(
+        r.pushFilters([EqualTo(("event_type",), "view"), GreaterThan(("user_id",), 5)])
+    )
+    assert [type(f).__name__ for f in unsupported] == ["GreaterThan"]
+    rows = list(r.read(_RangePartition(0, 200)))
+    assert rows and all(t == "view" for _, _, t, _ in rows)
+
+
+def test_pyds_end_to_end_filter_and_partitions(spark):
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    read = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .option("seed", "px")
+    )
+    full = read.load()
+    assert full.rdd.getNumPartitions() == 8
+    assert full.count() == 1000
+    pushed = read.load().filter("event_type = 'purchase'")
+    recheck = [r for r in full.collect() if r.event_type == "purchase"]
+    assert sorted(map(tuple, pushed.collect())) == sorted(map(tuple, recheck))
+    # deterministic per seed, different across seeds
+    again = read.load()
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
+    other = read.option("seed", "py").load()
+    assert sorted(map(tuple, other.collect())) != sorted(map(tuple, full.collect()))
