@@ -295,9 +295,12 @@ def decode_sampled_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
     prefixed frame index (no decode of skipped frames — the seek a frame
     sampler wants), decode every ``every_n``-th frame with the built-in
     PNG codec, and emit integer-exact pixel evidence (dims + pixel sum).
-    Undecodable frames/payloads yield NULL columns, keeping the row
-    (dead-letter convention). Closes the formerly-gated video decode step
-    for PNG-sequence payloads; real containers (mp4 etc.) still need
+    Dead-letter convention: an undecodable KEPT frame yields its row with
+    NULL evidence columns; a corrupt container (unwalkable frame index)
+    yields ONE row with frame_index = -1 and NULL evidence, so every video
+    leaves at least one output row and corrupt media stay joinable/
+    auditable instead of vanishing. Closes the formerly-gated video decode
+    step for PNG-sequence payloads; real containers (mp4 etc.) still need
     ffmpeg and raise upstream at synth/ingest, not here."""
     import pandas as pd
 
@@ -323,7 +326,17 @@ def decode_sampled_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
                 try:
                     offsets = png_frame_offsets(payload)
                 except ValueError:
-                    continue  # corrupt container — dead-letter at item level
+                    # corrupt container: one dead-letter row, media stays visible
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": -1,
+                            "width": None,
+                            "height": None,
+                            "pixel_sum": None,
+                        }
+                    )
+                    continue
                 for f in range(0, len(offsets), every_n):
                     off, length = offsets[f]
                     try:

@@ -1554,11 +1554,22 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension side broadcasts when small. Output is one row per rule —
     metadata-sized however large the tables — so the report can run on
     every ingest batch."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "events")
+    return data_quality_rules(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "events"),
+    )
+
+
+def data_quality_rules(
+    c: DataFrame, o: DataFrame, li: DataFrame, d: DataFrame, e: DataFrame
+) -> DataFrame:
+    """The constraint battery behind `data_quality_report`, on caller-
+    supplied frames — separable so tests can feed crafted violating data
+    and assert the rules actually count (the report over the clean fixture
+    alone would be vacuously green)."""
 
     def report(table: str, name: str, agg: DataFrame) -> DataFrame:
         return agg.select(

@@ -179,7 +179,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keys AS (
         SELECT DISTINCT o_custkey FROM orders WHERE {_BLOOM_KEY_PRED}
     ), hs AS (
-        SELECT unnest(['0','1','2']) AS i
+        SELECT unnest([{", ".join(repr(str(i)) for i in range(_BLOOM_K))}]) AS i
     ), bits AS (
         SELECT DISTINCT
                CAST(('0x' || substring(

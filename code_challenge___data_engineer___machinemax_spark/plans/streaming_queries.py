@@ -699,36 +699,29 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     to bound state (evicting exactly the rows that can no longer match the
     1-hour range — the range condition is what lets Spark compute that
     bound per side)."""
+    from ..streaming.events import purchases_with_recent_view, run_to_memory
+
     base = tempfile.mkdtemp(prefix="ccdem_streamed_attr_")
     landing = _stage_event_waves(spark, sf_dir, base)
     schema = load_table(spark, sf_dir, "events").schema
 
-    def side(event_type: str, prefix: str) -> DataFrame:
-        s = (
+    def side(event_type: str) -> DataFrame:
+        return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
             .filter(F.col("event_type") == event_type)
-            .withWatermark("ts", "90 days")
-        )
-        return s.select(
-            F.col("user_id").alias(f"{prefix}_user"),
-            F.col("ts").alias(f"{prefix}_ts"),
         )
 
-    v, p = side("view", "v"), side("purchase", "p")
-    pairs = v.join(
-        p,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    # the operator's predicate (v_ts in [p_ts - 1h, p_ts]) is algebraically
+    # the attribution window (p_ts in [v_ts, v_ts + 1h])
+    pairs = purchases_with_recent_view(
+        side("purchase"), side("view"), horizon="1 hour", watermark="90 days"
     )
-    from ..streaming.events import run_to_memory
-
     run_to_memory(pairs, "ccdem_streamed_attr", "append")
     out = (
         spark.sql("SELECT * FROM ccdem_streamed_attr")
-        .groupBy(F.col("v_user").alias("user_id"))
+        .groupBy(F.col("p_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
             F.max(

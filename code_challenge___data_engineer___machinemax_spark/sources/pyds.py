@@ -77,6 +77,8 @@ class SyntheticEventsReader(DataSourceReader):
                 yield f  # unsupported -> Spark re-applies it post-read
 
     def partitions(self) -> list[InputPartition]:
+        if self.rows <= 0:  # empty source, not a planner crash
+            return [_RangePartition(0, 0)]
         per = -(-self.rows // self.n_parts)  # ceil
         return [
             _RangePartition(lo, min(lo + per, self.rows))
@@ -108,6 +110,10 @@ def register_synthetic_source(spark) -> None:
     latest wins per Spark's DataSourceRegistration). Implementing
     ``pushFilters`` requires the runtime conf
     ``spark.sql.python.filterPushdown.enabled`` (Spark refuses to silently
-    ignore a pushdown implementation when the feature flag is off)."""
+    ignore a pushdown implementation when the feature flag is off). The
+    set is session-scoped and deliberately not restored: the flag must be
+    live whenever a plan over this source EXECUTES (lazily, possibly long
+    after registration), and its only effect is enabling the pushdown
+    protocol for Python sources — of which this is the repo's only one."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)

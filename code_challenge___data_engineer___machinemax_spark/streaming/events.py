@@ -287,11 +287,13 @@ def read_state_store(spark, path: str) -> DataFrame:
 
 
 def purchases_with_recent_view(
-    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour",
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to same-user views
-    within the preceding ``horizon``. Watermarks bound both sides' state.
-    Works identically on batch inputs (tests drive parity)."""
+    within the preceding ``horizon``. Watermarks (``watermark`` horizon)
+    bound both sides' state when the inputs are streaming. Works
+    identically on batch inputs (tests drive parity)."""
     p = purchases.select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
         F.col("event_id").alias("purchase_id"),
@@ -301,8 +303,8 @@ def purchases_with_recent_view(
         F.col("event_id").alias("view_id"),
     )
     if p.isStreaming:
-        p = p.withWatermark("p_ts", "2 hours")
-        v = v.withWatermark("v_ts", "2 hours")
+        p = p.withWatermark("p_ts", watermark)
+        v = v.withWatermark("v_ts", watermark)
     return p.join(
         v,
         F.expr(

@@ -252,7 +252,12 @@ def test_sampled_frame_decode_tolerates_corrupt_container(spark):
     rows = [(1, "video", bytearray(b"\x00\x00\x00\x10short"), (None, None, None, 1)),
             (2, "image", bytearray(b"x"), (None, None, None, None))]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    assert decode_sampled_frames(df).collect() == []
+    out = decode_sampled_frames(df).collect()
+    # corrupt container -> ONE dead-letter row (frame -1, NULL evidence);
+    # non-video rows contribute nothing
+    assert [(r.media_id, r.frame_index, r.width, r.height, r.pixel_sum) for r in out] == [
+        (1, -1, None, None, None)
+    ]
 
 
 def test_pcm_features_crafted_bytes(spark):

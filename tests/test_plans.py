@@ -327,22 +327,40 @@ def test_data_quality_report_clean_fixture(spark, sf_dir):
 
 
 def test_data_quality_detects_violations(spark):
-    # inject a dangling FK + an out-of-range quantity via the same rule
-    # shapes the report uses and confirm they count (the report is not
-    # vacuously green)
+    # feed the REAL rule battery crafted violating frames: a duplicate
+    # customer key, a dangling order FK, a non-positive price, an
+    # out-of-range quantity, a dangling lineitem FK, an empty document,
+    # and a NULL event timestamp must each be counted
     from code_challenge___data_engineer___machinemax_spark.plans.advanced_queries import (
-        data_quality_report,  # noqa: F401  (import proves registration path)
+        data_quality_rules,
     )
 
-    o = spark.createDataFrame([(1, 10), (2, 99)], "o_orderkey long, o_custkey long")
-    c = spark.createDataFrame([(10,)], "c_custkey long")
-    bad = (
-        o.join(c, o.o_custkey == c.c_custkey, "left")
-        .agg(F.sum(F.col("c_custkey").isNull().cast("bigint")).alias("violations"))
-        .collect()[0]
-        .violations
+    c = spark.createDataFrame([(10,), (10,), (11,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 99, -3.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
     )
-    assert bad == 1
+    li = spark.createDataFrame(
+        [(1, 25.0), (7, 99.0)], "l_orderkey long, l_quantity double"
+    )
+    d = spark.createDataFrame([(1, "ok"), (2, "")], "doc_id long, text string")
+    e = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, None)], "event_id long, ts_s string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    rows = {r.constraint_name: r for r in data_quality_rules(c, o, li, d, e).collect()}
+    expect = {
+        "c_custkey_unique": 1,
+        "o_custkey_in_customer": 1,
+        "o_totalprice_positive": 1,
+        "l_quantity_in_1_50": 1,
+        "l_orderkey_in_orders": 1,
+        "text_nonempty": 1,
+        "ts_nonnull": 1,
+    }
+    for name, n in expect.items():
+        assert rows[name].violations == n, name
+        assert rows[name].passed is False, name
 
 
 def test_shuffle_shard_window_is_partitioned(spark, sf_dir):
