@@ -732,3 +732,63 @@ def streamed_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "python_stream_source_rollup",
+    oracle="""
+    WITH r AS (SELECT unnest(range(3000)) AS i),
+    h AS (SELECT i, md5('st42:' || CAST(i AS VARCHAR)) AS h FROM r),
+    ev AS (
+        SELECT CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 1000 AS user_id,
+               ['view','click','purchase','error'][
+                   CAST(CAST(('0x' || substring(h, 9, 2)) AS BIGINT) % 4 AS INT) + 1
+               ] AS event_type,
+               CAST(('0x' || substring(h, 11, 8)) AS BIGINT) % 1000000 AS value_e6
+        FROM h)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value_e6) AS BIGINT) AS total_value_e6,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ev GROUP BY event_type
+    """,
+)
+def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource read as a STREAM (Spark 4
+    SimpleDataSourceStreamReader: driver-planned row-index offsets, 700
+    rows per micro-batch over a 3000-row domain, deterministic
+    readBetweenOffsets replay), aggregated per event type in complete
+    mode. The oracle replays the md5 generator in SQL, so the whole
+    streaming path — offset planning, batch slicing, cross-batch
+    aggregation state — must converge to the one-pass batch answer.
+    Companion to `python_datasource_rollup` (same API, batch reader with
+    partition planning + filter pushdown)."""
+    from ..sources.pyds import register_synthetic_source
+    from ..streaming.events import run_to_memory
+
+    register_synthetic_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "3000")
+        .option("rows_per_batch", "700")
+        .option("seed", "st42")
+        .load()
+    )
+    # streaming aggregations forbid COUNT(DISTINCT ...): hold state at the
+    # finer (event_type, user_id) grain instead, and derive the distinct
+    # count as a batch rollup over the emitted state (one row per pair)
+    agg = sdf.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value_e6").cast("bigint").alias("v"),
+    )
+    run_to_memory(agg, "ccdem_pystream_rollup", "complete")
+    return (
+        spark.sql("SELECT * FROM ccdem_pystream_rollup")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("total_value_e6"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+        .localCheckpoint()
+    )

@@ -37,9 +37,12 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "error")
@@ -104,6 +107,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
@@ -117,3 +123,109 @@ def register_synthetic_source(spark) -> None:
     protocol for Python sources — of which this is the repo's only one."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# -- streaming read (micro-batch generator) ---------------------------------
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same md5-derived row domain: offsets are
+    row indices ({"i": n}), each batch advances by ``rows_per_batch`` until
+    ``rows`` is exhausted, and ``readBetweenOffsets`` replays any committed
+    range exactly (the generator is pure, so recovery re-derives identical
+    rows — the replayability contract checkpoint recovery needs). Driver-
+    side by design (SimpleDataSourceStreamReader); a partitioned
+    DataSourceStreamReader is the high-throughput upgrade path."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("rows", 1000))
+        self.per_batch = max(1, int(options.get("rows_per_batch", 400)))
+        self.seed = options.get("seed", "s42")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int) -> Iterator[tuple]:
+        # a concrete list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, which generators can't survive
+        return iter([_row(self.seed, i) for i in range(start, end)])
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        end = min(i0 + self.per_batch, self.total)
+        return self._rows(i0, end), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(int(start["i"]), int(end["i"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator holds no state
+
+
+# -- batch write (two-phase task-file commit) -------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    """Executor tasks write newline-JSON to uniquely-named staging files;
+    the driver-side ``commit`` publishes them (rename into place) and drops
+    a ``_SUCCESS`` marker only after every task file landed — the classic
+    two-phase output commit the DataSourceWriter API models. ``abort``
+    removes staged files, so a failed job leaves no partial output visible
+    to a reader honoring the marker."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        staged = _os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+        return _FileCommit(staged)
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        for i, m in enumerate(messages):
+            if m is not None:
+                final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+                _os.replace(m.path, final)
+        with open(_os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except FileNotFoundError:
+                    pass
+
+
+class JsonlCommitDataSource(DataSource):
+    """`jsonl_commit`: a Python DataSource SINK — newline-JSON with the
+    two-phase task-file/driver-commit protocol (staging names, atomic
+    renames, _SUCCESS marker)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
+        return JsonlCommitWriter(self.options)
+
+
+def register_jsonl_commit_sink(spark) -> None:
+    spark.dataSource.register(JsonlCommitDataSource)

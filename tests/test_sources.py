@@ -4,6 +4,8 @@ interchange paths) with null fidelity where the format allows it."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from code_challenge___data_engineer___machinemax_spark.schemas import ARTICLE
@@ -124,3 +126,67 @@ def test_pyds_end_to_end_filter_and_partitions(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
     other = read.option("seed", "py").load()
     assert sorted(map(tuple, other.collect())) != sorted(map(tuple, full.collect()))
+
+
+def test_pyds_stream_reader_matches_batch(spark):
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "900")
+        .option("rows_per_batch", "250")
+        .option("seed", "stx")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    got = spark.sql("SELECT * FROM pyds_stream_t")
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", "900")
+        .option("seed", "stx")
+        .load()
+    )
+    assert n_batches == 4  # 250+250+250+150: offsets actually advanced
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_pyds_jsonl_commit_sink_two_phase(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        register_jsonl_commit_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_jsonl_commit_sink(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", "120")
+        .option("seed", "wr1")
+        .load()
+        .repartition(4)
+    )
+    out = str(tmp_path / "sink")
+    src.write.format("jsonl_commit").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files  # commit marker only after all parts landed
+    assert not any(f.startswith("_staged") for f in files)  # staging cleaned
+    parts = glob.glob(out + "/part-*.jsonl")
+    assert len(parts) == 4  # one published file per task
+    rows = [_json.loads(line) for f in parts for line in open(f)]
+    assert sorted((r["event_id"], r["user_id"]) for r in rows) == sorted(
+        (r.event_id, r.user_id) for r in src.collect()
+    )
