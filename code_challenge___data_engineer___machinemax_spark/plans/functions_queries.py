@@ -264,3 +264,49 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(MAX(user_id) AS BIGINT) AS u_max
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type for semi-structured data: build a nested
+    JSON document per event, parse it to a variant (`parse_json` — the
+    binary-encoded type, not string re-parsing per access), and extract
+    typed paths with `variant_get` ('$.meta.type', '$.id', '$.meta.u').
+    The oracle aggregates the RAW columns — so the check certifies the
+    variant round-trip (encode -> shred -> typed extract) preserved every
+    value exactly; any loss or coercion in the variant path shifts the
+    sums. This is the open-schema ingest shape (logs/telemetry with
+    evolving payloads) where VARIANT replaces brittle per-field
+    get_json_object string re-parsing (`json_props_stats` pins that older
+    surface).
+
+    Scale: parse_json is a per-row JVM expression, variant_get is
+    O(path) over the binary encoding; no shuffle beyond the final small
+    groupBy — at 100 TB the win over JSON strings is decode-once +
+    columnar-friendly binary layout."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"id": '), F.col("event_id").cast("string"),
+        F.lit(', "meta": {"type": "'), F.col("event_type"),
+        F.lit('", "u": '), F.col("user_id").cast("string"), F.lit("}}"),
+    )
+    v = F.parse_json(doc)
+    ex = e.select(
+        F.variant_get(v, "$.meta.type", "string").alias("event_type"),
+        F.variant_get(v, "$.id", "bigint").alias("id"),
+        F.variant_get(v, "$.meta.u", "bigint").alias("u"),
+    )
+    return ex.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.max("u").cast("bigint").alias("u_max"),
+    )

@@ -118,7 +118,8 @@ DRIVER_PRIORITY: list[str] = [
     # bloom_membership_report, data_quality_report, shuffle_shard_order,
     # ann_recall_eval, bloom_prefilter_contamination,
     # streamed_segment_enrichment, streamed_purchase_attribution,
-    # python_datasource_rollup, python_stream_source_rollup
+    # python_datasource_rollup, python_stream_source_rollup,
+    # variant_props_extract
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
