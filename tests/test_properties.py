@@ -95,3 +95,78 @@ def test_bpe_merge_fold_matches_python_reference(spark, syms, a, b):
     df = spark.createDataFrame([(syms,)], "syms array<string>")
     got = df.select(_apply_merge(F.col("syms"), a, b).alias("m")).collect()[0].m
     assert got == py_greedy_merge(syms, a, b)
+
+
+# -- round-5 primitives -----------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # width
+            st.integers(min_value=1, max_value=5),  # height
+            st.integers(min_value=0, max_value=255),  # fill value
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_png_sequence_roundtrip_property(frames_spec):
+    """Any sequence of encoded frames walks back to the exact same bytes
+    and decodes to the exact pixels — and every strict prefix of the
+    container is rejected (no silent truncation)."""
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        encode_png_sequence,
+        png_frame_offsets,
+    )
+
+    arrays = [np.full((h, w), v, dtype=np.uint8) for (w, h, v) in frames_spec]
+    frames = [encode_png(a) for a in arrays]
+    seq = encode_png_sequence(frames)
+    offs = png_frame_offsets(seq)
+    assert len(offs) == len(frames)
+    for (off, ln), a in zip(offs, arrays):
+        px = decode_png(seq[off : off + ln])  # contract: (h, w, channels)
+        assert px.shape == (*a.shape, 1) and (px[:, :, 0] == a).all()
+    if seq:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            png_frame_offsets(seq[:-1])
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # bucket to write
+            st.integers(min_value=1, max_value=5),  # rows in that commit
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_manifest_store_commit_sequence_property(spark, tmp_path_factory, seq):
+    """After ANY sequence of single-bucket commits, the store reads as the
+    last-write-wins union per bucket; compact() then preserves exactly that
+    content. (Each commit replaces its bucket — the store's contract.)"""
+    from code_challenge___data_engineer___machinemax_spark.txn import ManifestStore
+
+    store = ManifestStore(str(tmp_path_factory.mktemp("ms") / "s"))
+    expected: dict[int, list] = {}
+    for n_commit, (b, n) in enumerate(seq):
+        rows = [(f"c{n_commit}-{i}", i, b) for i in range(n)]
+        store.commit(
+            spark.createDataFrame(rows, "k string, n long, bucket int"), [b]
+        )
+        expected[b] = rows
+    want = sorted((k, n, b) for rows in expected.values() for (k, n, b) in rows)
+    got = sorted(tuple(r) for r in store.read(spark).collect())
+    assert got == want
+    store.compact(spark)
+    assert sorted(tuple(r) for r in store.read(spark).collect()) == want
