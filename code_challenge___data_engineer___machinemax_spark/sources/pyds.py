@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    LessThan,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -76,6 +77,16 @@ class SyntheticEventsReader(DataSourceReader):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
                 self.type_eq = f.value  # handled here: rows never materialize
+            elif (
+                isinstance(f, LessThan)
+                and f.attribute == ("event_id",)
+                and isinstance(f.value, int)
+            ):
+                # event_id IS the row index, so this prunes the PLANNED
+                # domain: partitions() sees the capped rows and emits fewer
+                # splits — pushdown reaching partition planning, the Python-
+                # source analogue of parquet partition pruning
+                self.rows = min(self.rows, max(f.value, 0))
             else:
                 yield f  # unsupported -> Spark re-applies it post-read
 

@@ -190,3 +190,25 @@ def test_pyds_jsonl_commit_sink_two_phase(spark, tmp_path):
     assert sorted((r["event_id"], r["user_id"]) for r in rows) == sorted(
         (r.event_id, r.user_id) for r in src.collect()
     )
+
+
+def test_pyds_lessthan_pushdown_prunes_partition_planning(spark):
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    read = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .option("seed", "lt1")
+    )
+    pruned = read.load().filter("event_id < 100")
+    # the pushed bound caps the planned domain: 100 rows over ceil splits,
+    # not 1000 rows filtered after the fact
+    assert pruned.count() == 100
+    assert {r.event_id for r in pruned.collect()} == set(range(100))
+    full = read.load()
+    kept = [tuple(r) for r in full.collect() if r.event_id < 100]
+    assert sorted(map(tuple, pruned.collect())) == sorted(kept)
