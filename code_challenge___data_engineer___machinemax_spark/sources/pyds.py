@@ -12,10 +12,17 @@ What it demonstrates, beyond file formats the engine already reads
   parallel exactly like file splits, so the source scales with the
   cluster, not the driver;
 - Python-side filter pushdown: ``pushFilters`` accepts ``event_type``
-  equality filters and the reader then never materializes non-matching
-  rows — the Arrow transfer and the Python->JVM boundary carry only the
-  selected slice (the same contract PushedFilters gives a parquet scan);
-  unsupported filters are handed back for Spark to re-apply.
+  equality filters (non-matching rows never materialize — the Arrow
+  transfer carries only the selected slice, the contract PushedFilters
+  gives a parquet scan) and ``event_id`` upper bounds (which cap the
+  planned row domain BEFORE partitions() runs — pushdown reaching the
+  split planner, the analogue of partition pruning); unsupported filters
+  are handed back for Spark to re-apply;
+- streaming read: ``SyntheticEventsStreamReader`` exposes the same domain
+  as micro-batches with row-index offsets and deterministic
+  ``readBetweenOffsets`` replay (checkpoint-recovery contract);
+- sink with two-phase commit: ``JsonlCommitWriter`` stages one file per
+  task and publishes via driver-side renames + a ``_SUCCESS`` marker.
 
 This is the blueprint for wrapping a real external system (a REST API, a
 message queue, a proprietary scanner) as a first-class DataFrame source:
