@@ -294,10 +294,15 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — at 100 TB the win over JSON strings is decode-once +
     columnar-friendly binary layout."""
     e = load_table(spark, sf_dir, "events")
-    doc = F.concat(
-        F.lit('{"id": '), F.col("event_id").cast("string"),
-        F.lit(', "meta": {"type": "'), F.col("event_type"),
-        F.lit('", "u": '), F.col("user_id").cast("string"), F.lit("}}"),
+    # to_json(struct(...)), not string concat: correct escaping for any
+    # event_type content and per-field null handling for free
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"), F.col("user_id").alias("u")
+            ).alias("meta"),
+        )
     )
     v = F.parse_json(doc)
     ex = e.select(

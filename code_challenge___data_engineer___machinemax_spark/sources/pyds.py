@@ -170,7 +170,10 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         i0 = int(start["i"])
-        end = min(i0 + self.per_batch, self.total)
+        # never move the offset backward: a checkpoint can carry an offset
+        # beyond a later (smaller) rows option, and a regressed offset
+        # would re-emit already-delivered rows after the next restart
+        end = max(i0, min(i0 + self.per_batch, self.total))
         return self._rows(i0, end), {"i": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -189,15 +192,23 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonlCommitWriter(DataSourceWriter):
-    """Executor tasks write newline-JSON to uniquely-named staging files;
-    the driver-side ``commit`` publishes them (rename into place) and drops
-    a ``_SUCCESS`` marker only after every task file landed — the classic
-    two-phase output commit the DataSourceWriter API models. ``abort``
-    removes staged files, so a failed job leaves no partial output visible
-    to a reader honoring the marker."""
+    """Executor tasks write newline-JSON to job-scoped staging files;
+    the driver-side ``commit`` publishes them under job-unique part names
+    (so append never collides with prior jobs), honors ``overwrite`` by
+    removing prior jobs' parts at publish time, sweeps EVERY leftover
+    staged file of this job (including those of failed/retried attempts
+    that never returned a commit message), and drops a ``_SUCCESS`` marker
+    only after all of that — the two-phase output commit the
+    DataSourceWriter API models. ``abort`` runs the same job-scoped sweep.
+    Values that JSON can't encode natively (timestamps, decimals, binary)
+    serialize via str()."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid as _uuid
+
         self.path = options["path"]
+        self.overwrite = overwrite
+        self.job = _uuid.uuid4().hex[:12]  # driver-side; tasks inherit it
 
     def write(self, iterator) -> _FileCommit:
         import json as _json
@@ -205,31 +216,47 @@ class JsonlCommitWriter(DataSourceWriter):
         import uuid as _uuid
 
         _os.makedirs(self.path, exist_ok=True)
-        staged = _os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
+        staged = _os.path.join(
+            self.path, f"_staged-{self.job}-{_uuid.uuid4().hex}.jsonl"
+        )
         with open(staged, "w") as f:
             for row in iterator:
-                f.write(_json.dumps(row.asDict()) + "\n")
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
         return _FileCommit(staged)
 
-    def commit(self, messages) -> None:
+    def _sweep_staged(self) -> None:
+        import glob as _glob
         import os as _os
 
+        for stray in _glob.glob(
+            _os.path.join(self.path, f"_staged-{self.job}-*.jsonl")
+        ):
+            try:
+                _os.remove(stray)
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages) -> None:
+        import glob as _glob
+        import os as _os
+
+        if self.overwrite:
+            for old in _glob.glob(_os.path.join(self.path, "part-*.jsonl")):
+                _os.remove(old)
+            try:
+                _os.remove(_os.path.join(self.path, "_SUCCESS"))
+            except FileNotFoundError:
+                pass
         for i, m in enumerate(messages):
             if m is not None:
-                final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+                final = _os.path.join(self.path, f"part-{self.job}-{i:05d}.jsonl")
                 _os.replace(m.path, final)
+        self._sweep_staged()  # failed/speculative attempts' leftovers
         with open(_os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
-        import os as _os
-
-        for m in messages:
-            if m is not None:
-                try:
-                    _os.remove(m.path)
-                except FileNotFoundError:
-                    pass
+        self._sweep_staged()
 
 
 class JsonlCommitDataSource(DataSource):
@@ -242,7 +269,7 @@ class JsonlCommitDataSource(DataSource):
         return "jsonl_commit"
 
     def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
-        return JsonlCommitWriter(self.options)
+        return JsonlCommitWriter(self.options, overwrite)
 
 
 def register_jsonl_commit_sink(spark) -> None:

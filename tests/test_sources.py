@@ -212,3 +212,62 @@ def test_pyds_lessthan_pushdown_prunes_partition_planning(spark):
     full = read.load()
     kept = [tuple(r) for r in full.collect() if r.event_id < 100]
     assert sorted(map(tuple, pruned.collect())) == sorted(kept)
+
+
+def test_pyds_lessthan_pushdown_caps_planned_domain_unit():
+    """Direct evidence the LessThan bound reaches the PLANNER (the e2e
+    equality above would also pass if Spark re-applied the filter
+    post-read): after pushFilters, the reader's domain and the last
+    planned split end at the bound."""
+    from pyspark.sql.datasource import LessThan
+
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader({"rows": "1000", "partitions": "8"})
+    assert list(r.pushFilters([LessThan(("event_id",), 100)])) == []  # consumed
+    assert r.rows == 100
+    parts = r.partitions()
+    assert parts[-1].end == 100
+    assert sum(p.end - p.start for p in parts) == 100  # 100 rows planned, not 1000
+
+
+def test_pyds_sink_overwrite_append_and_coercion(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        register_jsonl_commit_sink,
+    )
+
+    register_jsonl_commit_sink(spark)
+    out = str(tmp_path / "sink2")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").repartition(2)
+    b = spark.createDataFrame([(3, "z")], "id long, s string").repartition(1)
+
+    a.write.format("jsonl_commit").option("path", out).mode("append").save()
+    b.write.format("jsonl_commit").option("path", out).mode("append").save()
+    rows = [_json.loads(l) for f in glob.glob(out + "/part-*.jsonl") for l in open(f)]
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]  # append really appends
+
+    b.write.format("jsonl_commit").option("path", out).mode("overwrite").save()
+    rows = [_json.loads(l) for f in glob.glob(out + "/part-*.jsonl") for l in open(f)]
+    assert sorted(r["id"] for r in rows) == [3]  # prior jobs' parts removed
+
+    # non-JSON-native types coerce via str() instead of aborting the job
+    ts = spark.sql("SELECT 1 AS id, timestamp'2024-01-02 03:04:05' AS ts")
+    ts.write.format("jsonl_commit").option("path", out).mode("overwrite").save()
+    row = [_json.loads(l) for f in glob.glob(out + "/part-*.jsonl") for l in open(f)][0]
+    assert row["ts"].startswith("2024-01-02")
+
+
+def test_pyds_stream_offset_never_regresses():
+    from code_challenge___data_engineer___machinemax_spark.sources.pyds import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"rows": "1000", "rows_per_batch": "400"})
+    # checkpoint offset beyond a later, smaller rows option must not move back
+    rows, off = r.read({"i": 3000})
+    assert off == {"i": 3000} and list(rows) == []
