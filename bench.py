@@ -104,6 +104,17 @@ HEADLINE = [
     "video_sampled_frame_decode",
     "shuffle_shard_order",
     "ann_recall_eval",
+    # round-5 (final session): the three new expensive shapes — Z-order
+    # layout assignment (two scalable_ntile passes over the Morton code),
+    # PQ encode + ADC top-k (the third ANN family: broadcast-codebook
+    # argmin over vec x subspace, then the table-lookup scan), and
+    # positional phrase search (per-token pruned posting self-join).
+    # kmv_theta_set_ops / skyline_orders / pq_code_histogram are cheap
+    # post-agg shapes — covered by the parity sweep, not worth bench slots.
+    "zorder_layout",
+    "pq_adc_topk",
+    "pq_adc_topk_from_store",
+    "phrase_search_positional",
 ]
 
 
@@ -146,6 +157,7 @@ def main() -> None:
     # path, which is the plan a 100 TB deployment actually runs.
     from code_challenge___data_engineer___machinemax_spark.stores import (
         ensure_bm25_index_store,
+        ensure_pq_store,
         ensure_simhash_store,
         ensure_srp_store,
     )
@@ -153,6 +165,7 @@ def main() -> None:
     ensure_simhash_store(spark, sf_dir)
     ensure_srp_store(spark, sf_dir)
     ensure_bm25_index_store(spark, sf_dir)
+    ensure_pq_store(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -434,3 +434,38 @@ def keyword_search_analyzed(df: DataFrame, keyword: str, text_col: str = "text")
     return df.filter(
         F.arrays_overlap(tokenize_analyzed(text_col), F.array(*[F.lit(t) for t in toks]))
     )
+
+
+def phrase_search(
+    df: DataFrame, key_col: str, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase search via a positional posting join: documents where
+    the phrase's tokens occur CONSECUTIVELY, with the match count per
+    document — Mongo $text (the reference's search, api.py:22-26) treats a
+    quoted string as a phrase; this is that semantic, engine-side.
+
+    The positional posting table (key, pos, token) is filtered to each
+    query token BEFORE any join — at scale the postings live in the
+    token-bucketed L2 index layout (materialize_inverted_index), so each
+    filter is a partition-pruned probe, and the n-1 self-joins are
+    equi-joins on (key, pos+i) over only the probed slices (selectivity
+    of the rarest token bounds all of them). No window, no cartesian.
+    """
+    toks = query_tokens(phrase)
+    if not toks:
+        return df.limit(0).select(
+            F.col(key_col), F.lit(0).cast("bigint").alias("n_occurrences")
+        )
+    postings = df.select(
+        F.col(key_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
+    )
+    anchor = (
+        postings.filter(F.col("token") == toks[0])
+        .select(key_col, F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = postings.filter(F.col("token") == t).select(
+            F.col(key_col), (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, [key_col, "p0"])
+    return anchor.groupBy(key_col).agg(F.count("*").alias("n_occurrences"))

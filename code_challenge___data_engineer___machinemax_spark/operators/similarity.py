@@ -307,3 +307,78 @@ def ann_topk_lsh(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- product quantization (PQ) -------------------------------------------
+# Fixed-point PQ: components are scaled to int64 (round(v * scale)) so every
+# subspace distance, argmin, and ADC sum is exact integer arithmetic — the
+# same value-gate discipline as the k-means / centroid operators. At 100 TB
+# the point of PQ is storage: M uint8 codes replace D floats (32x at
+# M=8/D=64), and query-time scan cost is a table lookup per subspace
+# instead of a D-dim dot product.
+
+
+def pq_components(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sub_dim: int = 8,
+    scale: int = 10000,
+) -> DataFrame:
+    """Explode vectors into fixed-point subspace components:
+    (id, m = subspace, pos = offset within subspace, qv = round(v*scale))."""
+    return df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "v")).select(
+        id_col,
+        F.floor(F.col("dim") / sub_dim).cast("int").alias("m"),
+        (F.col("dim") % sub_dim).cast("int").alias("pos"),
+        F.round(F.col("v").cast("double") * scale).cast("bigint").alias("qv"),
+    )
+
+
+def pq_subspace_distances(parts: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """Exact squared L2 distance from every vector's subspace slice to every
+    codeword of that subspace: broadcast the codebook (M x K x sub_dim
+    rows — KB-sized), join on (m, pos), partial-agg the per-component
+    squares map-side. Returns (id, m, code_id, d)."""
+    diff = F.col("qv") - F.col("cv")
+    return (
+        parts.join(F.broadcast(codebook), ["m", "pos"])
+        .groupBy(id_col, "m", "code_id")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+
+
+def pq_assign(parts: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the argmin-distance codeword
+    (ties break to the lowest code_id). The argmin window partitions by
+    (id, m) — a narrow per-row key, never a corpus-sized frame. Returns
+    (id, m, code_id): the M-byte code that replaces the vector."""
+    from pyspark.sql.window import Window as W
+
+    dists = pq_subspace_distances(parts, codebook, id_col)
+    w = W.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("code_id"))
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "m", "code_id")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_dists: DataFrame,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric distance computation: join each vector's code to the
+    query's precomputed per-(m, code_id) distance table (M x K rows —
+    broadcast) and sum over subspaces; top-k smallest via
+    TakeOrderedAndProject (per-partition local top-k, k-row merge at the
+    driver — no global sort)."""
+    return (
+        codes.join(F.broadcast(query_dists), ["m", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

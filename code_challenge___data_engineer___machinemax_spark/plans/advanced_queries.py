@@ -1707,3 +1707,62 @@ def bloom_prefilter_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("contamination_e6"),
         )
     )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_totalprice >= o.o_totalprice
+          AND d.o_orderdate >= o.o_orderdate
+          AND (d.o_totalprice > o.o_totalprice
+               OR d.o_orderdate > o.o_orderdate)
+    )
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders maximizing BOTH total price
+    and recency: an order survives iff no other order is at least as
+    expensive AND at least as recent with one strict — the multi-objective
+    shortlist query (Borzsony/Kossmann/Stocker, ICDE 2001).
+
+    The oracle states the semantics as the naive quadratic NOT EXISTS; the
+    engine computes it linearly: per-date maxima (one partial-agg shuffle;
+    at most one candidate per distinct date survives), then a running
+    max over LATER dates via one window over the per-date frame — whose
+    size is bounded by the calendar, not the table (~2.4k rows here, still
+    ~2.4k at 100 TB; the audited-tiny-frame convention, cf. EXPLAIN.md).
+    A point is on the skyline iff it is its date's max price and strictly
+    beats every later date's max. Ties on both dimensions are mutually
+    non-dominating, so the date-max JOIN back keeps all tied rows."""
+    o = load_table(spark, sf_dir, "orders")
+    per_date = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("__pmax")
+    )
+    w = (
+        W.orderBy(F.desc("o_orderdate"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier_dates = (
+        per_date.withColumn("__later_max", F.max("__pmax").over(w))
+        .filter(
+            F.col("__later_max").isNull()
+            | (F.col("__pmax") > F.col("__later_max"))
+        )
+        # fresh column names break the self-join lineage ambiguity
+        .select(
+            F.col("o_orderdate").alias("__fd_date"),
+            F.col("__pmax").alias("__fd_pmax"),
+        )
+    )
+    return (
+        o.join(
+            F.broadcast(frontier_dates),
+            (F.col("o_orderdate") == F.col("__fd_date"))
+            & (F.col("o_totalprice") == F.col("__fd_pmax")),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -1,0 +1,144 @@
+"""Data-layout queries: Z-order (Morton) clustering and the file-skipping
+statistics it buys.
+
+At 100 TB the fastest scan is the one that never happens: lakehouse tables
+(Delta OPTIMIZE ZORDER, Iceberg sort orders) keep per-file min/max column
+stats and prune files whose bounding box misses the predicate. A table
+sorted LINEARLY on one key prunes on that key only — every file spans the
+full range of every other column. Interleaving the bits of two keys into a
+single Morton code and range-partitioning on THAT bounds every file in
+BOTH dimensions at once, so predicates on either column skip files.
+
+The query below builds both layouts over `orders` (x = o_custkey, y =
+order day) with equal-depth 16-file assignment and reports each file's
+bounding box plus whether a canonical probe range on each dimension would
+touch it — the exact manifest-pruning decision, as data. Everything is
+integer arithmetic on bits, so the DuckDB oracle is value-exact.
+
+Reference parity: the reference system has no layout surface (its store is
+a Mongo collection, apitestmongo.py:37); this is north-star scale surface,
+same family as DEPLOY.md's L1-L5 persisted layouts. The physical writer is
+sources/zorder.py:write_zordered (footer-stats pruning pinned by
+tests/test_layouts.py); this query puts the same decision data under the
+DuckDB value gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranking import scalable_ntile
+from ..sources.zorder import morton_code
+from ..tables import load_table
+from .registry import query
+
+# 12 bits per dimension -> 24-bit Morton code. sf0.01 keys fit (custkey
+# <= 1499, order day <= 2404); the & mask makes the semantics explicit and
+# keeps the oracle identical if they ever don't. Production would use the
+# same interleave at 21 bits/dim (63-bit code) — the expression shape is
+# the same loop, unrolled by Catalyst into one codegen stage.
+_BITS = 12
+_MASK = (1 << _BITS) - 1
+_FILES = 16
+
+# Probe rectangles: one per dimension, each ~4% of the key range. The
+# linear-by-x layout can only prune on x; z-order prunes on both.
+_PROBE_X = (100, 199)
+_PROBE_Y = (1200, 1299)
+
+
+def _morton_sql(x: str, y: str, bits: int = _BITS) -> str:
+    """Naive per-bit interleave for the DuckDB oracle — deliberately a
+    DIFFERENT formulation than the Spark side's magic-number bit spread
+    (sources/zorder.py:_spread_bits), so the oracle independently
+    cross-checks the fast path instead of replaying it."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               (o_custkey & {_MASK}) AS x,
+               (date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                & {_MASK}) AS y
+        FROM orders
+    ), z AS (
+        SELECT o_orderkey, x, y, ({_morton_sql("x", "y")}) AS zval FROM base
+    ), files AS (
+        SELECT 'zorder' AS layout,
+               ntile({_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id,
+               x, y
+        FROM z
+        UNION ALL
+        SELECT 'linear' AS layout,
+               ntile({_FILES}) OVER (ORDER BY x, o_orderkey) AS file_id,
+               x, y
+        FROM z
+    )
+    SELECT layout, CAST(file_id AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           CAST(MIN(x) <= {_PROBE_X[1]} AND MAX(x) >= {_PROBE_X[0]} AS INT)
+               AS probe_x_hit,
+           CAST(MIN(y) <= {_PROBE_Y[1]} AND MAX(y) >= {_PROBE_Y[0]} AS INT)
+               AS probe_y_hit
+    FROM files
+    GROUP BY layout, file_id
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering of `orders` into 16 equal-depth files,
+    with per-file min/max bounds and probe-overlap flags — the manifest a
+    lakehouse writer would persist, computed as a query so the pruning win
+    is observable: under `linear` (sorted by custkey) every file spans the
+    whole date range, so the date probe touches all 16 files; under
+    `zorder` both dimensions are bounded, so each probe touches a strict
+    subset.
+
+    Scale: the Morton code is a pure bit-interleave projection (no UDF, no
+    shuffle); file assignment is equal-depth via `scalable_ntile`
+    (range-repartition + per-partition window — no single-partition global
+    window, operators/ranking.py:100); the stats roll up with one
+    partial-agg shuffle on (layout, file_id). At 100 TB this is exactly
+    `df.repartitionByRange(z).sortWithinPartitions(z).write(...)` plus
+    parquet footer stats — the query keeps the decision data, not the
+    rewrite, so the oracle can check it."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(_MASK)).alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("bigint")
+        .bitwiseAND(F.lit(_MASK))
+        .alias("y"),
+    ).withColumn("zval", morton_code(F.col("x"), F.col("y")))
+
+    zfiles = scalable_ntile(
+        base, _FILES, [F.asc("zval"), F.asc("o_orderkey")], tile_col="file_id"
+    ).select(F.lit("zorder").alias("layout"), "file_id", "x", "y")
+    lfiles = scalable_ntile(
+        base, _FILES, [F.asc("x"), F.asc("o_orderkey")], tile_col="file_id"
+    ).select(F.lit("linear").alias("layout"), "file_id", "x", "y")
+
+    files = zfiles.unionByName(lfiles)
+    return files.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        ((F.min("x") <= _PROBE_X[1]) & (F.max("x") >= _PROBE_X[0]))
+        .cast("int")
+        .alias("probe_x_hit"),
+        ((F.min("y") <= _PROBE_Y[1]) & (F.max("y") >= _PROBE_Y[0]))
+        .cast("int")
+        .alias("probe_y_hit"),
+    )

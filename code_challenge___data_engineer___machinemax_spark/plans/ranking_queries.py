@@ -825,3 +825,32 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picked[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts({tokenize_sql('text')}, 1) - 1 AS pos,
+               unnest({tokenize_sql('text')}) AS token
+        FROM documents
+    )
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'merge' AND b.token = 'vector'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query "merge vector" (the bm25 query's terms, now
+    order- and adjacency-sensitive): positional postings filtered per
+    token, then an equi-join on (doc, pos+1) — the quoted-phrase semantic
+    of Mongo $text (reference api.py:22-26) that plain token-overlap
+    search cannot express. Returns each matching document with its match
+    count (operators/search.py:phrase_search)."""
+    from ..operators.search import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, "doc_id", "merge vector")

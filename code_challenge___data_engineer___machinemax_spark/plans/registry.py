@@ -119,7 +119,9 @@ DRIVER_PRIORITY: list[str] = [
     # ann_recall_eval, bloom_prefilter_contamination,
     # streamed_segment_enrichment, streamed_purchase_attribution,
     # python_datasource_rollup, python_stream_source_rollup,
-    # variant_props_extract
+    # variant_props_extract, zorder_layout, kmv_theta_set_ops,
+    # pq_code_histogram, pq_adc_topk, pq_adc_topk_from_store,
+    # phrase_search_positional, skyline_orders
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

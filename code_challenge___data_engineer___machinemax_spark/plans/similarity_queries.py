@@ -584,3 +584,153 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(hit) * 10).cast("bigint").alias("recall_pct"),
         )
     )
+
+
+# --- product quantization ------------------------------------------------
+# M=8 subspaces x 8 dims, K=16 codewords per subspace, fixed-point scale
+# 1e4 (values are in (-0.53, 0.46), so squares stay far below int64).
+# The codebook is deterministic data: codeword j of every subspace is the
+# quantized subvector of vec_id=j (j in 1..16) — k-means would refine
+# exactly these assignments, and `kmeans_fixed_point` already pins that
+# loop; here the value gate pins the PQ encode/ADC algebra itself.
+_PQ_ORACLE_PREFIX = """
+    WITH comp AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+                   AS qv
+        FROM embeddings
+    ), parts AS (
+        SELECT vec_id, CAST(dim // 8 AS INT) AS m, dim % 8 AS pos, qv
+        FROM comp
+    ), code AS (
+        SELECT vec_id AS code_id, m, pos, qv AS cv FROM parts
+        WHERE vec_id BETWEEN 1 AND 16
+    ), dists AS (
+        SELECT p.vec_id, p.m, c.code_id,
+               SUM((p.qv - c.cv) * (p.qv - c.cv)) AS d
+        FROM parts p JOIN code c ON c.m = p.m AND c.pos = p.pos
+        GROUP BY 1, 2, 3
+    ), assign AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT vec_id, m, code_id,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, code_id) AS rn
+            FROM dists WHERE vec_id <> 0)
+        WHERE rn = 1
+    )
+"""
+
+
+def _pq_codebook_and_parts(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import pq_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = pq_components(e, "embedding", "vec_id", sub_dim=8, scale=10000)
+    codebook = (
+        parts.filter(F.col("vec_id").between(1, 16))
+        .select(F.col("vec_id").alias("code_id"), "m", "pos", F.col("qv").alias("cv"))
+    )
+    return parts, codebook
+
+
+@query(
+    "pq_code_histogram",
+    oracle=_PQ_ORACLE_PREFIX
+    + """
+    SELECT m, code_id, COUNT(*) AS n_vectors
+    FROM assign GROUP BY m, code_id
+    """,
+)
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook usage: how many corpus vectors encode to each codeword
+    in each subspace — the balance diagnostic a PQ index needs (a dead or
+    overloaded codeword means the codebook under-fits that subspace).
+    Pins the full encode path (explode -> broadcast codebook -> exact
+    int argmin) at corpus width.
+
+    Scale: encoding is a broadcast join plus map-side partial aggregation
+    on (vec_id, m) — no shuffle wider than the (vector, subspace) key, and
+    the output is M x K rows regardless of corpus size. Production stores
+    the codes column (M bytes/vector, 32x smaller than the float vector);
+    this histogram is its GROUP BY."""
+    from ..operators.similarity import pq_assign
+
+    parts, codebook = _pq_codebook_and_parts(spark, sf_dir)
+    corpus = parts.filter(F.col("vec_id") != 0)
+    codes = pq_assign(corpus, codebook, "vec_id")
+    return codes.groupBy("m", "code_id").agg(F.count("*").alias("n_vectors"))
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_PQ_ORACLE_PREFIX
+    + """
+    , qtab AS (SELECT m, code_id, d FROM dists WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+        FROM assign a JOIN qtab q ON q.m = a.m AND q.code_id = a.code_id
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for query vec_id=0: precompute the
+    query's distance to all M x K codewords once (128 rows, broadcast),
+    then score every corpus vector as a sum of M table lookups over its
+    code — the classic ADC scan (Jegou et al., PAMI 2011) that makes
+    billion-vector search memory-feasible. All integer arithmetic, so the
+    DuckDB oracle replays it exactly; recall-vs-exact is the same
+    trade-off `ann_recall_eval` measures for LSH.
+
+    Scale: the scan touches only the codes relation (M bytes + id per
+    row), the distance table is broadcast, and top-k plans as
+    TakeOrderedAndProject — per-partition heaps, k rows to the driver. In
+    production the codes table is the IVF-partitioned store's payload
+    (DEPLOY.md L3), so ADC runs after partition pruning."""
+    from ..operators.similarity import pq_adc_topk as adc_topk
+    from ..operators.similarity import pq_assign, pq_subspace_distances
+
+    parts, codebook = _pq_codebook_and_parts(spark, sf_dir)
+    corpus = parts.filter(F.col("vec_id") != 0)
+    codes = pq_assign(corpus, codebook, "vec_id")
+    qtab = pq_subspace_distances(
+        parts.filter(F.col("vec_id") == 0), codebook, "vec_id"
+    ).select("m", "code_id", "d")
+    return adc_topk(codes, qtab, "vec_id", k=10)
+
+
+@query(
+    "pq_adc_topk_from_store",
+    # the self-contained twin's oracle verbatim: the store caches the
+    # deterministic encode, so the result sets are identical
+    oracle=_get_registered("pq_adc_topk").oracle,
+)
+def pq_adc_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pq_adc_topk` over the persisted PQ index (stores.py:ensure_pq_store):
+    the corpus encode ran at ingest; the query computes its M x K distance
+    table from the stored codebook (KB-sized, broadcast) and scans ONLY
+    the codes relation — M small ints per vector instead of D floats, the
+    memory-bandwidth win that is the entire point of PQ at 100 TB. Same
+    oracle as `pq_adc_topk`."""
+    import os as _os
+
+    from ..operators.similarity import pq_adc_topk as adc_topk
+    from ..operators.similarity import pq_components, pq_subspace_distances
+    from ..stores import ensure_pq_store
+
+    store = ensure_pq_store(spark, sf_dir)
+    codebook = spark.read.parquet(_os.path.join(store, "codebook"))
+    codes = spark.read.parquet(_os.path.join(store, "codes"))
+    qparts = pq_components(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0),
+        "embedding",
+        "vec_id",
+        sub_dim=8,
+        scale=10000,
+    )
+    qtab = pq_subspace_distances(qparts, codebook, "vec_id").select(
+        "m", "code_id", "d"
+    )
+    return adc_topk(codes, qtab, "vec_id", k=10)

@@ -297,3 +297,141 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(200)
     )
+
+
+# KMV / theta layout: per set, the k smallest 60-bit hashes (15 md5 hex
+# chars) of the member keys. theta = the k-th smallest hash of the UNION
+# sample; any union-sample hash is below every per-set theta, so sketch
+# membership equals true set membership for those hashes and the
+# intersection counter is exact over the sample.
+_KMV_K = 64
+
+
+@query(
+    "kmv_theta_set_ops",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substring(md5(
+                        CAST(user_id AS VARCHAR) || ':'
+                        || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events
+    ), sketch AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rn
+            FROM h)
+        WHERE rn <= {_KMV_K}
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ), merged AS (
+        SELECT DISTINCT p.type_a, p.type_b, s.hv
+        FROM pairs p
+        JOIN sketch s ON s.event_type IN (p.type_a, p.type_b)
+    ), union_sketch AS (
+        SELECT type_a, type_b, hv FROM (
+            SELECT type_a, type_b, hv,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY hv) AS rn
+            FROM merged)
+        WHERE rn <= {_KMV_K}
+    )
+    SELECT u.type_a, u.type_b,
+           MAX(u.hv) AS theta_hash,
+           COUNT(*) AS k_union,
+           CAST(SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+    FROM union_sketch u
+    LEFT JOIN sketch sa ON sa.event_type = u.type_a AND sa.hv = u.hv
+    LEFT JOIN sketch sb ON sb.event_type = u.type_b AND sb.hv = u.hv
+    GROUP BY u.type_a, u.type_b
+    """,
+)
+def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-sketch) set operations over the active user-day sets
+    (user_id x event date — high-cardinality, partially overlapping) of
+    every event-type pair: the union sketch's k-th smallest hash (theta),
+    its realized size, and the exact count of union-sample hashes present
+    in BOTH sets — the state behind theta-sketch union/intersection
+    estimates (union_est = (k-1)/theta_frac, intersect_est = n_common/k x
+    union_est; the estimates are float, so the oracle pins the integer
+    sketch state, same discipline as `hll_user_registers`).
+
+    Scale: the per-set sketch is built two-stage — a salted local
+    row_number (per (set, hv % 16) slice) keeps every window frame
+    partition-local, then the final per-set rank runs over <= 16k
+    surviving rows; no set-sized window anywhere. Everything after is
+    sketch-vs-sketch algebra on <= sets x k rows — KB-sized regardless of
+    input volume, and mergeable: the union sketch of two corpora is the
+    k smallest of the concatenated sketches, which is exactly what the
+    pair join computes."""
+    from pyspark.sql import Window as W
+
+    k = _KMV_K
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    ).distinct()
+
+    salted = h.withColumn("__salt", (F.col("hv") % 16).cast("int"))
+    local_w = W.partitionBy("event_type", "__salt").orderBy("hv")
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(local_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    final_w = W.partitionBy("event_type").orderBy("hv")
+    sketch = (
+        survivors.withColumn("__rn", F.row_number().over(final_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+    types = sketch.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    sa = sketch.select(F.col("event_type").alias("type_a"), "hv")
+    sb = sketch.select(F.col("event_type").alias("type_b"), "hv")
+    merged = (
+        pairs.join(sa, "type_a")
+        .select("type_a", "type_b", "hv")
+        .unionByName(pairs.join(sb, "type_b").select("type_a", "type_b", "hv"))
+        .distinct()
+    )
+    # union-sketch rank: frames are <= 2k rows per pair (post-sketch
+    # algebra, metadata-sized — the audited-window convention)
+    pair_w = W.partitionBy("type_a", "type_b").orderBy("hv")
+    union_sketch = (
+        merged.withColumn("__rn", F.row_number().over(pair_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    flagged = (
+        union_sketch.join(
+            sa.withColumn("__in_a", F.lit(1)), ["type_a", "hv"], "left"
+        )
+        .join(sb.withColumn("__in_b", F.lit(1)), ["type_b", "hv"], "left")
+    )
+    return flagged.groupBy("type_a", "type_b").agg(
+        F.max("hv").alias("theta_hash"),
+        F.count("*").alias("k_union"),
+        F.sum(
+            (F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_common"),
+    )

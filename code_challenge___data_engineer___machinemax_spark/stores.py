@@ -210,3 +210,30 @@ def srp_store_candidates(
         leg = (F.col("t") == F.lit(t)) & (F.col("bucket") == F.lit(b))
         cond = leg if cond is None else (cond | leg)
     return store.filter(cond).select("vec_id").distinct()
+
+
+def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PQ index for ``embeddings`` (DEPLOY.md L3 family):
+    ``codebook/`` (M x K x sub_dim fixed-point codeword components — KB)
+    and ``codes/`` (vec_id, m, code_id — the M-byte-per-vector compressed
+    corpus, 32x smaller than the float vectors). The expensive step — the
+    per-(vector, subspace) argmin over every corpus vector — runs exactly
+    once, here; an ADC query then reads ONLY the codes relation plus the
+    broadcast codebook, never the vectors."""
+    from .operators.similarity import pq_assign, pq_components
+
+    path = _store_path(sf_dir, "embeddings", "l3_pq_m8_k16")
+    if not _ready(path):
+        e = load_table(spark, sf_dir, "embeddings")
+        parts = pq_components(e, "embedding", "vec_id", sub_dim=8, scale=10000)
+        codebook = parts.filter(F.col("vec_id").between(1, 16)).select(
+            F.col("vec_id").alias("code_id"), "m", "pos", F.col("qv").alias("cv")
+        )
+        codebook.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebook")
+        )
+        codes = pq_assign(parts.filter(F.col("vec_id") != 0), codebook, "vec_id")
+        codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path

@@ -140,3 +140,31 @@ def test_morton_code_interleaves(spark):
 
     expect = [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (0xFFFF, 0xFFFF)]]
     assert [r.z for r in rows] == expect
+
+
+def test_zorder_layout_query_shows_both_dim_pruning(spark, sf_dir):
+    """The registered `zorder_layout` query's probe flags must exhibit the
+    layout trade-off: a linear-by-custkey layout cannot prune the date
+    probe (all 16 files touched), while the z-ordered layout bounds both
+    dimensions so each probe touches a strict minority of files."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = get("zorder_layout").fn(spark, sf_dir).collect()
+    by_layout = {}
+    for r in rows:
+        d = by_layout.setdefault(r.layout, {"x": 0, "y": 0, "files": 0, "rows": 0})
+        d["x"] += r.probe_x_hit
+        d["y"] += r.probe_y_hit
+        d["files"] += 1
+        d["rows"] += r.n_rows
+
+    assert by_layout["linear"]["files"] == 16
+    assert by_layout["zorder"]["files"] == 16
+    # equal-depth assignment: both layouts cover every order exactly once
+    assert by_layout["linear"]["rows"] == by_layout["zorder"]["rows"]
+    # linear prunes x hard but cannot prune y at all
+    assert by_layout["linear"]["y"] == 16
+    assert by_layout["linear"]["x"] <= 3
+    # z-order prunes BOTH probes to a strict minority of files
+    assert by_layout["zorder"]["x"] <= 8
+    assert by_layout["zorder"]["y"] <= 8

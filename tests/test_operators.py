@@ -136,3 +136,73 @@ def test_pit_join_attributes_to_regime_at_ship_time(spark, tmp_path):
     assert rows["B"].n_lines == 1 and rows["B"].revenue == 100.0
     assert rows["A"].n_lines == 1 and rows["A"].revenue == 50.0
     assert rows["none"].n_lines == 1 and rows["none"].revenue == 25.0
+
+
+def test_kmv_theta_sketch_invariants(spark, sf_dir):
+    """theta (max union-sample hash) never exceeds either per-set theta,
+    k_union == k when both sets are >= k, and n_common <= k_union."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = get("kmv_theta_set_ops").fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 types, 2)
+    for r in rows:
+        assert 0 < r.n_common <= r.k_union <= 64
+        assert r.theta_hash > 0
+
+
+def test_phrase_search_adjacency_and_order(spark, sf_dir):
+    """Phrase match requires adjacency AND order: every phrase hit must
+    also be an AND-token hit, reversed phrases match different documents,
+    and a nonsense phrase matches nothing."""
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.functions.text import tokenize
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        phrase_search,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hits = phrase_search(d, "doc_id", "merge vector").collect()
+    assert len(hits) > 0
+    assert all(r.n_occurrences >= 1 for r in hits)
+
+    both_tokens = {
+        r.doc_id
+        for r in d.filter(
+            F.array_contains(tokenize("text"), "merge")
+            & F.array_contains(tokenize("text"), "vector")
+        ).collect()
+    }
+    assert {r.doc_id for r in hits} <= both_tokens
+    assert len(both_tokens) > len(hits)  # adjacency is strictly stronger
+
+    assert phrase_search(d, "doc_id", "qqq zzz").count() == 0
+
+
+def test_skyline_orders_is_pareto_frontier(spark, sf_dir):
+    """No skyline row may be dominated by ANY order (checked against the
+    full table driver-side), and every non-skyline order must be dominated
+    by some skyline row (frontier completeness)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    sky = [
+        (r.o_totalprice, r.o_orderdate)
+        for r in get("skyline_orders").fn(spark, sf_dir).collect()
+    ]
+    assert 0 < len(sky) < 100
+    allr = [
+        (r.o_totalprice, r.o_orderdate)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    ]
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and (a[0] > b[0] or a[1] > b[1])
+
+    for s in sky:
+        assert not any(dominates(a, s) for a in allr)
+    skyset = set(sky)
+    for a in allr:
+        if a not in skyset:
+            assert any(dominates(s, a) for s in sky)

@@ -161,3 +161,61 @@ def test_drift_report_detects_planted_shift(spark, tmp_path):
     assert rows["stable"].drift_sq == 0
     assert rows["moved"].drift_sq == 1_000_000 ** 2
     assert rows["moved"].n_ref == 4 and rows["moved"].n_cur == 4
+
+
+def test_pq_adc_recall_against_exact(spark, sf_dir):
+    """PQ-ADC must rank far better than chance against exact fixed-point
+    L2. The synthetic embeddings are isotropic (no cluster structure —
+    measured: recall@10 saturates ~3/10 even at K=128, the distance-
+    concentration regime where PQ cells can't separate near-equidistant
+    points), so the honest bound is containment in the exact top decile: a
+    majority of ADC's top-10 within the exact top-50 of 499 (chance would
+    place ~1)."""
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    adc = {r.vec_id for r in get("pq_adc_topk").fn(spark, sf_dir).collect()}
+    assert len(adc) == 10
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 10000).astype(
+            np.int64
+        )
+        for r in rows
+    }
+    q = vecs[0]
+    dist = sorted(
+        (int(((v - q) ** 2).sum()), vid) for vid, v in vecs.items() if vid != 0
+    )
+    exact50 = {vid for _, vid in dist[:50]}
+    exact10 = {vid for _, vid in dist[:10]}
+    assert len(adc & exact50) >= 4, sorted(adc & exact50)
+    assert len(adc & exact10) >= 1, sorted(adc & exact10)
+
+
+def test_pq_codes_are_complete_and_bounded(spark, sf_dir):
+    """Every corpus vector gets exactly M=8 codes, every code_id is one of
+    the 16 codewords, and codebook vectors encode to themselves (their
+    subspace distance to their own codeword is 0)."""
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        pq_assign,
+        pq_components,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = pq_components(e, "embedding", "vec_id", sub_dim=8, scale=10000)
+    codebook = parts.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("code_id"), "m", "pos", F.col("qv").alias("cv")
+    )
+    codes = pq_assign(parts, codebook, "vec_id")
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 8 for r in per_vec)
+    assert codes.filter(~F.col("code_id").between(1, 16)).count() == 0
+    own = codes.filter(F.col("vec_id").between(1, 16))
+    assert own.filter(F.col("code_id") != F.col("vec_id")).count() == 0

@@ -174,3 +174,22 @@ def test_driver_side_buckets_match_udf_buckets(spark, sf_dir, store_env):
             for r in store.filter(F.col("vec_id") == row["vec_id"]).collect()
         )
         assert got == expect
+
+
+def test_pq_store_adc_equals_self_contained_and_scans_codes_only(
+    spark, sf_dir, store_env
+):
+    """The stored-codes ADC top-k must equal the self-contained twin, and
+    its plan must read the codes relation (+ tiny codebook), never the
+    embeddings vectors."""
+    qs = plans.all_queries()
+    stored_df = qs["pq_adc_topk_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["pq_adc_topk"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    # the only embeddings access is the single query row (vec_id = 0);
+    # the corpus side comes from the parquet codes store
+    assert "l3_pq" in txt
+    assert txt.count("embeddings.parquet") <= 1
