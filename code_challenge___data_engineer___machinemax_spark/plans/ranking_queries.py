@@ -3,20 +3,23 @@ cluster resolution and k-means codebook (rows-only iterative ops)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_sql
 from ..operators.clustering import dedup_clusters, kmeans_lite
 from ..operators.dedup import near_dup_pairs
 from ..operators.search import bm25_rank
+from ..operators.similarity import cosine_topk
 from ..tables import load_table
 from .registry import query
 
 
-@query(
-    "bm25_keyword_ranking",
-    oracle=f"""
+def _bm25_oracle(limit: int = 10) -> str:
+    """The BM25 formula SQL, parametrized on the result LIMIT so the
+    hybrid-fusion oracle can reuse the identical scoring text at a wider
+    candidate depth (one source of truth for the formula)."""
+    return f"""
     WITH tokens AS (
         SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
     ), doc_len AS (
@@ -39,9 +42,11 @@ from .registry import query
     FROM tf JOIN dfreq USING (token) JOIN doc_len USING (doc_id) CROSS JOIN corpus
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id
-    LIMIT 10
-    """,
-)
+    LIMIT {limit}
+    """
+
+
+@query("bm25_keyword_ranking", oracle=_bm25_oracle())
 def bm25_keyword_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked top-10 for a 2-token query (2-term score sums are
     commutative in IEEE double, so cross-engine value equality holds; the
@@ -854,3 +859,94 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phrase_search(d, "doc_id", "merge vector")
+
+
+from .similarity_queries import _DOT_SQL as _DENSE_DOT_SQL
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH bm AS (SELECT * FROM ({_bm25_oracle(50)})),
+    bm_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS bm25_rank
+        FROM bm
+    ), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    dn AS (
+        SELECT vec_id,
+               ROUND({_DENSE_DOT_SQL.format(a='embedding', b='qvec')}
+                     / (sqrt({_DENSE_DOT_SQL.format(a='embedding', b='embedding')})
+                        * sqrt({_DENSE_DOT_SQL.format(a='qvec', b='qvec')})), 6)
+                   AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id
+        LIMIT 50
+    ), dn_rank AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT)
+                   AS cos_rank
+        FROM dn
+    )
+    SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           b.bm25_rank, d.cos_rank,
+           COALESCE(CAST(FLOOR(1000000.0 / (60 + b.bm25_rank)) AS BIGINT), 0)
+         + COALESCE(CAST(FLOOR(1000000.0 / (60 + d.cos_rank)) AS BIGINT), 0)
+               AS rrf_e6
+    FROM bm_rank b FULL OUTER JOIN dn_rank d ON d.doc_id = b.doc_id
+    ORDER BY rrf_e6 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009; k=60) of the sparse BM25 arm (query "merge vector" over
+    documents) and the dense cosine arm (query vec_id=0 over embeddings —
+    doc_id and vec_id share the 0..N id domain, i.e. each document's
+    embedding). RRF contribution floor(1e6/(60+rank)) is exact in int64,
+    so fusion is bit-comparable; a doc missing from one arm's top-50
+    contributes 0 from that arm (its rank column stays NULL — surfaced,
+    not hidden).
+
+    Scale: each arm is its existing top-k plan (BM25: filtered posting
+    explode + broadcast stats; dense: broadcast query row +
+    TakeOrderedAndProject — at scale the ANN store replaces it, cf.
+    ann_topk_lsh_from_store). Fusion itself touches two <=50-row frames:
+    the rank windows are post-LIMIT tiny frames (the audited-window
+    convention) and the full-outer join is KB-sized regardless of corpus
+    volume."""
+    d = load_table(spark, sf_dir, "documents")
+    sparse = bm25_rank(d, "doc_id", "merge vector", k=50)
+    sparse_r = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("bm25_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    dense = cosine_topk(e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", k=50)
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("int")
+        .alias("cos_rank"),
+    )
+    fused = sparse_r.join(dense_r, "doc_id", "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (60 + F.col(c))).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_e6"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(10)
+    )

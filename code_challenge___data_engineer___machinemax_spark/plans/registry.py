@@ -121,7 +121,8 @@ DRIVER_PRIORITY: list[str] = [
     # python_datasource_rollup, python_stream_source_rollup,
     # variant_props_extract, zorder_layout, kmv_theta_set_ops,
     # pq_code_histogram, pq_adc_topk, pq_adc_topk_from_store,
-    # phrase_search_positional, skyline_orders
+    # phrase_search_positional, skyline_orders, hybrid_search_rrf,
+    # cusum_changepoint
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

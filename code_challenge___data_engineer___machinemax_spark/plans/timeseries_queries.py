@@ -262,3 +262,85 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS total_events
+        FROM hourly GROUP BY 1
+    ), cum AS (
+        SELECT event_type, h,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY h) AS cum_c,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS t
+        FROM hourly
+    ), dev AS (
+        SELECT c.event_type, c.h,
+               c.cum_c * tot.n_hours - c.t * tot.total_events AS cusum
+        FROM cum c JOIN tot USING (event_type)
+    ), best AS (
+        SELECT event_type, h, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, h) AS rn
+        FROM dev
+    )
+    SELECT b.event_type, tot.n_hours, tot.total_events,
+           b.h AS changepoint_hour,
+           CAST(ABS(b.cusum) AS BIGINT) AS max_abs_cusum
+    FROM best b JOIN tot USING (event_type)
+    WHERE b.rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-count series of
+    each event type: the hour t* maximizing |sum_{i<=t}(c_i - mean)| is
+    the classic single-changepoint estimator (Page 1954; the offline
+    max-|CUSUM| form). Kept exact-integer by scaling the deviation sum by
+    n_hours: cum(c)*n_hours - t*total == n_hours * sum(c_i - mean), so no
+    division and both engines agree bit-for-bit.
+
+    Scale: the corpus-sized work is one partial-agg shuffle to hourly
+    counts; everything after runs per event_type over calendar-bounded
+    frames (hours in range — ~3.6k rows/type regardless of event volume,
+    the audited-tiny-frame convention). The argmax is a row_number over
+    the same per-type frame, never a global window."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"), F.sum("c").alias("total_events")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("c").over(w).alias("cum_c"),
+        F.row_number().over(w).alias("t"),
+    )
+    dev = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        "total_events",
+        (F.col("cum_c") * F.col("n_hours") - F.col("t") * F.col("total_events")).alias(
+            "cusum"
+        ),
+    )
+    best_w = W.partitionBy("event_type").orderBy(F.abs(F.col("cusum")).desc(), F.asc("h"))
+    return (
+        dev.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            "total_events",
+            F.col("h").alias("changepoint_hour"),
+            F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum"),
+        )
+    )

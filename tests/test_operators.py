@@ -206,3 +206,51 @@ def test_skyline_orders_is_pareto_frontier(spark, sf_dir):
     for a in allr:
         if a not in skyset:
             assert any(dominates(s, a) for s in sky)
+
+
+def test_cusum_changepoint_finds_planted_step(spark, tmp_path):
+    """A series with a level shift must put the changepoint at the last
+    hour of the old regime with the closed-form CUSUM value: 5 hours of 1
+    event then 5 hours of 5 events -> mean 3, scaled cusum at t=5 is
+    |cum*10 - 5*30| = 100."""
+    import datetime
+
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    for h in range(10):
+        n = 1 if h < 5 else 5
+        for i in range(n):
+            rows.append(("click", base + datetime.timedelta(hours=h, minutes=i)))
+    spark.createDataFrame(rows, "event_type string, ts timestamp").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = get("cusum_changepoint").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_hours == 10 and r.total_events == 30
+    assert r.changepoint_hour == base + datetime.timedelta(hours=4)
+    assert r.max_abs_cusum == 100
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """RRF output must be internally consistent: every score equals the
+    contribution formula applied to the surfaced ranks, ranks stay within
+    the top-50 candidate depth, at least one arm is present per row, and
+    ordering is (score desc, doc_id)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = get("hybrid_search_rrf").fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+
+    def contrib(rank):
+        return 0 if rank is None else 1_000_000 // (60 + rank)
+
+    for r in rows:
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        for rk in (r.bm25_rank, r.cos_rank):
+            assert rk is None or 1 <= rk <= 50
+        assert r.rrf_e6 == contrib(r.bm25_rank) + contrib(r.cos_rank)
+    keys = [(-r.rrf_e6, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
