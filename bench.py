@@ -115,6 +115,10 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_adc_topk_from_store",
     "phrase_search_positional",
+    # hybrid fusion runs both retrieval arms end-to-end; cusum is the
+    # events-scan + per-type-window time-series shape
+    "hybrid_search_rrf",
+    "cusum_changepoint",
 ]
 
 

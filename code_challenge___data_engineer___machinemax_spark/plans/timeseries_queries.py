@@ -344,3 +344,61 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        FROM cnt GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(FLOOR(c.n_transitions * 1000000.0 / t.n_from) AS BIGINT)
+               AS prob_e6
+    FROM cnt c JOIN tot t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    for every (from_type, to_type) pair, the count of consecutive
+    occurrences and the transition probability floor-scaled to 1e-6 —
+    the behavioral model behind next-action prediction and anomalous-
+    session scoring (the event-level sibling of the token-level
+    `bigram_logprob_scores` LM).
+
+    Scale: the sequence window partitions by user_id (the same
+    deterministic (ts, event_id) ordering `event_sessions` pins) — frames
+    are per-user streams, never global; the output is |types|² rows, so
+    everything after the one partial-agg shuffle is metadata-sized. The
+    1e6-scaled floor division (n*1e6 exact in double far beyond these
+    counts) keeps the probabilities bit-comparable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") * 1000000.0 / F.col("n_from"))
+        .cast("bigint")
+        .alias("prob_e6"),
+    )

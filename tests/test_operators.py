@@ -254,3 +254,27 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
         assert r.rrf_e6 == contrib(r.bm25_rank) + contrib(r.cos_rank)
     keys = [(-r.rrf_e6, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_event_transition_matrix_is_stochastic(spark, sf_dir):
+    """Row-stochasticity under floor scaling: per from_type the prob_e6
+    sum lands in (1e6 - n_types, 1e6], and total transitions equal
+    (events - users), each user's chain contributing len-1 pairs."""
+    from collections import defaultdict
+
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = get("event_transition_matrix").fn(spark, sf_dir).collect()
+    by_from = defaultdict(lambda: [0, 0])
+    for r in rows:
+        by_from[r.from_type][0] += r.prob_e6
+        by_from[r.from_type][1] += r.n_transitions
+    n_types = len({r.to_type for r in rows})
+    for psum, _ in by_from.values():
+        assert 1_000_000 - n_types < psum <= 1_000_000
+
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(v[1] for v in by_from.values()) == n_events - n_users
