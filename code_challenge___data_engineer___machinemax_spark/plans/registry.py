@@ -122,7 +122,9 @@ DRIVER_PRIORITY: list[str] = [
     # variant_props_extract, zorder_layout, kmv_theta_set_ops,
     # pq_code_histogram, pq_adc_topk, pq_adc_topk_from_store,
     # phrase_search_positional, skyline_orders, hybrid_search_rrf,
-    # cusum_changepoint, event_transition_matrix
+    # cusum_changepoint, event_transition_matrix,
+    # entity_resolution_blocked, loo_target_encoding, ewma_order_values,
+    # numeric_correlation_matrix
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
