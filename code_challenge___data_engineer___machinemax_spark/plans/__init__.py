@@ -17,5 +17,6 @@ from . import timeseries_queries  # noqa: F401
 from . import sketch_queries  # noqa: F401
 from . import layout_queries  # noqa: F401
 from . import feature_queries  # noqa: F401
+from . import recsys_queries  # noqa: F401
 
 from .registry import all_oracles, all_queries  # noqa: F401

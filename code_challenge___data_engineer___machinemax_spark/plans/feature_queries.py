@@ -255,3 +255,350 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.select("var_x", "var_y", "n", "sxy", F.expr(_CORR_EXPR).alias("corr"))
+
+
+# Long-form (feature, value, label) frame shared by the feature-selection
+# scores: three candidate categorical features against the binary
+# "returned" label, one scan of the joined fact.
+_LONG_SQL = """
+    SELECT feature, value, pos, n FROM (
+        SELECT feature, value,
+               CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT f.feature, f.value, l.l_returnflag = 'R' AS returned
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey,
+            LATERAL (VALUES ('orderpriority', o.o_orderpriority),
+                            ('mktsegment', c.c_mktsegment),
+                            ('linestatus', l.l_linestatus)) AS f(feature, value)
+        ) GROUP BY 1, 2
+    )
+"""
+
+
+def _long_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(feature, value, pos, n) counts for the three candidate features vs
+    the returned label — one scan, stack() replays the LATERAL VALUES."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.expr(
+                "stack(3, 'orderpriority', o_orderpriority,"
+                " 'mktsegment', c_mktsegment,"
+                " 'linestatus', l_linestatus) AS (feature, value)"
+            ),
+            (F.col("l_returnflag") == "R").alias("returned"),
+        )
+    )
+    return joined.groupBy("feature", "value").agg(
+        F.sum(F.when(F.col("returned"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "gini_feature_scores",
+    oracle=f"""
+    WITH long AS ({_LONG_SQL}),
+    tot AS (
+        SELECT feature, CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS npos
+        FROM long GROUP BY feature
+    ),
+    contrib AS (
+        SELECT l.feature,
+               CAST(trunc(CAST(2 * l.pos * (l.n - l.pos) AS DOUBLE)
+                    / CAST(l.n * t.nn AS DOUBLE) * 1e9) AS BIGINT) AS c_e9
+        FROM long l JOIN tot t ON l.feature = t.feature
+    )
+    SELECT t.feature, CAST(v.n_values AS BIGINT) AS n_values, t.npos, t.nn,
+           CAST(s.gini_e9 AS BIGINT) AS gini_e9
+    FROM tot t
+    JOIN (SELECT feature, COUNT(*) AS n_values FROM long GROUP BY 1) v
+      ON t.feature = v.feature
+    JOIN (SELECT feature, SUM(c_e9) AS gini_e9 FROM contrib GROUP BY 1) s
+      ON t.feature = s.feature
+    ORDER BY t.feature
+    """,
+)
+def gini_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature scoring (the CART split criterion) of three
+    categorical features against the binary returned label: weighted
+    impurity = sum over values of 2*pos*neg/(n_v * N) — lower = the
+    feature separates the label better.
+
+    Scale: one fact scan fans out 3x via stack() (codegen, no UDF), then
+    a single groupBy on (feature, value) — cardinality = the sum of the
+    features' vocabularies, a dimension-sized frame; everything after is
+    arithmetic on that tiny frame. Determinism: each value's contribution
+    is computed from exact int64 counts by one shared expression and
+    trunc-scaled to a BIGINT BEFORE the per-feature sum, so the
+    accumulation is integer — engine summation order cannot change the
+    result (the same idiom as numeric_correlation_matrix, which keeps
+    floats out of aggregation entirely)."""
+    long = _long_frame(spark, sf_dir)
+    tot = long.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.count("*").cast("bigint").alias("n_values"),
+    )
+    contrib = long.join(F.broadcast(tot), "feature").select(
+        "feature",
+        F.expr(
+            "CAST(CAST(2 * pos * (n - pos) AS DOUBLE)"
+            " / CAST(n * nn AS DOUBLE) * 1e9 AS BIGINT)"
+        ).alias("c_e9"),
+    )
+    gini = contrib.groupBy("feature").agg(
+        F.sum("c_e9").cast("bigint").alias("gini_e9")
+    )
+    return (
+        tot.join(gini, "feature")
+        .select("feature", "n_values", "npos", "nn", "gini_e9")
+        .orderBy("feature")
+    )
+
+
+@query(
+    "chi2_feature_scores",
+    oracle=f"""
+    WITH long AS ({_LONG_SQL}),
+    tot AS (
+        SELECT feature, CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS npos
+        FROM long GROUP BY feature
+    ),
+    cells AS (
+        SELECT l.feature, l.value, lab.obs, l.n AS rt, lab.ct, t.nn
+        FROM long l JOIN tot t ON l.feature = t.feature,
+        LATERAL (VALUES (l.pos, t.npos), (l.n - l.pos, t.nn - t.npos))
+            AS lab(obs, ct)
+    ),
+    contrib AS (
+        SELECT feature,
+               CAST(trunc(pow(CAST(obs * nn - rt * ct AS DOUBLE), 2)
+                    / (CAST(rt * ct AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS c_e6
+        FROM cells
+    )
+    SELECT t.feature, t.npos, t.nn, CAST(s.chi2_e6 AS BIGINT) AS chi2_e6
+    FROM tot t
+    JOIN (SELECT feature, SUM(c_e6) AS chi2_e6 FROM contrib GROUP BY 1) s
+      ON t.feature = s.feature
+    ORDER BY t.feature
+    """,
+)
+def chi2_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature/label association (the scikit-style univariate
+    selection statistic) for the same three categorical features vs the
+    returned label: sum over contingency cells of (obs-exp)^2/exp, written
+    as (obs*N - rt*ct)^2 / (rt*ct*N) so every input is an exact int64.
+
+    Scale: identical skeleton to gini_feature_scores — one stacked scan,
+    one (feature, value) groupBy, then arithmetic on the vocabulary-sized
+    frame; the 2-cell label fan-out is stack() again. The squared term is
+    evaluated in double (the difference obs*N - rt*ct is int64-exact;
+    its square may exceed 2^63, the double carries it), divided by the
+    exact int64 denominator, trunc-scaled per cell, and integer-summed —
+    order-independent."""
+    long = _long_frame(spark, sf_dir)
+    tot = long.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    cells = long.join(F.broadcast(tot), "feature").select(
+        "feature",
+        F.expr(
+            "stack(2, pos, npos, n - pos, nn - npos) AS (obs, ct)"
+        ),
+        F.col("n").alias("rt"),
+        "nn",
+    )
+    contrib = cells.select(
+        "feature",
+        F.expr(
+            "CAST(pow(CAST(obs * nn - rt * ct AS DOUBLE), 2)"
+            " / (CAST(rt * ct AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6"
+            " AS BIGINT)"
+        ).alias("c_e6"),
+    )
+    chi2 = contrib.groupBy("feature").agg(
+        F.sum("c_e6").cast("bigint").alias("chi2_e6")
+    )
+    return (
+        tot.join(chi2, "feature")
+        .select("feature", "npos", "nn", "chi2_e6")
+        .orderBy("feature")
+    )
+
+
+# Welch's t over exact integer moments: means and variances are derived
+# inside ONE shared expression tree so both engines evaluate the identical
+# IEEE-754 doubles. s_* are cent-scaled int64 sums, ss_* their squares.
+_WELCH_T = (
+    "(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    " / sqrt("
+    "   ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)"
+    "     / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)"
+    " + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)"
+    "     / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)"
+    ") * 1e6"
+)
+
+
+@query(
+    "ab_test_welch",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(o.o_custkey % 2 AS INT) AS arm,
+               CAST(trunc(o.o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), m AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN price_c ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN price_c * price_c ELSE 0 END)
+                    AS BIGINT) AS ss_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN price_c ELSE 0 END) AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN price_c * price_c ELSE 0 END)
+                    AS BIGINT) AS ss_b
+        FROM assigned GROUP BY segment
+    )
+    SELECT segment, n_a, n_b,
+           CAST(s_a // n_a AS BIGINT) AS mean_a_c,
+           CAST(s_b // n_b AS BIGINT) AS mean_b_c,
+           CAST(trunc({_WELCH_T}) AS BIGINT) AS t_e6
+    FROM m ORDER BY segment
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per market segment: customers are assigned
+    to arms by key parity (the deterministic stand-in for a hash-bucket
+    assignment), the metric is cent-scaled order value, and the statistic
+    is Welch's unequal-variance t — the standard experimentation-platform
+    report (n, means, t per stratum).
+
+    Scale: ONE pass over the fact computes all six moments per (segment)
+    via conditional aggregation — map-side combinable, no second scan, no
+    window; output is strata-sized. The t statistic is assembled from the
+    exact int64 moments by one shared expression tree (identical IEEE
+    doubles on both engines), trunc-scaled. Sum-of-squares of cent values
+    stays under int64 to ~10^8 rows per stratum at these magnitudes;
+    beyond that the same plan swaps the ss columns to DECIMAL(38,0)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    assigned = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("price_c"),
+    )
+    m = assigned.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("price_c")).otherwise(0))
+        .cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, F.expr("price_c * price_c")).otherwise(0))
+        .cast("bigint").alias("ss_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("price_c")).otherwise(0))
+        .cast("bigint").alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, F.expr("price_c * price_c")).otherwise(0))
+        .cast("bigint").alias("ss_b"),
+    )
+    return m.select(
+        "segment",
+        "n_a",
+        "n_b",
+        F.expr("s_a DIV n_a").alias("mean_a_c"),
+        F.expr("s_b DIV n_b").alias("mean_b_c"),
+        F.expr(f"CAST({_WELCH_T} AS BIGINT)").alias("t_e6"),
+    ).orderBy("segment")
+
+
+@query(
+    "winsorized_segment_stats",
+    oracle="""
+    WITH priced AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(trunc(o.o_totalprice * 100) AS BIGINT) AS price_c,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+        SELECT segment, price_c,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY price_c, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM priced
+    ), cuts AS (
+        SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN price_c END)
+                    AS BIGINT) AS p05_c,
+               CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN price_c END)
+                    AS BIGINT) AS p95_c
+        FROM ranked GROUP BY segment
+    )
+    SELECT p.segment, c.n, c.p05_c, c.p95_c,
+           CAST(SUM(LEAST(GREATEST(p.price_c, c.p05_c), c.p95_c)) // c.n
+                AS BIGINT) AS wins_mean_c
+    FROM priced p JOIN cuts c ON p.segment = c.segment
+    GROUP BY p.segment, c.n, c.p05_c, c.p95_c
+    ORDER BY p.segment
+    """,
+)
+def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) robust mean per market segment: exact
+    nearest-rank P5/P95 cut points on cent-scaled order value, values
+    clipped into [p05, p95], then the clipped mean — the outlier-resistant
+    feature scaling step (vs value_mad_outliers' detection-only view).
+
+    Percentiles are NEAREST-RANK (rank = ceil(p*n) computed as the integer
+    (p*n + 99) DIV 100 — no float), so the cut is an actual data value and
+    both engines agree exactly; ties are broken by orderkey but cannot
+    change the value at a rank. Scale: one window shuffle on the segment
+    key ranks each stratum (rows ordered within partition, no global
+    sort); the cuts reduce to a strata-sized frame joined back broadcast;
+    the clipped mean is a second pass over the same co-partitioned data.
+    At 100 TB with heavy strata, swap the exact rank for the t-digest /
+    approx_percentile and keep the clip-aggregate unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    priced = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("price_c"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("segment").orderBy("price_c", "o_orderkey")
+    wn = W.partitionBy("segment")
+    ranked = priced.select(
+        "segment",
+        "price_c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.expr("rn = (5 * n + 99) DIV 100"), F.col("price_c"))
+        ).cast("bigint").alias("p05_c"),
+        F.max(
+            F.when(F.expr("rn = (95 * n + 99) DIV 100"), F.col("price_c"))
+        ).cast("bigint").alias("p95_c"),
+    )
+    return (
+        priced.join(F.broadcast(cuts), "segment")
+        .groupBy("segment", "n", "p05_c", "p95_c")
+        .agg(
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(price_c, p05_c), p95_c)) DIV n"
+                " AS BIGINT)"
+            ).alias("wins_mean_c")
+        )
+        .select("segment", "n", "p05_c", "p95_c", "wins_mean_c")
+        .orderBy("segment")
+    )

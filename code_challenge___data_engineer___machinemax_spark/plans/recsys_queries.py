@@ -1,0 +1,253 @@
+"""Recommender-system shapes: market-basket association rules and
+item-item collaborative filtering over the order/lineitem transaction log.
+
+These are the co-occurrence analytics a commerce pipeline derives from the
+same fact table the OLAP queries scan: which parts sell together within an
+order (association rules: support / confidence / lift), and which parts are
+"similar" because the same customers buy them (item-item cosine over the
+binary customer x part matrix — the Amazon-style neighborhood model).
+
+Every score is assembled from exact int64 co-occurrence counts by ONE
+shared arithmetic expression evaluated identically by Spark and DuckDB
+(identical integer inputs + identical IEEE-754 tree = bit-identical
+doubles), then trunc-scaled to a BIGINT — no float accumulation anywhere,
+so the oracle compare is exact. Generalizes the reference's keyword
+co-occurrence surface (api.py:22-26 keyword search over stored docs) from
+text to transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+# lift = pair_n * N / (n_a * n_b), trunc-scaled to e6. The two int64
+# products are exact; each is cast to double once and divided once — the
+# identical expression tree on both engines. Spark CAST(double AS BIGINT)
+# truncates toward zero; DuckDB rounds, so its twin wraps the same tree in
+# an explicit trunc() — same resulting integer.
+_LIFT_E6 = (
+    "CAST(trunc(CAST(pair_n * baskets AS DOUBLE)"
+    " / CAST(n_a * n_b AS DOUBLE) * 1e6) AS BIGINT)"
+)
+_LIFT_E6_SPARK = (
+    "CAST(CAST(pair_n * baskets AS DOUBLE)"
+    " / CAST(n_a * n_b AS DOUBLE) * 1e6 AS BIGINT)"
+)
+
+# cosine(i, j) over binary purchase vectors = co / sqrt(n_i * n_j).
+_COSINE_E6 = (
+    "CAST(trunc(CAST(co AS DOUBLE)"
+    " / sqrt(CAST(n_a * n_b AS DOUBLE)) * 1e6) AS BIGINT)"
+)
+_COSINE_E6_SPARK = (
+    "CAST(CAST(co AS DOUBLE)"
+    " / sqrt(CAST(n_a * n_b AS DOUBLE)) * 1e6 AS BIGINT)"
+)
+
+
+@query(
+    "association_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), counts AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY item
+    ), total AS (
+        SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS baskets FROM items
+    ), pairs AS (
+        SELECT a.item AS part_a, b.item AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM items a JOIN items b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, pair_n, n_a, n_b, baskets,
+           CAST(trunc(CAST(pair_n AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6)
+                AS BIGINT) AS conf_ab_e6,
+           {_LIFT_E6} AS lift_e6
+    FROM (
+        SELECT p.part_a, p.part_b, p.pair_n,
+               ca.n AS n_a, cb.n AS n_b, t.baskets
+        FROM pairs p
+        JOIN counts ca ON p.part_a = ca.item
+        JOIN counts cb ON p.part_b = cb.item
+        CROSS JOIN total t
+    )
+    ORDER BY lift_e6 DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: for every part pair
+    co-purchased in >= 2 orders, the support count, directed confidence
+    P(b | a), and lift P(a,b) / (P(a) P(b)) — the a-priori frequent-pair
+    mining step reduced to its exact-count core, top-100 by lift.
+
+    Scale: the pair generation joins the deduped (basket, item) table to
+    itself ON THE BASKET KEY, so fan-out per basket is k(k-1)/2 with k
+    bounded by order width (<= 7 lineitems in this schema) — per-row
+    constant work, never a cross product. The HAVING >= 2 support floor
+    prunes the singleton-pair tail before the dimension joins; the item
+    count and basket total are dimension-sized broadcasts. At 100 TB the
+    only fact-sized shuffles are the dedup groupBy and the basket
+    self-join, both on the basket key — one co-partitioned exchange. Lift
+    and confidence are single shared-expression doubles over exact int64
+    counts, trunc-scaled, so both engines emit identical BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    counts = items.groupBy("item").agg(F.count("*").cast("bigint").alias("n"))
+    total = items.agg(
+        F.countDistinct("basket").cast("bigint").alias("baskets")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(counts).withColumnRenamed("item", "part_a")
+            .withColumnRenamed("n", "n_a"),
+            "part_a",
+        )
+        .join(
+            F.broadcast(counts).withColumnRenamed("item", "part_b")
+            .withColumnRenamed("n", "n_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            "baskets",
+            F.expr(
+                "CAST(CAST(pair_n AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                " * 1e6 AS BIGINT)"
+            ).alias("conf_ab_e6"),
+            F.expr(_LIFT_E6_SPARK).alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "item_item_similarity",
+    oracle=f"""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), counts AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY i
+    ), co AS (
+        SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS co
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), scored AS (
+        SELECT c.item_a, c.item_b, c.co, ca.n AS n_a, cb.n AS n_b,
+               {_COSINE_E6} AS cosine_e6
+        FROM co c
+        JOIN counts ca ON c.item_a = ca.i
+        JOIN counts cb ON c.item_b = cb.i
+    ), sym AS (
+        SELECT item_a AS item, item_b AS neighbor, co, cosine_e6 FROM scored
+        UNION ALL
+        SELECT item_b, item_a, co, cosine_e6 FROM scored
+    )
+    SELECT item, neighbor, co, cosine_e6, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY item ORDER BY cosine_e6 DESC, neighbor) AS rk
+        FROM sym
+    ) WHERE rk <= 3 AND item <= 200
+    ORDER BY item, rk
+    """,
+)
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between parts
+    over the binary customer x part purchase matrix, top-3 neighbors per
+    part (reported for the first 200 parts to bound the checked output;
+    the plan computes all of them).
+
+    Scale: the classic CF trap is the user self-join exploding on heavy
+    users; here fan-out per customer is basket_size^2 with basket size
+    bounded by the order-per-customer distribution — and a production run
+    caps it by sampling heavy users' items first (the hot-bucket cap
+    idiom shared with operators/dedup.py MinHash buckets). The >= 2
+    co-count floor prunes the long singleton tail before the dimension
+    joins (counts are item-dimension-sized broadcasts). The top-3 pick is
+    a window partitioned by item over the pruned neighbor lists — bounded
+    frames, no global sort. Cosine = co / sqrt(n_a*n_b) evaluated once
+    per row from exact int64 counts by the shared expression tree, so
+    both engines produce identical trunc-scaled BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ui = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    counts = ui.groupBy("i").agg(F.count("*").cast("bigint").alias("n"))
+    a = ui.alias("a")
+    b = ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    scored = (
+        co.join(
+            F.broadcast(counts).withColumnRenamed("i", "item_a")
+            .withColumnRenamed("n", "n_a"),
+            "item_a",
+        )
+        .join(
+            F.broadcast(counts).withColumnRenamed("i", "item_b")
+            .withColumnRenamed("n", "n_b"),
+            "item_b",
+        )
+        .withColumn("cosine_e6", F.expr(_COSINE_E6_SPARK))
+    )
+    sym = scored.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "co",
+        "cosine_e6",
+    ).unionByName(
+        scored.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "co",
+            "cosine_e6",
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("cosine_e6"), "neighbor")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("item") <= 200))
+        .select("item", "neighbor", "co", "cosine_e6", F.col("rk").cast("int").alias("rk"))
+        .orderBy("item", "rk")
+    )

@@ -124,7 +124,9 @@ DRIVER_PRIORITY: list[str] = [
     # phrase_search_positional, skyline_orders, hybrid_search_rrf,
     # cusum_changepoint, event_transition_matrix,
     # entity_resolution_blocked, loo_target_encoding, ewma_order_values,
-    # numeric_correlation_matrix
+    # numeric_correlation_matrix, association_rules, item_item_similarity,
+    # gini_feature_scores, chi2_feature_scores, ab_test_welch,
+    # winsorized_segment_stats, seasonal_naive_backtest
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

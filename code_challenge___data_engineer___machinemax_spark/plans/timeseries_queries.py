@@ -402,3 +402,134 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_e6"),
     )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH train AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        GROUP BY 1, 2
+    ), train_grid AS (
+        SELECT CAST(gd.d AS DATE) AS d, CAST(gh.h AS INT) AS h
+        FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+                                            DATE '2024-01-24',
+                                            INTERVAL 1 DAY)) AS d) gd,
+             (SELECT unnest(range(24)) AS h) gh
+    ), profile AS (
+        SELECT CAST(datediff('day', DATE '2024-01-01', g.d) % 7 AS INT) AS dow,
+               g.h,
+               CAST(SUM(COALESCE(t.n, 0)) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS slots
+        FROM train_grid g LEFT JOIN train t ON g.d = t.d AND g.h = t.h
+        GROUP BY 1, 2
+    ), test AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY 1, 2
+    ), test_grid AS (
+        SELECT CAST(gd.d AS DATE) AS d, CAST(gh.h AS INT) AS h
+        FROM (SELECT unnest(generate_series(DATE '2024-01-25',
+                                            DATE '2024-01-30',
+                                            INTERVAL 1 DAY)) AS d) gd,
+             (SELECT unnest(range(24)) AS h) gh
+    )
+    SELECT g.d, g.h AS hour,
+           CAST(datediff('day', DATE '2024-01-01', g.d) % 7 AS INT) AS dow,
+           CAST(p.total // p.slots AS BIGINT) AS pred_n,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS actual_n,
+           CAST(abs(p.total // p.slots - COALESCE(t.n, 0)) AS BIGINT) AS abs_err
+    FROM test_grid g
+    JOIN profile p
+      ON p.dow = CAST(datediff('day', DATE '2024-01-01', g.d) % 7 AS INT)
+     AND p.h = g.h
+    LEFT JOIN test t ON g.d = t.d AND g.h = t.h
+    ORDER BY g.d, g.h
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on the event stream: learn the
+    weekly profile (mean hourly event count per (weekday, hour) slot) from
+    the first 24 days of the window, forecast every hour of the 6-day
+    holdout from the profile, and score per-slot absolute error — the
+    baseline every capacity-planning / anomaly model must beat.
+
+    Both the train and test calendars are generated DENSE (sequence +
+    explode of literal date ranges x 24 hours), so silent hours count as
+    zeros on both sides — a profile learned only from observed rows would
+    overestimate. The profile mean is an integer floor division of exact
+    counts by the calendar-derived slot count (no floats anywhere), and
+    the weekday index is days-since-Monday-Jan-1 mod 7, identical
+    arithmetic in both engines (engine-native dayofweek() numbering
+    disagrees). Scale: events reduce FIRST to (date, hour) counts — the
+    only fact-sized pass, map-side combinable; the grids, profile (168
+    rows), and the backtest join are calendar-sized. The same plan
+    re-pointed at a rolling date literal is the nightly forecast job."""
+    e = load_table(spark, sf_dir, "events")
+    train = (
+        e.filter(F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").cast("int").alias("h"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    train_grid = (
+        spark.sql(
+            "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-24')) AS d"
+        ).crossJoin(hours)
+    )
+    profile = (
+        train_grid.join(train, ["d", "h"], "left")
+        .groupBy(
+            F.expr(
+                "CAST(datediff(d, DATE '2024-01-01') % 7 AS INT)"
+            ).alias("dow"),
+            "h",
+        )
+        .agg(
+            F.sum(F.coalesce("n", F.lit(0))).cast("bigint").alias("total"),
+            F.count("*").cast("bigint").alias("slots"),
+        )
+    )
+    test = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").cast("int").alias("h"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    test_grid = (
+        spark.sql(
+            "SELECT explode(sequence(DATE '2024-01-25', DATE '2024-01-30')) AS d"
+        )
+        .crossJoin(hours)
+        .withColumn(
+            "dow", F.expr("CAST(datediff(d, DATE '2024-01-01') % 7 AS INT)")
+        )
+    )
+    return (
+        test_grid.join(F.broadcast(profile), ["dow", "h"])
+        .join(test, ["d", "h"], "left")
+        .select(
+            "d",
+            F.col("h").alias("hour"),
+            "dow",
+            F.expr("total DIV slots").alias("pred_n"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("actual_n"),
+            F.expr(
+                "CAST(abs(total DIV slots - COALESCE(n, 0)) AS BIGINT)"
+            ).alias("abs_err"),
+        )
+        .orderBy("d", "hour")
+    )
