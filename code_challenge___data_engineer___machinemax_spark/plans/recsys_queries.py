@@ -231,18 +231,15 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cosine_e6", F.expr(_COSINE_E6_SPARK))
     )
+    # Both directions in ONE pass: a self-union would recompute the whole
+    # co-occurrence self-join per branch (verified in the physical plan);
+    # stack() mirrors each scored pair row-side instead.
     sym = scored.select(
-        F.col("item_a").alias("item"),
-        F.col("item_b").alias("neighbor"),
+        F.expr(
+            "stack(2, item_a, item_b, item_b, item_a) AS (item, neighbor)"
+        ),
         "co",
         "cosine_e6",
-    ).unionByName(
-        scored.select(
-            F.col("item_b").alias("item"),
-            F.col("item_a").alias("neighbor"),
-            "co",
-            "cosine_e6",
-        )
     )
     w = W.partitionBy("item").orderBy(F.desc("cosine_e6"), "neighbor")
     return (
