@@ -734,3 +734,77 @@ def pq_adc_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "code_id", "d"
     )
     return adc_topk(codes, qtab, "vec_id", k=10)
+
+
+@query(
+    "mrl_truncation_recall",
+    oracle=f"""
+    WITH queries AS (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), full_rk AS (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   {_DOT_SQL.format(a='e.embedding', b='q.qvec')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')}))
+                   DESC, e.vec_id) AS rk
+        FROM embeddings e JOIN queries q ON e.vec_id <> q.qid
+    ), trunc_rk AS (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   {_DOT_SQL.format(a='e.embedding[1:16]', b='q.qvec[1:16]')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
+                      * sqrt({_DOT_SQL.format(a='q.qvec[1:16]', b='q.qvec[1:16]')}))
+                   DESC, e.vec_id) AS rk
+        FROM embeddings e JOIN queries q ON e.vec_id <> q.qid
+    )
+    SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS overlap10
+    FROM (SELECT qid, vec_id FROM full_rk WHERE rk <= 10) f
+    JOIN (SELECT qid, vec_id FROM trunc_rk WHERE rk <= 10) t
+      ON f.qid = t.qid AND f.vec_id = t.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: for 5 sample queries, how many
+    of the exact full-dimension (64-d) cosine top-10 survive when ranking
+    by only the FIRST 16 dimensions — the measurement behind serving
+    truncated MRL embeddings (store/scan 4x less, re-rank the shortlist
+    with full vectors only if recall demands it).
+
+    Scale: both arms share the one scored pass shape of ann_recall_eval —
+    the 5 query vectors broadcast against the corpus, per-query top-10 via
+    a window over qid (at corpus scale the exact arm becomes the salted
+    two-stage top-k; the truncated arm is the cheap one — its scan reads a
+    4x narrower vector). Cosine accumulates doubles in list order
+    identically on both engines (the idiom every similarity oracle here
+    relies on), ties break on vec_id, and the recall join is an exact
+    id-set intersection — integer counts out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    pairs = e.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("qid"))
+    full = pairs.withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
+    trunc = pairs.withColumn(
+        "cos",
+        cosine(F.slice("embedding", 1, 16), F.slice("qvec", 1, 16)),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    full_top = (
+        full.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    trunc_top = (
+        trunc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    return (
+        full_top.join(trunc_top, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("overlap10"))
+        .orderBy("qid")
+    )

@@ -533,3 +533,164 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "hour")
     )
+
+
+@query(
+    "open_orders_daily",
+    oracle="""
+    WITH comp AS (
+        SELECT l_orderkey, CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS close_d
+        FROM lineitem GROUP BY 1
+    ), span AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+               GREATEST(COALESCE(c.close_d, CAST(o.o_orderdate AS DATE)),
+                        CAST(o.o_orderdate AS DATE)) AS close_d
+        FROM orders o LEFT JOIN comp c ON o.o_orderkey = c.l_orderkey
+    ), deltas AS (
+        SELECT open_d AS d, CAST(1 AS BIGINT) AS delta FROM span
+        UNION ALL
+        SELECT CAST(close_d + 1 AS DATE), CAST(-1 AS BIGINT) FROM span
+    ), daily AS (
+        SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+    )
+    SELECT d, net,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily ORDER BY d
+    """,
+)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order concurrency curve: an order is open from its order
+    date until its last lineitem ships; the curve is how many are open on
+    each calendar day — the classic interval-stabbing / backlog metric,
+    computed as boundary deltas (+1 at open, -1 the day after close) and
+    one running sum, NEVER by expanding each order into its covered days.
+
+    Scale: the fact tables reduce immediately — lineitem to a per-order
+    max-shipdate (map-side combinable), orders join it co-partitioned on
+    the order key, and the +/-1 deltas collapse by DAY before any window
+    runs. The running sum's frame is calendar-sized (one row per day), so
+    the single-partition window is bounded by the date span, not the data
+    volume — the same benign post-aggregation pattern as
+    monthly_revenue_running; at a multi-decade span, range-partition by
+    year and prefix-sum the per-partition totals. All counts are exact
+    int64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    comp = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    span = o.join(comp, o.o_orderkey == comp.l_orderkey, "left").select(
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.greatest(
+            F.coalesce("close_d", F.col("o_orderdate").cast("date")),
+            F.col("o_orderdate").cast("date"),
+        ).alias("close_d"),
+    )
+    deltas = span.select(
+        F.col("open_d").alias("d"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        span.select(
+            F.date_add("close_d", 1).alias("d"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "d", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("d")
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH train_pairs AS (
+        SELECT prev, event_type AS next FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        ) WHERE prev IS NOT NULL
+    ), model AS (
+        SELECT prev, next AS pred FROM (
+            SELECT prev, next, ROW_NUMBER() OVER (
+                PARTITION BY prev ORDER BY COUNT(*) DESC, next) AS rk
+            FROM train_pairs GROUP BY prev, next
+        ) WHERE rk = 1
+    ), test_pairs AS (
+        SELECT prev, event_type AS next FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        ) WHERE prev IS NOT NULL
+    )
+    SELECT t.prev, m.pred,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN t.next = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits,
+           CAST(trunc(CAST(SUM(CASE WHEN t.next = m.pred THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS acc_e6
+    FROM test_pairs t JOIN model m ON t.prev = m.prev
+    GROUP BY t.prev, m.pred ORDER BY t.prev
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction backtest: learn argmax
+    P(next | prev) from consecutive same-user event pairs in the first 24
+    days, then score top-1 accuracy per antecedent type on the holdout —
+    the eval loop on top of event_transition_matrix's descriptive view.
+
+    Scale: both pair extractions are ONE lag window per user partition
+    (the sessionization shuffle this suite already pays everywhere);
+    transition counts collapse to a types^2 frame, so model fitting and
+    the argmax window are constant-size; the eval joins the holdout pairs
+    against the broadcast types-sized model. Pairs straddling the split
+    boundary are excluded on both sides by construction (the lag runs
+    inside each filtered window), so train and test never share an
+    observation. Ties in the argmax break lexicographically; accuracy is
+    one shared-expression double over exact counts, trunc-scaled."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("event_type").alias("next"),
+                F.lag("event_type").over(w).alias("prev"),
+            )
+            .filter(F.col("prev").isNotNull())
+        )
+
+    split = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    train_pairs = pairs(e.filter(F.col("ts") < split))
+    test_pairs = pairs(e.filter(F.col("ts") >= split))
+    wm = W.partitionBy("prev").orderBy(F.desc("cnt"), F.asc("next"))
+    model = (
+        train_pairs.groupBy("prev", "next")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("next").alias("pred"))
+    )
+    return (
+        test_pairs.join(F.broadcast(model), "prev")
+        .groupBy("prev", "pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("next") == F.col("pred"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .withColumn(
+            "acc_e6",
+            F.expr(
+                "CAST(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) * 1e6"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("prev")
+    )
