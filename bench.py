@@ -119,6 +119,16 @@ HEADLINE = [
     # events-scan + per-type-window time-series shape
     "hybrid_search_rrf",
     "cusum_changepoint",
+    # round-5 (third session): the expensive new shapes — the basket
+    # self-join pair mining (association rules), the customer-level CF
+    # co-occurrence (larger fan-out than baskets), and the blocked fuzzy
+    # linkage (levenshtein inside a prefix-blocked join). The feature /
+    # eval / interval queries (loo encoding, welch, winsorize, seasonal,
+    # open-orders, markov, mrl recall) are single-window or post-agg
+    # shapes — parity-swept, not worth bench slots.
+    "association_rules",
+    "item_item_similarity",
+    "entity_resolution_blocked",
 ]
 
 
