@@ -438,7 +438,7 @@ def chi2_feature_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Welch's t over exact integer moments: means and variances are derived
 # inside ONE shared expression tree so both engines evaluate the identical
-# IEEE-754 doubles. s_* are cent-scaled int64 sums, ss_* their squares.
+# IEEE-754 doubles. s_* are whole-dollar int64 sums, ss_* their squares.
 _WELCH_T = (
     "(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
     " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
@@ -457,23 +457,23 @@ _WELCH_T = (
     WITH assigned AS (
         SELECT c.c_mktsegment AS segment,
                CAST(o.o_custkey % 2 AS INT) AS arm,
-               CAST(trunc(o.o_totalprice * 100) AS BIGINT) AS price_c
+               CAST(trunc(o.o_totalprice) AS BIGINT) AS price_d
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), m AS (
         SELECT segment,
                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(SUM(CASE WHEN arm = 0 THEN price_c ELSE 0 END) AS BIGINT) AS s_a,
-               CAST(SUM(CASE WHEN arm = 0 THEN price_c * price_c ELSE 0 END)
+               CAST(SUM(CASE WHEN arm = 0 THEN price_d ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN price_d * price_d ELSE 0 END)
                     AS BIGINT) AS ss_a,
                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-               CAST(SUM(CASE WHEN arm = 1 THEN price_c ELSE 0 END) AS BIGINT) AS s_b,
-               CAST(SUM(CASE WHEN arm = 1 THEN price_c * price_c ELSE 0 END)
+               CAST(SUM(CASE WHEN arm = 1 THEN price_d ELSE 0 END) AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN price_d * price_d ELSE 0 END)
                     AS BIGINT) AS ss_b
         FROM assigned GROUP BY segment
     )
     SELECT segment, n_a, n_b,
-           CAST(s_a // n_a AS BIGINT) AS mean_a_c,
-           CAST(s_b // n_b AS BIGINT) AS mean_b_c,
+           CAST(s_a // n_a AS BIGINT) AS mean_a_d,
+           CAST(s_b // n_b AS BIGINT) AS mean_b_d,
            CAST(trunc({_WELCH_T}) AS BIGINT) AS t_e6
     FROM m ORDER BY segment
     """,
@@ -481,7 +481,7 @@ _WELCH_T = (
 def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout per market segment: customers are assigned
     to arms by key parity (the deterministic stand-in for a hash-bucket
-    assignment), the metric is cent-scaled order value, and the statistic
+    assignment), the metric is whole-dollar order value, and the statistic
     is Welch's unequal-variance t — the standard experimentation-platform
     report (n, means, t per stratum).
 
@@ -489,34 +489,36 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     via conditional aggregation — map-side combinable, no second scan, no
     window; output is strata-sized. The t statistic is assembled from the
     exact int64 moments by one shared expression tree (identical IEEE
-    doubles on both engines), trunc-scaled. Sum-of-squares of cent values
-    stays under int64 to ~10^8 rows per stratum at these magnitudes;
-    beyond that the same plan swaps the ss columns to DECIMAL(38,0)."""
+    doubles on both engines), trunc-scaled. The metric is truncated to
+    whole dollars so the sum-of-squares stays under int64 to ~10^11 rows
+    per stratum (cent scaling overflows at ~10^6 rows x 10^7c values —
+    caught at the 10x replica); past that the same plan swaps the ss
+    columns to DECIMAL(38,0)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     assigned = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         (F.col("o_custkey") % 2).cast("int").alias("arm"),
-        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("price_c"),
+        F.expr("CAST(o_totalprice AS BIGINT)").alias("price_d"),
     )
     m = assigned.groupBy("segment").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("arm") == 0, F.col("price_c")).otherwise(0))
+        F.sum(F.when(F.col("arm") == 0, F.col("price_d")).otherwise(0))
         .cast("bigint").alias("s_a"),
-        F.sum(F.when(F.col("arm") == 0, F.expr("price_c * price_c")).otherwise(0))
+        F.sum(F.when(F.col("arm") == 0, F.expr("price_d * price_d")).otherwise(0))
         .cast("bigint").alias("ss_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("arm") == 1, F.col("price_c")).otherwise(0))
+        F.sum(F.when(F.col("arm") == 1, F.col("price_d")).otherwise(0))
         .cast("bigint").alias("s_b"),
-        F.sum(F.when(F.col("arm") == 1, F.expr("price_c * price_c")).otherwise(0))
+        F.sum(F.when(F.col("arm") == 1, F.expr("price_d * price_d")).otherwise(0))
         .cast("bigint").alias("ss_b"),
     )
     return m.select(
         "segment",
         "n_a",
         "n_b",
-        F.expr("s_a DIV n_a").alias("mean_a_c"),
-        F.expr("s_b DIV n_b").alias("mean_b_c"),
+        F.expr("s_a DIV n_a").alias("mean_a_d"),
+        F.expr("s_b DIV n_b").alias("mean_b_d"),
         F.expr(f"CAST({_WELCH_T} AS BIGINT)").alias("t_e6"),
     ).orderBy("segment")
 
