@@ -1,0 +1,143 @@
+"""Semantic invariant tests for the round-5 feature / recsys / eval
+queries — properties the oracle/golden comparison can't express (bounds,
+conservation, symmetry, grid completeness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as mod
+
+_QS = mod.queries()
+
+
+def test_association_rules_bounds(spark, sf_dir):
+    rows = _QS["association_rules"](spark, sf_dir).collect()
+    assert rows, "support floor left no pairs at the test SF"
+    for r in rows:
+        # support can never exceed either item's basket count
+        assert r.pair_n <= min(r.n_a, r.n_b)
+        # confidence in (0, 1]
+        assert 0 < r.conf_ab_e6 <= 1_000_000
+        assert r.pair_n >= 2
+
+
+def test_item_item_similarity_topk_shape(spark, sf_dir):
+    df = _QS["item_item_similarity"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rk <= 3
+        assert 0 < r.cosine_e6 <= 1_000_000
+        assert r.item != r.neighbor
+    # ranks are dense per item starting at 1
+    per_item = {}
+    for r in rows:
+        per_item.setdefault(r.item, []).append(r.rk)
+    for item, rks in per_item.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), item
+
+
+def test_entity_resolution_resolves_every_dirty_row(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    got = _QS["entity_resolution_blocked"](spark, sf_dir).collect()
+    n_dirty = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 3)
+        .count()
+    )
+    # blocking cannot lose a dirty row: the true match shares the block,
+    # so every dirty row resolves, and at distance <= 2 (the planted
+    # transposition bounds the winner)
+    assert len(got) == n_dirty
+    assert all(r.dist <= 2 for r in got)
+    # dist-0 winners are exact name collisions (digit transposition often
+    # lands on another real customer — the documented behavior); a
+    # non-collided winner keeps its own key
+    # (a name ending in a doubled character transposes to itself, so the
+    # own key CAN win at dist 0 — no stronger claim holds)
+    for r in got:
+        if r.dist == 0:
+            assert r.dirty_name == r.clean_name
+
+
+def test_loo_encoding_excludes_self(spark, sf_dir):
+    rows = _QS["loo_target_encoding"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # mean-without-self can equal the row only by coincidence of the
+        # floor division; the invariant is the arithmetic identity
+        assert r.loo_sum_c >= 0 and r.loo_n > 0
+        assert r.loo_mean_c == r.loo_sum_c // r.loo_n
+
+
+def test_welch_groups_partition_orders(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["ab_test_welch"](spark, sf_dir).collect()
+    total = sum(r.n_a + r.n_b for r in rows)
+    assert total == load_table(spark, sf_dir, "orders").count()
+
+
+def test_winsorized_mean_within_cuts(spark, sf_dir):
+    for r in _QS["winsorized_segment_stats"](spark, sf_dir).collect():
+        assert r.p05_c <= r.p95_c
+        assert r.p05_c <= r.wins_mean_c <= r.p95_c
+
+
+def test_seasonal_backtest_dense_grid(spark, sf_dir):
+    rows = _QS["seasonal_naive_backtest"](spark, sf_dir).collect()
+    # 6 holdout days x 24 hours, every slot present exactly once
+    assert len(rows) == 144
+    assert len({(r.d, r.hour) for r in rows}) == 144
+    for r in rows:
+        assert r.abs_err == abs(r.pred_n - r.actual_n)
+        assert r.pred_n >= 0 and r.actual_n >= 0
+
+
+def test_open_orders_curve_conserves(spark, sf_dir):
+    rows = _QS["open_orders_daily"](spark, sf_dir).collect()
+    assert rows
+    running = 0
+    for r in rows:
+        running += r.net
+        assert r.open_orders == running
+        assert r.open_orders >= 0
+    # every +1 eventually gets its -1: the curve returns to zero
+    assert rows[-1].open_orders == 0
+
+
+def test_markov_accuracy_bounds(spark, sf_dir):
+    rows = _QS["markov_next_event_accuracy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= r.n_pairs
+        assert 0 <= r.acc_e6 <= 1_000_000
+
+
+def test_mrl_recall_bounds(spark, sf_dir):
+    rows = _QS["mrl_truncation_recall"](spark, sf_dir).collect()
+    # one row per sample query that overlaps at all; overlap <= k
+    assert 1 <= len(rows) <= 5
+    for r in rows:
+        assert 1 <= r.overlap10 <= 10
+
+
+def test_correlation_matrix_is_valid(spark, sf_dir):
+    rows = _QS["numeric_correlation_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+
+
+def test_gini_chi2_consistent_totals(spark, sf_dir):
+    gini = {r.feature: r for r in _QS["gini_feature_scores"](spark, sf_dir).collect()}
+    chi2 = {r.feature: r for r in _QS["chi2_feature_scores"](spark, sf_dir).collect()}
+    assert set(gini) == set(chi2) == {"orderpriority", "mktsegment", "linestatus"}
+    for f in gini:
+        # both views aggregate the same contingency table
+        assert gini[f].nn == chi2[f].nn and gini[f].npos == chi2[f].npos
+        # binary-label weighted gini is bounded by 0.5
+        assert 0 <= gini[f].gini_e9 <= 500_000_000
+        assert chi2[f].chi2_e6 >= 0
