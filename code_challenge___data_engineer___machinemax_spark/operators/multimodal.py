@@ -457,3 +457,104 @@ def pcm_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "data").mapInPandas(run, out_schema)
+
+
+def synth_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV container table from `documents`: the audio-kind
+    docs' text bytes (the same PCM16 interpretation synth_media uses)
+    wrapped in a real RIFF/WAVE container by functions/wav_codec.py, with
+    sample rate and channel count derived from doc_id. Because the
+    container is a pure function of the row, downstream REAL container
+    decodes are SQL-oracle-checkable end to end — the decoder either
+    parses the RIFF chunk walk and fmt header correctly or the value hash
+    breaks (the audio twin of synth_png_media)."""
+    import pandas as pd
+
+    from ..functions.wav_codec import encode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("data", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                sample_rate = 8000 + (int(doc_id) % 5) * 2000
+                n_channels = 1 + int(doc_id) % 2
+                payload = encode_wav(
+                    text.encode("utf-8"), sample_rate, n_channels
+                )
+                rows.append((int(doc_id), "audio", bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data"])
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio container decode + DSP: parse each payload's RIFF/WAVE
+    chunk list and PCM16 fmt header (functions/wav_codec.py — stdlib
+    struct, no audio library), then run the same vectorized int16 numpy
+    reductions as :func:`pcm_features` on the unwrapped payload. Emits the
+    container metadata (sample_rate, n_channels, per-channel frame count)
+    alongside the integer-exact energy/peak features; undecodable payloads
+    keep the row with NULLs (the dead-letter discipline shared with the
+    image path).
+
+    Scale: one Arrow-batched mapInPandas pass, O(rows) header parses +
+    O(bytes) vectorized sample math, nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.wav_codec import decode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("n_channels", T.LongType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+        ]
+    )
+    cols = ["media_id", "sample_rate", "n_channels", "n_frames", "sum_sq", "peak"]
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                try:
+                    sample_rate, n_channels, pcm = decode_wav(bytes(data))
+                except ValueError:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                s = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                rows.append(
+                    (
+                        media_id,
+                        sample_rate,
+                        n_channels,
+                        int(s.size) // n_channels,
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "data").mapInPandas(run, out_schema)

@@ -127,7 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     # numeric_correlation_matrix, association_rules, item_item_similarity,
     # gini_feature_scores, chi2_feature_scores, ab_test_welch,
     # winsorized_segment_stats, seasonal_naive_backtest,
-    # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy
+    # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy,
+    # audio_wav_decode
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -284,3 +284,67 @@ def test_pcm_features_crafted_bytes(spark):
     assert got[1].peak == 300
     assert got[2].n_samples == 0 and got[2].sum_sq == 0
     assert got[3].n_samples is None
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from code_challenge___data_engineer___machinemax_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav,
+        wav_info,
+    )
+
+    pcm = struct.pack("<6h", 0, 1000, -1000, 32767, -32768, 7)
+    wav = encode_wav(pcm, 16000, 2)
+    assert decode_wav(wav) == (16000, 2, pcm)
+    assert wav_info(wav) == (16000, 2, 3)  # 6 samples / 2 channels
+
+    # odd-length payload: encoder truncates to the 2-byte frame
+    assert decode_wav(encode_wav(pcm + b"\x01", 8000, 1))[2] == pcm
+
+    # an extra LIST chunk before data must be walked over, and an
+    # odd-length chunk's pad byte respected (RIFF word alignment)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (16000, 2, pcm)
+
+    for bad in [b"", b"RIFFxxxx", wav[:20], b"JUNK" + wav[4:]]:
+        try:
+            decode_wav(bad)
+            assert False, "corrupt container must raise"
+        except ValueError:
+            pass
+    # non-PCM format tag rejected
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    try:
+        decode_wav(float_wav)
+        assert False, "float WAV must raise"
+    except ValueError:
+        pass
+
+
+def test_wav_features_dead_letter_rows(spark):
+    from code_challenge___data_engineer___machinemax_spark.functions.wav_codec import (
+        encode_wav,
+    )
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        wav_features,
+    )
+
+    good = encode_wav(b"\x10\x00\xf0\xff", 8000, 1)  # samples 16, -16
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav")), (3, None)],
+        "media_id long, data binary",
+    )
+    rows = {r.media_id: r for r in wav_features(df).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].n_frames == 2
+    assert rows[1].sum_sq == 16 * 16 * 2 and rows[1].peak == 16
+    assert rows[2].sample_rate is None  # corrupt -> dead-letter NULLs
+    assert rows[3].sample_rate is None
