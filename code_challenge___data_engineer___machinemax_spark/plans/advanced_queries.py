@@ -1766,3 +1766,112 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "l_diversity_release",
+    oracle="""
+    SELECT c.c_nationkey, c.c_mktsegment,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
+           COUNT(*) >= 10 AND COUNT(DISTINCT o.o_orderpriority) >= 3
+               AS released,
+           CASE WHEN COUNT(*) >= 10
+                 AND COUNT(DISTINCT o.o_orderpriority) >= 3
+                THEN CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+           END AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey, c.c_mktsegment, order_year
+    """,
+)
+def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity suppression (Machanavajjhala et al. 2007), the guard
+    k-anonymity misses: a QI group where every member shares the same
+    sensitive value leaks it even at k>=10 (the homogeneity attack). A
+    group releases only if it holds >= k=10 orders AND >= l=3 distinct
+    order priorities; suppressed groups stay visible as (counts,
+    released=false, revenue NULL) for auditability — the direct extension
+    of k_anonymity_release one shelf over.
+
+    Scale: identical plan shape to k_anonymity_release — broadcast
+    customer join, one partial+final agg on the small QI domain; the
+    distinct-sensitive count rides the same shuffle (Spark expands
+    distinct aggregates in the single grouping pass). The release gate is
+    a projection over the finished aggregate, never a second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k, l = 10, 3
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),
+            _dsum(F.col("o_totalprice")).alias("__rev"),
+        )
+    )
+    released = (F.col("n_orders") >= k) & (F.col("n_sensitive") >= l)
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "order_year",
+        "n_orders",
+        "n_sensitive",
+        released.alias("released"),
+        F.when(released, F.col("__rev")).alias("revenue"),
+    )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, reduced to its algebraic core: the
+    monthly revenue rollup is computed as the MERGE of two independently
+    aggregated partitions of the fact (early-month days 1-15 vs late-month
+    16+) — partial aggregate, union, re-aggregate — while the oracle
+    computes the rollup directly in one pass. Equality IS the proof that
+    the aggregate state merges associatively, which is the property every
+    incremental pipeline (per-hour partials folded into daily, daily into
+    monthly; late-arriving partition re-merge) silently relies on.
+
+    The decimal money sum makes the merge exact (decimal addition is
+    associative where double addition is not — merging float partials is
+    the classic silent-drift bug this query exists to catch). Scale: this
+    is the map-side-combine contract made explicit — each partial is a
+    partition-local aggregate, the merge shuffles only group-sized rows;
+    at 100 TB the partials are yesterday's materialized rollup plus
+    today's delta, and only the merge re-runs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        "o_totalprice",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("__rev"),
+        )
+
+    early = partial(o.filter(F.col("dom") <= 15))
+    late = partial(o.filter(F.col("dom") > 15))
+    return (
+        early.unionByName(late)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )

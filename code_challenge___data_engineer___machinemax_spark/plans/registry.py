@@ -128,7 +128,8 @@ DRIVER_PRIORITY: list[str] = [
     # gini_feature_scores, chi2_feature_scores, ab_test_welch,
     # winsorized_segment_stats, seasonal_naive_backtest,
     # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy,
-    # audio_wav_decode
+    # audio_wav_decode, rake_keyphrases, l_diversity_release,
+    # incremental_rollup_merge
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -1438,3 +1438,99 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("words") > 0)
     )
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, t.tok
+        FROM (SELECT doc_id, {tokenize_sql('text')} AS ts FROM documents
+              WHERE text IS NOT NULL),
+             LATERAL (SELECT UNNEST(ts) AS tok,
+                             generate_subscripts(ts, 1) AS i) t
+    ), nonstop AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM toks WHERE tok NOT IN ('a', 'the')
+    ), with_plen AS (
+        SELECT doc_id, island, pos, tok,
+               COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+        FROM nonstop
+    ), words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM with_plen GROUP BY tok
+    ), scored_tokens AS (
+        SELECT n.doc_id, n.island, n.pos, n.tok,
+               w.degree * 1000000 // w.freq AS ws_e6
+        FROM nonstop n JOIN words w ON n.tok = w.tok
+    ), phrases AS (
+        SELECT doc_id, island,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen,
+               CAST(SUM(ws_e6) AS BIGINT) AS score_e6
+        FROM scored_tokens GROUP BY doc_id, island
+    )
+    SELECT phrase, CAST(MAX(plen) AS BIGINT) AS plen,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_e6) AS BIGINT) AS score_e6
+    FROM phrases GROUP BY phrase
+    ORDER BY score_e6 DESC, phrase LIMIT 20
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs, each word scores degree/freq (degree
+    = summed length of the phrases it appears in), a phrase scores the sum
+    of its word scores — the unsupervised keyword extractor a corpus
+    pipeline runs where no model is available. Top-20 phrases corpus-wide.
+
+    The phrase segmentation is gaps-and-islands on token positions (pos
+    minus per-doc non-stop rank), NOT a regex split — consecutive and
+    edge stopwords fall out for free, and the identical window arithmetic
+    runs on both engines. Determinism: word scores are integer floor
+    divisions (degree*1e6 DIV freq) BEFORE the per-phrase sum, so the
+    accumulation is pure int64 — no float ordering anywhere. Scale: the
+    windows partition by doc (bounded frames); the word table is
+    vocabulary-sized and broadcast back; the final top-20 is
+    TakeOrderedAndProject over the deduped phrase aggregate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    nonstop = toks.filter(~F.col("tok").isin("a", "the")).withColumn(
+        "island", F.col("pos") - F.row_number().over(wdoc)
+    )
+    wisl = W.partitionBy("doc_id", "island")
+    with_plen = nonstop.withColumn("plen", F.count("*").over(wisl))
+    words = with_plen.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = nonstop.join(F.broadcast(words), "tok").withColumn(
+        "ws_e6", F.expr("degree * 1000000 DIV freq")
+    )
+    phrases = scored.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+        F.sum("ws_e6").cast("bigint").alias("score_e6"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("plen"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("score_e6").cast("bigint").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), "phrase")
+        .limit(20)
+    )
