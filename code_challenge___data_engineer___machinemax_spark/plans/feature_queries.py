@@ -604,3 +604,102 @@ def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("segment", "n", "p05_c", "p95_c", "wins_mean_c")
         .orderBy("segment")
     )
+
+
+# PSI per-bin contribution: Laplace-smoothed shares and one ln over exact
+# int64 inputs in a single shared tree; trunc-scaled per bin so any
+# downstream total is an integer sum.
+_PSI_CONTRIB = (
+    "(CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)"
+    " - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))"
+    " * ln((CAST(n_a + 1 AS DOUBLE) * CAST(tb + 10 AS DOUBLE))"
+    "      / (CAST(n_b + 1 AS DOUBLE) * CAST(ta + 10 AS DOUBLE))) * 1e9"
+)
+
+
+@query(
+    "psi_drift_report",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(trunc(o_totalprice) AS BIGINT) // 50000, 9) AS bin,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 0 ELSE 1 END AS period
+        FROM orders
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+        FROM counts
+    ), grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin)
+    SELECT g.bin,
+           COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
+           CAST(trunc({_PSI_CONTRIB.replace('n_a', 'COALESCE(c.n_a, 0)')
+                                    .replace('n_b', 'COALESCE(c.n_b, 0)')})
+                AS BIGINT) AS contrib_e9
+    FROM grid g LEFT JOIN counts c ON g.bin = c.bin
+    CROSS JOIN tot
+    ORDER BY g.bin
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index report — the standard ML-monitoring
+    drift metric — comparing the order-value distribution before vs after
+    1998 over 10 fixed $50k bins: per-bin contribution
+    (p_a - p_b) * ln(p_a / p_b) with Laplace-smoothed shares, PSI = the
+    integer sum of the contributions (>0.2 conventionally = significant
+    drift; complements embedding_drift_report's vector-space view with
+    the tabular-feature view).
+
+    The bin grid is generated DENSE (0..9 literals), so an empty bin
+    still reports — with smoothing it contributes the correct nonzero
+    penalty instead of vanishing (the classic silent-PSI bug when a
+    production value range drops out). Each contribution is one shared
+    expression over exact int64 counts, trunc-scaled per bin — no float
+    crosses rows. Scale: one fact scan to a 10-row frame; everything
+    after is constant-size. The bin edges are fixed literals, as a
+    monitoring config pins them — NOT data-derived quantiles, which would
+    make the two periods' bins incomparable."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.expr(
+            "LEAST(CAST(o_totalprice AS BIGINT) DIV 50000, 9)"
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    grid = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST({_PSI_CONTRIB} AS BIGINT)").alias("contrib_e9"),
+        )
+        .orderBy("bin")
+    )

@@ -402,3 +402,93 @@ def python_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_e6").cast("bigint").alias("total_value_e6"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+def _bellman_ford_oracle(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford oracle: one relax CTE per round — iteration
+    expressed as plain SQL, no recursion needed for a fixed hop bound."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS s1,
+                        GREATEST(a.l_suppkey, b.l_suppkey) AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), edges AS (
+        SELECT s1 AS src, s2 AS dst, (s1 + s2) % 7 + 1 AS w FROM pairs
+        UNION ALL
+        SELECT s2, s1, (s1 + s2) % 7 + 1 FROM pairs
+    ), d0 AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", d{k} AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{k - 1} d JOIN edges e ON d.node = e.src
+        ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, dist FROM d{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("bellman_ford_hops", oracle=_bellman_ford_oracle())
+def bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, hop-bounded: 4 Bellman-Ford
+    relaxation rounds from supplier 1 over the co-supply graph (suppliers
+    sharing an order; deterministic integer edge weights) — the
+    Pregel-style message-passing skeleton, next to bfs_hops_from_customer
+    (unweighted) and pagerank_customer_supplier (score-propagating).
+
+    Each round is relax-then-min: the frontier table joins the edge list,
+    unions the previous distances, and takes MIN per node — exactly the
+    superstep a 1000-node graph engine runs, here as 4 fixed dataframe
+    iterations (the hop bound makes the oracle expressible as unrolled
+    CTEs, no recursion). Scale: the distance table is node-dimension
+    sized and broadcast against the edge list each round; edges come from
+    the order-width-bounded pair join (never a cross product), built once
+    and reused across rounds. Integer weights and MIN make every round
+    exactly deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("s1"), F.col("sb").alias("s2"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col("s1").alias("src"),
+            F.col("s2").alias("dst"),
+            ((F.col("s1") + F.col("s2")) % 7 + 1).alias("w"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("s2").alias("src"),
+                F.col("s1").alias("dst"),
+                ((F.col("s1") + F.col("s2")) % 7 + 1).alias("w"),
+            )
+        )
+        .localCheckpoint()  # edges are reused every round — cut the lineage
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, dist long")
+    for _ in range(4):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist.orderBy("node")

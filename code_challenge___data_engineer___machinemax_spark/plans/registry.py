@@ -129,7 +129,8 @@ DRIVER_PRIORITY: list[str] = [
     # winsorized_segment_stats, seasonal_naive_backtest,
     # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy,
     # audio_wav_decode, rake_keyphrases, l_diversity_release,
-    # incremental_rollup_merge
+    # incremental_rollup_merge, psi_drift_report, bellman_ford_hops,
+    # order_interval_coverage
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -694,3 +694,112 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+@query(
+    "order_interval_coverage",
+    oracle="""
+    WITH comp AS (
+        SELECT l_orderkey, CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS close_d
+        FROM lineitem GROUP BY 1
+    ), span AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_d,
+               GREATEST(COALESCE(c.close_d, CAST(o.o_orderdate AS DATE)),
+                        CAST(o.o_orderdate AS DATE)) AS close_d
+        FROM orders o LEFT JOIN comp c ON o.o_orderkey = c.l_orderkey
+    ), flagged AS (
+        SELECT custkey, open_d, close_d,
+               CASE WHEN MAX(close_d) OVER (
+                        PARTITION BY custkey ORDER BY open_d, close_d, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR open_d > MAX(close_d) OVER (
+                        PARTITION BY custkey ORDER BY open_d, close_d, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS is_new
+        FROM span
+    ), islands AS (
+        SELECT custkey, open_d, close_d,
+               SUM(is_new) OVER (
+                   PARTITION BY custkey ORDER BY open_d, close_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT custkey, island,
+               MIN(open_d) AS start_d, MAX(close_d) AS end_d
+        FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_busy_periods,
+           CAST(SUM(datediff('day', start_d, end_d) + 1) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY custkey ORDER BY custkey
+    """,
+)
+def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per customer: each order spans order date
+    to last shipment; overlapping or touching spans merge, and the report
+    is how many distinct busy periods each customer has and how many
+    calendar days they cover — the interval-union complement of
+    open_orders_daily's concurrency view (union length vs stabbing
+    count).
+
+    The merge is the classic running-max sweep: within each customer,
+    order spans sorted by start open a NEW island exactly when their
+    start exceeds the max end seen so far (the 1-PRECEDING frame keeps
+    the current row out of its own comparison), then a running sum of
+    the new-island flags numbers the islands — two window passes over
+    the SAME customer partitioning, one exchange. Scale: per-customer
+    frames are order-count bounded; the merged output is
+    customer-dimension sized. Everything is integer date arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    comp = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    span = o.join(comp, o.o_orderkey == comp.l_orderkey, "left").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.greatest(
+            F.coalesce("close_d", F.col("o_orderdate").cast("date")),
+            F.col("o_orderdate").cast("date"),
+        ).alias("close_d"),
+    )
+    w_prev = (
+        W.partitionBy("custkey")
+        .orderBy("open_d", "close_d", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = span.select(
+        "custkey",
+        "open_d",
+        "close_d",
+        F.when(
+            F.max("close_d").over(w_prev).isNull()
+            | (F.col("open_d") > F.max("close_d").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        W.partitionBy("custkey")
+        .orderBy("open_d", "close_d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("custkey", "island").agg(
+        F.min("open_d").alias("start_d"), F.max("close_d").alias("end_d")
+    )
+    return (
+        merged.groupBy("custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_busy_periods"),
+            F.sum(F.datediff("end_d", "start_d") + 1)
+            .cast("bigint")
+            .alias("covered_days"),
+        )
+        .orderBy("custkey")
+    )
