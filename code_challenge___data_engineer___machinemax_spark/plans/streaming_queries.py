@@ -792,3 +792,104 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+@query(
+    "streamed_psi_monitor",
+    oracle="""
+    WITH ref AS (
+        SELECT LEAST(CAST(trunc(value) AS BIGINT) // 50, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_ref
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), live AS (
+        SELECT LEAST(CAST(trunc(value) AS BIGINT) // 50, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_live
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT CAST(SUM(n_ref) AS BIGINT) FROM ref) AS ta,
+               (SELECT CAST(SUM(n_live) AS BIGINT) FROM live) AS tb
+    ), grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin)
+    SELECT g.bin,
+           COALESCE(r.n_ref, 0) AS n_ref,
+           COALESCE(l.n_live, 0) AS n_live,
+           CAST(trunc(
+               (CAST(COALESCE(r.n_ref, 0) + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+                - CAST(COALESCE(l.n_live, 0) + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+               * ln((CAST(COALESCE(r.n_ref, 0) + 1 AS DOUBLE)
+                     * CAST(tb + 10 AS DOUBLE))
+                    / (CAST(COALESCE(l.n_live, 0) + 1 AS DOUBLE)
+                       * CAST(ta + 10 AS DOUBLE))) * 1e9) AS BIGINT) AS contrib_e9
+    FROM grid g
+    LEFT JOIN ref r ON g.bin = r.bin
+    LEFT JOIN live l ON g.bin = l.bin
+    CROSS JOIN tot
+    ORDER BY g.bin
+    """,
+)
+def streamed_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: the live purchase-value distribution is
+    accumulated from the event stream (complete-mode per-bin counts — the
+    only stream state is the 10-bin histogram, KB-sized forever), then
+    scored against a STATIC reference profile (the view-value histogram)
+    with the same dense-grid Laplace-smoothed PSI arithmetic as
+    psi_drift_report — the production shape for "alert when today's
+    traffic stops looking like the baseline".
+
+    The histogram-shaped state is the entire point at scale: a drift
+    monitor must never buffer raw events, and binned counts merge
+    associatively across micro-batches, so complete-mode output equals
+    the batch twin bit-for-bit (the oracle). The PSI scoring runs as a
+    batch projection over the finished 10-row state against the
+    broadcast reference — per-bin shared-expression contributions over
+    exact int64 counts, trunc-scaled."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_psi_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    live_agg = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("LEAST(CAST(value AS BIGINT) DIV 50, 9)").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_live"))
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(live_agg, "ccdem_streamed_psi", "complete")
+    live = spark.sql("SELECT * FROM ccdem_streamed_psi").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = load_table(spark, sf_dir, "events")
+    ref = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.expr("LEAST(CAST(value AS BIGINT) DIV 50, 9)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+    tot = (
+        ref.agg(F.sum("n_ref").cast("bigint").alias("ta"))
+        .crossJoin(live.agg(F.sum("n_live").cast("bigint").alias("tb")))
+    )
+    grid = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    contrib = (
+        "(CAST(n_ref + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)"
+        " - CAST(n_live + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))"
+        " * ln((CAST(n_ref + 1 AS DOUBLE) * CAST(tb + 10 AS DOUBLE))"
+        "      / (CAST(n_live + 1 AS DOUBLE) * CAST(ta + 10 AS DOUBLE))) * 1e9"
+    )
+    return (
+        grid.join(ref, "bin", "left")
+        .join(live, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_live", F.lit(0)).cast("bigint").alias("n_live"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_live",
+            F.expr(f"CAST({contrib} AS BIGINT)").alias("contrib_e9"),
+        )
+        .orderBy("bin")
+    )

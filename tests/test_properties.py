@@ -170,3 +170,37 @@ def test_manifest_store_commit_sequence_property(spark, tmp_path_factory, seq):
     assert got == want
     store.compact(spark)
     assert sorted(tuple(r) for r in store.read(spark).collect()) == want
+
+
+@given(
+    pcm=st.binary(max_size=200),
+    rate=st.integers(min_value=1, max_value=192000),
+    channels=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(pcm, rate, channels):
+    from code_challenge___data_engineer___machinemax_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav,
+        wav_info,
+    )
+
+    wav = encode_wav(pcm, rate, channels)
+    got_rate, got_channels, got_pcm = decode_wav(wav)
+    even = pcm[: len(pcm) // 2 * 2]
+    assert (got_rate, got_channels, got_pcm) == (rate, channels, even)
+    # container is always word-aligned and self-describing
+    assert len(wav) % 2 == 0
+    assert wav_info(wav) == (rate, channels, len(even) // 2 // channels)
+    # any single-byte corruption of the RIFF/WAVE signatures must raise
+    # (the declared RIFF size at bytes 4-8 is deliberately unread — the
+    # chunk walk is the source of truth, standard lenient parsing)
+    for i in (*range(0, 4), *range(8, 12)):
+        broken = bytearray(wav)
+        broken[i] ^= 0xFF
+        try:
+            decode_wav(bytes(broken))
+            corrupted_ok = True
+        except ValueError:
+            corrupted_ok = False
+        assert not corrupted_ok
