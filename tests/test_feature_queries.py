@@ -141,3 +141,51 @@ def test_gini_chi2_consistent_totals(spark, sf_dir):
         # binary-label weighted gini is bounded by 0.5
         assert 0 <= gini[f].gini_e9 <= 500_000_000
         assert chi2[f].chi2_e6 >= 0
+
+
+def test_psi_report_shape_and_conservation(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["psi_drift_report"](spark, sf_dir).collect()
+    assert [r.bin for r in rows] == list(range(10))  # dense grid
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_orders
+
+
+def test_bellman_ford_distances_sane(spark, sf_dir):
+    rows = {r.node: r.dist for r in _QS["bellman_ford_hops"](spark, sf_dir).collect()}
+    assert rows[1] == 0  # source
+    # weights are 1..7 and the bound is 4 hops
+    assert all(0 <= d <= 28 for d in rows.values())
+    # on the dense co-supply graph a 1-weight neighbor exists somewhere
+    assert any(0 < d <= 7 for d in rows.values())
+
+
+def test_rake_phrases_are_stopword_free(spark, sf_dir):
+    rows = _QS["rake_keyphrases"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert len(words) == r.plen
+        assert not set(words) & {"a", "the"}
+        assert r.score_e6 > 0 and r.n_occurrences >= 1
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    per_cust = {
+        r.custkey: r
+        for r in _QS["order_interval_coverage"](spark, sf_dir).collect()
+    }
+    n_orders = {
+        r.o_custkey: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_cust) == set(n_orders)  # every ordering customer reports
+    for ck, r in per_cust.items():
+        assert 1 <= r.n_busy_periods <= n_orders[ck]
+        assert r.covered_days >= r.n_busy_periods  # each period >= 1 day
