@@ -703,3 +703,112 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# CUPED: theta = cov(x, y) / var(x) over pooled pre/post customer spend,
+# spelled once and inlined into every consumer so both engines evaluate
+# the identical IEEE tree over exact int64 moments.
+_THETA = (
+    "((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_DIFF = (
+    "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+)
+_XDIFF = (
+    "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+)
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(o_custkey % 2 AS INT) AS arm,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(trunc(o_totalprice) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(trunc(o_totalprice) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        FROM per_cust
+    )
+    SELECT n_a, n_b,
+           CAST(trunc({_DIFF} * 1e6) AS BIGINT) AS diff_e6,
+           CAST(trunc({_THETA} * 1e6) AS BIGINT) AS theta_e6,
+           CAST(trunc(({_DIFF} - {_THETA} * {_XDIFF}) * 1e6) AS BIGINT)
+               AS adj_diff_e6
+    FROM m
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the A/B readout:
+    each customer's post-1998 spend (the experiment metric y) is adjusted
+    by their pre-1998 spend (the pre-period covariate x) with
+    theta = cov(x,y)/var(x), and the treatment effect is re-estimated on
+    the adjusted metric — the standard trick that cuts experiment
+    runtimes by exploiting pre-experiment behavior, one shelf over from
+    ab_test_welch's unadjusted t.
+
+    Scale: ONE pass builds the per-customer (x, y) frame (conditional
+    sums on the order-date split, customer-keyed groupBy), a second
+    conditional aggregate collapses it to a single 11-moment row — both
+    map-side combinable, nothing else touches the fact. theta, the naive
+    diff, and the adjusted diff are each one shared expression over the
+    exact int64 moments, trunc-scaled; whole-dollar units keep x*y
+    int64-safe to ~10^6-dollar customers x 10^6 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, F.expr("CAST(o_totalprice AS BIGINT)"))
+            .otherwise(0)
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= split, F.expr("CAST(o_totalprice AS BIGINT)"))
+            .otherwise(0)
+        ).cast("bigint").alias("y"),
+    ).withColumn("arm", (F.col("o_custkey") % 2).cast("int"))
+    m = per_cust.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_b"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({_DIFF} * 1e6 AS BIGINT)").alias("diff_e6"),
+        F.expr(f"CAST({_THETA} * 1e6 AS BIGINT)").alias("theta_e6"),
+        F.expr(f"CAST(({_DIFF} - {_THETA} * {_XDIFF}) * 1e6 AS BIGINT)").alias(
+            "adj_diff_e6"
+        ),
+    )

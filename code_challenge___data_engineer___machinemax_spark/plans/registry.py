@@ -130,7 +130,8 @@ DRIVER_PRIORITY: list[str] = [
     # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy,
     # audio_wav_decode, rake_keyphrases, l_diversity_release,
     # incremental_rollup_merge, psi_drift_report, bellman_ford_hops,
-    # order_interval_coverage, streamed_psi_monitor
+    # order_interval_coverage, streamed_psi_monitor,
+    # conversion_latency_quantiles, cuped_adjusted_ab
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -803,3 +803,87 @@ def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ), lat AS (
+        SELECT user_id,
+               epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    ), ranked AS (
+        SELECT lat_us, ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS p90_us,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS p99_us
+    FROM ranked
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first purchase
+    follows their first view, the view->purchase latency, summarized as
+    exact nearest-rank P50/P90/P99 in microseconds — the product-analytics
+    companion to funnel_conversion (how MANY convert) and
+    streamed_purchase_attribution (WHICH purchases attribute).
+
+    Latencies are exact integer microsecond differences of the two
+    per-user firsts (one conditional-MIN pass over events — no join, no
+    window on the fact). The quantiles are nearest-rank over the
+    converted-users frame (user-dimension sized): rank = the integer
+    (p*n + 99) DIV 100, no float, the same idiom as
+    winsorized_segment_stats — at this frame size the single ordered
+    window is the benign post-aggregation pattern; a fact-sized
+    percentile would use scalable_ntile instead. One output row."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("lat_us"),
+    )
+    w = W.orderBy("lat_us", "user_id")
+    ranked = lat.select(
+        "lat_us",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.expr("rn = (50 * n + 99) DIV 100"), F.col("lat_us"))
+        ).cast("bigint").alias("p50_us"),
+        F.max(
+            F.when(F.expr("rn = (90 * n + 99) DIV 100"), F.col("lat_us"))
+        ).cast("bigint").alias("p90_us"),
+        F.max(
+            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("lat_us"))
+        ).cast("bigint").alias("p99_us"),
+    )
