@@ -108,30 +108,33 @@ DRIVER_PRIORITY: list[str] = [
     "near_dup_pairs_minhash",
     "cosine_topk_bruteforce",
     "asof_purchase_to_view",
-    # Round-6 window candidates — the queries NEW in round 5, all
-    # oracle-green in the local sf0.01 parity sweep + sf0.001 goldens but
-    # registered after the window filled:
-    # simhash_near_dup_pairs_from_store, ann_topk_lsh_from_store,
-    # bm25_keyword_indexed, ivf_topk_from_store,
-    # keyword_search_stored_index, simhash_incremental_admission,
-    # media_decode_real_png, video_sampled_frame_decode,
-    # bloom_membership_report, data_quality_report, shuffle_shard_order,
-    # ann_recall_eval, bloom_prefilter_contamination,
-    # streamed_segment_enrichment, streamed_purchase_attribution,
-    # python_datasource_rollup, python_stream_source_rollup,
-    # variant_props_extract, zorder_layout, kmv_theta_set_ops,
-    # pq_code_histogram, pq_adc_topk, pq_adc_topk_from_store,
-    # phrase_search_positional, skyline_orders, hybrid_search_rrf,
-    # cusum_changepoint, event_transition_matrix,
-    # entity_resolution_blocked, loo_target_encoding, ewma_order_values,
-    # numeric_correlation_matrix, association_rules, item_item_similarity,
-    # gini_feature_scores, chi2_feature_scores, ab_test_welch,
-    # winsorized_segment_stats, seasonal_naive_backtest,
-    # mrl_truncation_recall, open_orders_daily, markov_next_event_accuracy,
-    # audio_wav_decode, rake_keyphrases, l_diversity_release,
-    # incremental_rollup_merge, psi_drift_report, bellman_ford_hops,
-    # order_interval_coverage, streamed_psi_monitor,
-    # conversion_latency_quantiles, cuped_adjusted_ab
+    # Round-6 window candidates — every oracle-bearing query with NO
+    # driver CORRECTNESS row, computed as oracle_sql() minus the union of
+    # CORRECTNESS_r01-r04 keys minus this round-5 window (52 as of the end
+    # of round 5 — MORE than one 48-slot window; round 6 takes the first
+    # 48 and round 7 the remainder). All are green in the local sf0.01
+    # parity sweep and pinned by sf0.001 goldens:
+    # ab_test_welch, ann_recall_eval, ann_topk_lsh_from_store,
+    # association_rules, audio_wav_decode, bellman_ford_hops,
+    # bloom_membership_report, bloom_prefilter_contamination,
+    # bm25_keyword_indexed, chi2_feature_scores,
+    # conversion_latency_quantiles, cuped_adjusted_ab, cusum_changepoint,
+    # data_quality_report, entity_resolution_blocked,
+    # event_transition_matrix, ewma_order_values, gini_feature_scores,
+    # hybrid_search_rrf, incremental_rollup_merge, item_item_similarity,
+    # ivf_topk_from_store, keyword_search_stored_index, kmv_theta_set_ops,
+    # l_diversity_release, loo_target_encoding,
+    # markov_next_event_accuracy, media_decode_real_png,
+    # mrl_truncation_recall, numeric_correlation_matrix,
+    # open_orders_daily, order_interval_coverage,
+    # phrase_search_positional, pq_adc_topk, pq_adc_topk_from_store,
+    # pq_code_histogram, psi_drift_report, python_datasource_rollup,
+    # python_stream_source_rollup, rake_keyphrases,
+    # seasonal_naive_backtest, shuffle_shard_order,
+    # simhash_incremental_admission, simhash_near_dup_pairs_from_store,
+    # skyline_orders, streamed_psi_monitor, streamed_purchase_attribution,
+    # streamed_segment_enrichment, variant_props_extract,
+    # video_sampled_frame_decode, winsorized_segment_stats, zorder_layout
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
