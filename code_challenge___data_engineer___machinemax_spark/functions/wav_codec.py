@@ -82,6 +82,10 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
             if bits != 16:
                 raise ValueError(f"unsupported bit depth {bits} (16 only)")
+            # a crafted fmt with 0 channels/rate must dead-letter, not
+            # ZeroDivisionError past the callers' ValueError handlers
+            if n_channels < 1 or sample_rate < 1:
+                raise ValueError("fmt declares non-positive channels/rate")
         elif ctype == b"data":
             pcm = body
     if sample_rate is None or pcm is None:

@@ -608,13 +608,21 @@ def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PSI per-bin contribution: Laplace-smoothed shares and one ln over exact
 # int64 inputs in a single shared tree; trunc-scaled per bin so any
-# downstream total is an integer sum.
-_PSI_CONTRIB = (
-    "(CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)"
-    " - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))"
-    " * ln((CAST(n_a + 1 AS DOUBLE) * CAST(tb + 10 AS DOUBLE))"
-    "      / (CAST(n_b + 1 AS DOUBLE) * CAST(ta + 10 AS DOUBLE))) * 1e9"
-)
+# downstream total is an integer sum. Parameterized so the batch report
+# and the streaming monitor (streaming_queries.streamed_psi_monitor) stay
+# provably the same expression (review finding: no hand-kept copies of a
+# bit-exactness-critical tree).
+def psi_contrib_sql(a: str = "n_a", b: str = "n_b",
+                    ta: str = "ta", tb: str = "tb") -> str:
+    return (
+        f"(CAST({a} + 1 AS DOUBLE) / CAST({ta} + 10 AS DOUBLE)"
+        f" - CAST({b} + 1 AS DOUBLE) / CAST({tb} + 10 AS DOUBLE))"
+        f" * ln((CAST({a} + 1 AS DOUBLE) * CAST({tb} + 10 AS DOUBLE))"
+        f"      / (CAST({b} + 1 AS DOUBLE) * CAST({ta} + 10 AS DOUBLE))) * 1e9"
+    )
+
+
+_PSI_CONTRIB = psi_contrib_sql()
 
 
 @query(
@@ -636,8 +644,8 @@ _PSI_CONTRIB = (
     ), grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin)
     SELECT g.bin,
            COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b,
-           CAST(trunc({_PSI_CONTRIB.replace('n_a', 'COALESCE(c.n_a, 0)')
-                                    .replace('n_b', 'COALESCE(c.n_b, 0)')})
+           CAST(trunc({psi_contrib_sql('COALESCE(c.n_a, 0)',
+                                        'COALESCE(c.n_b, 0)')})
                 AS BIGINT) AS contrib_e9
     FROM grid g LEFT JOIN counts c ON g.bin = c.bin
     CROSS JOIN tot

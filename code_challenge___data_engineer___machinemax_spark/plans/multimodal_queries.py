@@ -127,20 +127,26 @@ def video_sampled_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_sampled_frames(synth_png_video(d), every_n=4)
 
 
+# Little-endian PCM16 reconstruction from the ASCII text payload — the
+# sign-handling-sensitive core shared by every audio oracle (ascii pairs
+# -> uint16 -> two's-complement int16). One copy (review finding).
+_PCM_SQL = """list_transform(
+                   range(1, (length(text) // 2) * 2, 2),
+                   i -> (ascii(substr(text, CAST(i AS INT), 1))
+                         + 256 * ascii(substr(text, CAST(i AS INT) + 1, 1))
+                         + 32768) % 65536 - 32768)"""
+
+
 @query(
     "audio_pcm_features",
-    oracle="""
+    oracle=f"""
     WITH audio AS (
         SELECT doc_id AS media_id, text
         FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
     ),
     pcm AS (
         SELECT media_id,
-               list_transform(
-                   range(1, (length(text) // 2) * 2, 2),
-                   i -> (ascii(substr(text, CAST(i AS INT), 1))
-                         + 256 * ascii(substr(text, CAST(i AS INT) + 1, 1))
-                         + 32768) % 65536 - 32768) AS s
+               {_PCM_SQL} AS s
         FROM audio
     )
     SELECT media_id,
@@ -173,7 +179,7 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "audio_wav_decode",
-    oracle="""
+    oracle=f"""
     WITH audio AS (
         SELECT doc_id AS media_id, text,
                CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
@@ -182,11 +188,7 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pcm AS (
         SELECT media_id, sample_rate, n_channels,
-               list_transform(
-                   range(1, (length(text) // 2) * 2, 2),
-                   i -> (ascii(substr(text, CAST(i AS INT), 1))
-                         + 256 * ascii(substr(text, CAST(i AS INT) + 1, 1))
-                         + 32768) % 65536 - 32768) AS s
+               {_PCM_SQL} AS s
         FROM audio
     )
     SELECT media_id, sample_rate, n_channels,

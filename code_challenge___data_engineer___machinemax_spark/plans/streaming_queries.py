@@ -35,6 +35,7 @@ from ..functions.text import tokenize, tokenize_sql
 from ..streaming.events import read_event_stream, stream_upsert_to_store
 from ..streaming.ingest import dedup_ingest_stream
 from ..tables import load_table
+from .feature_queries import psi_contrib_sql
 from .registry import query
 
 _DIGEST_SQL = "md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')))"
@@ -796,7 +797,7 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streamed_psi_monitor",
-    oracle="""
+    oracle=f"""
     WITH ref AS (
         SELECT LEAST(CAST(trunc(value) AS BIGINT) // 50, 9) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n_ref
@@ -812,13 +813,9 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.bin,
            COALESCE(r.n_ref, 0) AS n_ref,
            COALESCE(l.n_live, 0) AS n_live,
-           CAST(trunc(
-               (CAST(COALESCE(r.n_ref, 0) + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
-                - CAST(COALESCE(l.n_live, 0) + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
-               * ln((CAST(COALESCE(r.n_ref, 0) + 1 AS DOUBLE)
-                     * CAST(tb + 10 AS DOUBLE))
-                    / (CAST(COALESCE(l.n_live, 0) + 1 AS DOUBLE)
-                       * CAST(ta + 10 AS DOUBLE))) * 1e9) AS BIGINT) AS contrib_e9
+           CAST(trunc({psi_contrib_sql('COALESCE(r.n_ref, 0)',
+                                        'COALESCE(l.n_live, 0)')})
+                AS BIGINT) AS contrib_e9
     FROM grid g
     LEFT JOIN ref r ON g.bin = r.bin
     LEFT JOIN live l ON g.bin = l.bin
@@ -870,12 +867,7 @@ def streamed_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(live.agg(F.sum("n_live").cast("bigint").alias("tb")))
     )
     grid = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
-    contrib = (
-        "(CAST(n_ref + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)"
-        " - CAST(n_live + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))"
-        " * ln((CAST(n_ref + 1 AS DOUBLE) * CAST(tb + 10 AS DOUBLE))"
-        "      / (CAST(n_live + 1 AS DOUBLE) * CAST(ta + 10 AS DOUBLE))) * 1e9"
-    )
+    contrib = psi_contrib_sql("n_ref", "n_live")
     return (
         grid.join(ref, "bin", "left")
         .join(live, "bin", "left")

@@ -535,18 +535,47 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "open_orders_daily",
-    oracle="""
-    WITH comp AS (
+# Shared by open_orders_daily (concurrency) and order_interval_coverage
+# (union): an order spans its order date to its last shipment, clamped so
+# close >= open, with orders lacking lineitems spanning a single day.
+# One definition, two interval views (review finding: the close-date
+# semantics must not be able to drift between them).
+_ORDER_SPAN_SQL = """
+    comp AS (
         SELECT l_orderkey, CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS close_d
         FROM lineitem GROUP BY 1
     ), span AS (
-        SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+        SELECT o.o_custkey AS custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_d,
                GREATEST(COALESCE(c.close_d, CAST(o.o_orderdate AS DATE)),
                         CAST(o.o_orderdate AS DATE)) AS close_d
         FROM orders o LEFT JOIN comp c ON o.o_orderkey = c.l_orderkey
-    ), deltas AS (
+    )"""
+
+
+def _order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, o_orderkey, open_d, close_d) — the Spark twin of
+    _ORDER_SPAN_SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    comp = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    return o.join(comp, o.o_orderkey == comp.l_orderkey, "left").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.greatest(
+            F.coalesce("close_d", F.col("o_orderdate").cast("date")),
+            F.col("o_orderdate").cast("date"),
+        ).alias("close_d"),
+    )
+
+
+@query(
+    "open_orders_daily",
+    oracle=f"""
+    WITH {_ORDER_SPAN_SQL}, deltas AS (
         SELECT open_d AS d, CAST(1 AS BIGINT) AS delta FROM span
         UNION ALL
         SELECT CAST(close_d + 1 AS DATE), CAST(-1 AS BIGINT) FROM span
@@ -576,18 +605,7 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly_revenue_running; at a multi-decade span, range-partition by
     year and prefix-sum the per-partition totals. All counts are exact
     int64."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    comp = li.groupBy("l_orderkey").agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
-    )
-    span = o.join(comp, o.o_orderkey == comp.l_orderkey, "left").select(
-        F.col("o_orderdate").cast("date").alias("open_d"),
-        F.greatest(
-            F.coalesce("close_d", F.col("o_orderdate").cast("date")),
-            F.col("o_orderdate").cast("date"),
-        ).alias("close_d"),
-    )
+    span = _order_spans(spark, sf_dir)
     deltas = span.select(
         F.col("open_d").alias("d"), F.lit(1).cast("bigint").alias("delta")
     ).unionByName(
@@ -698,18 +716,9 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_interval_coverage",
-    oracle="""
-    WITH comp AS (
-        SELECT l_orderkey, CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS close_d
-        FROM lineitem GROUP BY 1
-    ), span AS (
-        SELECT o.o_custkey AS custkey, o.o_orderkey,
-               CAST(o.o_orderdate AS DATE) AS open_d,
-               GREATEST(COALESCE(c.close_d, CAST(o.o_orderdate AS DATE)),
-                        CAST(o.o_orderdate AS DATE)) AS close_d
-        FROM orders o LEFT JOIN comp c ON o.o_orderkey = c.l_orderkey
-    ), flagged AS (
-        SELECT custkey, open_d, close_d,
+    oracle=f"""
+    WITH {_ORDER_SPAN_SQL}, flagged AS (
+        SELECT custkey, o_orderkey, open_d, close_d,
                CASE WHEN MAX(close_d) OVER (
                         PARTITION BY custkey ORDER BY open_d, close_d, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -722,7 +731,7 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), islands AS (
         SELECT custkey, open_d, close_d,
                SUM(is_new) OVER (
-                   PARTITION BY custkey ORDER BY open_d, close_d
+                   PARTITION BY custkey ORDER BY open_d, close_d, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         FROM flagged
     ), merged AS (
@@ -753,20 +762,7 @@ def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME customer partitioning, one exchange. Scale: per-customer
     frames are order-count bounded; the merged output is
     customer-dimension sized. Everything is integer date arithmetic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    comp = li.groupBy("l_orderkey").agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
-    )
-    span = o.join(comp, o.o_orderkey == comp.l_orderkey, "left").select(
-        F.col("o_custkey").alias("custkey"),
-        "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("open_d"),
-        F.greatest(
-            F.coalesce("close_d", F.col("o_orderdate").cast("date")),
-            F.col("o_orderdate").cast("date"),
-        ).alias("close_d"),
-    )
+    span = _order_spans(spark, sf_dir)
     w_prev = (
         W.partitionBy("custkey")
         .orderBy("open_d", "close_d", "o_orderkey")
@@ -774,6 +770,7 @@ def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = span.select(
         "custkey",
+        "o_orderkey",
         "open_d",
         "close_d",
         F.when(
@@ -784,9 +781,12 @@ def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
+    # the same (.., o_orderkey) total order as w_prev: ties in (open, close)
+    # would otherwise let the engines disagree on which twin row carries
+    # the is_new flag into which island (review finding)
     w_run = (
         W.partitionBy("custkey")
-        .orderBy("open_d", "close_d")
+        .orderBy("open_d", "close_d", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     islands = flagged.withColumn("island", F.sum("is_new").over(w_run))

@@ -348,3 +348,26 @@ def test_wav_features_dead_letter_rows(spark):
     assert rows[1].sum_sq == 16 * 16 * 2 and rows[1].peak == 16
     assert rows[2].sample_rate is None  # corrupt -> dead-letter NULLs
     assert rows[3].sample_rate is None
+
+
+def test_wav_zero_channel_header_dead_letters():
+    import struct
+
+    from code_challenge___data_engineer___machinemax_spark.functions.wav_codec import (
+        decode_wav,
+    )
+
+    # crafted fmt: tag=1, channels=0, bits=16 — must raise ValueError so
+    # wav_features' dead-letter handler catches it (review finding: a
+    # ZeroDivisionError would kill the whole mapInPandas task instead)
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    try:
+        decode_wav(wav)
+        assert False, "zero-channel fmt must raise ValueError"
+    except ValueError:
+        pass
