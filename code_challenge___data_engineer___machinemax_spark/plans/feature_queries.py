@@ -820,3 +820,97 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adj_diff_e6"
         ),
     )
+
+
+@query(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)),
+                             MAX(CAST(o_orderdate AS DATE))) // 30 AS BIGINT)
+                   AS dur_m,
+               CASE WHEN MAX(o_orderdate) < TIMESTAMP '2001-02-01 00:00:00'
+                    THEN 1 ELSE 0 END AS churned
+        FROM orders GROUP BY o_custkey
+    ), per_t AS (
+        SELECT dur_m AS t,
+               CAST(COUNT(*) AS BIGINT) AS ending,
+               CAST(SUM(churned) AS BIGINT) AS d
+        FROM cust GROUP BY dur_m
+    ), risk AS (
+        SELECT t, d,
+               CAST(SUM(ending) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM per_t
+    ), events AS (
+        SELECT t, n_risk, d,
+               CAST(trunc(ln(CAST(n_risk - d + 1 AS DOUBLE)
+                             / CAST(n_risk + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS ln_term_e9
+        FROM risk WHERE d > 0
+    )
+    SELECT t, n_risk, d,
+           CAST(SUM(ln_term_e9) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_logsurv_e9
+    FROM events ORDER BY t
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival curve: a customer's observed lifetime
+    is first-to-last-order months, customers quiet for the final 6 months
+    of the window churned (event), the rest are censored (still active) —
+    and the curve is the product-limit estimator over event times,
+    carried as the cumulative LOG survival so the accumulation is an
+    integer sum (exp() it for S(t); the per-step ln((n-d+1)/(n+1)) is
+    Laplace-guarded so a step where everyone at risk churns stays
+    finite, same discipline as the PSI smoothing).
+
+    Scale: one pass collapses orders to a customer frame (first/last
+    conditional aggregates), a second collapses to per-duration counts —
+    the surviving frame is bounded by the duration domain (months), so
+    the at-risk reverse running sum and the cumulative hazard sum are
+    calendar-bounded windows, the same benign post-aggregation pattern
+    as open_orders_daily. Every term is trunc-scaled int64 BEFORE
+    summation; the risk set includes censored customers exactly as the
+    estimator requires."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(datediff(MAX(CAST(o_orderdate AS DATE)),"
+            " MIN(CAST(o_orderdate AS DATE))) DIV 30 AS BIGINT)"
+        ).alias("dur_m"),
+        F.max(
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("2001-02-01 00:00:00").cast("timestamp"),
+                0,
+            ).otherwise(1)
+        ).alias("active"),
+    ).select("dur_m", (1 - F.col("active")).alias("churned"))
+    per_t = cust.groupBy(F.col("dur_m").alias("t")).agg(
+        F.count("*").cast("bigint").alias("ending"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    w_desc = (
+        W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("ending").over(w_desc).cast("bigint").alias("n_risk")
+    )
+    events = risk.filter(F.col("d") > 0).withColumn(
+        "ln_term_e9",
+        F.expr(
+            "CAST(ln(CAST(n_risk - d + 1 AS DOUBLE)"
+            " / CAST(n_risk + 1 AS DOUBLE)) * 1e9 AS BIGINT)"
+        ),
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.select(
+        "t",
+        "n_risk",
+        "d",
+        F.sum("ln_term_e9").over(w_asc).cast("bigint").alias("cum_logsurv_e9"),
+    ).orderBy("t")

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize_sql
+from ..functions.text import tokenize, tokenize_sql
 from ..operators.clustering import dedup_clusters, kmeans_lite
 from ..operators.dedup import near_dup_pairs
 from ..operators.search import bm25_rank
@@ -949,4 +949,87 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
         .limit(10)
+    )
+
+
+@query(
+    "mrr_retrieval_eval",
+    oracle=f"""
+    WITH qterms AS (
+        SELECT unnest(['merge', 'vector', 'scan', 'filter', 'window']) AS qterm
+    ), toks AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ), marker AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'table'
+    ), ranked AS (
+        SELECT q.qterm, t.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qterm
+                                  ORDER BY t.tf DESC, t.doc_id) AS pos,
+               CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM qterms q
+        JOIN tf t ON t.token = q.qterm
+        LEFT JOIN marker m ON m.doc_id = t.doc_id
+    )
+    SELECT qterm,
+           CAST(MIN(CASE WHEN rel = 1 THEN pos END) AS BIGINT) AS first_rel,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN pos END), 0)
+                AS BIGINT) AS rr_e6
+    FROM ranked WHERE pos <= 10
+    GROUP BY qterm ORDER BY qterm
+    """,
+)
+def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank retrieval eval (the MRR companion to
+    search_ndcg_eval's graded view): five single-term queries rank their
+    matching docs by term frequency, relevance is possession of an
+    independent marker term, and each query reports the rank of its
+    first relevant hit in the top-10 plus the reciprocal-rank
+    contribution 1e6 DIV rank (0 when no relevant doc surfaces) — sum
+    over the per-query rows and divide by 5 for MRR, both exact ints.
+
+    Scale: term frequencies aggregate once for the whole corpus (the
+    same tf frame every retrieval eval here shares), the five query
+    rankings are windows partitioned by query term over match-bound
+    candidate lists, and relevance is a broadcast semi-join against the
+    marker-doc set. Ranking by integer tf with doc_id ties makes every
+    position exactly deterministic — no float scores anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    marker = (
+        toks.filter(F.col("token") == "table").select("doc_id").distinct()
+        .withColumn("rel", F.lit(1))
+    )
+    qterms = spark.createDataFrame(
+        [("merge",), ("vector",), ("scan",), ("filter",), ("window",)],
+        "qterm string",
+    )
+    ranked = (
+        tf.join(F.broadcast(qterms), tf.token == F.col("qterm"))
+        .join(F.broadcast(marker), "doc_id", "left")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("qterm").orderBy(F.desc("tf"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("pos") <= 10)
+    )
+    return (
+        ranked.groupBy("qterm")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("pos")))
+            .cast("bigint")
+            .alias("first_rel"),
+            F.expr(
+                "CAST(COALESCE(1000000 DIV MIN(CASE WHEN rel = 1 THEN pos END),"
+                " 0) AS BIGINT)"
+            ).alias("rr_e6"),
+        )
+        .orderBy("qterm")
     )

@@ -134,7 +134,9 @@ DRIVER_PRIORITY: list[str] = [
     # simhash_incremental_admission, simhash_near_dup_pairs_from_store,
     # skyline_orders, streamed_psi_monitor, streamed_purchase_attribution,
     # streamed_segment_enrichment, variant_props_extract,
-    # video_sampled_frame_decode, winsorized_segment_stats, zorder_layout
+    # video_sampled_frame_decode, winsorized_segment_stats, zorder_layout,
+    # kaplan_meier_churn, mrr_retrieval_eval (54 total after the final
+    # session additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
