@@ -189,3 +189,24 @@ def test_interval_coverage_bounds(spark, sf_dir):
     for ck, r in per_cust.items():
         assert 1 <= r.n_busy_periods <= n_orders[ck]
         assert r.covered_days >= r.n_busy_periods  # each period >= 1 day
+
+
+def test_kaplan_meier_monotone(spark, sf_dir):
+    rows = _QS["kaplan_meier_churn"](spark, sf_dir).collect()
+    assert rows
+    prev = 0
+    for r in rows:
+        assert 0 < r.d <= r.n_risk
+        assert r.cum_logsurv_e9 <= prev  # survival never increases
+        prev = r.cum_logsurv_e9
+
+
+def test_mrr_reciprocal_identity(spark, sf_dir):
+    rows = _QS["mrr_retrieval_eval"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r.first_rel is not None:
+            assert 1 <= r.first_rel <= 10
+            assert r.rr_e6 == 1_000_000 // r.first_rel
+        else:
+            assert r.rr_e6 == 0
