@@ -248,3 +248,107 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "neighbor", "co", "cosine_e6", F.col("rk").cast("int").alias("rk"))
         .orderBy("item", "rk")
     )
+
+
+@query(
+    "frequent_triples",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), pairs AS (
+        SELECT a.item AS i1, b.item AS i2
+        FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), triples AS (
+        SELECT a.item AS part_a, b.item AS part_b, c.item AS part_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.basket = b.basket AND a.item < b.item
+        JOIN items c ON b.basket = c.basket AND b.item < c.item
+        JOIN pairs pab ON pab.i1 = a.item AND pab.i2 = b.item
+        JOIN pairs pbc ON pbc.i1 = b.item AND pbc.i2 = c.item
+        JOIN pairs pac ON pac.i1 = a.item AND pac.i2 = c.item
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, part_c, support
+    FROM triples
+    ORDER BY support DESC, part_a, part_b, part_c
+    LIMIT 50
+    """,
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-3 frequent itemsets: part triples co-purchased in
+    >= 2 orders, with the levelwise pruning that makes a-priori scale —
+    a triple is only counted if ALL THREE of its member pairs are
+    already frequent (downward closure), so the candidate space collapses
+    before the expensive 3-way basket join. Top-50 by support.
+
+    Scale: the basket self-joins fan out k(k-1)(k-2)/6 per basket with k
+    bounded by order width (<= 7), and the three frequent-pair semi-joins
+    prune candidates with broadcast-sized tables (frequent pairs are a
+    tiny fraction of the pair space at any real support floor). This is
+    the canonical distributed a-priori step: candidate generation stays
+    basket-local, pruning uses the PREVIOUS level's output, and only the
+    surviving candidates shuffle to the count. The 2-itemset level is
+    association_rules one shelf up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    c = items.alias("c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count("*").alias("pn"))
+        .filter(F.col("pn") >= 2)
+        .select("i1", "i2")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .join(
+            c,
+            (F.col("b.basket") == F.col("c.basket"))
+            & (F.col("b.item") < F.col("c.item")),
+        )
+        .select(
+            F.col("a.basket").alias("basket"),
+            F.col("a.item").alias("part_a"),
+            F.col("b.item").alias("part_b"),
+            F.col("c.item").alias("part_c"),
+        )
+    )
+    pruned = (
+        cand.join(
+            F.broadcast(pairs).withColumnRenamed("i1", "part_a")
+            .withColumnRenamed("i2", "part_b"),
+            ["part_a", "part_b"],
+        )
+        .join(
+            F.broadcast(pairs).withColumnRenamed("i1", "part_b")
+            .withColumnRenamed("i2", "part_c"),
+            ["part_b", "part_c"],
+        )
+        .join(
+            F.broadcast(pairs).withColumnRenamed("i1", "part_a")
+            .withColumnRenamed("i2", "part_c"),
+            ["part_a", "part_c"],
+        )
+    )
+    return (
+        pruned.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
+        .limit(50)
+    )

@@ -887,3 +887,83 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("lat_us"))
         ).cast("bigint").alias("p99_us"),
     )
+
+
+@query(
+    "clamped_stock_balance",
+    oracle="""
+    WITH moves AS (
+        SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS BIGINT)
+                        ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+        FROM lineitem WHERE l_partkey <= 100
+        GROUP BY 1, 2
+    ), pref AS (
+        SELECT part, d, x,
+               SUM(x) OVER (PARTITION BY part ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        FROM moves
+    ), runs AS (
+        SELECT part, d, x, prefix,
+               MIN(prefix) OVER (PARTITION BY part ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+        FROM pref
+    )
+    SELECT part, d, x,
+           CAST(prefix - LEAST(run_min, 0) AS BIGINT) AS balance
+    FROM runs ORDER BY part, d
+    """,
+)
+def clamped_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running stock balance per part: returns ('R') restock
+    (+qty), other shipments draw down (-qty), and the balance can never
+    go negative — the sequential recurrence b_t = max(0, b_{t-1} + x_t)
+    every inventory/credit ledger needs, which LOOKS like it requires a
+    recursive scan but collapses to the Lindley closed form
+    b_t = prefix_t - min(0, min_{s<=t} prefix_s): a prefix sum and a
+    running min, two stacked windows over the SAME partitioning.
+
+    That closed form is the scale story: the naive formulation is a
+    per-key sequential loop (applyInPandas state, or a recursion DuckDB
+    caps at default depth), while this plan is two window passes sharing
+    one exchange on the part key — pure codegen, no Python, no iteration,
+    identical on both engines. Day-collapsed moves bound each frame by
+    the calendar; the part <= 100 filter bounds the checked output (the
+    plan is per-key independent, so the filter pushes to the scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 100)
+    moves = (
+        li.groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(-F.col("l_quantity").cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = (
+        W.partitionBy("part")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = moves.select(
+        "part",
+        "d",
+        "x",
+        F.sum("x").over(w).alias("prefix"),
+    ).withColumn("run_min", F.min("prefix").over(w))
+    return pref.select(
+        "part",
+        "d",
+        "x",
+        (F.col("prefix") - F.least(F.col("run_min"), F.lit(0)))
+        .cast("bigint")
+        .alias("balance"),
+    ).orderBy("part", "d")

