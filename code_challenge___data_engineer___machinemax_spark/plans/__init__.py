@@ -18,5 +18,7 @@ from . import sketch_queries  # noqa: F401
 from . import layout_queries  # noqa: F401
 from . import feature_queries  # noqa: F401
 from . import recsys_queries  # noqa: F401
+from . import behavior_queries  # noqa: F401
+from . import graph_queries  # noqa: F401
 
 from .registry import all_oracles, all_queries  # noqa: F401

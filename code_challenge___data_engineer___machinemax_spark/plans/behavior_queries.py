@@ -1,0 +1,213 @@
+"""Product/behavioral analytics over the events stream: weekly cohort
+retention and the ordered multi-step conversion funnel.
+
+These are the two reports every event-log consumer builds first, and they
+generalize the reference's aggregate reporting surface (index.py:144,212
+count rollups; api.py:22-26 filtered retrieval) from one-shot counts to
+cohorted time-offset and ordered-sequence semantics.
+
+Both queries follow the repo's exact-arithmetic discipline: every count is
+an int64, every rate is an integer DIV of scaled counts (floor == trunc on
+non-negative inputs), so the DuckDB oracle compare is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), cells AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                    AS INT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_week AS cohort_week, c.week_offset, c.active_users,
+           s.cohort_size,
+           CAST(c.active_users * 1000000 // s.cohort_size AS BIGINT)
+               AS retention_e6
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the ISO week
+    of their first event; each (cohort, week-offset) cell counts the
+    distinct users from that cohort active in that later week, with the
+    retention share as an exact integer-DIV rate.
+
+    Scale: two fact-sized passes, both keyed on user_id — the first-event
+    aggregate and the distinct (user, week) activity reduction — then one
+    user-dimension-sized equi-join on user_id (co-partitioned; AQE
+    broadcasts the firsts side when the user dimension is small). The
+    output grid is cohorts x offsets — weeks², never fact-sized. No
+    windows, no per-row Python. Rates are active*1e6 DIV cohort_size on
+    int64 counts: floor division of non-negative integers, identical in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.expr("active_users * 1000000 DIV cohort_size")
+            .cast("bigint")
+            .alias("retention_e6"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "funnel_conversion_ordered",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), tot AS (
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3,
+               CAST((SELECT COUNT(*) FROM s4) AS BIGINT) AS n4
+    ), steps AS (
+        SELECT 1 AS step_idx, 'signup' AS step, n1 AS users, n1 AS prev_users,
+               n1 AS first_users FROM tot
+        UNION ALL
+        SELECT 2, 'view', n2, n1, n1 FROM tot
+        UNION ALL
+        SELECT 3, 'click', n3, n2, n1 FROM tot
+        UNION ALL
+        SELECT 4, 'purchase', n4, n3, n1 FROM tot
+    )
+    SELECT CAST(step_idx AS INT) AS step_idx, step, users,
+           CAST(CASE WHEN prev_users = 0 THEN 0
+                     ELSE users * 1000000 // prev_users END AS BIGINT)
+               AS conv_prev_e6,
+           CAST(CASE WHEN first_users = 0 THEN 0
+                     ELSE users * 1000000 // first_users END AS BIGINT)
+               AS conv_first_e6
+    FROM steps
+    ORDER BY step_idx
+    """,
+)
+def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase: a user
+    reaches step k only with an event of that type STRICTLY AFTER their
+    step-(k-1) timestamp — the order-sensitive semantics that a bare
+    per-type count-distinct funnel gets wrong.
+
+    Scale: each stage filters the fact table by one event type (pushed to
+    the scan) and aggregates MIN(ts) per user after an equi-join on
+    user_id against the previous stage's user-dimension frame — four
+    user-keyed passes, every join co-partitioned on user_id, reached-user
+    frames shrink monotonically (broadcast candidates under AQE). The
+    final report is assembled from four scalar counts with stack() — one
+    4-row output, rates as integer DIV of e6-scaled counts."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    s2 = first_after("view", s1)
+    s3 = first_after("click", s2)
+    s4 = first_after("purchase", s3)
+    tot = (
+        s1.agg(F.count("*").cast("bigint").alias("n1"))
+        .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n2")))
+        .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n3")))
+        .crossJoin(s4.agg(F.count("*").cast("bigint").alias("n4")))
+    )
+    steps = tot.select(
+        F.expr(
+            "stack(4, 1, 'signup', n1, n1,"
+            " 2, 'view', n2, n1,"
+            " 3, 'click', n3, n2,"
+            " 4, 'purchase', n4, n3)"
+            " AS (step_idx, step, users, prev_users)"
+        ),
+        F.col("n1").alias("first_users"),
+    )
+    return (
+        steps.select(
+            F.col("step_idx").cast("int").alias("step_idx"),
+            "step",
+            "users",
+            F.expr(
+                "CASE WHEN prev_users = 0 THEN 0"
+                " ELSE users * 1000000 DIV prev_users END"
+            )
+            .cast("bigint")
+            .alias("conv_prev_e6"),
+            F.expr(
+                "CASE WHEN first_users = 0 THEN 0"
+                " ELSE users * 1000000 DIV first_users END"
+            )
+            .cast("bigint")
+            .alias("conv_first_e6"),
+        )
+        .orderBy("step_idx")
+    )

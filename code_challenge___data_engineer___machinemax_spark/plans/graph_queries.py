@@ -1,0 +1,208 @@
+"""Graph analytics over the co-purchase graph: triangle participation
+counts and Adamic-Adar link prediction.
+
+The graph is the support-floored co-purchase projection of the order log
+(nodes = parts, an edge where two parts are bought together in >= 2
+orders — the same edge derivation as `association_rules`), extending the
+repo's traversal surface (`bfs_hops_from_customer`,
+`bellman_ford_hops`, `pagerank_customer_supplier`) with the two classic
+neighborhood-structure primitives: closed-wedge counting and weighted
+common-neighbor scoring. Generalizes the reference's link-graph surface
+(index.py:158-165 extracts links and classifies them by site) from
+per-page link lists to whole-graph structure.
+
+Exactness: triangle counts are pure int64; Adamic-Adar contributions are
+per-neighbor trunc(1e6/ln(deg)) integers summed with int64 addition
+(order-independent — the per-cell-trunc-then-int-sum idiom shared with
+`psi_drift_report` / `gini_feature_scores`), so both engines emit
+identical BIGINTs. ln() evaluates identically across engines per the
+established entropy idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+# Shared oracle fragment: the support-floored canonical edge list (x < y,
+# co-purchased in >= 2 distinct orders).
+_EDGES_SQL = """
+        SELECT a.item AS x, b.item AS y
+        FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem) b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (x < y) support-floored co-purchase edges.
+
+    The basket self-join fans out k(k-1)/2 per order with k bounded by
+    order width (<= 7 lineitems here) — per-row constant work keyed on
+    the basket, never a cross product; the >= 2 support floor prunes the
+    singleton tail so the edge list is item-dimension scaled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("x", "y")
+    )
+
+
+@query(
+    "triangle_participation",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}
+    ), tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.x = e1.y
+        JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+    ), nodes AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY part
+    ORDER BY n_triangles DESC, part
+    LIMIT 50
+    """,
+)
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-purchase graph: for
+    every part, how many closed triples it sits in (top-50) — the local
+    clustering signal behind community/cohesion analytics.
+
+    Scale: edges are stored id-oriented (x < y), so a triangle a<b<c is
+    enumerated exactly once as the wedge (a,b)+(b,c) closed by the
+    equi-join probe (a,c) — the standard oriented wedge-close that keeps
+    fan-out at sum(outdeg²) instead of the unoriented sum(deg²); the
+    production knob at 100 TB is re-orienting by (degree, id) so hubs get
+    small out-degrees, identical output. Every join is an equi-join on
+    node or (node, node) pair keys — co-partitioned shuffles, no
+    cartesian. The support floor bounds the edge list; per-node counts
+    come from a stack() explode of the (small) triangle set."""
+    edges = _edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.x") == F.col("e1.y"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .select(
+            F.col("e1.x").alias("a"),
+            F.col("e1.y").alias("b"),
+            F.col("e2.y").alias("c"),
+        )
+    )
+    nodes = tri.select(F.expr("stack(3, a, b, c) AS (part)"))
+    return (
+        nodes.groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(50)
+    )
+
+
+@query(
+    "adamic_adar_links",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}
+    ), und AS (
+        SELECT x AS n, y AS nb FROM edges
+        UNION ALL
+        SELECT y, x FROM edges
+    ), deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY n
+    ), wedge AS (
+        SELECT a.n AS u, b.n AS v, a.nb AS w
+        FROM und a JOIN und b ON a.nb = b.nb AND a.n < b.n
+    ), contrib AS (
+        SELECT wg.u, wg.v,
+               CAST(trunc(1e6 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)
+                   AS aa_e6
+        FROM wedge wg JOIN deg ON wg.w = deg.n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.x = wg.u AND e.y = wg.v
+        )
+    )
+    SELECT u AS part_u, v AS part_v,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           CAST(SUM(aa_e6) AS BIGINT) AS aa_score_e6
+    FROM contrib GROUP BY u, v
+    ORDER BY aa_score_e6 DESC, part_u, part_v
+    LIMIT 50
+    """,
+)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: for every
+    NON-adjacent part pair, sum 1/ln(deg(w)) over their common neighbors
+    w — rare shared neighbors count more — and report the top-50
+    predicted links.
+
+    Scale: wedges are enumerated from the undirected adjacency list by a
+    self-equi-join on the shared neighbor (fan-out deg(w)² per node — the
+    hub-explosion knob; at 100 TB the hot-node cap idiom from
+    operators/dedup.py bounds it, and the support floor already prunes
+    the long tail). The degree table is node-dimension sized and
+    broadcast; existing edges are removed with an anti-join on the
+    canonical (u, v) pair key. Per-wedge contributions are trunc-scaled
+    BEFORE the int64 sum, so aggregation order cannot perturb the
+    result."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("x").alias("n"), F.col("y").alias("nb")).unionAll(
+        edges.select(F.col("y").alias("n"), F.col("x").alias("nb"))
+    )
+    deg = und.groupBy(F.col("n").alias("w")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    a, b = und.alias("a"), und.alias("b")
+    wedge = a.join(
+        b, (F.col("a.nb") == F.col("b.nb")) & (F.col("a.n") < F.col("b.n"))
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.nb").alias("w")
+    )
+    contrib = (
+        wedge.join(
+            edges.withColumnRenamed("x", "u").withColumnRenamed("y", "v"),
+            ["u", "v"],
+            "left_anti",
+        )
+        .join(F.broadcast(deg), "w")
+        .select(
+            "u",
+            "v",
+            F.expr("CAST(1e6 / ln(CAST(d AS DOUBLE)) AS BIGINT)").alias(
+                "aa_e6"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy(F.col("u").alias("part_u"), F.col("v").alias("part_v"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum("aa_e6").cast("bigint").alias("aa_score_e6"),
+        )
+        .orderBy(F.desc("aa_score_e6"), "part_u", "part_v")
+        .limit(50)
+    )

@@ -136,7 +136,9 @@ DRIVER_PRIORITY: list[str] = [
     # streamed_segment_enrichment, variant_props_extract,
     # video_sampled_frame_decode, winsorized_segment_stats, zorder_layout,
     # kaplan_meier_churn, mrr_retrieval_eval, frequent_triples,
-    # clamped_stock_balance (56 total after the final session additions)
+    # clamped_stock_balance, cohort_retention_matrix,
+    # funnel_conversion_ordered, triangle_participation,
+    # adamic_adar_links (60 total after the final session additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -1,0 +1,123 @@
+"""Semantic invariant tests for the behavioral-analytics and graph
+queries — properties the oracle/golden comparison can't express
+(monotonicity, conservation, dominance, handshake parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as mod
+
+_QS = mod.queries()
+
+
+def test_cohort_retention_offset0_is_full(spark, sf_dir):
+    rows = _QS["cohort_retention_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= r.cohort_size
+        assert 0 < r.retention_e6 <= 1_000_000
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r
+    for cohort, cells in by_cohort.items():
+        # every user is active in their own first week by construction
+        assert 0 in cells, cohort
+        assert cells[0].active_users == cells[0].cohort_size
+        assert cells[0].retention_e6 == 1_000_000
+
+
+def test_cohort_sizes_partition_users(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["cohort_retention_matrix"](spark, sf_dir).collect()
+    total_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # cohorts partition the user base: offset-0 cells sum to all users
+    assert (
+        sum(r.cohort_size for r in rows if r.week_offset == 0) == total_users
+    )
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        _QS["funnel_conversion_ordered"](spark, sf_dir).collect(),
+        key=lambda r: r.step_idx,
+    )
+    assert [r.step for r in rows] == ["signup", "view", "click", "purchase"]
+    for prev, cur in zip(rows, rows[1:]):
+        # a user must pass step k-1 before step k
+        assert cur.users <= prev.users
+        assert 0 <= cur.conv_prev_e6 <= 1_000_000
+        assert cur.conv_first_e6 <= prev.conv_first_e6
+    assert rows[0].conv_prev_e6 == 1_000_000
+    assert rows[0].conv_first_e6 == 1_000_000
+
+
+def test_funnel_ordering_is_stricter_than_presence(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["funnel_conversion_ordered"](spark, sf_dir).collect()
+    purchase_step = next(r for r in rows if r.step == "purchase")
+    e = load_table(spark, sf_dir, "events")
+    has_all = (
+        e.filter(
+            F.col("event_type").isin("signup", "view", "click", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 4)
+        .count()
+    )
+    # ordered-sequence completion can never exceed unordered presence
+    assert purchase_step.users <= has_all
+
+
+def test_triangle_counts_conserve_total(spark, sf_dir):
+    rows = _QS["triangle_participation"](spark, sf_dir).collect()
+    assert rows, "support floor left no triangles at the test SF"
+    # each triangle contributes exactly 3 node participations; with the
+    # full (un-LIMITed) node set the sum is divisible by 3 — recompute
+    # without the top-50 cut via the same registered plan's parent
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _edges,
+    )
+
+    edges = _edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.x") == F.col("e1.y"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .count()
+    )
+    assert n_tri > 0
+    # top-50 participation counts are bounded by the global triangle count
+    for r in rows:
+        assert 0 < r.n_triangles <= n_tri
+
+
+def test_adamic_adar_pairs_are_nonadjacent_and_bounded(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _edges,
+    )
+
+    rows = _QS["adamic_adar_links"](spark, sf_dir).collect()
+    assert rows
+    edge_set = {
+        (r.x, r.y) for r in _edges(spark, sf_dir).collect()
+    }
+    # 1/ln(2) is the max per-neighbor contribution (deg >= 2)
+    max_contrib = int(1e6 / 0.6931471805599453) + 1
+    for r in rows:
+        assert r.part_u < r.part_v
+        assert (r.part_u, r.part_v) not in edge_set, "predicted an edge"
+        assert r.common_neighbors >= 1
+        assert 0 < r.aa_score_e6 <= r.common_neighbors * max_contrib
