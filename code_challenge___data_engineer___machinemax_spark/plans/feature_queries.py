@@ -914,3 +914,112 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.sum("ln_term_e9").over(w_asc).cast("bigint").alias("cum_logsurv_e9"),
     ).orderBy("t")
+
+
+# WOE assembly: Laplace-smoothed odds ratio as ONE ln over a ratio of two
+# exact int64 products (counts are small enough that the products stay far
+# inside int64); the IV cell term multiplies the share difference back in.
+# Per-cell trunc-then-int-sum keeps any downstream aggregation
+# order-independent (the psi_drift_report idiom).
+_WOE_RATIO = (
+    "CAST((n_good + 1) * (bad_tot + nb) AS DOUBLE)"
+    " / CAST((n_bad + 1) * (good_tot + nb) AS DOUBLE)"
+)
+_WOE_SHARE_DIFF = (
+    "(CAST(n_good + 1 AS DOUBLE) / CAST(good_tot + nb AS DOUBLE)"
+    " - CAST(n_bad + 1 AS DOUBLE) / CAST(bad_tot + nb AS DOUBLE))"
+)
+_WOE_E6 = f"CAST(trunc(1e6 * ln({_WOE_RATIO})) AS BIGINT)"
+_WOE_E6_SPARK = f"CAST(1e6 * ln({_WOE_RATIO}) AS BIGINT)"
+_IV_E9 = f"CAST(trunc(1e9 * {_WOE_SHARE_DIFF} * ln({_WOE_RATIO})) AS BIGINT)"
+_IV_E9_SPARK = f"CAST(1e9 * {_WOE_SHARE_DIFF} * ln({_WOE_RATIO}) AS BIGINT)"
+
+
+@query(
+    "woe_iv_encoding",
+    oracle=f"""
+    WITH lab AS (
+        SELECT c.c_mktsegment AS seg, CAST(c.c_nationkey AS VARCHAR) AS nat,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS good
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), long AS (
+        SELECT f.feature,
+               CASE f.feature WHEN 'mktsegment' THEN seg ELSE nat END
+                   AS bucket,
+               good
+        FROM lab CROSS JOIN (
+            SELECT 'mktsegment' AS feature UNION ALL SELECT 'nation'
+        ) f
+    ), cells AS (
+        SELECT feature, bucket,
+               CAST(SUM(good) AS BIGINT) AS n_good,
+               CAST(COUNT(*) - SUM(good) AS BIGINT) AS n_bad
+        FROM long GROUP BY 1, 2
+    ), tot AS (
+        SELECT feature,
+               CAST(SUM(n_good) AS BIGINT) AS good_tot,
+               CAST(SUM(n_bad) AS BIGINT) AS bad_tot,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM cells GROUP BY 1
+    )
+    SELECT c.feature AS feature, c.bucket, c.n_good, c.n_bad,
+           {_WOE_E6} AS woe_e6,
+           {_IV_E9} AS iv_cell_e9
+    FROM cells c JOIN tot t ON c.feature = t.feature
+    ORDER BY feature, bucket
+    """,
+)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + per-bucket information-value terms for
+    two categorical customer features (market segment, nation) against a
+    binary high-priority-order label — the credit-scoring-style categorical
+    encoder that, unlike `loo_target_encoding`, produces a log-odds scale
+    and a feature-ranking statistic (IV = sum of the cell terms).
+
+    Scale: one fact-sized pass — orders broadcast-joined to the customer
+    dimension, stack()-ed into (feature, bucket) long form, then a
+    map-side-combined conditional-count aggregate; everything after is
+    vocabulary-sized (buckets x features), with per-feature totals joined
+    back broadcast. Laplace (+1 per cell, +n_buckets per total) keeps
+    empty-side buckets finite. WOE is ONE ln over a ratio of exact int64
+    products; the IV cell term is trunc-scaled BEFORE any summation, so a
+    consumer's feature-level IV (SUM(iv_cell_e9)) is order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lab = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("good"),
+    )
+    long = lab.select(
+        F.expr(
+            "stack(2, 'mktsegment', seg, 'nation', nat) AS (feature, bucket)"
+        ),
+        "good",
+    )
+    cells = long.groupBy("feature", "bucket").agg(
+        F.sum("good").cast("bigint").alias("n_good"),
+        (F.count("*") - F.sum("good")).cast("bigint").alias("n_bad"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("n_good").cast("bigint").alias("good_tot"),
+        F.sum("n_bad").cast("bigint").alias("bad_tot"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    return (
+        cells.join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            "bucket",
+            "n_good",
+            "n_bad",
+            F.expr(_WOE_E6_SPARK).alias("woe_e6"),
+            F.expr(_IV_E9_SPARK).alias("iv_cell_e9"),
+        )
+        .orderBy("feature", "bucket")
+    )

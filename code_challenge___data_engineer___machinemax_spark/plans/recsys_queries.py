@@ -352,3 +352,155 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
         .limit(50)
     )
+
+
+@query(
+    "recsys_hitrate_eval",
+    oracle="""
+    WITH ol AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i, o.o_orderdate AS od,
+               o.o_orderkey AS ok, l.l_linenumber AS ln_
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), lastpick AS (
+        SELECT u, i AS held FROM (
+            SELECT u, i, ROW_NUMBER() OVER (
+                PARTITION BY u
+                ORDER BY od DESC, ok DESC, ln_ DESC, i DESC) AS rn
+            FROM ol)
+        WHERE rn = 1
+    ), train AS (
+        SELECT DISTINCT ol.u, ol.i
+        FROM ol JOIN lastpick lp ON ol.u = lp.u
+        WHERE ol.i <> lp.held
+    ), co AS (
+        SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS co
+        FROM train a JOIN train b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT item_a AS i, item_b AS j, co FROM co
+        UNION ALL
+        SELECT item_b, item_a, co FROM co
+    ), cand AS (
+        SELECT t.u, s.j, CAST(SUM(s.co) AS BIGINT) AS score
+        FROM train t JOIN sym s ON t.i = s.i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM train t2 WHERE t2.u = t.u AND t2.i = s.j
+        )
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT u, j, ROW_NUMBER() OVER (
+            PARTITION BY u ORDER BY score DESC, j) AS rk
+        FROM cand
+    ), eval_ AS (
+        SELECT lp.u,
+               CASE WHEN EXISTS (SELECT 1 FROM train t WHERE t.u = lp.u)
+                    THEN 1 ELSE 0 END AS eligible,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM ranked r
+                   WHERE r.u = lp.u AND r.j = lp.held AND r.rk <= 10)
+                    THEN 1 ELSE 0 END AS hit
+        FROM lastpick lp
+    )
+    SELECT CAST(SUM(eligible) AS BIGINT) AS n_eval,
+           CAST(SUM(hit) AS BIGINT) AS hits_at10,
+           CAST(SUM(hit) * 1000000 // SUM(eligible) AS BIGINT)
+               AS hitrate_e6
+    FROM eval_
+    """,
+)
+def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-item-out hit-rate@10 for the co-occurrence recommender:
+    each customer's chronologically last purchased part (every occurrence
+    of it) is held out, the item-item co-count matrix is rebuilt from the
+    remaining history only (leakage-free by construction), each customer
+    is scored on sum-of-co-counts over their training items, and a hit is
+    the held-out part appearing in their top-10 — the offline eval
+    harness for `item_item_similarity`.
+
+    Scale: the last-pick window partitions by customer (per-user frames);
+    the co matrix reuses the customer-keyed self-join bounded by per-user
+    basket width with the >= 2 support floor pruning the tail; candidate
+    generation joins each user's train items to the pruned neighbor
+    lists (fan-out = items-per-user x avg-neighbors, both floored), with
+    already-owned items removed by a user-keyed anti-join. The top-10
+    window partitions by user over the small candidate frame. Output is
+    one row of exact int64 counters; the rate is integer DIV."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ol = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("o_orderdate").alias("od"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_"),
+    )
+    # (ok, ln_) is NOT unique in this synthetic lineitem — the same order
+    # can repeat a linenumber — so the part id closes the total order.
+    w_last = W.partitionBy("u").orderBy(
+        F.desc("od"), F.desc("ok"), F.desc("ln_"), F.desc("i")
+    )
+    lastpick = (
+        ol.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("i").alias("held"))
+    )
+    train = (
+        ol.join(lastpick, "u")
+        .filter(F.col("i") != F.col("held"))
+        .select("u", "i")
+        .distinct()
+    )
+    a, b = train.alias("a"), train.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = co.select(
+        F.col("item_a").alias("i"), F.col("item_b").alias("j"), "co"
+    ).unionAll(
+        co.select(
+            F.col("item_b").alias("i"), F.col("item_a").alias("j"), "co"
+        )
+    )
+    cand = (
+        train.join(sym, "i")
+        .join(
+            train.select(F.col("u").alias("u"), F.col("i").alias("j")),
+            ["u", "j"],
+            "left_anti",
+        )
+        .groupBy("u", "j")
+        .agg(F.sum("co").cast("bigint").alias("score"))
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("u").orderBy(F.desc("score"), "j")),
+    ).filter(F.col("rk") <= 10)
+    eligible = train.select("u").distinct().withColumn("eligible", F.lit(1))
+    hits = (
+        ranked.join(
+            lastpick, (ranked["u"] == lastpick["u"]) & (ranked["j"] == lastpick["held"])
+        )
+        .select(ranked["u"])
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_user = (
+        lastpick.select("u")
+        .join(eligible, "u", "left")
+        .join(hits, "u", "left")
+        .select(
+            F.coalesce("eligible", F.lit(0)).alias("eligible"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+    )
+    return per_user.agg(
+        F.sum("eligible").cast("bigint").alias("n_eval"),
+        F.sum("hit").cast("bigint").alias("hits_at10"),
+        F.expr("SUM(hit) * 1000000 DIV SUM(eligible)")
+        .cast("bigint")
+        .alias("hitrate_e6"),
+    )

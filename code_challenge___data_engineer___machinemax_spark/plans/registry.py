@@ -138,7 +138,9 @@ DRIVER_PRIORITY: list[str] = [
     # kaplan_meier_churn, mrr_retrieval_eval, frequent_triples,
     # clamped_stock_balance, cohort_retention_matrix,
     # funnel_conversion_ordered, triangle_participation,
-    # adamic_adar_links (60 total after the final session additions)
+    # adamic_adar_links, daily_revenue_acf, woe_iv_encoding,
+    # recsys_hitrate_eval, weighted_priority_sample (64 total after the
+    # final session additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

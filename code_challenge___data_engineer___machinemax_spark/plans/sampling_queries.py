@@ -191,3 +191,63 @@ def stratified_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("source", "fold").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# Efraimidis–Spirakis A-Res key: u = (h + 1) / 2^60 from a 60-bit md5
+# hash (u in (0, 1], never ln(0)), key = ln(u) / w — taking the LARGEST
+# keys is exactly weighted sampling without replacement with inclusion
+# probability proportional to w. One shared IEEE tree over the exact
+# int hash; trunc toward zero on both engines (key is negative: Spark
+# CAST and DuckDB trunc() both go toward zero).
+_ES_KEY = (
+    "ln((CAST({h} AS DOUBLE) + 1) / 1152921504606846976)"
+    " / CAST(n_chars AS DOUBLE) * 1e9"
+)
+_ES_KEY_DUCK = _ES_KEY.format(
+    h="CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_ES_KEY_SPARK = _ES_KEY.format(
+    h="CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "weighted_priority_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(trunc({_ES_KEY_DUCK}) AS BIGINT) AS key_e9
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY key_e9 DESC, doc_id
+    LIMIT 200
+    """,
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-Res) of 200
+    documents with inclusion probability proportional to document length —
+    the deterministic weighted companion to `priority_sample_docs`
+    (uniform) and `weighted_corpus_mix` (quota-based): longer documents
+    are proportionally more likely to win, yet the draw is a pure
+    function of doc_id, so it is reproducible across engines, runs, and
+    partitionings.
+
+    The per-row key is ln(u)/w with u derived from a 60-bit md5 hash —
+    no RNG state, no driver coordination; taking the top-k keys IS the
+    weighted sample (Efraimidis & Spirakis 2006). Scale: one fact-sized
+    projection (codegen: md5 + ln per row) followed by
+    TakeOrderedAndProject — per-partition top-200 then a 200-row merge
+    on the driver, never a global sort. Keys are trunc-scaled to int64
+    with doc_id tiebreak, so the boundary is exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.expr(_ES_KEY_SPARK).cast("bigint").alias("key_e9"),
+        )
+        .orderBy(F.desc("key_e9"), "doc_id")
+        .limit(200)
+    )

@@ -967,3 +967,118 @@ def clamped_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("balance"),
     ).orderBy("part", "d")
+
+
+# Lag-correlation assembly: Pearson over exact int64 moments, one shared
+# IEEE tree; trunc toward zero on both engines (Spark CAST truncates,
+# DuckDB gets an explicit trunc()). Degenerate variance -> 0.
+_ACF_CASE = (
+    "CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN 0"
+    " ELSE {inner} END"
+)
+_ACF_INNER = (
+    "CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6"
+)
+_ACF_E6 = _ACF_CASE.format(inner=f"CAST(trunc({_ACF_INNER}) AS BIGINT)")
+_ACF_E6_SPARK = _ACF_CASE.format(inner=f"CAST({_ACF_INNER} AS BIGINT)")
+
+
+@query(
+    "daily_revenue_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
+    ), grid AS (
+        SELECT d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gd
+        FROM bounds
+    ), series AS (
+        SELECT CAST(date_diff('day', g.d0, CAST(g.gd AS DATE)) AS BIGINT)
+                   AS idx,
+               COALESCE(dy.rev, 0) // 1000 AS kd
+        FROM grid g LEFT JOIN daily dy ON CAST(g.gd AS DATE) = dy.d
+    ), lags AS (
+        SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag
+    ), mom AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.kd) AS BIGINT) AS sx,
+               CAST(SUM(b.kd) AS BIGINT) AS sy,
+               CAST(SUM(a.kd * a.kd) AS BIGINT) AS sxx,
+               CAST(SUM(b.kd * b.kd) AS BIGINT) AS syy,
+               CAST(SUM(a.kd * b.kd) AS BIGINT) AS sxy
+        FROM lags l
+        CROSS JOIN series a
+        JOIN series b ON b.idx = a.idx + l.lag
+        GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST({_ACF_E6} AS BIGINT) AS acf_e6
+    FROM mom ORDER BY lag
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of daily order revenue at lags 1..7: the
+    Pearson correlation between the zero-filled daily revenue series and
+    its lag-shifted copy — the seasonality detector that tells a
+    forecasting pipeline which seasonal-naive period to use (the
+    companion diagnostic to `seasonal_naive_backtest`).
+
+    The calendar is generated DENSE from the observed date bounds
+    (sequence + explode on a 1-row bounds frame), so silent days enter as
+    zeros instead of silently contracting the lag alignment. Revenue is
+    reduced to whole kilodollars BEFORE the moment sums — n*sxx then
+    stays far inside int64 at 100x this scale (whole dollars would
+    overflow at the 10x replica, the ab_test_welch lesson). Scale: the
+    only fact-sized pass is the per-day aggregate (map-side combined);
+    the series frame is calendar-sized, the 7-lag alignment self-join is
+    an equi-join on the shifted day index, and the correlation is one
+    shared IEEE expression over six exact int64 moments per lag — 7
+    output rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.expr("CAST(o_totalprice AS BIGINT)").alias("rev_d"),
+        )
+        .groupBy("d")
+        .agg(F.sum("rev_d").cast("bigint").alias("rev"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        "d0", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("gd")
+    )
+    series = (
+        grid.join(daily, grid["gd"] == daily["d"], "left")
+        .select(
+            F.datediff("gd", "d0").cast("bigint").alias("idx"),
+            F.expr("COALESCE(rev, 0) DIV 1000").alias("kd"),
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = series.alias("a"), series.alias("b")
+    mom = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("a.kd").cast("bigint").alias("sx"),
+            F.sum("b.kd").cast("bigint").alias("sy"),
+            F.sum(F.col("a.kd") * F.col("a.kd")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.kd") * F.col("b.kd")).cast("bigint").alias("syy"),
+            F.sum(F.col("a.kd") * F.col("b.kd")).cast("bigint").alias("sxy"),
+        )
+    )
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.expr(_ACF_E6_SPARK).cast("bigint").alias("acf_e6"),
+    ).orderBy("lag")

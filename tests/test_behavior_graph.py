@@ -121,3 +121,58 @@ def test_adamic_adar_pairs_are_nonadjacent_and_bounded(spark, sf_dir):
         assert (r.part_u, r.part_v) not in edge_set, "predicted an edge"
         assert r.common_neighbors >= 1
         assert 0 < r.aa_score_e6 <= r.common_neighbors * max_contrib
+
+
+def test_daily_revenue_acf_shape_and_bounds(spark, sf_dir):
+    rows = sorted(
+        _QS["daily_revenue_acf"](spark, sf_dir).collect(),
+        key=lambda r: r.lag,
+    )
+    assert [r.lag for r in rows] == list(range(1, 8))
+    n0 = rows[0].n
+    for r in rows:
+        # correlation in [-1, 1]
+        assert -1_000_000 <= r.acf_e6 <= 1_000_000
+        # each extra lag loses exactly one aligned pair on a dense grid
+        assert r.n == n0 - (r.lag - 1)
+
+
+def test_woe_iv_cells_nonnegative_and_consistent(spark, sf_dir):
+    rows = _QS["woe_iv_encoding"](spark, sf_dir).collect()
+    feats = {}
+    for r in rows:
+        # (sg - sb) and ln(sg/sb) always share a sign -> IV cell >= 0
+        assert r.iv_cell_e9 >= 0, (r.feature, r.bucket)
+        g, b = feats.setdefault(r.feature, [0, 0])
+        feats[r.feature] = [g + r.n_good, b + r.n_bad]
+    assert set(feats) == {"mktsegment", "nation"}
+    # both features stack the SAME labeled orders -> identical totals
+    assert feats["mktsegment"] == feats["nation"]
+
+
+def test_recsys_hitrate_counters_consistent(spark, sf_dir):
+    (row,) = _QS["recsys_hitrate_eval"](spark, sf_dir).collect()
+    assert 0 <= row.hits_at10 <= row.n_eval
+    assert row.hitrate_e6 == row.hits_at10 * 1_000_000 // row.n_eval
+
+
+def test_weighted_sample_keys_ordered_and_negative(spark, sf_dir):
+    rows = _QS["weighted_priority_sample"](spark, sf_dir).collect()
+    assert len(rows) == 200
+    keys = [r.key_e9 for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    for r in rows:
+        assert r.key_e9 <= 0  # ln(u) <= 0 for u in (0, 1]
+        assert r.weight > 0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["weighted_priority_sample"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    mean_all = d.agg(F.avg("n_chars")).first()[0]
+    mean_sample = sum(r.weight for r in rows) / len(rows)
+    # length-proportional sampling must pull the sample mean above the
+    # corpus mean (a uniform draw would straddle it)
+    assert mean_sample > mean_all
