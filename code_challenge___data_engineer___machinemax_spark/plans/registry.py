@@ -139,8 +139,9 @@ DRIVER_PRIORITY: list[str] = [
     # clamped_stock_balance, cohort_retention_matrix,
     # funnel_conversion_ordered, triangle_participation,
     # adamic_adar_links, daily_revenue_acf, woe_iv_encoding,
-    # recsys_hitrate_eval, weighted_priority_sample (64 total after the
-    # final session additions)
+    # recsys_hitrate_eval, weighted_priority_sample,
+    # streamed_unconverted_views (65 total after the final session
+    # additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

@@ -885,3 +885,119 @@ def streamed_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "streamed_unconverted_views",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+               - INTERVAL 2 HOUR AS w
+    ), matched AS (
+        SELECT v.user_id, v.event_id
+        FROM v JOIN p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ), unconv AS (
+        SELECT v.user_id FROM v, wm
+        WHERE v.ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = v.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    )
+    SELECT user_id,
+           CAST(SUM(pair) AS BIGINT) AS n_pairs,
+           CAST(SUM(unc) AS BIGINT) AS n_unconverted
+    FROM (
+        SELECT user_id, 1 AS pair, 0 AS unc FROM matched
+        UNION ALL
+        SELECT user_id, 0, 1 FROM unconv
+    ) GROUP BY user_id
+    """,
+)
+def streamed_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join under a working watermark: every view
+    either attributes to a purchase of the same user within the following
+    hour (inner rows, emitted on match) or — once the eviction watermark
+    proves no purchase can still arrive — is emitted null-augmented as an
+    unconverted impression. The outer half is what
+    `streamed_purchase_attribution` (inner, eviction disabled) leaves
+    untested: state cleanup itself producing rows.
+
+    Determinism: waves are staged in STRICT time order (three global-ts
+    tercile files), so no row ever arrives below the lagging late-filter
+    watermark, and the 2-hour delay exceeds the 1-hour match range, so a
+    cross-wave view is still in state when its purchase arrives — the
+    emitted inner set is exactly the batch join. The final no-data
+    micro-batch advances the eviction watermark to min(max view ts, max
+    purchase ts) - 2h and flushes null rows for precisely the unmatched
+    views whose whole match window [v_ts, v_ts + 1h] closed strictly
+    below it; newer unmatched views stay open in state and are correctly
+    ABSENT. Both halves are therefore closed-form — the oracle states
+    them directly. Scale: join state is bounded by the watermark horizon
+    per side; the per-user rollup is a cheap batch replay of the append
+    log (the production shape for attribution pipelines)."""
+    from ..streaming.events import run_to_memory
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    t1 = F.lit(max_ts) - F.expr("interval 20 days")
+    t2 = F.lit(max_ts) - F.expr("interval 10 days")
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_outer_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    waves = [
+        e.filter(F.col("ts") < t1),
+        e.filter((F.col("ts") >= t1) & (F.col("ts") < t2)),
+        e.filter(F.col("ts") >= t2),
+    ]
+    for i, wave in enumerate(waves):
+        stage = os.path.join(base, f"__w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, f"wave{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def side(event_type: str, pfx: str) -> DataFrame:
+        return (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{pfx}_user"),
+                F.col("ts").alias(f"{pfx}_ts"),
+                F.col("event_id").alias(f"{pfx}_id"),
+            )
+            .withWatermark(f"{pfx}_ts", "2 hours")
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            "p_user = v_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    run_to_memory(joined, "ccdem_streamed_outer", "append")
+    out = (
+        spark.sql("SELECT * FROM ccdem_streamed_outer")
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unconverted"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

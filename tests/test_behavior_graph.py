@@ -176,3 +176,33 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     # length-proportional sampling must pull the sample mean above the
     # corpus mean (a uniform draw would straddle it)
     assert mean_sample > mean_all
+
+
+def test_streamed_unconverted_views_eviction_boundary(spark, sf_dir):
+    import datetime
+
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["streamed_unconverted_views"](spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    vb = e.filter("event_type='view'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"))
+    pb = e.filter("event_type='purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    m = vb.join(
+        pb, F.expr("pu = u AND pts >= vts AND pts <= vts + interval 1 hour"))
+    # inner half == the batch join, bit-for-bit on counts
+    assert sum(r.n_pairs for r in rows) == m.count()
+    unmatched = vb.join(m.select("vid").distinct(), "vid", "left_anti")
+    maxv = e.filter("event_type='view'").agg(F.max("ts")).collect()[0][0]
+    maxp = e.filter("event_type='purchase'").agg(F.max("ts")).collect()[0][0]
+    wm = min(maxv, maxp) - datetime.timedelta(hours=2)
+    n_closed = unmatched.filter(
+        F.expr(f"vts + interval 1 hour < timestamp'{wm}'")).count()
+    n_unc = sum(r.n_unconverted for r in rows)
+    # outer half: exactly the watermark-closed unmatched views, and the
+    # open tail (inside the horizon) is genuinely withheld
+    assert n_unc == n_closed
+    assert n_unc < unmatched.count()
