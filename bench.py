@@ -129,6 +129,18 @@ HEADLINE = [
     "association_rules",
     "item_item_similarity",
     "entity_resolution_blocked",
+    # round-5 (fourth session): the graph pair (wedge enumeration over the
+    # relative-support co-purchase edges — the floor is the scale knob,
+    # SCALE.md), the leave-last-out recommender eval (co-matrix rebuild +
+    # candidate join, the heaviest new shape), and the cohort triangle
+    # (two user-keyed fact reductions). funnel / acf / woe / weighted
+    # sample are single-pass or calendar-sized — parity-swept, not worth
+    # bench slots; streamed_unconverted_views is wave-staging-bound like
+    # the other streaming queries (SCALE.md), which bench excludes.
+    "triangle_participation",
+    "adamic_adar_links",
+    "recsys_hitrate_eval",
+    "cohort_retention_matrix",
 ]
 
 

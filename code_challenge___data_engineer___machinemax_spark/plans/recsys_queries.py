@@ -480,11 +480,18 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("u").orderBy(F.desc("score"), "j")),
     ).filter(F.col("rk") <= 10)
     eligible = train.select("u").distinct().withColumn("eligible", F.lit(1))
+    # rename before the join: ranked descends from lastpick, so
+    # ranked["u"] == lastpick["u"] would resolve to the same attribute
+    # (trivially-true predicate) instead of an equi-join key
+    held_keyed = lastpick.select(
+        F.col("u").alias("hu"), F.col("held").alias("hj")
+    )
     hits = (
         ranked.join(
-            lastpick, (ranked["u"] == lastpick["u"]) & (ranked["j"] == lastpick["held"])
+            held_keyed,
+            (F.col("u") == F.col("hu")) & (F.col("j") == F.col("hj")),
         )
-        .select(ranked["u"])
+        .select("u")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
