@@ -1,5 +1,5 @@
 """Graph analytics over the co-purchase graph: triangle participation
-counts and Adamic-Adar link prediction.
+counts, Adamic-Adar link prediction, and k-core peeling.
 
 The graph is the support-floored co-purchase projection of the order log
 (nodes = parts, an edge where two parts are bought together in >= 2
@@ -220,4 +220,87 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa_score_e6"), "part_u", "part_v")
         .limit(50)
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled k-core peel oracle: one alive-set CTE per round (the
+    fixed round bound makes iteration plain SQL — the bellman_ford_hops
+    discipline)."""
+    parts = [
+        f"""
+    WITH edges AS ({_EDGES_SQL}
+    ), und AS (
+        SELECT x AS n, y AS nb FROM edges
+        UNION ALL
+        SELECT y, x FROM edges
+    ), a0 AS (
+        SELECT DISTINCT n FROM und
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r} AS (
+        SELECT u.n FROM und u
+        JOIN a{r - 1} s ON u.n = s.n
+        JOIN a{r - 1} t ON u.nb = t.n
+        GROUP BY u.n HAVING COUNT(*) >= {k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT u.n AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM und u
+    JOIN a{rounds} s ON u.n = s.n
+    JOIN a{rounds} t ON u.nb = t.n
+    GROUP BY u.n HAVING COUNT(*) >= {k}
+    ORDER BY part"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_membership", oracle=_kcore_oracle())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by 4 synchronous peel rounds: each
+    round recomputes every surviving node's degree over the surviving
+    set and drops nodes below 3; the output is the round-5 survivor set
+    with its within-core degree — the density-core extractor that
+    separates structurally embedded products from tail attachments
+    (completing the iterative-graph family: bfs_hops_from_customer,
+    bellman_ford_hops, pagerank_customer_supplier).
+
+    The fixed round bound is what makes the semantics engine-portable
+    (unrolled CTEs, no recursion) — the same contract as
+    bellman_ford_hops' hop bound; full convergence is the same loop run
+    to a fixed point. Scale: each round is two node-keyed equi-joins of
+    the (broadcastable, node-dimension) alive set against the edge list
+    plus one map-side-combined degree count — the Pregel vote-to-halt
+    superstep; the edge list is built once, localCheckpoint'd, and
+    reused, and the alive set shrinks monotonically. The RELATIVE
+    support floor upstream keeps degree distributions — and thus peel
+    work — scale-invariant."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("x").alias("n"), F.col("y").alias("nb"))
+        .unionAll(edges.select(F.col("y").alias("n"), F.col("x").alias("nb")))
+        .localCheckpoint()  # reused every round — cut the lineage
+    )
+    alive = und.select("n").distinct()
+    for _ in range(4):
+        alive = (
+            und.join(alive, "n")
+            .join(alive.withColumnRenamed("n", "nb"), "nb")
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("n")
+            .localCheckpoint()
+        )
+    return (
+        und.join(alive, "n")
+        .join(alive.withColumnRenamed("n", "nb"), "nb")
+        .groupBy(F.col("n").alias("part"))
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= 3)
+        .orderBy("part")
     )

@@ -206,3 +206,34 @@ def test_streamed_unconverted_views_eviction_boundary(spark, sf_dir):
     # open tail (inside the horizon) is genuinely withheld
     assert n_unc == n_closed
     assert n_unc < unmatched.count()
+
+
+def test_kcore_membership_is_dense_subgraph(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _edges,
+    )
+
+    rows = _QS["kcore_membership"](spark, sf_dir).collect()
+    assert rows, "no 3-core at the test SF"
+    edges = [(r.x, r.y) for r in _edges(spark, sf_dir).collect()]
+
+    # sequential replay of the bounded peel: 4 rounds of drop-below-3,
+    # then the emitting round — the engine's distributed supersteps must
+    # reproduce the naive loop exactly
+    import collections
+
+    def degrees(alive):
+        d = collections.Counter()
+        for x, y in edges:
+            if x in alive and y in alive:
+                d[x] += 1
+                d[y] += 1
+        return d
+
+    alive = {n for e in edges for n in e}
+    for _ in range(4):
+        alive = {n for n, d in degrees(alive).items() if d >= 3}
+    expected = {n: d for n, d in degrees(alive).items() if d >= 3}
+    assert {r.part: r.core_deg for r in rows} == expected
+    for r in rows:
+        assert r.core_deg >= 3
