@@ -97,6 +97,53 @@ def ntile_from_rank(rank: Column, total: Column, n_tiles: int) -> Column:
     return F.when(rank <= cut, first).otherwise(rest).cast("int")
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    *,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the inclusive running sum of ``value_col`` under the global
+    ``order`` (a total order — unique tie-break required) without a
+    single-partition window: the cumulative-distribution twin of
+    ``global_row_number``.
+
+    Same two-pass plan: range-repartition on the order keys, per-partition
+    window cumsum keyed BY PARTITION ID, then per-partition TOTALS (≤P
+    rows — metadata, not data) are collected, prefix-summed on the driver
+    and broadcast-joined back as offsets. ``SUM(v) OVER (ORDER BY ...)``
+    semantics, bit-identical, with every window bounded at ~n/P rows.
+    Exclusive prefix = ``cumsum - value`` at the call site when needed.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(p, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r[0]: r[1]
+        for r in parts.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    }
+    acc, rows = 0, []
+    for pid in sorted(sums):
+        rows.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    offsets = spark.createDataFrame(rows or [(0, 0)], f"{_PID} int, {_OFFSET} bigint")
+    local = F.sum(value_col).over(
+        W.partitionBy(_PID).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        parts.withColumn(_LOCAL, local)
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(cumsum_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("bigint"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
 def scalable_ntile(
     df: DataFrame,
     n_tiles: int,

@@ -140,8 +140,11 @@ DRIVER_PRIORITY: list[str] = [
     # funnel_conversion_ordered, triangle_participation,
     # adamic_adar_links, daily_revenue_acf, woe_iv_encoding,
     # recsys_hitrate_eval, weighted_priority_sample,
-    # streamed_unconverted_views (65 total after the final session
-    # additions)
+    # streamed_unconverted_views, score_auc_eval, t_closeness_release,
+    # dp_noisy_counts, gdpr_deletion_cascade, referential_orphan_audit,
+    # benford_digit_audit, feature_hash_collisions,
+    # naive_bayes_quality_distill (73 total after the fifth-session
+    # governance/eval additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

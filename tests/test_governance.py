@@ -1,0 +1,119 @@
+"""Semantic invariants for the governance / evaluation queries — the
+properties the DuckDB hash-parity check can't express (bounds,
+conservation, matrix closure)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as mod
+
+_QS = mod.queries()
+
+
+def test_score_auc_bounds_and_rational(spark, sf_dir):
+    r = _QS["score_auc_eval"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    # AUC in [0, 1] as an exact rational, e6 field consistent with it
+    assert 0 <= row.auc_num2 <= row.auc_den2
+    assert row.auc_den2 == 2 * row.n_pos * row.n_neg
+    assert row.auc_e6 == int(row.auc_num2 / row.auc_den2 * 1e6)
+
+
+def test_t_closeness_emd_bounds(spark, sf_dir):
+    rows = _QS["t_closeness_release"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # EMD is a normalized distance: 0 <= num/den <= 1
+        assert 0 <= r.emd_num <= r.emd_den
+        assert r.released == (5 * r.emd_num <= r.emd_den)
+
+
+def test_dp_noise_bounded_by_inverse_cdf(spark, sf_dir):
+    rows = _QS["dp_noisy_counts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Laplace(1) inverse CDF of a 20-bit grid: |noise| <= ln(2^20) ~ 13.86
+        assert abs(r.noise_e3) <= 13_900
+        assert r.noisy_e3 == r.n * 1000 + r.noise_e3
+
+
+def test_gdpr_cascade_conservation(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = {r.table_name: r for r in _QS["gdpr_deletion_cascade"](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for t, r in rows.items():
+        total = load_table(spark, sf_dir, t).count()
+        assert r.rows_purged + r.rows_retained == total, t
+    # the subject slice exists at every test SF, so the cascade is non-empty
+    assert rows["customer"].rows_purged > 0
+    assert rows["orders"].value_purged_c > 0
+
+
+def test_orphan_audit_healthy_schema(spark, sf_dir):
+    rows = {r.relationship: r for r in
+            _QS["referential_orphan_audit"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    # TPC-H-shaped testdata has no dangling FKs; childless is informational
+    for rel, r in rows.items():
+        assert r.orphan_rows == 0, rel
+        assert 0 <= r.childless_parents <= r.parent_rows
+
+
+def test_benford_masses_conserve(spark, sf_dir):
+    rows = _QS["benford_digit_audit"](spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src) == 4
+    for src, rs in by_src.items():
+        # per-source observed counts sum to the source total
+        assert sum(r.n_obs for r in rs) == rs[0].n_src, src
+        assert all(1 <= r.digit <= 9 for r in rs)
+        assert all(r.chi2_contrib_e3 >= 0 for r in rs)
+
+
+def test_feature_hash_histogram_closure(spark, sf_dir):
+    rows = _QS["feature_hash_collisions"](spark, sf_dir).collect()
+    # bucket counts across all loads (incl. the empty-bucket row) = dimension
+    assert sum(r.n_buckets for r in rows) == 4096
+    for r in rows:
+        assert r.n_tokens == r.bucket_load * r.n_buckets
+
+
+def test_naive_bayes_confusion_closure(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = _QS["naive_bayes_quality_distill"](spark, sf_dir).collect()
+    n_test = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_test
+    # on the synthetic corpus the classifier must beat the 1/5 prior badly
+    correct = sum(r.n_docs for r in rows if r.actual == r.predicted)
+    assert correct / n_test > 0.60
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 501).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    # unique order key: (k, id-ish) — make k unique by using id itself
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+    got = {
+        r.k: r.cs
+        for r in global_prefix_sum(df, [F.col("k")], "v", cumsum_col="cs").collect()
+    }
+    acc = 0
+    for k in range(1000):
+        acc += k % 13
+        assert got[k] == acc
