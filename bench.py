@@ -141,6 +141,14 @@ HEADLINE = [
     "adamic_adar_links",
     "recsys_hitrate_eval",
     "cohort_retention_matrix",
+    # round-5 (fifth session): the two substantive governance/eval shapes —
+    # naive-Bayes distillation (double corpus explode + token-keyed model
+    # join + per-doc argmax) and exact AUC (fact reduction + distributed
+    # prefix-sum). The remaining governance audits (t-closeness, DP counts,
+    # GDPR cascade, orphan/Benford/hashing) are dimension-sized aggregates —
+    # parity-swept, not worth bench slots.
+    "naive_bayes_quality_distill",
+    "score_auc_eval",
 ]
 
 

@@ -13,7 +13,7 @@ non-negative inputs), so the DuckDB oracle compare is bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -210,4 +210,78 @@ def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv_first_e6"),
         )
         .orderBy("step_idx")
+    )
+
+
+@query(
+    "frequent_event_sequences",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    triples AS (SELECT * FROM seq WHERE t3 IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triples FROM triples),
+    pat AS (
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM triples GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, occurrences, n_users,
+           CAST(trunc(CAST(occurrences AS DOUBLE) * 125 / n_triples * 1e6)
+                AS BIGINT) AS lift_e6
+    FROM pat CROSS JOIN tot
+    WHERE occurrences * 125 >= n_triples
+    """,
+)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over the event stream: consecutive
+    3-event type sequences per user (ordered by time with event_id
+    tie-break), kept when they occur MORE often than the uniform
+    expectation (lift >= 1 against the 5^3 pattern space) — the length-3,
+    order-sensitive counterpart of markov_next_event_accuracy's lag-1
+    transitions and frequent_triples' unordered baskets. Emits occurrence
+    count, distinct-user support, and the trunc-scaled lift.
+
+    Determinism/scale: the two LEAD windows are per-user (never global)
+    and share one exchange; patterns reduce to the <=125-row type-cube, so
+    the lift join is a one-row broadcast. The RELATIVE frequency floor
+    (occurrences * |patterns| >= total) is the scale knob — the same
+    minimum-support lesson as the co-purchase graph (SCALE.md round 4):
+    an absolute floor densifies with volume, a relative one keeps the
+    pattern set scale-invariant."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tot = seq.agg(F.count("*").cast("bigint").alias("n_triples"))
+    pat = seq.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("bigint").alias("occurrences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    return (
+        pat.crossJoin(F.broadcast(tot))
+        .filter(F.col("occurrences") * 125 >= F.col("n_triples"))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "occurrences",
+            "n_users",
+            (
+                F.col("occurrences").cast("double")
+                * 125
+                / F.col("n_triples")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
     )

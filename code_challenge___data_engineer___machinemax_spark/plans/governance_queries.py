@@ -9,9 +9,11 @@ GDPR right-to-erasure cascade report and a referential-integrity orphan
 audit. Quality: a Benford first-digit audit over every money column.
 Evaluation: exact-rational ROC-AUC via the Mann-Whitney rank-sum (no
 single-partition window — the cumulative negative count runs through
-``global_prefix_sum``), and a multinomial naive-Bayes language classifier
-trained/evaluated on the corpus' own split with a confusion-matrix
-readout. Feature plumbing: hashing-trick bucket collision statistics.
+``global_prefix_sum``), isotonic calibration of the same score via the
+pool-adjacent-violators minimax closed form over ntile bins, and a
+multinomial naive-Bayes distillation of the rule-based quality gate with
+a confusion-matrix readout. Feature plumbing: hashing-trick bucket
+collision statistics.
 
 Determinism discipline (engine-wide): money as cent-scaled BIGINT via the
 shared ``CAST(x * 100 AS BIGINT)`` tree, probabilities/logs as
@@ -875,3 +877,134 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         "actual", F.col("candidate").alias("predicted")
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+@query(
+    "isotonic_calibration_bins",
+    oracle="""
+    WITH lab AS (
+        SELECT c.c_custkey,
+               COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1999-01-01'
+                    THEN CAST(trunc(o.o_totalprice * 100) AS BIGINT) END), 0)
+                   AS score_c,
+               MAX(CASE WHEN o.o_orderdate >= TIMESTAMP '1999-01-01'
+                    THEN 1 ELSE 0 END) AS label
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    binned AS (
+        SELECT label,
+               NTILE(20) OVER (ORDER BY score_c, c_custkey) AS bin
+        FROM lab
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(label) AS BIGINT) AS pos_b
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, n_b, pos_b,
+               SUM(n_b) OVER (ORDER BY bin) AS cn,
+               SUM(pos_b) OVER (ORDER BY bin) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT i.bin AS i, j.bin AS j,
+               CAST(j.cp - (i.cp - i.pos_b) AS DOUBLE)
+                   / (j.cn - (i.cn - i.n_b)) AS avg_ij
+        FROM cum i JOIN cum j ON j.bin >= i.bin
+    ),
+    lower_env AS (
+        SELECT i, MIN(avg_ij) AS minavg FROM pairs GROUP BY i
+    )
+    SELECT b.bin, b.n_b, b.pos_b,
+           CAST(trunc(CAST(b.pos_b AS DOUBLE) / b.n_b * 1e6) AS BIGINT)
+               AS rate_e6,
+           CAST(trunc(MAX(e.minavg) * 1e6) AS BIGINT) AS calib_e6
+    FROM bins b JOIN lower_env e ON e.i <= b.bin
+    GROUP BY b.bin, b.n_b, b.pos_b
+    """,
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the churn score from
+    score_auc_eval via pool-adjacent-violators in its minimax closed form:
+    over 20 equal-frequency score bins, the calibrated positive rate of
+    bin t is max_{i<=t} min_{j>=i} rate(i..j) — the PAV solution without
+    any sequential pooling loop, so the whole fit is three joins over a
+    20-row frame. The standard post-hoc calibration step after ranking
+    quality (AUC) is established: monotone by construction, and it maps
+    raw scores to usable probabilities.
+
+    Determinism: bin assignment is SQL NTILE under the total order
+    (score, custkey) — Spark reproduces it bit-exactly with
+    ``scalable_ntile`` (no global window); pooled rates compare as
+    identical IEEE doubles (same int/int division both engines) and are
+    emitted trunc-scaled e6.
+
+    Scale: the fact reduces to one row per customer, the bin assignment is
+    the distributed two-pass rank, and everything after operates on B=20
+    rows (the B x B pair frame is 210 rows). Raising B to 1000 at 100 TB
+    keeps the PAV frame ~0.5M pairs — still one task's work; prefix sums
+    on the bin frame are join-based, so no single-partition window exists
+    even there."""
+    from ..operators.ranking import scalable_ntile
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cut = "TIMESTAMP '1999-01-01'"
+    lab = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.expr(f"o_orderdate < {cut}"), _cents("o_totalprice"))
+                ),
+                F.lit(0),
+            ).alias("score_c"),
+            F.max(
+                F.when(F.expr(f"o_orderdate >= {cut}"), F.lit(1)).otherwise(0)
+            ).alias("label"),
+        )
+    )
+    binned = scalable_ntile(
+        lab, 20, [F.col("score_c"), F.col("c_custkey")], tile_col="bin"
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("label").cast("bigint").alias("pos_b"),
+    )
+    # join-based prefix sums over the 20-row bin frame (no global window)
+    a, b = bins.alias("a"), bins.alias("b")
+    cum = (
+        a.join(b, F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"), F.col("a.n_b").alias("n_b"),
+                 F.col("a.pos_b").alias("pos_b"))
+        .agg(
+            F.sum("b.n_b").cast("bigint").alias("cn"),
+            F.sum("b.pos_b").cast("bigint").alias("cp"),
+        )
+    )
+    i, j = cum.alias("i"), cum.alias("j")
+    pairs = i.join(j, F.col("j.bin") >= F.col("i.bin")).select(
+        F.col("i.bin").alias("i"),
+        (
+            (F.col("j.cp") - (F.col("i.cp") - F.col("i.pos_b"))).cast("double")
+            / (F.col("j.cn") - (F.col("i.cn") - F.col("i.n_b")))
+        ).alias("avg_ij"),
+    )
+    lower_env = pairs.groupBy("i").agg(F.min("avg_ij").alias("minavg"))
+    return (
+        bins.join(lower_env, lower_env.i <= bins.bin)
+        .groupBy("bin", "n_b", "pos_b")
+        .agg(F.max("minavg").alias("__calib"))
+        .select(
+            "bin",
+            "n_b",
+            "pos_b",
+            (F.col("pos_b").cast("double") / F.col("n_b") * 1e6)
+            .cast("bigint")
+            .alias("rate_e6"),
+            (F.col("__calib") * 1e6).cast("bigint").alias("calib_e6"),
+        )
+    )

@@ -143,8 +143,9 @@ DRIVER_PRIORITY: list[str] = [
     # streamed_unconverted_views, score_auc_eval, t_closeness_release,
     # dp_noisy_counts, gdpr_deletion_cascade, referential_orphan_audit,
     # benford_digit_audit, feature_hash_collisions,
-    # naive_bayes_quality_distill (73 total after the fifth-session
-    # governance/eval additions)
+    # naive_bayes_quality_distill, isotonic_calibration_bins,
+    # mahalanobis_outliers, frequent_event_sequences (76 total after the
+    # fifth-session governance/eval additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

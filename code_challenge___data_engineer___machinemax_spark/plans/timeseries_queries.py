@@ -1082,3 +1082,92 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(_ACF_E6_SPARK).cast("bigint").alias("acf_e6"),
     ).orderBy("lag")
+
+
+@query(
+    "mahalanobis_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, CAST(trunc(value * 100) AS BIGINT) AS v_c,
+               CAST(hour(ts) AS BIGINT) AS h
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_c) AS BIGINT) AS sx, CAST(SUM(h) AS BIGINT) AS sy,
+               CAST(SUM(v_c * v_c) AS BIGINT) AS sxx,
+               CAST(SUM(h * h) AS BIGINT) AS syy,
+               CAST(SUM(v_c * h) AS BIGINT) AS sxy
+        FROM v
+    ),
+    scored AS (
+        SELECT v.event_id, v.v_c, v.h,
+               CAST(trunc((
+                   (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                       * (v_c - CAST(sx AS DOUBLE) / n) * (v_c - CAST(sx AS DOUBLE) / n)
+                 - 2.0 * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                       * (v_c - CAST(sx AS DOUBLE) / n) * (h - CAST(sy AS DOUBLE) / n)
+                 + (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                       * (h - CAST(sy AS DOUBLE) / n) * (h - CAST(sy AS DOUBLE) / n)
+               ) / (
+                   (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 - (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               ) * 1000) AS BIGINT) AS d2_e3
+        FROM v CROSS JOIN m
+    )
+    SELECT event_id, v_c, h, d2_e3 FROM scored
+    ORDER BY d2_e3 DESC, event_id LIMIT 50
+    """,
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: squared Mahalanobis distance of each
+    event's (value, hour-of-day) pair from the corpus distribution — the
+    covariance-aware companion to the univariate value_mad_outliers: a
+    reading can be unremarkable on each axis yet anomalous jointly (a big
+    value at an hour where big values never occur), and Mahalanobis is
+    what catches that. Top-50 most anomalous events reported.
+
+    Determinism: the six sufficient moments (n, Sx, Sy, Sxx, Syy, Sxy) are
+    exact int64 sums; the 2x2 covariance inverse is the closed-form
+    quadratic d2 = (Vyy*zx^2 - 2Vxy*zx*zy + Vxx*zy^2)/det evaluated by one
+    shared double tree per row, trunc-scaled to e3 BEFORE the top-k
+    ordering so rank comparisons happen on integers.
+
+    Scale: one partial+final agg produces a single 6-moment row, broadcast
+    back by a cross join; scoring is a projection and the top-50 is
+    TakeOrderedAndProject (per-partition heaps, no sort shuffle). At
+    petabyte row counts int64 moments of cent-scaled values approach
+    overflow — the same promotion DECIMAL(38) discipline as the decimal
+    money aggregates applies there (documented, not silently done: the
+    oracle pins int64 at test SF)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.expr("CAST(value * 100 AS BIGINT)").alias("v_c"),
+        F.hour("ts").cast("bigint").alias("h"),
+    )
+    m = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_c").cast("bigint").alias("sx"),
+        F.sum("h").cast("bigint").alias("sy"),
+        F.sum(F.col("v_c") * F.col("v_c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("h") * F.col("h")).cast("bigint").alias("syy"),
+        F.sum(F.col("v_c") * F.col("h")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n_d
+    my = F.col("sy").cast("double") / n_d
+    vxx = F.col("sxx").cast("double") / n_d - mx * mx
+    vyy = F.col("syy").cast("double") / n_d - my * my
+    vxy = F.col("sxy").cast("double") / n_d - mx * my
+    zx = F.col("v_c") - mx
+    zy = F.col("h") - my
+    d2 = (vyy * zx * zx - 2.0 * vxy * zx * zy + vxx * zy * zy) / (
+        vxx * vyy - vxy * vxy
+    )
+    scored = v.crossJoin(F.broadcast(m)).select(
+        "event_id", "v_c", "h", (d2 * 1000).cast("bigint").alias("d2_e3")
+    )
+    return scored.orderBy(F.desc("d2_e3"), F.asc("event_id")).limit(50)

@@ -117,3 +117,40 @@ def test_global_prefix_sum_matches_window(spark):
     for k in range(1000):
         acc += k % 13
         assert got[k] == acc
+
+
+def test_isotonic_calibration_monotone(spark, sf_dir):
+    rows = sorted(_QS["isotonic_calibration_bins"](spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    assert len(rows) == 20
+    # PAV output is monotone non-decreasing in the bin order and bounded
+    prev = -1
+    for r in rows:
+        assert 0 <= r.calib_e6 <= 1_000_000
+        assert r.calib_e6 >= prev
+        prev = r.calib_e6
+    # pooling preserves the total positive mass (check in exact rationals
+    # recomputed from the emitted pools is out of reach at e6 truncation;
+    # bound the drift instead)
+    tot_pos = sum(r.pos_b for r in rows)
+    tot_cal = sum(r.calib_e6 / 1e6 * r.n_b for r in rows)
+    assert abs(tot_cal - tot_pos) < 1.0
+
+
+def test_mahalanobis_topk_shape(spark, sf_dir):
+    rows = _QS["mahalanobis_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    # squared distances are non-negative and emitted in rank order
+    d = [r.d2_e3 for r in rows]
+    assert all(x >= 0 for x in d)
+    assert d == sorted(d, reverse=True)
+
+
+def test_frequent_event_sequences_lift_floor(spark, sf_dir):
+    rows = _QS["frequent_event_sequences"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the relative floor IS lift >= 1
+        assert r.lift_e6 >= 1_000_000
+        assert 1 <= r.n_users
+        assert r.n_users <= r.occurrences
