@@ -285,3 +285,95 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id AS tid, user_id, event_type AS channel, ts
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    attributed AS (
+        SELECT p.pid, t.tid, t.channel, t.ts,
+               COUNT(*) OVER (PARTITION BY p.pid) AS k,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY t.ts, t.tid) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY t.ts DESC, t.tid DESC) AS rn_last
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts < p.pts
+         AND t.ts >= p.pts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS purchases_touched,
+           CAST(SUM(1000000 // k) AS BIGINT) AS linear_credit_e6,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch
+    FROM attributed
+    GROUP BY channel
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase distributes credit
+    across the user's view/click/signup touchpoints in the preceding 7
+    days, reported per channel under three standard models at once —
+    linear (1/k per touch, exact integer 1e6 DIV k so per-purchase credit
+    sums to <= 1e6 with the DIV remainder dropped identically in both
+    engines), first-touch, and last-touch. The batch twin of
+    streamed_purchase_attribution's stream-stream join: same
+    interval-bounded user-keyed pairing, richer credit accounting.
+
+    Scale: the purchase-touch pairing is an equi-join on user_id with the
+    time interval as a residual filter — fan-out is bounded by per-user
+    activity in the 7-day window, never cross-user; the credit windows are
+    keyed per purchase (frames = that purchase's touches); the rollup
+    collapses to the channel domain. At 100 TB the same join wants the
+    events table bucketed by user_id (DEPLOY L1), which removes the
+    shuffle entirely."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        "ts",
+    )
+    joined = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wk = W.partitionBy("pid")
+    wf = W.partitionBy("pid").orderBy("ts", "tid")
+    wl = W.partitionBy("pid").orderBy(F.desc("ts"), F.desc("tid"))
+    attributed = joined.select(
+        "pid",
+        "tid",
+        "channel",
+        F.count("*").over(wk).alias("k"),
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.countDistinct("pid").cast("bigint").alias("purchases_touched"),
+        F.sum(F.expr("1000000 div k")).cast("bigint").alias("linear_credit_e6"),
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch"),
+    )

@@ -286,23 +286,22 @@ def semantic_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, e, "vec_id")
 
 
-def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:
-    """Generated DuckDB twin of operators.clustering.pagerank_fixed_point
-    over the customer<->supplier co-order graph: same integer recurrence
-    (floor divisions, positive values so trunc == floor), iterations
-    unrolled as CTEs. `//` (DuckDB) == `div` (Spark) on positive BIGINTs."""
+def _pr_unrolled_sql(
+    graph_cte: str,
+    iters: int,
+    scale: int,
+    damping_pct: int,
+    final_select: str = "SELECT node, pr FROM {last}",
+) -> str:
+    """Unrolled-CTE DuckDB twin of operators.clustering.pagerank_fixed_point
+    over ANY edge set: ``graph_cte`` must define an ``edges(src, dst)``
+    CTE body; the integer recurrence (floor divisions, positive values so
+    trunc == floor) is appended one CTE per iteration. `//` (DuckDB) ==
+    `div` (Spark) on positive BIGINTs."""
     base = f"((({100 - damping_pct}) * ({scale} // p.n)) // 100)"
     parts = [
-        f"""
-    pairs AS (
-        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    ),
-    edges AS (
-        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
-        UNION
-        SELECT s * 2 + 1, c * 2 FROM pairs
-    ),
+        graph_cte
+        + f""",
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     params AS (SELECT COUNT(*) AS n FROM nodes),
     outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
@@ -323,7 +322,27 @@ def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int =
         ) f ON f.dst = nodes.node
     )""")
         prev = f"it{it}"
-    return "WITH " + ",".join(parts) + f"\n    SELECT node, pr FROM {prev}"
+    return "WITH " + ",".join(parts) + "\n    " + final_select.format(last=prev)
+
+
+def _pagerank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """Generated DuckDB twin of pagerank_fixed_point over the
+    customer<->supplier co-order graph (see _pr_unrolled_sql)."""
+    return _pr_unrolled_sql(
+        """
+    pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION
+        SELECT s * 2 + 1, c * 2 FROM pairs
+    )""",
+        iters,
+        scale,
+        damping_pct,
+    )
 
 
 @query("pagerank_customer_supplier", oracle=_pagerank_oracle_sql())
@@ -1032,4 +1051,81 @@ def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rr_e6"),
         )
         .orderBy("qterm")
+    )
+
+
+def _textrank_oracle_sql(iters: int = 2, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """Generated DuckDB twin of textrank_keywords: the same unrolled
+    pagerank recurrence (_pr_unrolled_sql) over the adjacent-token
+    co-occurrence graph, top-25 by (pr DESC, keyword)."""
+    from ..functions.text import tokenize_sql
+
+    graph = f"""
+    seqs AS (SELECT {tokenize_sql('text')} AS toks FROM documents),
+    adj AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM seqs, unnest(range(1, greatest(len(toks), 1))) t(i)
+        WHERE length(toks[i]) >= 4 AND length(toks[i + 1]) >= 4
+          AND toks[i] <> toks[i + 1]
+    ),
+    edges AS (
+        SELECT w1 AS src, w2 AS dst FROM adj
+        UNION
+        SELECT w2, w1 FROM adj
+    )"""
+    return _pr_unrolled_sql(
+        graph,
+        iters,
+        scale,
+        damping_pct,
+        final_select=(
+            "SELECT node AS keyword, pr FROM {last} "
+            "ORDER BY pr DESC, keyword LIMIT 25"
+        ),
+    )
+
+
+@query("textrank_keywords", oracle=_textrank_oracle_sql())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — nodes are content words (length >= 4),
+    undirected edges link adjacent tokens, and the stationary score ranks
+    corpus keywords. The graph-centrality counterpart of the frequency-
+    based term_frequencies and degree-based rake_keyphrases extractors:
+    TextRank rewards words that co-occur with OTHER well-connected words,
+    not merely frequent ones.
+
+    Exactness: reuses pagerank_fixed_point's integer recurrence (scale
+    10^12 mass, floor divisions) so the 2-iteration scores are
+    bit-identical to the unrolled-CTE oracle; adjacency comes from
+    zipping each token array with its tail (arrays_zip of two slices —
+    pure codegen, no explode-self-join).
+
+    Scale: the edge list is DISTINCT adjacent content-word pairs —
+    vocabulary-bigram sized, sublinear in corpus volume; each iteration is
+    one equi-join + hash agg on word keys exactly like the entity
+    pagerank; top-25 is TakeOrderedAndProject."""
+    from ..operators.clustering import pagerank_fixed_point
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokenize("text").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    adj = pairs.filter(
+        (F.length("w1") >= 4) & (F.length("w2") >= 4) & (F.col("w1") != F.col("w2"))
+    )
+    edges = adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionByName(
+        adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=2)
+    return (
+        pr.select(F.col("node").alias("keyword"), "pr")
+        .orderBy(F.desc("pr"), F.asc("keyword"))
+        .limit(25)
     )

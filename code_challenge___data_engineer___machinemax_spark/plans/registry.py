@@ -144,8 +144,9 @@ DRIVER_PRIORITY: list[str] = [
     # dp_noisy_counts, gdpr_deletion_cascade, referential_orphan_audit,
     # benford_digit_audit, feature_hash_collisions,
     # naive_bayes_quality_distill, isotonic_calibration_bins,
-    # mahalanobis_outliers, frequent_event_sequences (76 total after the
-    # fifth-session governance/eval additions)
+    # mahalanobis_outliers, frequent_event_sequences, textrank_keywords,
+    # multi_touch_attribution (78 total after the fifth-session
+    # governance/eval/behavior additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

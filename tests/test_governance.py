@@ -154,3 +154,30 @@ def test_frequent_event_sequences_lift_floor(spark, sf_dir):
         assert r.lift_e6 >= 1_000_000
         assert 1 <= r.n_users
         assert r.n_users <= r.occurrences
+
+
+def test_textrank_topk_deterministic(spark, sf_dir):
+    rows = _QS["textrank_keywords"](spark, sf_dir).collect()
+    # top-25 capped; the synthetic vocabulary has ~24 content words, so
+    # the whole ranked vocabulary may be smaller than the cap
+    assert 10 <= len(rows) <= 25
+    prs = [r.pr for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(len(r.keyword) >= 4 for r in rows)
+    assert all(r.pr > 0 for r in rows)
+
+
+def test_multi_touch_attribution_model_consistency(spark, sf_dir):
+    rows = _QS["multi_touch_attribution"](spark, sf_dir).collect()
+    assert {r.channel for r in rows} <= {"view", "click", "signup"}
+    n_purch_touched = None
+    # each purchase has exactly one first and one last touch, so the
+    # first/last columns each sum to the number of attributed purchases
+    tot_first = sum(r.first_touch for r in rows)
+    tot_last = sum(r.last_touch for r in rows)
+    assert tot_first == tot_last
+    # linear credit per purchase is <= 1e6 (DIV drops the remainder), so
+    # the channel totals sum to <= attributed_purchases * 1e6 and > 90%
+    tot_credit = sum(r.linear_credit_e6 for r in rows)
+    assert tot_credit <= tot_first * 1_000_000
+    assert tot_credit > tot_first * 900_000
