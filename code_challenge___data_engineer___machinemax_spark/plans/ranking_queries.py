@@ -1120,8 +1120,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = pairs.filter(
         (F.length("w1") >= 4) & (F.length("w2") >= 4) & (F.col("w1") != F.col("w2"))
     )
-    edges = adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionByName(
-        adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    # canonicalize BEFORE the distinct so the corpus-scale explode feeds ONE
+    # partial-aggregated shuffle; the undirected mirror then runs over the
+    # vocabulary-bigram-sized canonical frame, not the corpus (first sweep:
+    # the union's two branches each recomputed the explode — 2x the scan)
+    canon = adj.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).distinct()
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     pr = pagerank_fixed_point(edges, iters=2)
     return (
