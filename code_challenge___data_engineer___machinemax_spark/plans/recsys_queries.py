@@ -440,16 +440,25 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_last = W.partitionBy("u").orderBy(
         F.desc("od"), F.desc("ok"), F.desc("ln_"), F.desc("i")
     )
+    # lastpick / train / co are each referenced by several downstream
+    # branches (self-join sides, union arms, anti-joins, the eligible and
+    # hit counters) — un-materialized, Spark recomputes the lineitem
+    # join + window once PER REFERENCE (measured 13.7 s in the r5 bench;
+    # the same recompute class as the textrank edge-build fix, SCALE.md).
+    # localCheckpoint pins each at its small post-reduction size: per-user
+    # picks, distinct (u, i) pairs, and the floored co-count matrix.
     lastpick = (
         ol.withColumn("rn", F.row_number().over(w_last))
         .filter(F.col("rn") == 1)
         .select("u", F.col("i").alias("held"))
+        .localCheckpoint()
     )
     train = (
         ol.join(lastpick, "u")
         .filter(F.col("i") != F.col("held"))
         .select("u", "i")
         .distinct()
+        .localCheckpoint()
     )
     a, b = train.alias("a"), train.alias("b")
     co = (
@@ -457,6 +466,7 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
         .agg(F.count("*").cast("bigint").alias("co"))
         .filter(F.col("co") >= 2)
+        .localCheckpoint()
     )
     sym = co.select(
         F.col("item_a").alias("i"), F.col("item_b").alias("j"), "co"
