@@ -145,7 +145,8 @@ DRIVER_PRIORITY: list[str] = [
     # benford_digit_audit, feature_hash_collisions,
     # naive_bayes_quality_distill, isotonic_calibration_bins,
     # mahalanobis_outliers, frequent_event_sequences, textrank_keywords,
-    # multi_touch_attribution (78 total after the fifth-session
+    # multi_touch_attribution, global_exact_quantiles,
+    # observed_pipeline_metrics (80 total after the fifth-session
     # governance/eval/behavior additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,

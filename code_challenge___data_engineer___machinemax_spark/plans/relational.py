@@ -1206,3 +1206,141 @@ def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(churned.cast("int")).cast("double") / F.count("*") * 1e6)
         .cast("bigint").alias("churn_rate_e6"),
     )
+
+
+@query(
+    "global_exact_quantiles",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(trunc(l_extendedprice * 100) AS BIGINT) AS v_c
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT v_c, ROW_NUMBER() OVER (ORDER BY v_c) AS rn FROM vals
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    ps(p) AS (VALUES (25), (50), (75), (90), (99)),
+    idx AS (
+        SELECT p, n,
+               ((n - 1) * p) // 100 + 1 AS lo_rn,
+               LEAST(((n - 1) * p) // 100 + 2, n) AS hi_rn,
+               ((n - 1) * p) % 100 AS rem
+        FROM ps CROSS JOIN n
+    )
+    SELECT idx.p, idx.n,
+           CAST(lo.v_c AS BIGINT) AS v_lo_c,
+           CAST(hi.v_c AS BIGINT) AS v_hi_c,
+           CAST(lo.v_c * 100 + idx.rem * (hi.v_c - lo.v_c) AS BIGINT)
+               AS interp_c100
+    FROM idx
+    JOIN ranked lo ON lo.rn = idx.lo_rn
+    JOIN ranked hi ON hi.rn = idx.hi_rn
+    """,
+)
+def global_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (P25/50/75/90/99, type-7 linear interpolation
+    like quantile_cont) over the full fact table WITHOUT the two usual
+    scale-killers: Spark's ungrouped ``percentile`` aggregate buffers every
+    value in one reducer, and a global ``ORDER BY`` + row_number sorts on
+    one partition. Here the selection runs through ``global_row_number``
+    (range-repartition, per-partition windows, driver prefix over <=P
+    partition counts), the five (lo, hi) neighbor ranks are computed as
+    pure integer arithmetic from n, and one filter pass extracts <=10 rows.
+    Exactness: interpolation is carried as the integer
+    ``v_lo*100 + ((n-1)*p mod 100) * (v_hi - v_lo)`` in cent-hundredths —
+    no floating interpolation to diverge.
+
+    This is the missing middle between order_value_percentiles (exact, but
+    per-GROUP agg buffers) and approx_order_percentiles (mergeable sketch,
+    bounded error): exact AND distributed, at the cost of one extra
+    pass (rank then select) — the classic distributed-selection trade."""
+    from ..operators.ranking import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        vals,
+        [F.col("v_c"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="rn",
+        total_col="n_total",
+    )
+    n = vals.count()
+    ps = [25, 50, 75, 90, 99]
+    need = {}
+    for p in ps:
+        lo = ((n - 1) * p) // 100 + 1
+        hi = min(lo + 1, n)
+        rem = ((n - 1) * p) % 100
+        need[p] = (lo, hi, rem)
+    wanted = sorted({r for lo, hi, _ in need.values() for r in (lo, hi)})
+    picked = {
+        r["rn"]: r["v_c"]
+        for r in ranked.filter(F.col("rn").isin(wanted)).select("rn", "v_c").collect()
+    }
+    rows = []
+    for p in ps:
+        lo, hi, rem = need[p]
+        v_lo, v_hi = picked[lo], picked[hi]
+        rows.append((p, n, v_lo, v_hi, v_lo * 100 + rem * (v_hi - v_lo)))
+    return spark.createDataFrame(
+        rows, "p int, n bigint, v_lo_c bigint, v_hi_c bigint, interp_c100 bigint"
+    )
+
+
+@query(
+    "observed_pipeline_metrics",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'raw_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        FROM documents
+        UNION ALL
+        SELECT 'admitted_rows', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE n_chars >= 200 AND lang = 'en'
+        UNION ALL
+        SELECT 'admitted_chars', CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+        FROM documents WHERE n_chars >= 200 AND lang = 'en'
+    ) ORDER BY metric
+    """,
+)
+def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-embedded observability via Spark's ``observe()`` /
+    ``Observation`` API: the admission filter's before/after counters are
+    attached to the SAME job that executes the pipeline (piggybacked on
+    the scan — metrics cost zero extra passes), instead of the separate
+    audit scans a naive metrics layer runs. This is how a production
+    curation job reports its funnel without doubling its I/O; the
+    dedicated-audit twin is pipeline_funnel_report, which pays one scan
+    per stage readout by design.
+
+    The oracle recomputes the same counters relationally, pinning that
+    observed metrics == a second pass's answer (Spark guarantees observe
+    metrics reflect exactly the rows that flowed past the observation
+    point in the action)."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    obs_raw = Observation("raw")
+    obs_adm = Observation("admitted")
+    staged = (
+        d.observe(obs_raw, F.count(F.lit(1)).alias("raw_rows"))
+        .filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .observe(
+            obs_adm,
+            F.count(F.lit(1)).alias("admitted_rows"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("admitted_chars"),
+        )
+    )
+    staged.write.format("noop").mode("overwrite").save()  # the real action
+    rows = [
+        ("raw_rows", int(obs_raw.get["raw_rows"])),
+        ("admitted_rows", int(obs_adm.get["admitted_rows"])),
+        ("admitted_chars", int(obs_adm.get["admitted_chars"])),
+    ]
+    return (
+        spark.createDataFrame(rows, "metric string, value bigint")
+        .orderBy("metric")
+    )

@@ -181,3 +181,33 @@ def test_multi_touch_attribution_model_consistency(spark, sf_dir):
     tot_credit = sum(r.linear_credit_e6 for r in rows)
     assert tot_credit <= tot_first * 1_000_000
     assert tot_credit > tot_first * 900_000
+
+
+def test_global_exact_quantiles_match_percentile(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = {r.p: r for r in _QS["global_exact_quantiles"](spark, sf_dir).collect()}
+    assert set(rows) == {25, 50, 75, 90, 99}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v_c")
+    )
+    # cross-check the distributed selection against Spark's own exact
+    # percentile aggregate on the cent-quantized values
+    got = li.agg(
+        *[F.percentile("v_c", F.lit(p / 100)).alias(f"p{p}") for p in rows]
+    ).first()
+    for p, r in rows.items():
+        assert r.v_lo_c <= r.v_hi_c
+        assert abs(r.interp_c100 / 100 - got[f"p{p}"]) < 1e-6, p
+
+
+def test_observed_metrics_zero_extra_pass_consistency(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = {r.metric: r.value for r in
+            _QS["observed_pipeline_metrics"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    assert rows["raw_rows"] == d.count()
+    adm = d.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+    assert rows["admitted_rows"] == adm.count()
+    assert rows["admitted_chars"] == adm.agg(F.sum("n_chars")).first()[0]
