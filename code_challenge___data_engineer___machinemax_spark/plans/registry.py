@@ -110,10 +110,10 @@ DRIVER_PRIORITY: list[str] = [
     "asof_purchase_to_view",
     # Round-6 window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r04 keys minus this round-5 window (52 as of the end
+    # CORRECTNESS_r01-r04 keys minus this round-5 window (80 as of the end
     # of round 5 — MORE than one 48-slot window; round 6 takes the first
-    # 48 and round 7 the remainder). All are green in the local sf0.01
-    # parity sweep and pinned by sf0.001 goldens:
+    # 48 and rounds 7-8 the remainder). All are green in the local sf0.01
+    # parity sweep:
     # ab_test_welch, ann_recall_eval, ann_topk_lsh_from_store,
     # association_rules, audio_wav_decode, bellman_ford_hops,
     # bloom_membership_report, bloom_prefilter_contamination,
