@@ -211,3 +211,36 @@ def test_observed_metrics_zero_extra_pass_consistency(spark, sf_dir):
     adm = d.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
     assert rows["admitted_rows"] == adm.count()
     assert rows["admitted_chars"] == adm.agg(F.sum("n_chars")).first()[0]
+
+
+def test_new_eval_paths_have_no_unpartitioned_window(spark, sf_dir):
+    """The AUC and quantile-selection paths must never fall back to a
+    single-partition window: their global-order steps run through the
+    pid-partitioned global_row_number/global_prefix_sum machinery."""
+    from code_challenge___data_engineer___machinemax_spark.operators.ranking import (
+        global_row_number,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    plans = {
+        # AUC returns the lazy plan — guard it end to end
+        "score_auc_eval": _QS["score_auc_eval"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString(),
+        # the quantile query SELECTS eagerly and returns literal rows, so
+        # guard its ranking intermediate (the only window-bearing stage)
+        "global_exact_quantiles/rank": global_row_number(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v_c"),
+                "l_orderkey",
+                "l_linenumber",
+            ),
+            [F.col("v_c"), F.col("l_orderkey"), F.col("l_linenumber")],
+            rank_col="rn",
+        )._jdf.queryExecution().executedPlan().toString(),
+    }
+    for name, plan in plans.items():
+        assert "__rank_pid" in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                inner = line.split("windowspecdefinition(", 1)[1]
+                assert "__rank_pid" in inner, (name, line)
