@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.similarity import cosine
 from ..tables import load_table
-from .registry import query
+from .registry import get as _get_registered, query
 
 
 @query(
@@ -180,6 +180,45 @@ def asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("view_event_id")
     )
     return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_event_id"],
+        right_seq="view_event_id",
+    )
+
+
+@query(
+    "asof_purchase_to_view_pandas",
+    # same oracle as asof_purchase_to_view: the two registered variants are
+    # alternative PHYSICAL strategies for the operator Spark lacks natively,
+    # and must agree bit-for-bit
+    oracle=_get_registered("asof_purchase_to_view").oracle,
+)
+def asof_purchase_to_view_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's second physical strategy: applyInPandas +
+    pd.merge_asof per user group (operators/asof.py::asof_join_pandas) —
+    the Arrow-batched escape hatch the union-window rewrite replaces in
+    the hot path. Registered next to asof_purchase_to_view with the SAME
+    oracle so the driver pins both strategies to identical results; the
+    equivalence is also unit-tested (test_operators.py).
+
+    Scale trade vs the union-window twin: one groupBy-key shuffle either
+    way, but this variant crosses the JVM<->Python Arrow boundary and
+    materializes each user's full (purchases + views) frame in pandas —
+    right choice only when per-key frames are small and the logic outgrows
+    SQL expressions; wrong choice for skewed keys (one hot user = one hot
+    pandas task). That trade-off is the point of keeping both registered."""
+    from ..operators.asof import asof_join_pandas
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join_pandas(
         purchases,
         views,
         on="user_id",

@@ -146,8 +146,8 @@ DRIVER_PRIORITY: list[str] = [
     # naive_bayes_quality_distill, isotonic_calibration_bins,
     # mahalanobis_outliers, frequent_event_sequences, textrank_keywords,
     # multi_touch_attribution, global_exact_quantiles,
-    # observed_pipeline_metrics (80 total after the fifth-session
-    # governance/eval/behavior additions)
+    # observed_pipeline_metrics, asof_purchase_to_view_pandas (81 total
+    # after the fifth-session governance/eval/behavior additions)
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
