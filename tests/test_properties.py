@@ -204,3 +204,56 @@ def test_wav_roundtrip_property(pcm, rate, channels):
         except ValueError:
             corrupted_ok = False
         assert not corrupted_ok
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pav_minimax_identity(bins):
+    """The minimax closed form used by isotonic_calibration_bins —
+    calib(t) = max_{i<=t} min_{j>=i} rate(i..j) — equals the sequential
+    pool-adjacent-violators algorithm on arbitrary (n, pos) bin sequences.
+    This is the algebraic identity that lets the query fit isotonic
+    regression without any sequential pooling loop."""
+    n = [b[0] for b in bins]
+    pos = [b[1] for b in bins]
+    k = len(bins)
+
+    # sequential PAV (the textbook algorithm): merge adjacent violators
+    pools = [[n[i], pos[i]] for i in range(k)]
+    out = []
+    for p in pools:
+        out.append(p)
+        while len(out) >= 2 and out[-2][1] * out[-1][0] > out[-1][1] * out[-2][0]:
+            b2 = out.pop()
+            out[-1][0] += b2[0]
+            out[-1][1] += b2[1]
+    # expand pooled rates back to per-bin values
+    pav = []
+    idx = 0
+    for pn, pp in out:
+        consumed = 0
+        while consumed < pn:
+            consumed += n[idx]
+            pav.append(pp / pn)
+            idx += 1
+
+    # minimax closed form
+    import itertools
+
+    cn = list(itertools.accumulate(n))
+    cp = list(itertools.accumulate(pos))
+    def rate(i, j):  # inclusive bin range
+        num = cp[j] - (cp[i] - pos[i])
+        den = cn[j] - (cn[i] - n[i])
+        return num / den
+    for t in range(k):
+        minimax = max(min(rate(i, j) for j in range(i, k)) for i in range(t + 1))
+        assert abs(minimax - pav[t]) < 1e-12, (bins, t)
