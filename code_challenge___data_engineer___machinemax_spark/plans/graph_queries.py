@@ -304,3 +304,113 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("core_deg") >= 3)
         .orderBy("part")
     )
+
+
+def _label_prop_oracle(rounds: int = 4, n_seeds: int = 8) -> str:
+    """Unrolled seeded-label-propagation oracle: one frontier CTE per
+    round (the bellman_ford_hops / kcore unroll discipline). Each round a
+    node adopts the lexicographically smallest (dist, label) among its
+    own state and every neighbor's state + 1 hop."""
+    parts = [
+        f"""
+    WITH edges AS ({_EDGES_SQL}
+    ), und AS (
+        SELECT x AS n, y AS nb FROM edges
+        UNION ALL
+        SELECT y, x FROM edges
+    ), deg AS (
+        SELECT n, COUNT(*) AS d FROM und GROUP BY n
+    ), seeds AS (
+        SELECT n FROM deg ORDER BY d DESC, n LIMIT {n_seeds}
+    ), l0 AS (
+        SELECT n, n AS label, 0 AS dist FROM seeds
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", c{r} AS (
+        SELECT n, label, dist FROM l{r - 1}
+        UNION ALL
+        SELECT u.n, l.label, l.dist + 1
+        FROM und u JOIN l{r - 1} l ON u.nb = l.n
+    ), l{r} AS (
+        SELECT n, label, dist FROM (
+            SELECT n, label, dist,
+                   ROW_NUMBER() OVER (PARTITION BY n
+                                      ORDER BY dist, label) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(n) AS BIGINT) AS min_member,
+           CAST(MAX(dist) AS BIGINT) AS max_dist
+    FROM l{rounds}
+    GROUP BY label
+    ORDER BY label"""
+    )
+    return "".join(parts)
+
+
+@query("label_propagation_seeded", oracle=_label_prop_oracle())
+def label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (multi-source BFS labeling) over the
+    co-purchase graph: the 8 highest-degree parts seed communities with
+    their own ids; 4 synchronous rounds later every reached node carries
+    the label of its NEAREST seed (ties: smallest label) — the
+    semi-supervised community assignment that complements the
+    unsupervised families (connected components, k-core, triangles).
+    Output is the community roster: label, member count, smallest
+    member, eccentricity of the reached set.
+
+    Determinism: the update rule is a lexicographic MIN over (dist,
+    label) pairs — associative/commutative, so partition order cannot
+    perturb the fixed point; the round bound is part of the semantics
+    (same contract as bellman_ford_hops).
+
+    Scale: a Pregel superstep per round — candidates = current states
+    UNION edge-join(states), reduced by a node-keyed min-of-struct
+    (partial map-side combine; no window, no row_number). The labeled
+    frontier is at most node-dimension sized; edges are built once and
+    localCheckpoint'd; each round is one co-partitioned equi-join +
+    one combine-enabled groupBy. At 100 TB the same loop runs over the
+    bucketed edge store (DEPLOY L1) with zero exchanges per round."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("x").alias("n"), F.col("y").alias("nb"))
+        .unionAll(edges.select(F.col("y").alias("n"), F.col("x").alias("nb")))
+        .localCheckpoint()
+    )
+    deg = und.groupBy("n").agg(F.count("*").alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), "n")
+        .limit(8)
+        .select("n", F.col("n").alias("label"), F.lit(0).alias("dist"))
+    )
+    state = seeds.localCheckpoint()
+    for _ in range(4):
+        hop = (
+            und.join(
+                state.select(F.col("n").alias("nb"), "label", "dist"), "nb"
+            )
+            .select("n", "label", (F.col("dist") + 1).alias("dist"))
+        )
+        state = (
+            state.unionAll(hop)
+            .groupBy("n")
+            .agg(F.min(F.struct("dist", "label")).alias("m"))
+            .select("n", F.col("m.label").alias("label"), F.col("m.dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        state.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("n").cast("bigint").alias("min_member"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+        )
+        .orderBy("label")
+    )

@@ -237,3 +237,53 @@ def test_kcore_membership_is_dense_subgraph(spark, sf_dir):
     assert {r.part: r.core_deg for r in rows} == expected
     for r in rows:
         assert r.core_deg >= 3
+
+
+def test_label_propagation_matches_sequential_bfs(spark, sf_dir):
+    """The distributed supersteps must reproduce a naive sequential
+    multi-source BFS: seeds = top-8 by degree (ties: min id), label =
+    nearest seed's id with smallest-label tie-break, 4 hops."""
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _edges,
+    )
+
+    rows = _QS["label_propagation_seeded"](spark, sf_dir).collect()
+    assert rows, "no communities at the test SF"
+    edges = [(r.x, r.y) for r in _edges(spark, sf_dir).collect()]
+
+    import collections
+
+    adj = collections.defaultdict(set)
+    deg = collections.Counter()
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+        deg[x] += 1
+        deg[y] += 1
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:8]
+    state = {s: (0, s) for s in seeds}
+    for _ in range(4):
+        nxt = dict(state)
+        for n, (d, lab) in state.items():
+            for nb in adj[n]:
+                cand = (d + 1, lab)
+                if nb not in nxt or cand < nxt[nb]:
+                    nxt[nb] = min(cand, nxt.get(nb, cand))
+            # own state never worsens
+        state = nxt
+    expected = collections.defaultdict(list)
+    for n, (d, lab) in state.items():
+        expected[lab].append((n, d))
+    got = {r.label: (r.n_members, r.min_member, r.max_dist) for r in rows}
+    want = {
+        lab: (
+            len(members),
+            min(n for n, _ in members),
+            max(d for _, d in members),
+        )
+        for lab, members in expected.items()
+    }
+    assert got == want
+    # every seed labels itself at distance 0, so its own community exists
+    for s in seeds:
+        assert s in got
