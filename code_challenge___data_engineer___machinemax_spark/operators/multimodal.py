@@ -558,3 +558,72 @@ def wav_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("media_id", "data").mapInPandas(run, out_schema)
+
+
+def pcm_features_arrow(df: DataFrame) -> DataFrame:
+    """:func:`pcm_features` re-expressed over ``mapInArrow`` — the third
+    Python transport in the engine (row UDF < pandas/Arrow batch <
+    raw-Arrow batch). Identical semantics and output schema; the query
+    twin (plans/multimodal_queries.py::audio_pcm_features_arrow) shares
+    the pandas path's SQL oracle, so both transports are value-checked
+    against the same truth.
+
+    Why a raw-Arrow path exists: for binary-payload columns the pandas
+    round-trip materializes every payload as a Python ``bytes`` inside a
+    pandas object column before the operator even runs; ``mapInArrow``
+    hands the operator the Arrow RecordBatch itself, so the payload
+    bytes stay in Arrow buffers until numpy views them — less copying
+    and no object-dtype churn on exactly the columns where it is most
+    expensive. Scale: narrow per-row outputs, shuffles nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("media_id"))
+            payloads = batch.column(batch.schema.get_field_index("data"))
+            n_samples, sum_sq, zc, peak = [], [], [], []
+            for data in payloads:
+                buf = data.as_py() if data.is_valid else None
+                if buf is None:
+                    n_samples.append(None)
+                    sum_sq.append(None)
+                    zc.append(None)
+                    peak.append(None)
+                    continue
+                s = np.frombuffer(
+                    buf[: len(buf) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                if s.size == 0:
+                    n_samples.append(0)
+                    sum_sq.append(0)
+                    zc.append(0)
+                    peak.append(0)
+                    continue
+                neg = s < 0
+                n_samples.append(int(s.size))
+                sum_sq.append(int((s * s).sum()))
+                zc.append(int((neg[1:] != neg[:-1]).sum()))
+                peak.append(int(np.abs(s).max()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_samples, type=pa.int64()),
+                    pa.array(sum_sq, type=pa.int64()),
+                    pa.array(zc, type=pa.int64()),
+                    pa.array(peak, type=pa.int64()),
+                ],
+                names=["media_id", "n_samples", "sum_sq", "zero_crossings", "peak"],
+            )
+
+    return df.select("media_id", "data").mapInArrow(run, out_schema)

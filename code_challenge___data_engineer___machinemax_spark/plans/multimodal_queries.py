@@ -137,9 +137,7 @@ _PCM_SQL = """list_transform(
                          + 32768) % 65536 - 32768)"""
 
 
-@query(
-    "audio_pcm_features",
-    oracle=f"""
+_AUDIO_PCM_ORACLE = f"""
     WITH audio AS (
         SELECT doc_id AS media_id, text
         FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
@@ -160,8 +158,10 @@ _PCM_SQL = """list_transform(
            CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT)
                AS peak
     FROM pcm
-    """,
-)
+    """
+
+
+@query("audio_pcm_features", oracle=_AUDIO_PCM_ORACLE)
 def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio feature extraction over binary columns: the synthetic
     media table's audio payloads interpreted as little-endian PCM16,
@@ -175,6 +175,22 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(d).filter(F.col("kind") == "audio")
     return pcm_features(media)
+
+
+@query("audio_pcm_features_arrow", oracle=_AUDIO_PCM_ORACLE)
+def audio_pcm_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`audio_pcm_features` through the raw-Arrow transport
+    (``mapInArrow``) instead of mapInPandas — the same DSP reduction with
+    the payload bytes left in Arrow buffers until numpy views them (no
+    pandas object-column materialization of the binary payloads). Shares
+    the pandas twin's byte-exact SQL oracle, so the driver certifies both
+    Python transports against the same truth — the same
+    physical-strategy-twin discipline as asof_purchase_to_view_pandas."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..operators.multimodal import pcm_features_arrow
+
+    media = synth_media(d).filter(F.col("kind") == "audio")
+    return pcm_features_arrow(media)
 
 
 @query(

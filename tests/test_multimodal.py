@@ -371,3 +371,29 @@ def test_wav_zero_channel_header_dead_letters():
         assert False, "zero-channel fmt must raise ValueError"
     except ValueError:
         pass
+
+
+def test_pcm_arrow_transport_matches_pandas(spark, sf_dir):
+    """mapInArrow and mapInPandas are two transports for one operator:
+    identical rows (incl. null-payload and empty-payload edges)."""
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        pcm_features,
+        pcm_features_arrow,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = synth_media(d).filter(F.col("kind") == "audio")
+    a = {r.media_id: r for r in pcm_features_arrow(media).collect()}
+    p = {r.media_id: r for r in pcm_features(media).collect()}
+    assert a.keys() == p.keys() and len(a) > 0
+    for k in a:
+        assert a[k] == p[k]
+
+    # null payload propagates nulls through the Arrow path too
+    nulled = media.withColumn(
+        "data", F.when(F.col("media_id") % 2 == 0, F.col("data"))
+    )
+    rows = {r.media_id: r for r in pcm_features_arrow(nulled).collect()}
+    for mid, r in rows.items():
+        if mid % 2 != 0:
+            assert r.n_samples is None and r.peak is None
