@@ -1136,3 +1136,136 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("keyword"))
         .limit(25)
     )
+
+
+# RBO depth weights, precomputed ONCE in Python and embedded as literals in
+# BOTH engines (no cross-engine float pow): w_e8 = round(1e8 * (1-p) *
+# p^(d-1)) at p = 0.9, and m = lcm(1..10)/d = 2520/d so every agreement
+# fraction overlap/d becomes the exact integer overlap * m.
+_RBO_WEIGHTS = [
+    (1, 10000000, 2520),
+    (2, 9000000, 1260),
+    (3, 8100000, 840),
+    (4, 7290000, 630),
+    (5, 6561000, 504),
+    (6, 5904900, 420),
+    (7, 5314410, 360),
+    (8, 4782969, 315),
+    (9, 4304672, 280),
+    (10, 3874205, 252),
+]
+
+_RBO_VALUES_SQL = ", ".join(f"({d}, {w}, {m})" for d, w, m in _RBO_WEIGHTS)
+
+
+@query(
+    "rbo_rank_agreement",
+    oracle=f"""
+    WITH w(depth, w_e8, m) AS (VALUES {_RBO_VALUES_SQL}),
+    tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN ('merge', 'vector') GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), bm AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * (tf * 2.2::DOUBLE)
+                   / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                          + 0.75::DOUBLE * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN dfreq USING (token) JOIN doc_len USING (doc_id) CROSS JOIN corpus
+        GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 10
+    ), ti AS (
+        SELECT tf.doc_id AS doc_id,
+               ROUND(SUM((CAST(tf.tf AS DOUBLE) / doc_len.dl)
+                   * (ln((1.0::DOUBLE + corpus.n_docs) / (1 + dfreq.df))
+                      + 1.0::DOUBLE)), 6) AS s
+        FROM tf JOIN dfreq USING (token)
+                JOIN doc_len ON tf.doc_id = doc_len.doc_id, corpus
+        GROUP BY tf.doc_id ORDER BY s DESC, tf.doc_id LIMIT 10
+    ), a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+    ), b AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM ti
+    ), ov AS (
+        SELECT w.depth, COUNT(b.doc_id) AS overlap
+        FROM w LEFT JOIN a ON a.r <= w.depth
+               LEFT JOIN b ON b.doc_id = a.doc_id AND b.r <= w.depth
+        GROUP BY w.depth
+    )
+    SELECT CAST(w.depth AS BIGINT) AS depth,
+           CAST(ov.overlap AS BIGINT) AS overlap,
+           CAST(ov.overlap * w.m AS BIGINT) AS agreement_x2520,
+           CAST(SUM(w.w_e8 * ov.overlap * w.m)
+                OVER (ORDER BY w.depth) AS BIGINT) AS rbo_cum_e8x2520
+    FROM w JOIN ov USING (depth)
+    ORDER BY depth
+    """,
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between the BM25 and
+    TF-IDF top-10 rankings of the SAME two-term query — the ranker-
+    agreement meta-eval that complements the against-ground-truth metrics
+    (search_ndcg_eval, mrr_retrieval_eval): per depth d, the prefix
+    overlap |A_d ∩ B_d|, the agreement overlap/d, and the truncated
+    top-weighted RBO partial sum Σ (1-p)·p^(d-1)·overlap/d at p=0.9.
+
+    Exactness: the depth weights and the lcm(1..10)=2520 denominators are
+    Python-precomputed integer literals embedded in BOTH engines, so every
+    output column is pure int64 — no cross-engine pow()/division drift;
+    both rankers order by their ROUND(score, 6) with doc_id tie-break (the
+    same deterministic contract their own oracles certify).
+
+    Scale: the two ranking arms are the match-bounded bm25_rank /
+    tfidf_rank plans; everything after them operates on two 10-row frames
+    joined against a 10-row literal spine (broadcast nested-loop on
+    <=100 rows) — the post-LIMIT global windows are benign (10 rows, the
+    documented search_ndcg_eval idiom)."""
+    from ..operators.search import tfidf_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_rank(d, "doc_id", "merge vector", k=10)
+    ti = tfidf_rank(d, "doc_id", "merge vector", k=10)
+    a = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("a_r"),
+    )
+    b = ti.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .alias("b_r"),
+    )
+    pairs = a.join(b, "doc_id")
+    weights = spark.createDataFrame(_RBO_WEIGHTS, "depth long, w_e8 long, m long")
+    ov = (
+        weights.join(
+            pairs,
+            (F.col("a_r") <= F.col("depth")) & (F.col("b_r") <= F.col("depth")),
+            "left",
+        )
+        .groupBy("depth", "w_e8", "m")
+        .agg(F.count("doc_id").alias("overlap"))
+    )
+    return (
+        ov.select(
+            F.col("depth").cast("bigint").alias("depth"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            (F.col("overlap") * F.col("m")).cast("bigint").alias("agreement_x2520"),
+            F.sum(F.col("w_e8") * F.col("overlap") * F.col("m"))
+            .over(W.orderBy("depth"))
+            .cast("bigint")
+            .alias("rbo_cum_e8x2520"),
+        )
+        .orderBy("depth")
+    )

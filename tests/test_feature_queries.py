@@ -239,3 +239,29 @@ def test_clamped_balance_recurrence(spark, sf_dir):
         b = max(0, state.get(r.part, 0) + r.x)
         assert r.balance == b, (r.part, r.d)
         state[r.part] = b
+
+
+def test_rbo_invariants(spark, sf_dir):
+    """RBO@10 structural laws: overlap is nondecreasing in depth, grows by
+    at most 1 per depth, never exceeds depth; agreement_x2520 == overlap *
+    2520/d exactly; the cumulative scaled RBO is nondecreasing and equals
+    the sequential replay of the embedded literal weights."""
+    rows = sorted(
+        _QS["rbo_rank_agreement"](spark, sf_dir).collect(), key=lambda r: r.depth
+    )
+    assert [r.depth for r in rows] == list(range(1, 11))
+    from code_challenge___data_engineer___machinemax_spark.plans.ranking_queries import (
+        _RBO_WEIGHTS,
+    )
+
+    prev_ov, cum = 0, 0
+    for r, (d, w_e8, m) in zip(rows, _RBO_WEIGHTS):
+        assert prev_ov <= r.overlap <= prev_ov + 1
+        assert r.overlap <= r.depth
+        assert r.agreement_x2520 == r.overlap * m
+        cum += w_e8 * r.overlap * m
+        assert r.rbo_cum_e8x2520 == cum
+        prev_ov = r.overlap
+    # identical rankers would score overlap == depth at every rung, i.e.
+    # d * m == 2520 per rung — the ceiling any real ranker pair sits under
+    assert rows[-1].rbo_cum_e8x2520 <= 2520 * sum(w for _, w, _ in _RBO_WEIGHTS)
