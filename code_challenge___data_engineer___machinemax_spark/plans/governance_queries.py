@@ -974,10 +974,15 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_b"),
         F.sum("label").cast("bigint").alias("pos_b"),
     )
-    # join-based prefix sums over the 20-row bin frame (no global window)
+    # join-based prefix sums over the 20-row bin frame (no global window).
+    # Every inequality join below broadcasts its build side: the bin frame
+    # is B rows by construction, and the explicit hint makes the planner
+    # emit BroadcastNestedLoopJoin instead of CartesianProduct (same work
+    # at B=20, but the broadcast shape is the one that stays sane if B is
+    # ever raised — and the registry-wide plan lint forbids cartesians).
     a, b = bins.alias("a"), bins.alias("b")
     cum = (
-        a.join(b, F.col("b.bin") <= F.col("a.bin"))
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
         .groupBy(F.col("a.bin").alias("bin"), F.col("a.n_b").alias("n_b"),
                  F.col("a.pos_b").alias("pos_b"))
         .agg(
@@ -986,7 +991,7 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     i, j = cum.alias("i"), cum.alias("j")
-    pairs = i.join(j, F.col("j.bin") >= F.col("i.bin")).select(
+    pairs = i.join(F.broadcast(j), F.col("j.bin") >= F.col("i.bin")).select(
         F.col("i.bin").alias("i"),
         (
             (F.col("j.cp") - (F.col("i.cp") - F.col("i.pos_b"))).cast("double")
@@ -995,7 +1000,7 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lower_env = pairs.groupBy("i").agg(F.min("avg_ij").alias("minavg"))
     return (
-        bins.join(lower_env, lower_env.i <= bins.bin)
+        bins.join(F.broadcast(lower_env), lower_env.i <= bins.bin)
         .groupBy("bin", "n_b", "pos_b")
         .agg(F.max("minavg").alias("__calib"))
         .select(

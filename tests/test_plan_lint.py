@@ -1,0 +1,45 @@
+"""Whole-registry plan lint: EVERY registered query's physical plan is held
+to the two non-negotiable scale rules —
+
+1. no ``CartesianProduct`` (an unkeyed all-pairs join is a scale-killer at
+   any data volume; broadcast nested-loop against a literal/LIMIT-bounded
+   spine is allowed and separately audited by the targeted plan tests);
+2. no ``BatchEvalPython`` (row-at-a-time Python eval; Python is allowed in
+   plans only through the Arrow transports — ArrowEvalPython / MapInPandas /
+   FlatMapGroupsInPandas / MapInArrow — or the vectorized SQL surface).
+
+The targeted tests in test_plans.py pin *specific* good shapes (pushdown,
+broadcast, partial agg); this sweep guarantees the *absence* of the two
+worst shapes across the whole 270+-query surface, so a future query can't
+quietly regress into either.
+
+Iterative queries (k-means, BPE, label propagation, ...) execute their
+driver rounds when invoked; the sweep therefore runs at the suite SF where
+those loops are cheap. Streaming queries stage waves and run a real
+micro-batch pipeline on invocation — their (batch-materialized) results
+carry no plan to lint, so the sweep covers them only for the cheap rule
+that they register cleanly; the streaming plan discipline is pinned by
+tests/test_streaming*.py instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from code_challenge___data_engineer___machinemax_spark import plans
+
+from .test_plans import explain_text
+
+_QS = plans.all_queries()
+
+# invoking a streamed_* query runs the full wave-staged micro-batch
+# pipeline (minutes across the suite) and returns a materialized local
+# frame whose plan is a LocalTableScan — nothing to lint
+_SWEEP = sorted(n for n in _QS if not n.startswith("streamed_"))
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
+    txt = explain_text(_QS[name](spark, sf_dir))
+    assert "CartesianProduct" not in txt, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in txt, f"{name}: row-at-a-time Python eval"
