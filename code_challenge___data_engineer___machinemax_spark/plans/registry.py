@@ -110,44 +110,44 @@ DRIVER_PRIORITY: list[str] = [
     "asof_purchase_to_view",
     # Round-6 window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r04 keys minus this round-5 window (80 as of the end
-    # of round 5 — MORE than one 48-slot window; round 6 takes the first
-    # 48 and rounds 7-8 the remainder). All are green in the local sf0.01
-    # parity sweep:
-    # ab_test_welch, ann_recall_eval, ann_topk_lsh_from_store,
-    # association_rules, audio_wav_decode, bellman_ford_hops,
-    # bloom_membership_report, bloom_prefilter_contamination,
-    # bm25_keyword_indexed, chi2_feature_scores,
+    # CORRECTNESS_r01-r04 keys minus this round-5 window (85 as of the
+    # sixth session of round 5 — MORE than one 48-slot window; round 6
+    # takes the first 48 and rounds 7-8 the remainder). All are green in
+    # the local sf0.01 parity sweep:
+    # ab_test_welch, adamic_adar_links, ann_recall_eval,
+    # ann_topk_lsh_from_store, asof_purchase_to_view_pandas,
+    # association_rules, audio_pcm_features_arrow, audio_wav_decode,
+    # bellman_ford_hops, benford_digit_audit, bloom_membership_report,
+    # bloom_prefilter_contamination, bm25_keyword_indexed,
+    # chi2_feature_scores, clamped_stock_balance, cohort_retention_matrix,
     # conversion_latency_quantiles, cuped_adjusted_ab, cusum_changepoint,
-    # data_quality_report, entity_resolution_blocked,
-    # event_transition_matrix, ewma_order_values, gini_feature_scores,
-    # hybrid_search_rrf, incremental_rollup_merge, item_item_similarity,
-    # ivf_topk_from_store, keyword_search_stored_index, kmv_theta_set_ops,
-    # l_diversity_release, loo_target_encoding,
-    # markov_next_event_accuracy, media_decode_real_png,
-    # mrl_truncation_recall, numeric_correlation_matrix,
+    # daily_revenue_acf, data_quality_report, dp_noisy_counts,
+    # entity_resolution_blocked, event_transition_matrix,
+    # ewma_order_values, feature_hash_collisions,
+    # frequent_event_sequences, frequent_triples,
+    # funnel_conversion_ordered, gdpr_deletion_cascade,
+    # gini_feature_scores, global_exact_quantiles, hybrid_search_rrf,
+    # incremental_rollup_merge, isotonic_calibration_bins,
+    # item_item_similarity, ivf_topk_from_store, kaplan_meier_churn,
+    # kcore_membership, keyword_search_stored_index, kmv_theta_set_ops,
+    # l_diversity_release, label_propagation_seeded, loo_target_encoding,
+    # mahalanobis_outliers, markov_next_event_accuracy,
+    # media_decode_real_png, mrl_truncation_recall, mrr_retrieval_eval,
+    # multi_touch_attribution, naive_bayes_quality_distill,
+    # numeric_correlation_matrix, observed_pipeline_metrics,
     # open_orders_daily, order_interval_coverage,
     # phrase_search_positional, pq_adc_topk, pq_adc_topk_from_store,
     # pq_code_histogram, psi_drift_report, python_datasource_rollup,
-    # python_stream_source_rollup, rake_keyphrases,
+    # python_stream_source_rollup, rake_keyphrases, rbo_rank_agreement,
+    # recsys_hitrate_eval, referential_orphan_audit, score_auc_eval,
     # seasonal_naive_backtest, shuffle_shard_order,
     # simhash_incremental_admission, simhash_near_dup_pairs_from_store,
     # skyline_orders, streamed_psi_monitor, streamed_purchase_attribution,
-    # streamed_segment_enrichment, variant_props_extract,
-    # video_sampled_frame_decode, winsorized_segment_stats, zorder_layout,
-    # kaplan_meier_churn, mrr_retrieval_eval, frequent_triples,
-    # clamped_stock_balance, cohort_retention_matrix,
-    # funnel_conversion_ordered, triangle_participation,
-    # adamic_adar_links, daily_revenue_acf, woe_iv_encoding,
-    # recsys_hitrate_eval, weighted_priority_sample,
-    # streamed_unconverted_views, score_auc_eval, t_closeness_release,
-    # dp_noisy_counts, gdpr_deletion_cascade, referential_orphan_audit,
-    # benford_digit_audit, feature_hash_collisions,
-    # naive_bayes_quality_distill, isotonic_calibration_bins,
-    # mahalanobis_outliers, frequent_event_sequences, textrank_keywords,
-    # multi_touch_attribution, global_exact_quantiles,
-    # observed_pipeline_metrics, asof_purchase_to_view_pandas (81 total
-    # after the fifth-session governance/eval/behavior additions)
+    # streamed_segment_enrichment, streamed_unconverted_views,
+    # t_closeness_release, textrank_keywords, triangle_participation,
+    # variant_props_extract, video_sampled_frame_decode,
+    # weighted_priority_sample, winsorized_segment_stats, woe_iv_encoding,
+    # zorder_layout
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in
