@@ -1023,3 +1023,269 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature", "bucket")
     )
+
+
+@query(
+    "did_revenue_estimate",
+    oracle="""
+    WITH cell AS (
+        SELECT r.r_name AS region,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(trunc(o.o_totalprice) AS BIGINT) AS price_d
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), m AS (
+        SELECT region,
+               CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+               CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN price_d ELSE 0 END) AS BIGINT) AS s_tp,
+               CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+               CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN price_d ELSE 0 END) AS BIGINT) AS s_t0,
+               CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+               CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN price_d ELSE 0 END) AS BIGINT) AS s_cp,
+               CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+               CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN price_d ELSE 0 END) AS BIGINT) AS s_c0
+        FROM cell GROUP BY region
+    )
+    SELECT region, n_tp, n_t0, n_cp, n_c0,
+           CAST((1000000 * s_tp) // n_tp - (1000000 * s_t0) // n_t0
+                - ((1000000 * s_cp) // n_cp - (1000000 * s_c0) // n_c0)
+                AS BIGINT) AS did_e6
+    FROM m ORDER BY region
+    """,
+)
+def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout per region: treated = BUILDING-
+    segment customers (the deterministic stand-in for a program cohort),
+    periods split at 1997-01-01, metric = whole-dollar order value. The
+    estimate is the classic 2x2: (post - pre) change for treated minus the
+    same change for controls — the causal-inference companion to the
+    randomized readouts (ab_test_welch, cuped_adjusted_ab), for when
+    assignment is NOT randomized and a parallel-trends control is the
+    identification strategy.
+
+    Exactness: every cell mean enters as (1e6 * sum) DIV n — all four
+    operands positive int64, so Spark's DIV and DuckDB's // agree (both
+    floor); no doubles anywhere. Scale: ONE pass over the fact with
+    conditional aggregation over broadcast dims — eight moments per
+    region, map-side combinable, output region-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treated"),
+            F.when(F.expr("o_orderdate >= TIMESTAMP '1997-01-01'"), 1)
+            .otherwise(0)
+            .alias("post"),
+            F.expr("CAST(o_totalprice AS BIGINT)").alias("price_d"),
+        )
+    )
+
+    def _cellagg(t: int, p: int, col: str):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        if col == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        return F.sum(F.when(cond, F.col("price_d")).otherwise(0)).cast("bigint")
+
+    m = cell.groupBy("region").agg(
+        _cellagg(1, 1, "n").alias("n_tp"),
+        _cellagg(1, 1, "s").alias("s_tp"),
+        _cellagg(1, 0, "n").alias("n_t0"),
+        _cellagg(1, 0, "s").alias("s_t0"),
+        _cellagg(0, 1, "n").alias("n_cp"),
+        _cellagg(0, 1, "s").alias("s_cp"),
+        _cellagg(0, 0, "n").alias("n_c0"),
+        _cellagg(0, 0, "s").alias("s_c0"),
+    )
+    return m.select(
+        "region",
+        "n_tp",
+        "n_t0",
+        "n_cp",
+        "n_c0",
+        F.expr(
+            "(1000000 * s_tp) DIV n_tp - (1000000 * s_t0) DIV n_t0"
+            " - ((1000000 * s_cp) DIV n_cp - (1000000 * s_c0) DIV n_c0)"
+        ).alias("did_e6"),
+    ).orderBy("region")
+
+
+@query(
+    "propensity_caliper_match",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_custkey AS ck,
+               c.c_mktsegment = 'BUILDING' AS is_t,
+               CAST(trunc(c.c_acctbal * 100) AS BIGINT) AS score,
+               r.r_name AS region
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), outc AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS out_d
+        FROM orders GROUP BY o_custkey
+    ), full_c AS (
+        SELECT cust.ck, cust.is_t, cust.score, cust.region,
+               COALESCE(outc.out_d, 0) AS out_d
+        FROM cust LEFT JOIN outc ON cust.ck = outc.ck
+    ), ctrl1 AS (
+        SELECT region, score, ck, out_d FROM (
+            SELECT region, score, ck, out_d,
+                   ROW_NUMBER() OVER (PARTITION BY region, score
+                                      ORDER BY ck) AS rn
+            FROM full_c WHERE NOT is_t
+        ) WHERE rn = 1
+    ), treated AS (
+        SELECT region, score, ck, out_d FROM full_c WHERE is_t
+    ), matched AS (
+        SELECT t.region, t.ck, t.out_d AS out_t,
+               m.out_d AS out_c, abs(m.score - t.score) AS gap
+        FROM treated t, LATERAL (
+            SELECT c.ck, c.out_d, c.score
+            FROM ctrl1 c WHERE c.region = t.region
+            ORDER BY abs(c.score - t.score), c.ck LIMIT 1
+        ) m
+        WHERE abs(m.score - t.score) <= 10000
+    ), base AS (
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n_treated
+        FROM treated GROUP BY region
+    ), agg AS (
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(out_t - out_c) AS BIGINT) AS s_diff,
+               CAST(SUM(gap) AS BIGINT) AS gap_sum
+        FROM matched GROUP BY region
+    )
+    SELECT b.region, b.n_treated, a.n_matched, a.gap_sum,
+           CAST(trunc(1e6 * CAST(a.s_diff AS DOUBLE) / a.n_matched)
+                AS BIGINT) AS att_e6
+    FROM base b JOIN agg a ON b.region = a.region
+    ORDER BY b.region
+    """,
+)
+def propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 propensity-style matching with replacement, blocked exactly on
+    region and nearest on the balance score within a $100 caliper: every
+    BUILDING-segment (treated) customer is paired to the closest control
+    by account-balance cents (ties: smaller control key), and the matched
+    set yields the ATT estimate — mean(treated outcome - matched control
+    outcome) in lifetime whole-dollar revenue. Completes the causal trio:
+    randomized readout (ab_test_welch), variance-reduced readout
+    (cuped_adjusted_ab), observational DiD (did_revenue_estimate), and
+    now observational matching.
+
+    Determinism: controls are first reduced to one representative per
+    (region, score) — the smallest key — so "nearest, ties to smaller
+    key" is a total order both engines replay exactly; the oracle states
+    it as a LATERAL argmin, the engine as the as-of adjacency rewrite.
+
+    Scale: the nearest-by-score match is NOT a theta join — the classic
+    as-of union trick (operators/asof.py discipline): controls and
+    treated union into one frame sorted per region by (score, side, key);
+    two region-partitioned windows pull each treated row's floor and
+    ceiling control (last/first ignorenulls over the preceding/following
+    frame), and the argmin over those two candidates is the global
+    nearest because the representative scores are unique per region. One
+    shuffle by region, window frames bounded by partition, everything
+    else conditional aggregation. At 100 TB blocking keys become
+    (region, score-bucket) so no partition exceeds executor memory."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_t"),
+            F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("score"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    outc = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.expr("CAST(o_totalprice AS BIGINT)")).cast("bigint").alias("out_d")
+    )
+    full_c = cust.join(outc, "ck", "left").withColumn(
+        "out_d", F.coalesce("out_d", F.lit(0))
+    )
+    ctrl1 = (
+        full_c.filter(~F.col("is_t"))
+        .groupBy("region", "score")
+        .agg(F.min(F.struct("ck", "out_d")).alias("rep"))
+        .select("region", "score", F.col("rep.ck").alias("ck"),
+                F.col("rep.out_d").alias("out_d"))
+    )
+    treated = full_c.filter("is_t").select("region", "score", "ck", "out_d")
+
+    both = ctrl1.select(
+        "region", "score", "ck", "out_d", F.lit(0).alias("side")
+    ).unionByName(
+        treated.select("region", "score", "ck", "out_d", F.lit(1).alias("side"))
+    )
+    order = [F.asc("score"), F.asc("side"), F.asc("ck")]
+    prev_w = (
+        W.partitionBy("region").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_w = (
+        W.partitionBy("region").orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    cand = F.when(F.col("side") == 0, F.struct("score", "ck", "out_d"))
+    annotated = (
+        both.withColumn("prev", F.last(cand, ignorenulls=True).over(prev_w))
+        .withColumn("nxt", F.first(cand, ignorenulls=True).over(next_w))
+        .filter(F.col("side") == 1)
+    )
+    d_prev = F.col("score") - F.col("prev.score")
+    d_next = F.col("nxt.score") - F.col("score")
+    pick_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull()
+        & (
+            (d_prev < d_next)
+            | ((d_prev == d_next) & (F.col("prev.ck") < F.col("nxt.ck")))
+        )
+    )
+    best = annotated.select(
+        "region",
+        "score",
+        F.col("out_d").alias("out_t"),
+        F.when(pick_prev, F.col("prev")).otherwise(F.col("nxt")).alias("m"),
+    ).filter(F.col("m").isNotNull())
+    matched = best.select(
+        "region",
+        "out_t",
+        F.col("m.out_d").alias("out_c"),
+        F.abs(F.col("m.score") - F.col("score")).alias("gap"),
+    ).filter(F.col("gap") <= 10000)
+    base = treated.groupBy("region").agg(
+        F.count("*").cast("bigint").alias("n_treated")
+    )
+    agg = matched.groupBy("region").agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum(F.col("out_t") - F.col("out_c")).cast("bigint").alias("s_diff"),
+        F.sum("gap").cast("bigint").alias("gap_sum"),
+    )
+    return (
+        base.join(agg, "region")
+        .select(
+            "region",
+            "n_treated",
+            "n_matched",
+            "gap_sum",
+            F.expr(
+                "CAST(1e6 * CAST(s_diff AS DOUBLE) / n_matched AS BIGINT)"
+            ).alias("att_e6"),
+        )
+        .orderBy("region")
+    )

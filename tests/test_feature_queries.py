@@ -265,3 +265,87 @@ def test_rbo_invariants(spark, sf_dir):
     # identical rankers would score overlap == depth at every rung, i.e.
     # d * m == 2520 per rung — the ceiling any real ranker pair sits under
     assert rows[-1].rbo_cum_e8x2520 <= 2520 * sum(w for _, w, _ in _RBO_WEIGHTS)
+
+
+def test_did_cells_partition_orders(spark, sf_dir):
+    """The four DiD cells tile the fact: cell counts per region sum to
+    the region's total order count, and did_e6 replays from the cells."""
+    rows = _QS["did_revenue_estimate"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    totals = {
+        row.region: row.n
+        for row in o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for row in rows:
+        assert row.n_tp + row.n_t0 + row.n_cp + row.n_c0 == totals[row.region]
+
+
+def test_propensity_match_sequential_replay(spark, sf_dir):
+    """Distributed as-of adjacency match == the naive per-treated argmin:
+    nearest (region-blocked) control representative by |score diff| with
+    smaller-key tie-break, $100 caliper, ATT from whole-dollar outcomes."""
+    rows = {r.region: r for r in _QS["propensity_caliper_match"](spark, sf_dir).collect()}
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .selectExpr(
+            "c_custkey AS ck",
+            "c_mktsegment = 'BUILDING' AS is_t",
+            "CAST(c_acctbal * 100 AS BIGINT) AS score",
+            "r_name AS region",
+        )
+        .collect()
+    )
+    outd = {
+        row.ck: row.out
+        for row in o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.expr("CAST(o_totalprice AS BIGINT)")).alias("out"))
+        .collect()
+    }
+    import collections
+
+    ctrl = collections.defaultdict(dict)  # region -> score -> (ck, out)
+    treated = collections.defaultdict(list)
+    for row in cust:
+        out = outd.get(row.ck, 0)
+        if row.is_t:
+            treated[row.region].append((row.score, row.ck, out))
+        else:
+            cur = ctrl[row.region].get(row.score)
+            if cur is None or row.ck < cur[0]:
+                ctrl[row.region][row.score] = (row.ck, out)
+    for region, ts in treated.items():
+        reps = [(s, ck, out) for s, (ck, out) in ctrl[region].items()]
+        n_matched, s_diff, gap_sum = 0, 0, 0
+        for s, _ck, out_t in ts:
+            best = min(
+                reps, key=lambda rep: (abs(rep[0] - s), rep[1]), default=None
+            )
+            if best is None or abs(best[0] - s) > 10000:
+                continue
+            n_matched += 1
+            s_diff += out_t - best[2]
+            gap_sum += abs(best[0] - s)
+        got = rows[region]
+        assert got.n_treated == len(ts)
+        assert got.n_matched == n_matched
+        assert got.gap_sum == gap_sum
+        assert got.att_e6 == int(1e6 * float(s_diff) / n_matched)
