@@ -149,6 +149,12 @@ HEADLINE = [
     # parity-swept, not worth bench slots.
     "naive_bayes_quality_distill",
     "score_auc_eval",
+    # round-5 (sixth session): the one new expensive shape — the seeded
+    # label-propagation superstep loop (4 iterative rounds of edge-join +
+    # min-struct reduce over the co-purchase graph, localCheckpoint'd
+    # between rounds). The causal pair / RBO / Arrow-transport twins are
+    # dimension-sized or post-LIMIT shapes — parity-swept, not benched.
+    "label_propagation_seeded",
 ]
 
 

@@ -1215,8 +1215,15 @@ def propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     outc = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.expr("CAST(o_totalprice AS BIGINT)")).cast("bigint").alias("out_d")
     )
-    full_c = cust.join(outc, "ck", "left").withColumn(
-        "out_d", F.coalesce("out_d", F.lit(0))
+    # customer-dimension sized (one row per customer) but derived from a
+    # full orders-fact aggregation — pin it, because three downstream
+    # frames (controls, treated matching arm, treated base counts) would
+    # otherwise each re-run the fact scan (measured 3.7x wall at the 10x
+    # replica before the pin)
+    full_c = (
+        cust.join(outc, "ck", "left")
+        .withColumn("out_d", F.coalesce("out_d", F.lit(0)))
+        .localCheckpoint()
     )
     ctrl1 = (
         full_c.filter(~F.col("is_t"))
