@@ -242,9 +242,13 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_e6",
     )
     w = W.partitionBy("item").orderBy(F.desc("cosine_e6"), "neighbor")
+    # the item <= 200 report bound prunes whole window partitions, so it
+    # commutes with the partitionBy-item ranking — apply it BEFORE the
+    # window and the rank shuffle carries ~1% of the mirrored pairs
     return (
-        sym.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") <= 3) & (F.col("item") <= 200))
+        sym.filter(F.col("item") <= 200)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
         .select("item", "neighbor", "co", "cosine_e6", F.col("rk").cast("int").alias("rk"))
         .orderBy("item", "rk")
     )
