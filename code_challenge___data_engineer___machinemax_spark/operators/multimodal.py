@@ -591,19 +591,40 @@ def pcm_features_arrow(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index("media_id"))
-            payloads = batch.column(batch.schema.get_field_index("data"))
+            arr = batch.column(batch.schema.get_field_index("data"))
+            n = len(arr)
+            null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+            # buffer-level access: [validity, offsets, values]; every
+            # payload is a zero-copy uint8 slice of the values buffer,
+            # reinterpreted as int16 in place (numpy handles the odd-start
+            # unaligned case) — no per-row Python bytes materialization
+            bufs = arr.buffers()
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=n + 1 + arr.offset
+            )[arr.offset :]
+            data8 = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
             n_samples, sum_sq, zc, peak = [], [], [], []
-            for data in payloads:
-                buf = data.as_py() if data.is_valid else None
-                if buf is None:
+            for i in range(n):
+                if null_mask[i]:
                     n_samples.append(None)
                     sum_sq.append(None)
                     zc.append(None)
                     peak.append(None)
                     continue
-                s = np.frombuffer(
-                    buf[: len(buf) // 2 * 2], dtype="<i2"
-                ).astype(np.int64)
+                start, end = int(offsets[i]), int(offsets[i + 1])
+                usable = (end - start) // 2 * 2
+                s = (
+                    data8[start : start + usable]
+                    .view("<i2")
+                    .astype(np.int64)
+                )
                 if s.size == 0:
                     n_samples.append(0)
                     sum_sq.append(0)

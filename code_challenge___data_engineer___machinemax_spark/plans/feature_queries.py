@@ -1051,8 +1051,10 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cell GROUP BY region
     )
     SELECT region, n_tp, n_t0, n_cp, n_c0,
-           CAST((1000000 * s_tp) // n_tp - (1000000 * s_t0) // n_t0
-                - ((1000000 * s_cp) // n_cp - (1000000 * s_c0) // n_c0)
+           CAST((1000000 * s_tp) // NULLIF(n_tp, 0)
+                - (1000000 * s_t0) // NULLIF(n_t0, 0)
+                - ((1000000 * s_cp) // NULLIF(n_cp, 0)
+                   - (1000000 * s_c0) // NULLIF(n_c0, 0))
                 AS BIGINT) AS did_e6
     FROM m ORDER BY region
     """,
@@ -1112,9 +1114,14 @@ def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_t0",
         "n_cp",
         "n_c0",
+        # NULLIF keeps the query total: an empty 2x2 cell yields a NULL
+        # estimate in BOTH engines instead of a DuckDB division error /
+        # Spark NULL mismatch
         F.expr(
-            "(1000000 * s_tp) DIV n_tp - (1000000 * s_t0) DIV n_t0"
-            " - ((1000000 * s_cp) DIV n_cp - (1000000 * s_c0) DIV n_c0)"
+            "(1000000 * s_tp) DIV NULLIF(n_tp, 0)"
+            " - (1000000 * s_t0) DIV NULLIF(n_t0, 0)"
+            " - ((1000000 * s_cp) DIV NULLIF(n_cp, 0)"
+            "    - (1000000 * s_c0) DIV NULLIF(n_c0, 0))"
         ).alias("did_e6"),
     ).orderBy("region")
 
@@ -1165,10 +1172,12 @@ def did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(gap) AS BIGINT) AS gap_sum
         FROM matched GROUP BY region
     )
-    SELECT b.region, b.n_treated, a.n_matched, a.gap_sum,
+    SELECT b.region, b.n_treated,
+           COALESCE(a.n_matched, 0) AS n_matched,
+           COALESCE(a.gap_sum, 0) AS gap_sum,
            CAST(trunc(1e6 * CAST(a.s_diff AS DOUBLE) / a.n_matched)
                 AS BIGINT) AS att_e6
-    FROM base b JOIN agg a ON b.region = a.region
+    FROM base b LEFT JOIN agg a ON b.region = a.region
     ORDER BY b.region
     """,
 )
@@ -1283,13 +1292,17 @@ def propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("out_t") - F.col("out_c")).cast("bigint").alias("s_diff"),
         F.sum("gap").cast("bigint").alias("gap_sum"),
     )
+    # LEFT join: a region whose treated rows all fall outside the caliper
+    # (e.g. a control-free block at tiny SFs) still reports its n_treated
+    # with a NULL ATT — the unmatched-block accounting a real matching
+    # report needs, not a silently dropped row
     return (
-        base.join(agg, "region")
+        base.join(agg, "region", "left")
         .select(
             "region",
             "n_treated",
-            "n_matched",
-            "gap_sum",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.coalesce("gap_sum", F.lit(0)).cast("bigint").alias("gap_sum"),
             F.expr(
                 "CAST(1e6 * CAST(s_diff AS DOUBLE) / n_matched AS BIGINT)"
             ).alias("att_e6"),
