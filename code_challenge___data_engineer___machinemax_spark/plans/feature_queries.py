@@ -1309,3 +1309,117 @@ def propensity_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "uplift_qini_deciles",
+    oracle="""
+    WITH resp AS (
+        SELECT o_custkey AS ck, MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS responded
+        FROM orders GROUP BY o_custkey
+    ), pop AS (
+        SELECT c.c_custkey AS ck,
+               CAST(c.c_custkey % 2 AS INT) AS arm,
+               CAST(trunc(c.c_acctbal * 100) AS BIGINT) AS score,
+               COALESCE(r.responded, 0) AS responded
+        FROM customer c LEFT JOIN resp r ON c.c_custkey = r.ck
+    ), binned AS (
+        SELECT arm, responded,
+               NTILE(10) OVER (ORDER BY score DESC, ck) AS decile
+        FROM pop
+    ), cells AS (
+        SELECT decile,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN arm = 1 THEN responded ELSE 0 END) AS BIGINT) AS r_t,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN arm = 0 THEN responded ELSE 0 END) AS BIGINT) AS r_c
+        FROM binned GROUP BY decile
+    ), cum AS (
+        SELECT a.decile, a.n_t, a.r_t, a.n_c, a.r_c,
+               CAST(SUM(b.n_t) AS BIGINT) AS cn_t,
+               CAST(SUM(b.r_t) AS BIGINT) AS cr_t,
+               CAST(SUM(b.n_c) AS BIGINT) AS cn_c,
+               CAST(SUM(b.r_c) AS BIGINT) AS cr_c
+        FROM cells a JOIN cells b ON b.decile <= a.decile
+        GROUP BY a.decile, a.n_t, a.r_t, a.n_c, a.r_c
+    )
+    SELECT decile, n_t, r_t, n_c, r_c,
+           CAST(cr_t * cn_c - cr_c * cn_t AS BIGINT) AS qini_num,
+           CAST(cn_t * cn_c AS BIGINT) AS qini_den
+    FROM cum ORDER BY decile
+    """,
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift evaluation (Qini curve) for a targeting score under a
+    randomized treatment: customers ranked by the balance score into
+    deciles (best-first), and per cumulative depth the incremental
+    responders attributable to treatment — cum_rt - cum_rc * cum_nt /
+    cum_nc, carried as the exact integer rational (qini_num, qini_den) so
+    no division ever happens. Response = placed an URGENT order; arm =
+    key parity (the ab_test_welch randomization). Fourth member of the
+    causal family: randomized readout, variance reduction, observational
+    DiD/matching, and now heterogeneous-targeting evaluation.
+
+    Scale: response reduces the fact to one row per customer (map-side
+    combined MAX); the decile assignment is the distributed two-pass rank
+    (`scalable_ntile` — no single-partition window); everything after is
+    a 10-row frame with broadcast inequality prefix-joins (the isotonic
+    PAV discipline)."""
+    from ..operators.ranking import scalable_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    resp = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("responded")
+    )
+    pop = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") % 2).cast("int").alias("arm"),
+            F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("score"),
+        )
+        .join(resp, "ck", "left")
+        .withColumn("responded", F.coalesce("responded", F.lit(0)))
+    )
+    binned = scalable_ntile(
+        pop, 10, [F.desc("score"), F.asc("ck")], tile_col="decile"
+    )
+    cells = binned.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("responded")).otherwise(0))
+        .cast("bigint").alias("r_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("responded")).otherwise(0))
+        .cast("bigint").alias("r_c"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n_t").alias("n_t"),
+            F.col("a.r_t").alias("r_t"),
+            F.col("a.n_c").alias("n_c"),
+            F.col("a.r_c").alias("r_c"),
+        )
+        .agg(
+            F.sum("b.n_t").cast("bigint").alias("cn_t"),
+            F.sum("b.r_t").cast("bigint").alias("cr_t"),
+            F.sum("b.n_c").cast("bigint").alias("cn_c"),
+            F.sum("b.r_c").cast("bigint").alias("cr_c"),
+        )
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "r_t",
+        "n_c",
+        "r_c",
+        (F.col("cr_t") * F.col("cn_c") - F.col("cr_c") * F.col("cn_t"))
+        .cast("bigint")
+        .alias("qini_num"),
+        (F.col("cn_t") * F.col("cn_c")).cast("bigint").alias("qini_den"),
+    ).orderBy("decile")

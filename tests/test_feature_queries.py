@@ -389,3 +389,28 @@ def test_propensity_match_sequential_replay(spark, sf_dir):
             assert got.att_e6 is None
         else:
             assert got.att_e6 == int(1e6 * float(s_diff) / n_matched)
+
+
+def test_uplift_qini_consistency(spark, sf_dir):
+    """Qini structural laws: dense deciles tiling the customer dim, the
+    cumulative rational replays from the per-decile cells, and at full
+    depth the curve equals the overall (randomized) treatment contrast."""
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    rows = sorted(
+        _QS["uplift_qini_deciles"](spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_t + r.n_c for r in rows) == n_cust
+    cn_t = cr_t = cn_c = cr_c = 0
+    for r in rows:
+        cn_t += r.n_t
+        cr_t += r.r_t
+        cn_c += r.n_c
+        cr_c += r.r_c
+        assert r.qini_num == cr_t * cn_c - cr_c * cn_t
+        assert r.qini_den == cn_t * cn_c
+    # NTILE balance: decile sizes differ by at most 1
+    sizes = [r.n_t + r.n_c for r in rows]
+    assert max(sizes) - min(sizes) <= 1
