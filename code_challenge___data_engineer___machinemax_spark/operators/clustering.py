@@ -505,3 +505,120 @@ def kcenter_greedy(
     for p in picked[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dbscan_grid(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: int = 15_000,
+    min_pts: int = 4,
+    scale: int = 1_000_000,
+    shift: int = 2_000_000,
+    max_iters: int = 20,
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over the first two embedding dimensions,
+    grid-bucketed so the neighbor search is never all-pairs: the plane is
+    tiled into eps-sized cells, each point probes only its own 3x3 cell
+    neighborhood (an equi-join on the cell key — any point within eps
+    *must* fall in one of those 9 cells), and the exact int64 squared
+    distance verifies candidates. Density semantics are the textbook ones:
+    a point is CORE iff its eps-ball holds >= min_pts points (self
+    included); clusters are the connected components of the core-core
+    eps-graph (label = min member id, via the pointer-jumping
+    ``connected_components``); non-core points within eps of a core join
+    the smallest-labelled such cluster as BORDER points; everything else
+    is noise and is not emitted.
+
+    Exactness: coordinates quantize once to trunc(x*scale) int64, then
+    shift to non-negative so integer cell division truncates identically
+    in every engine — every comparison downstream is integer, so the
+    cluster assignment is bit-reproducible and has a recursive-CTE DuckDB
+    oracle (the min-label closure over the same integer edge list).
+
+    Scale shape: the probe side replicates each point 9x (explode over the
+    fixed 3x3 offset array — codegen, no UDF); the join is a shuffle on
+    the int cell key; per-cell occupancy is data-density-bound, the same
+    contract as the LSH band buckets (a pathological hot cell wants the
+    same hot-bucket cap as operators/dedup.py applies — at this operator's
+    declared eps the occupancy is uniform). Components run over CORE
+    points only — the border attach is one more equi-join on the already-
+    computed neighbor list."""
+    pts = vectors.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"CAST(CAST(element_at({vec_col}, 1) AS DOUBLE) * {scale} AS BIGINT)"
+            f" + {shift}"
+        ).alias("x"),
+        F.expr(
+            f"CAST(CAST(element_at({vec_col}, 2) AS DOUBLE) * {scale} AS BIGINT)"
+            f" + {shift}"
+        ).alias("y"),
+    ).localCheckpoint()
+    build = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x DIV {eps}").alias("b_cx"),
+        F.expr(f"y DIV {eps}").alias("b_cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1),"
+        " dx -> transform(sequence(-1, 1), dy -> struct(dx AS dx, dy AS dy)))))"
+    )
+    probe = pts.select("id", "x", "y", offsets.alias("o")).select(
+        "id",
+        "x",
+        "y",
+        (F.expr(f"x DIV {eps}") + F.col("o.dx")).alias("b_cx"),
+        (F.expr(f"y DIV {eps}") + F.col("o.dy")).alias("b_cy"),
+    )
+    nbrs = (
+        probe.join(build, ["b_cx", "b_cy"])
+        .filter(
+            (F.col("id") != F.col("b_id"))
+            & (
+                (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+                + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+                <= F.lit(eps * eps)
+            )
+        )
+        .select("id", "b_id")
+        .localCheckpoint()
+    )
+    cores = (
+        nbrs.groupBy("id")
+        .agg(F.count("*").alias("n_nbrs"))
+        .filter(F.col("n_nbrs") >= F.lit(min_pts - 1))
+        .select("id")
+        .localCheckpoint()
+    )
+    core_edges = (
+        nbrs.join(cores, "id")
+        .join(cores.select(F.col("id").alias("b_id")), "b_id")
+        .filter(F.col("id") < F.col("b_id"))
+        .select(F.col("id").alias("id_a"), F.col("b_id").alias("id_b"))
+    )
+    comps = connected_components(core_edges, max_iters=max_iters)
+    core_clusters = (
+        cores.join(comps, cores.id == comps.id, "left")
+        .select(
+            cores.id.alias("pid"),
+            F.coalesce(F.col("component"), cores.id).alias("cluster"),
+        )
+        .localCheckpoint()
+    )
+    border = (
+        nbrs.join(cores.select(F.col("id").alias("__c")), nbrs.id == F.col("__c"), "left_anti")
+        .join(
+            core_clusters.withColumnRenamed("pid", "b_id"), "b_id"
+        )
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("id").alias("pid"), "cluster", F.lit("border").alias("role"))
+    )
+    return (
+        core_clusters.withColumn("role", F.lit("core"))
+        .unionByName(border)
+        .select(F.col("pid").alias(id_col), "cluster", "role")
+    )

@@ -1269,3 +1269,80 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+def _dbscan_oracle_sql(
+    eps: int = 15_000, min_pts: int = 4, scale: int = 1_000_000, shift: int = 2_000_000
+) -> str:
+    """All-pairs twin of the grid-bucketed DBSCAN: exact int64 neighbor
+    pairs, core test, recursive-CTE min-label closure over the core-core
+    graph, border attach by min cluster. The grid bucketing on the Spark
+    side is a pure candidate-pruning device — any point within eps lies in
+    the 3x3 cell neighborhood — so the two plans compute identical sets."""
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS id,
+               CAST(trunc(CAST(embedding[1] AS DOUBLE) * {scale}) AS BIGINT)
+                   + {shift} AS x,
+               CAST(trunc(CAST(embedding[2] AS DOUBLE) * {scale}) AS BIGINT)
+                   + {shift} AS y
+        FROM embeddings
+    ),
+    nbrs AS (
+        SELECT a.id AS id, b.id AS b_id
+        FROM q a JOIN q b
+          ON a.id <> b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {eps * eps}
+    ),
+    cores AS (
+        SELECT id FROM nbrs GROUP BY id HAVING COUNT(*) >= {min_pts - 1}
+    ),
+    core_edges AS (
+        SELECT n.id AS src, n.b_id AS dst
+        FROM nbrs n
+        JOIN cores c1 ON c1.id = n.id
+        JOIN cores c2 ON c2.id = n.b_id
+    ),
+    reach(id, r) AS (
+        SELECT id, id FROM cores
+        UNION
+        SELECT e.dst, reach.r FROM core_edges e JOIN reach ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT c.id AS vec_id, comp.cluster, 'core' AS role
+    FROM cores c JOIN comp ON comp.id = c.id
+    UNION ALL
+    SELECT n.id AS vec_id, MIN(comp.cluster) AS cluster, 'border' AS role
+    FROM nbrs n
+    JOIN cores cb ON cb.id = n.b_id
+    JOIN comp ON comp.id = n.b_id
+    WHERE n.id NOT IN (SELECT id FROM cores)
+    GROUP BY n.id
+    """
+
+
+@query("dbscan_grid_clusters", oracle=_dbscan_oracle_sql())
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) of the
+    embedding table's first two dimensions: eps=0.015 (15,000 in the
+    trunc-1e6 fixed-point frame), min_pts=4, clusters labelled by their
+    min member id, border points attached to their smallest neighboring
+    cluster, noise dropped. The density family the engine's k-means /
+    k-center / SemDeDup ops don't cover — DBSCAN finds arbitrary-shape
+    clusters and isolates outliers without fixing k, which is how a
+    training-data pipeline segments an embedding space whose cluster
+    count is unknown (topic discovery, outlier triage before sampling).
+
+    Spark plan: grid-bucketed neighbor generation (each point probes its
+    3x3 eps-cell neighborhood — an equi-join on the int cell key, never
+    all-pairs), exact int64 distance verify, degree count, then the
+    pointer-jumping connected-components loop over the core-core edges
+    (log-diameter rounds of id-keyed joins). The DuckDB oracle replays the
+    same integer semantics with an all-pairs theta join + recursive-CTE
+    closure — tractable at oracle scale, which is exactly why the oracle
+    side may be naive while the engine side must bucket."""
+    from ..operators.clustering import dbscan_grid
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return dbscan_grid(e, "vec_id", "embedding", eps=15_000, min_pts=4)

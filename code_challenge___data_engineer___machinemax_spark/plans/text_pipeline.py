@@ -1534,3 +1534,121 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "phrase")
         .limit(20)
     )
+
+
+@query(
+    "kneser_ney_doc_scores",
+    oracle=f"""
+    WITH big AS (
+        SELECT doc_id, unnest({shingles_sql2}) AS bg FROM documents
+    ),
+    train AS (SELECT bg FROM big WHERE doc_id % 2 = 0),
+    c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt12 FROM train GROUP BY bg),
+    c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               CAST(COUNT(*) AS BIGINT) AS cnt1,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS n1f
+        FROM train GROUP BY w1
+    ),
+    ncont AS (
+        SELECT split_part(bg, ' ', 2) AS w2,
+               CAST(COUNT(DISTINCT split_part(bg, ' ', 1)) AS BIGINT) AS nc
+        FROM train GROUP BY w2
+    ),
+    nt AS (SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS ntypes FROM train),
+    scored AS (
+        SELECT big.doc_id,
+               CASE WHEN c1.cnt1 IS NOT NULL THEN
+                   (GREATEST(4 * COALESCE(c12.cnt12, 0) - 3, 0) * nt.ntypes
+                    + 3 * c1.n1f * COALESCE(ncont.nc, 0))
+               ELSE COALESCE(ncont.nc, 0) END AS num,
+               CASE WHEN c1.cnt1 IS NOT NULL THEN 4 * c1.cnt1 * nt.ntypes
+               ELSE nt.ntypes END AS den
+        FROM big
+        CROSS JOIN nt
+        LEFT JOIN c12 USING (bg)
+        LEFT JOIN c1 ON c1.w1 = split_part(big.bg, ' ', 1)
+        LEFT JOIN ncont ON ncont.w2 = split_part(big.bg, ' ', 2)
+        WHERE big.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(1000000 * num // den) AS BIGINT) AS kn_prob_sum_e6,
+           CAST(SUM(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM scored GROUP BY doc_id
+    """,
+)
+def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    smoothing CCNet-style quality pipelines train their filter LMs with):
+    the even-doc_id half of the corpus is the training text, odd docs are
+    scored. With discount D = 3/4,
+
+        p_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+                      + D * N1+(w1 .)/c(w1) * N1+(. w2)/N1+(..)
+
+    and an unseen history backs off to the continuation probability alone.
+    Multiplying through by 4 clears the discount into integers, so every
+    per-token probability is an exact fraction num/den over BIGINT counts
+    — emitted as the per-document sum of floor(1e6 * num/den) next to the
+    bigram and zero-probability counts. Exact cross-engine: no float ln/
+    exp anywhere (contrast bigram_logprob_scores, which pins libm); at
+    sf >= 1 the num product nears int64 range and the sum columns promote
+    to DECIMAL(38,0) — same promotion note as the apportionment ops.
+
+    Scale shape: one shingle explode feeds four count aggregations (all
+    map-side combinable) and the scoring pass is three shuffle-hash
+    equi-joins on token keys plus a broadcast of the 1-row type-count
+    frame — never a vocab broadcast; the final re-agg is narrow
+    (doc_id, int). The continuation counts N1+ are the novel-continuation
+    statistics that make KN the strong LM baseline — distinct-count aggs,
+    exactly what the engine's groupBy does."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    big = shingle_rows(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
+    train = big.filter(F.col("doc_id") % 2 == 0).select("bg").localCheckpoint()
+    c12 = train.groupBy("bg").agg(F.count("*").cast("bigint").alias("cnt12"))
+    w1 = F.substring_index("bg", " ", 1)
+    w2 = F.substring_index("bg", " ", -1)
+    c1 = train.groupBy(w1.alias("w1")).agg(
+        F.count("*").cast("bigint").alias("cnt1"),
+        F.countDistinct("bg").cast("bigint").alias("n1f"),
+    )
+    ncont = train.groupBy(w2.alias("w2")).agg(
+        F.countDistinct(w1).cast("bigint").alias("nc")
+    )
+    nt = train.agg(F.countDistinct("bg").cast("bigint").alias("ntypes"))
+    scored = (
+        big.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .crossJoin(F.broadcast(nt))
+        .join(c12.hint("shuffle_hash"), "bg", "left")
+        .join(c1.hint("shuffle_hash"), "w1", "left")
+        .join(ncont.hint("shuffle_hash"), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cnt1").isNotNull(),
+                F.greatest(
+                    F.lit(4) * F.coalesce(F.col("cnt12"), F.lit(0)) - F.lit(3),
+                    F.lit(0),
+                )
+                * F.col("ntypes")
+                + F.lit(3) * F.col("n1f") * F.coalesce(F.col("nc"), F.lit(0)),
+            )
+            .otherwise(F.coalesce(F.col("nc"), F.lit(0)))
+            .cast("bigint")
+            .alias("num"),
+            F.when(F.col("cnt1").isNotNull(), F.lit(4) * F.col("cnt1") * F.col("ntypes"))
+            .otherwise(F.col("ntypes"))
+            .cast("bigint")
+            .alias("den"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.expr("(1000000 * num) div den")).cast("bigint").alias("kn_prob_sum_e6"),
+        F.sum(F.when(F.col("num") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+    )

@@ -209,3 +209,62 @@ def test_kcenter_greedy_picks_farthest_and_radii_decrease(spark):
     assert [r.center_id for r in rows] == [0, 2, 3, 4]
     radii = [r.radius_sq for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_dbscan_grid_crafted_semantics(spark):
+    # Hand-built plane, eps=10 (fixed-point units), min_pts=3:
+    #  blob A: (0,0),(5,0),(0,5),(5,5) — all within eps of each other,
+    #    every point has 3 neighbors + self  -> all core, one cluster
+    #  bridge: (14,0) is within eps of (5,0)/(5,5) only -> 2 nbrs -> border
+    #  pair:  (100,100),(105,100) — 1 neighbor each -> noise (not emitted)
+    #  lone:  (200,200) -> noise
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        dbscan_grid,
+    )
+
+    pts = [
+        (0, 0.0, 0.0),
+        (1, 5.0, 0.0),
+        (2, 0.0, 5.0),
+        (3, 5.0, 5.0),
+        (4, 14.0, 0.0),
+        (10, 100.0, 100.0),
+        (11, 105.0, 100.0),
+        (20, 200.0, 200.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, [x, y]) for i, x, y in pts], "vec_id long, embedding array<double>"
+    )
+    # scale=1 keeps the crafted coordinates as-is; shift clears negatives
+    out = {
+        r.vec_id: (r.cluster, r.role)
+        for r in dbscan_grid(
+            df, "vec_id", "embedding", eps=10, min_pts=3, scale=1, shift=1000
+        ).collect()
+    }
+    assert out[0] == (0, "core")
+    assert out[1] == (0, "core")
+    assert out[2] == (0, "core")
+    assert out[3] == (0, "core")
+    assert out[4] == (0, "border")
+    assert 10 not in out and 11 not in out and 20 not in out
+
+
+def test_dbscan_grid_cross_cell_neighbors_found(spark):
+    # Two points eps-close but in DIFFERENT grid cells (9 and 11 with
+    # eps=10 straddle the cell boundary): the 3x3 probe must pair them.
+    # With min_pts=2 each is core via the other -> one 2-point cluster.
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        dbscan_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [9.0, 0.0]), (2, [11.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = dbscan_grid(
+        df, "vec_id", "embedding", eps=10, min_pts=2, scale=1, shift=1000
+    ).collect()
+    assert {(r.vec_id, r.cluster, r.role) for r in rows} == {
+        (1, 1, "core"),
+        (2, 1, "core"),
+    }

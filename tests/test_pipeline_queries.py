@@ -438,3 +438,27 @@ def test_churn_classes_crafted(spark, tmp_path):
     r = mod.queries()["churn_label_table"](spark, str(tmp_path)).collect()[0]
     assert (r.n_customers, r.n_churned, r.n_never_active) == (3, 1, 1)
     assert r.churn_rate_e6 == 333333
+
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    # train doc 0: "a b a b c" -> bigrams ab,ba,ab,bc
+    #   c12: ab=2 ba=1 bc=1; c1: a=(2,1) b=(2,2); Ncont: a=1 b=1 c=1; Ntypes=3
+    # scored doc 1: "a b d a"
+    #   "a b": (4*2-3)*3 + 3*1*1 = 18 over 4*2*3=24 -> 750000
+    #          (textbook check: max(2-.75,0)/2 + .75*(2/2)*(1/3)... with
+    #           lambda = D*N1f/c1 = .75*1/2 -> .625 + .125 = .75)
+    #   "b d": w1 seen, w2 unseen -> num 0 -> zero-prob token
+    #   "d a": w1 unseen -> backoff Ncont(a)/Ntypes = 1/3 -> 333333
+    docs = [(0, "a b a b c"), (1, "a b d a")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.doc_id: r
+        for r in _QS["kneser_ney_doc_scores"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_bigrams == 3
+    assert r.kn_prob_sum_e6 == 750000 + 0 + 333333
+    assert r.n_zero == 1
