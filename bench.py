@@ -155,6 +155,14 @@ HEADLINE = [
     # between rounds). The causal pair / RBO / Arrow-transport twins are
     # dimension-sized or post-LIMIT shapes — parity-swept, not benched.
     "label_propagation_seeded",
+    # round-5 (seventh session): Kneser-Ney LM scoring — the four-agg +
+    # three-token-keyed-join smoothing shape over the bigram explode.
+    # dbscan_grid_clusters is deliberately NOT here: its wall is the
+    # connected-components round count (graph diameter of the
+    # near-percolating synthetic plane — 17 scheduling-bound rounds at
+    # sf0.1, data work per round tiny), measured and explained in
+    # SCALE.md; benching it would measure the scheduler, not a plan.
+    "kneser_ney_doc_scores",
 ]
 
 
