@@ -377,3 +377,126 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_touch"),
     )
+
+
+@query(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS pts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touched AS (
+        SELECT DISTINCT c.user_id,
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id AND e.ts < c.pts
+         AND e.event_type IN ('click', 'error', 'signup', 'view')
+    ),
+    umask AS (
+        SELECT c.user_id, COALESCE(SUM(t.bit), 0) AS mask
+        FROM conv c LEFT JOIN touched t ON t.user_id = c.user_id
+        GROUP BY c.user_id
+    ),
+    mcnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM umask GROUP BY mask),
+    subsets AS (SELECT unnest(range(16)) AS s),
+    v AS (
+        SELECT s, CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS val
+        FROM subsets LEFT JOIN mcnt m ON (m.mask & subsets.s) = m.mask
+        GROUP BY s
+    ),
+    ch AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) AS t(channel, bit)
+    )
+    SELECT ch.channel,
+           CAST(SUM(
+               CASE bit_count(CAST(vw.s AS BIGINT))
+                    WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+               * (vwith.val - vw.val)) AS BIGINT) AS phi_x24,
+           CAST(MAX(vwith.val) AS BIGINT) AS v_with_all_ge
+    FROM ch
+    JOIN v vw ON (vw.s & ch.bit) = 0
+    JOIN v vwith ON vwith.s = vw.s + ch.bit
+    GROUP BY ch.channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution (the game-theoretic credit
+    model next to multi_touch_attribution's linear/first/last heuristics):
+    players are the four pre-purchase channels, the coalition value v(S)
+    is the number of converters (users with a purchase) whose before-
+    first-purchase touch set is contained in S, and each channel's credit
+    is its exact Shapley value scaled by 4! = 24 so every weight
+    |S|!(4-|S|-1)! is an integer (6,2,2,6) — no factorial division, exact
+    BIGINT end to end. By efficiency, sum(phi_x24) = 24*(v(full) -
+    v(empty)): credit for all conversions that had any touchpoint,
+    split by marginal contribution over all channel orderings.
+
+    Scale shape: everything heavy is user-keyed — one purchase agg and one
+    user equi-join with the time filter residual (bucketable by user_id,
+    DEPLOY L1); the game itself then lives on the 16-row mask domain: a
+    broadcast containment join against the <=16-row mask-count frame and a
+    16x4 subset-pair join. The 2^k lattice is driver-visible tiny for any
+    realistic channel count (k<=20), while v(S) stays a distributed
+    aggregate — the standard trick that makes exact Shapley tractable for
+    attribution (Zhao et al. 2018)."""
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touched = (
+        conv.join(
+            e.filter(
+                F.col("event_type").isin("click", "error", "signup", "view")
+            ).select(F.col("user_id").alias("t_user"), "event_type", "ts"),
+            (F.col("t_user") == F.col("user_id")) & (F.col("ts") < F.col("pts")),
+        )
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+    )
+    umask = (
+        conv.join(touched, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum("bit"), F.lit(0)).alias("mask"))
+    )
+    mcnt = umask.groupBy("mask").agg(F.count("*").cast("bigint").alias("cnt"))
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mcnt),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("val"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)], "channel string, bit int"
+    )
+    vw = v.select(F.col("s").alias("s0"), F.col("val").alias("v0"))
+    vwith = v.select(F.col("s").alias("s1"), F.col("val").alias("v1"))
+    weight = (
+        F.when(F.bit_count("s0") == 0, 6)
+        .when(F.bit_count("s0") == 1, 2)
+        .when(F.bit_count("s0") == 2, 2)
+        .otherwise(6)
+    )
+    return (
+        ch.join(F.broadcast(vw), F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(vwith), F.col("s1") == F.col("s0") + F.col("bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("v1") - F.col("v0"))).cast("bigint").alias("phi_x24"),
+            F.max("v1").cast("bigint").alias("v_with_all_ge"),
+        )
+    )

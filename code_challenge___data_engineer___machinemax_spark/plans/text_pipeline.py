@@ -1652,3 +1652,88 @@ def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(1000000 * num) div den")).cast("bigint").alias("kn_prob_sum_e6"),
         F.sum(F.when(F.col("num") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
     )
+
+
+def _kappa_oracle_sql() -> str:
+    """Chance-corrected agreement assembled ON TOP of the registered
+    confusion-matrix oracle (one source of truth for the langid scoring):
+    po and pe as exact integer fractions over the cell counts, kappa as a
+    (numerator, denominator) BIGINT pair plus a sign-split trunc-toward-
+    zero 1e6 scaling (DuckDB // floors, Spark div truncates — they agree
+    on non-negatives, so the sign is factored out explicitly)."""
+    from .registry import get as _get
+
+    cm_sql = _get("langid_confusion_matrix").oracle
+    return f"""
+    WITH cm AS ({cm_sql}),
+    tot AS (
+        SELECT SUM(n) AS nn,
+               SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) AS diag
+        FROM cm
+    ),
+    r AS (SELECT lang AS k, SUM(n) AS rc FROM cm GROUP BY lang),
+    c AS (SELECT lang_guess AS k, SUM(n) AS cc FROM cm GROUP BY lang_guess),
+    pe AS (SELECT COALESCE(SUM(r.rc * c.cc), 0) AS pen FROM r JOIN c USING (k))
+    SELECT CAST(nn AS BIGINT) AS n_items,
+           CAST(diag AS BIGINT) AS n_agree,
+           CAST((1000000 * diag) // nn AS BIGINT) AS po_e6,
+           CAST((1000000 * pen) // (nn * nn) AS BIGINT) AS pe_e6,
+           CAST(nn * diag - pen AS BIGINT) AS kappa_num,
+           CAST(nn * nn - pen AS BIGINT) AS kappa_den,
+           CAST(CASE WHEN nn * nn - pen = 0 THEN 0
+                     WHEN nn * diag - pen >= 0
+                     THEN (1000000 * (nn * diag - pen)) // (nn * nn - pen)
+                     ELSE -((1000000 * (pen - nn * diag)) // (nn * nn - pen))
+                END AS BIGINT) AS kappa_e6
+    FROM tot, pe
+    """
+
+
+@query("cohens_kappa_langid", oracle=_kappa_oracle_sql())
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against the true lang
+    column — chance-corrected agreement, the one-number upgrade of the
+    raw confusion matrix (accuracy flatters a classifier on a skewed
+    label mix; kappa subtracts the agreement two independent raters with
+    these marginals would reach anyway). Exact end to end: po = diag/N
+    and pe = sum(row_k * col_k)/N^2 stay integer fractions, kappa is
+    emitted as its BIGINT (numerator, denominator) pair next to the
+    sign-split trunc(1e6 * num/den) so both engines evaluate identical
+    integer arithmetic (negative kappa would floor vs truncate
+    differently — the sign factoring removes the divergence).
+
+    Scale shape: the only corpus-sized work is the confusion-matrix agg
+    the registered query already does (one partial+final agg on the tiny
+    label-pair domain); everything after lives on <= |langs|+1 rows."""
+    scored = lang_id_heuristic(spark, sf_dir)
+    cm = scored.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("lang_guess"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    rows = cm.groupBy(F.col("lang").alias("k")).agg(F.sum("n").alias("rc"))
+    cols = cm.groupBy(F.col("lang_guess").alias("k")).agg(F.sum("n").alias("cc"))
+    pe = (
+        rows.join(cols, "k")
+        .agg(F.coalesce(F.sum(F.col("rc") * F.col("cc")), F.lit(0)).cast("bigint").alias("pen"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").alias("n_items"),
+            F.col("diag").alias("n_agree"),
+            F.expr("(1000000 * diag) div nn").cast("bigint").alias("po_e6"),
+            F.expr("(1000000 * pen) div (nn * nn)").cast("bigint").alias("pe_e6"),
+            (F.col("nn") * F.col("diag") - F.col("pen")).cast("bigint").alias("kappa_num"),
+            (F.col("nn") * F.col("nn") - F.col("pen")).cast("bigint").alias("kappa_den"),
+            F.expr(
+                "CAST(CASE WHEN nn * nn - pen = 0 THEN 0"
+                " WHEN nn * diag - pen >= 0"
+                " THEN (1000000 * (nn * diag - pen)) div (nn * nn - pen)"
+                " ELSE -((1000000 * (pen - nn * diag)) div (nn * nn - pen))"
+                " END AS BIGINT)"
+            ).alias("kappa_e6"),
+        )
+    )

@@ -287,3 +287,46 @@ def test_label_propagation_matches_sequential_bfs(spark, sf_dir):
     # every seed labels itself at distance 0, so its own community exists
     for s in seeds:
         assert s in got
+
+
+def test_shapley_attribution_hand_computed(spark, tmp_path):
+    # user 1: click then purchase -> touch mask {click}
+    # user 2: purchase with no prior touches -> empty mask (baseline)
+    # user 3: purchase, then a view AFTER it -> post-conversion touch
+    #         must not count -> empty mask
+    # Shapley: only click ever flips a coalition's value (+1 conversion),
+    # so phi_click = 1 (x24 = 24) and every other channel gets 0.
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    events = [
+        (1, t(0), 1, "click", 0.0, ""),
+        (2, t(1), 1, "purchase", 1.0, ""),
+        (3, t(0), 2, "purchase", 1.0, ""),
+        (4, t(0), 3, "purchase", 1.0, ""),
+        (5, t(1), 3, "view", 0.0, ""),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        r.channel: r
+        for r in _QS["shapley_channel_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert rows["click"].phi_x24 == 24
+    assert rows["error"].phi_x24 == 0
+    assert rows["signup"].phi_x24 == 0
+    assert rows["view"].phi_x24 == 0
+    # v(full) = all 3 converters visible on every channel row
+    assert all(r.v_with_all_ge == 3 for r in rows.values())
+
+
+def test_shapley_efficiency_invariant(spark, sf_dir):
+    # sum of Shapley credits == 24 * (v(all channels) - v(no channels)):
+    # exactly the conversions that had at least one pre-purchase touch
+    rows = _QS["shapley_channel_attribution"](spark, sf_dir).collect()
+    total = sum(r.phi_x24 for r in rows)
+    assert total % 24 == 0
+    assert 0 < total // 24 <= rows[0].v_with_all_ge

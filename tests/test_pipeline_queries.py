@@ -462,3 +462,34 @@ def test_kneser_ney_hand_computed(spark, tmp_path):
     assert r.n_bigrams == 3
     assert r.kn_prob_sum_e6 == 750000 + 0 + 333333
     assert r.n_zero == 1
+
+
+def test_cohens_kappa_hand_computed(spark, tmp_path):
+    # en/fr corpus: 2 correct guesses, 1 unk, 1 wrong ->
+    #   N=4 diag=2 rows(en2,fr2) cols(en2,fr1,unk1) pe_num=2*2+2*1=6
+    #   kappa = (4*2-6)/(16-6) = 0.2
+    docs = [
+        (1, "en", "the of and"),
+        (2, "fr", "le la et"),
+        (3, "en", "xyz zz qq"),
+        (4, "fr", "the of and"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = _QS["cohens_kappa_langid"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_items, r.n_agree) == (4, 2)
+    assert (r.po_e6, r.pe_e6) == (500000, 375000)
+    assert (r.kappa_num, r.kappa_den, r.kappa_e6) == (2, 10, 200000)
+
+
+def test_cohens_kappa_negative_sign_split(spark, tmp_path):
+    # systematic disagreement: kappa = -1; pins the sign-split scaling
+    # (floor vs truncate divergence on negatives is the thing factored out)
+    docs = [(1, "fr", "the of and"), (2, "en", "le la et")]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = _QS["cohens_kappa_langid"](spark, str(tmp_path)).collect()[0]
+    assert r.n_agree == 0
+    assert r.kappa_e6 == -1000000
