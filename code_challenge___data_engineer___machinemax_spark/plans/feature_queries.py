@@ -1423,3 +1423,136 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qini_num"),
         (F.col("cn_t") * F.col("cn_c")).cast("bigint").alias("qini_den"),
     ).orderBy("decile")
+
+
+# SPRT constants for H0: p=0.01 vs H1: p=0.03, alpha=beta=0.05 — computed
+# ONCE as Python literals (trunc(ln(x)*1e6)) and shared verbatim by both
+# engines, so the sequential test has no runtime libm dependency at all:
+#   success increment  ln(p1/p0)           = ln(3)         -> 1098612
+#   failure increment  ln((1-p1)/(1-p0))   = ln(0.97/0.99) ->  -20408
+#   upper boundary     ln((1-beta)/alpha)  = ln(19)        -> 2944438
+#   lower boundary     ln(beta/(1-alpha))  = -ln(19)       -> -2944438
+_SPRT_INC1, _SPRT_INC0 = 1_098_612, -20_408
+_SPRT_UP, _SPRT_DN = 2_944_438, -2_944_438
+
+
+@query(
+    "sprt_conversion_monitor",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id AS vid, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    trial AS (
+        SELECT v.vid, v.ts,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM p WHERE p.user_id = v.user_id
+                    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+               THEN 1 ELSE 0 END AS x
+        FROM v
+    ),
+    w AS (
+        SELECT x,
+               CASE WHEN x = 1 THEN {_SPRT_INC1} ELSE {_SPRT_INC0} END AS inc,
+               ROW_NUMBER() OVER (ORDER BY ts, vid) AS idx,
+               SUM(CASE WHEN x = 1 THEN {_SPRT_INC1} ELSE {_SPRT_INC0} END)
+                   OVER (ORDER BY ts, vid) AS llr
+        FROM trial
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_trials,
+               CAST(SUM(x) AS BIGINT) AS n_success,
+               CAST(SUM(inc) AS BIGINT) AS llr_final_e6,
+               MIN(idx) FILTER (llr >= {_SPRT_UP}) AS up_idx,
+               MIN(idx) FILTER (llr <= {_SPRT_DN}) AS dn_idx,
+               arg_min(llr, idx) FILTER (llr >= {_SPRT_UP}) AS up_llr,
+               arg_min(llr, idx) FILTER (llr <= {_SPRT_DN}) AS dn_llr
+        FROM w
+    )
+    SELECT n_trials, n_success, llr_final_e6,
+           CASE WHEN up_idx IS NULL AND dn_idx IS NULL THEN 'continue'
+                WHEN dn_idx IS NULL OR (up_idx IS NOT NULL AND up_idx < dn_idx)
+                THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+           CAST(CASE WHEN up_idx IS NULL AND dn_idx IS NULL THEN NULL
+                WHEN dn_idx IS NULL OR (up_idx IS NOT NULL AND up_idx < dn_idx)
+                THEN up_idx ELSE dn_idx END AS BIGINT) AS n_at_decision,
+           CAST(CASE WHEN up_idx IS NULL AND dn_idx IS NULL THEN NULL
+                WHEN dn_idx IS NULL OR (up_idx IS NOT NULL AND up_idx < dn_idx)
+                THEN up_llr ELSE dn_llr END AS BIGINT) AS llr_at_decision_e6
+    FROM agg
+    """,
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the event stream:
+    every view is a Bernoulli trial (success = the same user purchases
+    within the next hour), trials are taken in (ts, event_id) order, and
+    the running log-likelihood ratio for H0: p=1% vs H1: p=3% is checked
+    against the ln(19) decision boundaries (alpha = beta = 0.05). Reports
+    the trial count, successes, final LLR, the decision, and WHEN the
+    test first decided — the sequential-experimentation readout that
+    stops an A/B test as soon as the evidence suffices instead of waiting
+    for a fixed horizon. All increments/boundaries are Python-literal
+    trunc(1e6*ln) integers shared by both engines: the whole sequential
+    path is exact BIGINT arithmetic, no runtime transcendentals.
+
+    Scale shape: the trial outcome is a user-keyed interval semi-join
+    (bucketable by user_id, DEPLOY L1); the global trial order uses the
+    engine's two-pass range-partitioned prefix machinery
+    (global_row_number / global_prefix_sum — per-partition windows plus a
+    <=P-row driver offset fold), never a single-partition window; the
+    decision scan is one filtered aggregate over (idx, llr)."""
+    from ..operators.ranking import global_prefix_sum, global_row_number
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", "ts"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    trial = (
+        v.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pts") > F.col("ts"))
+            & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("vid", "ts")
+        .agg(F.max(F.col("p_user").isNotNull().cast("int")).alias("x"))
+        .withColumn(
+            "inc",
+            F.when(F.col("x") == 1, F.lit(_SPRT_INC1)).otherwise(F.lit(_SPRT_INC0)),
+        )
+    )
+    ordered = global_row_number(trial, [F.col("ts"), F.col("vid")], rank_col="idx")
+    walked = global_prefix_sum(
+        ordered, [F.col("ts"), F.col("vid")], "inc", cumsum_col="llr"
+    )
+    agg = walked.agg(
+        F.count("*").cast("bigint").alias("n_trials"),
+        F.sum("x").cast("bigint").alias("n_success"),
+        F.sum("inc").cast("bigint").alias("llr_final_e6"),
+        F.expr(f"min(idx) FILTER (WHERE llr >= {_SPRT_UP})").alias("up_idx"),
+        F.expr(f"min(idx) FILTER (WHERE llr <= {_SPRT_DN})").alias("dn_idx"),
+        F.expr(f"min_by(llr, idx) FILTER (WHERE llr >= {_SPRT_UP})").alias("up_llr"),
+        F.expr(f"min_by(llr, idx) FILTER (WHERE llr <= {_SPRT_DN})").alias("dn_llr"),
+    )
+    dec = (
+        "CASE WHEN up_idx IS NULL AND dn_idx IS NULL THEN 'continue' "
+        "WHEN dn_idx IS NULL OR (up_idx IS NOT NULL AND up_idx < dn_idx) "
+        "THEN 'accept_h1' ELSE 'accept_h0' END"
+    )
+    pick = (
+        "CASE WHEN up_idx IS NULL AND dn_idx IS NULL THEN NULL "
+        "WHEN dn_idx IS NULL OR (up_idx IS NOT NULL AND up_idx < dn_idx) "
+        "THEN {a} ELSE {b} END"
+    )
+    return agg.select(
+        "n_trials",
+        "n_success",
+        "llr_final_e6",
+        F.expr(dec).alias("decision"),
+        F.expr(pick.format(a="up_idx", b="dn_idx")).cast("bigint").alias("n_at_decision"),
+        F.expr(pick.format(a="up_llr", b="dn_llr")).cast("bigint").alias("llr_at_decision_e6"),
+    )

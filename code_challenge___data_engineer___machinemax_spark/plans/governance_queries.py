@@ -1013,3 +1013,99 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__calib") * 1e6).cast("bigint").alias("calib_e6"),
         )
     )
+
+
+@query(
+    "fd_violation_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders: o_custkey -> o_orderpriority' AS fd, lhs,
+               COUNT(DISTINCT rhs) AS nd, COUNT(*) AS c
+        FROM (SELECT CAST(o_custkey AS VARCHAR) AS lhs,
+                     o_orderpriority AS rhs FROM orders)
+        GROUP BY lhs
+        UNION ALL
+        SELECT 'lineitem: l_partkey -> l_returnflag', lhs,
+               COUNT(DISTINCT rhs), COUNT(*)
+        FROM (SELECT CAST(l_partkey AS VARCHAR) AS lhs,
+                     l_returnflag AS rhs FROM lineitem)
+        GROUP BY lhs
+        UNION ALL
+        SELECT 'documents: text_digest -> lang', lhs,
+               COUNT(DISTINCT rhs), COUNT(*)
+        FROM (SELECT md5(trim(regexp_replace(lower(text),
+                          '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS lhs,
+                     lang AS rhs FROM documents)
+        GROUP BY lhs
+        UNION ALL
+        SELECT 'customer: c_custkey -> c_nationkey', lhs,
+               COUNT(DISTINCT rhs), COUNT(*)
+        FROM (SELECT CAST(c_custkey AS VARCHAR) AS lhs,
+                     CAST(c_nationkey AS VARCHAR) AS rhs FROM customer)
+        GROUP BY lhs
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+    FROM checks GROUP BY fd
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the profiling step of schema/quality
+    tooling a la Metanome/HoloClean): for each candidate FD lhs -> rhs,
+    count determinant groups, groups where the dependency is violated
+    (>1 distinct rhs), the row mass inside violating groups, and the
+    worst group's distinct-rhs count. Four candidates spanning the
+    schema: a true key dependency (c_custkey -> c_nationkey, must report
+    0 violations — a nonzero here means upstream corruption), two
+    expected-to-fail behavioral ones (customer -> order priority, part ->
+    return flag), and the dedup-relevant text-digest -> lang (identical
+    normalized text claiming different languages is exactly the labeling
+    noise a corpus pipeline wants surfaced before language-stratified
+    sampling).
+
+    Scale: each check is one groupBy on the determinant with a distinct
+    count — map-side combinable, shuffle key = the determinant; the four
+    checks union AFTER collapsing to per-FD summary rows. Exact
+    COUNT(DISTINCT) per group is cheap because it nests inside the
+    groupBy (no global Expand); at extreme determinant cardinality the
+    same plan swaps to approx_count_distinct as table_stats_profile
+    documents."""
+    from ..operators.dedup import text_digest
+
+    def check(df: DataFrame, fd: str, lhs, rhs) -> DataFrame:
+        g = df.select(lhs.cast("string").alias("lhs"), rhs.alias("rhs")).groupBy(
+            "lhs"
+        ).agg(F.countDistinct("rhs").alias("nd"), F.count("*").alias("c"))
+        return g.agg(
+            F.lit(fd).alias("fd"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_rows"),
+            F.max("nd").cast("bigint").alias("max_distinct_rhs"),
+        ).select("fd", "n_groups", "n_violating_groups", "n_violating_rows",
+                 "max_distinct_rhs")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        check(o, "orders: o_custkey -> o_orderpriority",
+              F.col("o_custkey"), F.col("o_orderpriority"))
+        .unionByName(check(li, "lineitem: l_partkey -> l_returnflag",
+                           F.col("l_partkey"), F.col("l_returnflag")))
+        .unionByName(check(d.select(text_digest("text").alias("digest"), "lang"),
+                           "documents: text_digest -> lang",
+                           F.col("digest"), F.col("lang")))
+        .unionByName(check(c, "customer: c_custkey -> c_nationkey",
+                           F.col("c_custkey"), F.col("c_nationkey").cast("string")))
+    )

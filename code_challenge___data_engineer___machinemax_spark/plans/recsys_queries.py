@@ -525,3 +525,103 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hitrate_e6"),
     )
+
+
+@query(
+    "policy_replay_eval",
+    oracle="""
+    WITH train AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events WHERE day(ts) % 2 = 0 GROUP BY user_id, event_type
+    ),
+    policy AS (
+        SELECT user_id, event_type AS rec FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM train
+        ) WHERE rn = 1
+    ),
+    eval AS (
+        SELECT e.user_id, e.event_type,
+               CAST(trunc(e.value * 100) AS BIGINT) AS val_c, p.rec
+        FROM events e JOIN policy p ON p.user_id = e.user_id
+        WHERE day(e.ts) % 2 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_events,
+           CAST(SUM(CASE WHEN event_type = rec THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(SUM(CASE WHEN event_type = rec THEN val_c ELSE 0 END) AS BIGINT)
+               AS matched_value_c,
+           CAST(CASE WHEN SUM(CASE WHEN event_type = rec THEN 1 ELSE 0 END) = 0
+                THEN 0 ELSE SUM(CASE WHEN event_type = rec THEN val_c ELSE 0 END)
+                     // SUM(CASE WHEN event_type = rec THEN 1 ELSE 0 END) END
+                AS BIGINT) AS value_per_match_c,
+           CAST(SUM(val_c) // COUNT(*) AS BIGINT) AS value_per_logged_c,
+           CAST((1000000 * SUM(CASE WHEN event_type = rec THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS match_rate_e6
+    FROM eval
+    """,
+)
+def policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by replay (Li et al. 2011, the contextual-
+    bandit offline protocol): the candidate policy recommends, per user,
+    their modal event type from the training days (even calendar days;
+    ties break alphabetically — deterministic), and is scored against the
+    held-out odd days by KEEPING only logged events whose action matches
+    the policy's choice — the unbiased estimator of the policy's online
+    value when logging is uniform. One row: eval volume, matched volume,
+    cent-exact matched value mass, value-per-match vs value-per-logged-
+    event (the lift readout), and the match rate.
+
+    Exactness: values truncate to cents once; every reported number is a
+    BIGINT count, sum, or floor division. Scale shape: the policy is a
+    user-keyed count agg + per-user argmax window (partitions = one
+    user's <=5 types); replay is one user-keyed equi-join of the eval
+    split against that policy frame, then a single conditional aggregate
+    — both bucketable by user_id (DEPLOY L1), nothing wider than the
+    user domain ever shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    train = (
+        e.filter(F.dayofmonth("ts") % 2 == 0)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    policy = (
+        train.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("rec"))
+    )
+    ev = (
+        e.filter(F.dayofmonth("ts") % 2 == 1)
+        .join(policy, "user_id")
+        .select(
+            "event_type",
+            "rec",
+            F.expr("CAST(value * 100 AS BIGINT)").alias("val_c"),
+        )
+    )
+    matched = F.sum(F.when(F.col("event_type") == F.col("rec"), 1).otherwise(0))
+    matched_val = F.sum(
+        F.when(F.col("event_type") == F.col("rec"), F.col("val_c")).otherwise(0)
+    )
+    counts = ev.agg(
+        F.count("*").cast("bigint").alias("n_eval_events"),
+        matched.cast("bigint").alias("n_matched"),
+        matched_val.cast("bigint").alias("matched_value_c"),
+        F.sum("val_c").cast("bigint").alias("total_value_c"),
+    )
+    return counts.select(
+        "n_eval_events",
+        "n_matched",
+        "matched_value_c",
+        F.when(F.col("n_matched") == 0, F.lit(0))
+        .otherwise(F.expr("matched_value_c div n_matched"))
+        .cast("bigint")
+        .alias("value_per_match_c"),
+        F.expr("total_value_c div n_eval_events").cast("bigint").alias("value_per_logged_c"),
+        F.expr("(1000000 * n_matched) div n_eval_events")
+        .cast("bigint")
+        .alias("match_rate_e6"),
+    )

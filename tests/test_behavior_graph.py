@@ -330,3 +330,32 @@ def test_shapley_efficiency_invariant(spark, sf_dir):
     total = sum(r.phi_x24 for r in rows)
     assert total % 24 == 0
     assert 0 < total // 24 <= rows[0].v_with_all_ge
+
+
+def test_policy_replay_hand_computed(spark, tmp_path):
+    # user 1 trains on day 2 (even): 2 clicks + 1 view -> policy 'click';
+    # eval day 3 (odd): click $1, view $5, click $2 -> 2 of 3 matched,
+    # matched mass 300c, per-match 150c, per-logged 800c//3 = 266c.
+    # user 2 has eval activity but NO training days -> excluded entirely.
+    import datetime as dt
+
+    d2 = lambda h: dt.datetime(2024, 1, 2, h)  # noqa: E731
+    d3 = lambda h: dt.datetime(2024, 1, 3, h)  # noqa: E731
+    events = [
+        (1, d2(1), 1, "click", 0.5, ""),
+        (2, d2(2), 1, "click", 0.5, ""),
+        (3, d2(3), 1, "view", 0.5, ""),
+        (4, d3(1), 1, "click", 1.0, ""),
+        (5, d3(2), 1, "view", 5.0, ""),
+        (6, d3(3), 1, "click", 2.0, ""),
+        (7, d3(4), 2, "view", 9.0, ""),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = _QS["policy_replay_eval"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_eval_events, r.n_matched, r.matched_value_c) == (3, 2, 300)
+    assert (r.value_per_match_c, r.value_per_logged_c) == (150, 266)
+    assert r.match_rate_e6 == 666666

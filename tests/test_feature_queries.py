@@ -414,3 +414,47 @@ def test_uplift_qini_consistency(spark, sf_dir):
     # NTILE balance: decile sizes differ by at most 1
     sizes = [r.n_t + r.n_c for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_sprt_accepts_h1_on_streak(spark, tmp_path):
+    # every view converts -> +1098612 per trial; the ln(19)*1e6 = 2944438
+    # boundary is crossed at trial 3 (3 * 1098612 = 3295836)
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    events = []
+    for i in range(5):
+        events.append((i * 2, t(2 * i), 1, "view", 0.0, ""))
+        events.append((i * 2 + 1, t(2 * i + 1), 1, "purchase", 1.0, ""))
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["sprt_conversion_monitor"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_trials, r.n_success, r.decision) == (5, 5, "accept_h1")
+    assert (r.n_at_decision, r.llr_at_decision_e6) == (3, 3 * 1098612)
+
+
+def test_sprt_accepts_h0_on_drought(spark, tmp_path):
+    # no conversions -> -20408 per trial; crosses -2944438 at trial
+    # ceil(2944438 / 20408) = 145 with llr = -145 * 20408
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = [
+        (i, t0 + dt.timedelta(minutes=i), 1 + i % 3, "view", 0.0, "")
+        for i in range(150)
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["sprt_conversion_monitor"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_trials, r.n_success, r.decision) == (150, 0, "accept_h0")
+    assert (r.n_at_decision, r.llr_at_decision_e6) == (145, -145 * 20408)

@@ -244,3 +244,35 @@ def test_new_eval_paths_have_no_unpartitioned_window(spark, sf_dir):
             if "windowspecdefinition(" in line:
                 inner = line.split("windowspecdefinition(", 1)[1]
                 assert "__rank_pid" in inner, (name, line)
+
+
+def test_fd_violation_audit_digest_lang(spark, tmp_path):
+    # same normalized text under two langs -> 1 violating digest group of
+    # 2 rows; the other tables' checks need their files too (tiny stubs)
+    docs = [
+        (1, "Hello, World!", "en", "web", 13),
+        (2, "hello world", "fr", "web", 11),
+        (3, "other text", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(1, 10, "1-URGENT"), (2, 10, "3-MEDIUM")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 7, "R")], "l_orderkey long, l_partkey long, l_returnflag string"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, 3), (11, 4)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    import __spark_entry__ as mod
+
+    rows = {r.fd: r for r in mod.queries()["fd_violation_audit"](spark, str(tmp_path)).collect()}
+    dl = rows["documents: text_digest -> lang"]
+    assert (dl.n_groups, dl.n_violating_groups, dl.n_violating_rows) == (2, 1, 2)
+    assert dl.max_distinct_rhs == 2
+    # the key FD must hold; the behavioral one must be violated
+    assert rows["customer: c_custkey -> c_nationkey"].n_violating_groups == 0
+    assert rows["orders: o_custkey -> o_orderpriority"].n_violating_groups == 1
