@@ -238,3 +238,98 @@ def audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return wav_features(synth_wav_media(d))
+
+
+@query(
+    "image_phash_near_dup",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    cells AS (
+        SELECT doc_id, i.i, j.j,
+               ((i.i * h // 8) * w + (j.j * w // 8)) % 256 AS px
+        FROM imgs, (SELECT unnest(range(8)) AS i) i,
+                   (SELECT unnest(range(8)) AS j) j
+    ),
+    means AS (SELECT doc_id, SUM(px) // 64 AS m FROM cells GROUP BY doc_id),
+    bits AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN px > m AND (i * 8 + j) >= 32
+                        THEN (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                        ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN px > m AND (i * 8 + j) < 32
+                        THEN (CAST(1 AS BIGINT) << (i * 8 + j))
+                        ELSE 0 END) AS BIGINT) AS lo
+        FROM cells c JOIN means USING (doc_id) GROUP BY c.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+               AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+    """,
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection: perceptual average-hash over REAL
+    decoded PNG payloads, then banded-Hamming pairing at distance <= 2 —
+    the image twin of the SimHash text path, proving the engine's dedup
+    machinery runs unchanged on a binary modality. The Spark side is the
+    honest production pipeline end to end: genuine PNG bytes
+    (synth_png_media) -> pure-stdlib inflate/unfilter decode -> nearest
+    8x8 resample -> integer aHash -> 4x16-bit band equi-join -> exact
+    xor/bit_count verify. The DuckDB oracle never sees a byte of PNG: it
+    recomputes the hashes from the synthetic corpus's closed-form pixel
+    formula ((i*h/8)*w + j*w/8) % 256 — so a bug ANYWHERE in the image
+    path (chunk walk, inflate, unfilter, resample indexing, mean, bit
+    packing) breaks the value hash, not just a unit test.
+
+    Pigeonhole completeness: hamming <= 2 over 64 bits split into 4 bands
+    of 16 means at least two bands are equal — the band join cannot miss
+    a qualifying pair, so banded output == all-pairs output exactly.
+    Scale: band keys are (int, int16-domain) — hot bands (the synthetic
+    gradient collapses many dims onto one hash) take the same hot-bucket
+    cap as every other banded generator; the verify join carries two
+    BIGINTs per side."""
+    from ..operators.multimodal import ahash_images, synth_png_media
+
+    d = load_table(spark, sf_dir, "documents")
+    h = ahash_images(synth_png_media(d)).localCheckpoint()
+    bands = h.select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.expr(
+                "array(struct(0 AS band, ahash_lo & 65535 AS val),"
+                " struct(1 AS band, shiftright(ahash_lo, 16) & 65535 AS val),"
+                " struct(2 AS band, ahash_hi & 65535 AS val),"
+                " struct(3 AS band, shiftright(ahash_hi, 16) & 65535 AS val))"
+            )
+        ).alias("b"),
+    ).select("media_id", "ahash_hi", "ahash_lo", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )

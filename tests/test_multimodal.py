@@ -397,3 +397,40 @@ def test_pcm_arrow_transport_matches_pandas(spark, sf_dir):
     for mid, r in rows.items():
         if mid % 2 != 0:
             assert r.n_samples is None and r.peak is None
+
+
+def test_ahash_hand_computed_and_pairing(spark):
+    # 2x2 image [[0,255],[0,255]] -> 8x8 nearest: left half 0, right half
+    # 255; mean = 32*255//64 = 127 -> right-half bits set in every row:
+    # hi = lo = 0xF0F0F0F0. A second identical image must pair at
+    # hamming 0; an all-black image (no bit set) must not pair with them.
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from code_challenge___data_engineer___machinemax_spark.functions.png_codec import (
+        encode_png,
+    )
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        ahash_images,
+    )
+
+    stripe = encode_png(np.array([[0, 255], [0, 255]], dtype=np.uint8))
+    black = encode_png(np.zeros((3, 3), dtype=np.uint8))
+    rows = [
+        (1, "image", bytearray(stripe), {"width": 2, "height": 2, "sample_rate": None, "n_frames": None}),
+        (2, "image", bytearray(stripe), {"width": 2, "height": 2, "sample_rate": None, "n_frames": None}),
+        (3, "image", bytearray(black), {"width": 3, "height": 3, "sample_rate": None, "n_frames": None}),
+    ]
+    from code_challenge___data_engineer___machinemax_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: (r.ahash_hi, r.ahash_lo) for r in ahash_images(media).collect()}
+    assert out[1] == (0xF0F0F0F0, 0xF0F0F0F0)
+    assert out[1] == out[2]
+    assert out[3] == (0, 0)
+    # hamming(stripe, black) = 32 -> far apart; identical pair at 0
+    h1, h3 = out[1], out[3]
+    ham = bin(h1[0] ^ h3[0]).count("1") + bin(h1[1] ^ h3[1]).count("1")
+    assert ham == 32
