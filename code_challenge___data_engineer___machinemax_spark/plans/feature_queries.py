@@ -1556,3 +1556,121 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(pick.format(a="up_idx", b="dn_idx")).cast("bigint").alias("n_at_decision"),
         F.expr(pick.format(a="up_llr", b="dn_llr")).cast("bigint").alias("llr_at_decision_e6"),
     )
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH j AS (
+        SELECT o_orderkey, c.c_mktsegment AS seg,
+               CAST(trunc(o.o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    mu AS (
+        SELECT seg, CAST(SUM(pc) // COUNT(*) AS BIGINT) AS mean_c,
+               COUNT(*) AS n_tr
+        FROM j WHERE o_orderkey % 3 = 0 GROUP BY seg
+    ),
+    calib AS (
+        SELECT j.o_orderkey, ABS(j.pc - mu.mean_c) AS r
+        FROM j JOIN mu USING (seg) WHERE j.o_orderkey % 3 = 1
+    ),
+    kq AS (
+        SELECT COUNT(*) AS n_calib,
+               (9 * (COUNT(*) + 1) + 9) // 10 AS k
+        FROM calib
+    ),
+    ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS rk FROM calib
+    ),
+    q AS (SELECT r AS q_c FROM ranked, kq WHERE rk = kq.k),
+    test AS (
+        SELECT ABS(j.pc - mu.mean_c) AS r
+        FROM j JOIN mu USING (seg) WHERE j.o_orderkey % 3 = 2
+    )
+    SELECT CAST((SELECT SUM(n_tr) FROM mu) AS BIGINT) AS n_train,
+           CAST(kq.n_calib AS BIGINT) AS n_calib,
+           CAST(q.q_c AS BIGINT) AS q_c,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN test.r <= q.q_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST((1000000 * SUM(CASE WHEN test.r <= q.q_c THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS coverage_e6
+    FROM test, q, kq GROUP BY kq.n_calib, q.q_c
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018 — the
+    distribution-free uncertainty-quantification standard): a toy model
+    (per-segment mean order value from the train third) gets a conformal
+    radius q = the ceil(0.9*(n+1))-th smallest absolute calibration
+    residual, and the held-out third reports empirical coverage of
+    [prediction - q, prediction + q] — guaranteed >= 90% in expectation
+    under exchangeability, whatever the model. Everything is exact: cent
+    prices, floor-mean predictions, integer rank selection for the
+    quantile (the k-th order statistic, tie-broken on the key), BIGINT
+    coverage counts.
+
+    Scale shape: one fact x broadcast-dim join feeds all three splits;
+    the model is a segment-keyed agg; the quantile uses the two-pass
+    range-partitioned global_row_number (never a single-partition
+    window) and selects ONE row; coverage is a conditional aggregate
+    against the broadcast 1-row radius."""
+    from ..operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("pc"),
+    )
+    mu = (
+        j.filter(F.col("o_orderkey") % 3 == 0)
+        .groupBy("seg")
+        .agg(
+            F.expr("CAST(SUM(pc) DIV COUNT(*) AS BIGINT)").alias("mean_c"),
+            F.count("*").alias("n_tr"),
+        )
+    )
+    calib = (
+        j.filter(F.col("o_orderkey") % 3 == 1)
+        .join(F.broadcast(mu), "seg")
+        .select("o_orderkey", F.abs(F.col("pc") - F.col("mean_c")).alias("r"))
+    )
+    kq = calib.agg(
+        F.count("*").cast("bigint").alias("n_calib"),
+        F.expr("(9 * (COUNT(*) + 1) + 9) DIV 10").alias("k"),
+    )
+    ranked = global_row_number(calib, [F.col("r"), F.col("o_orderkey")], rank_col="rk")
+    q = (
+        ranked.crossJoin(F.broadcast(kq))
+        .filter(F.col("rk") == F.col("k"))
+        .select(F.col("r").alias("q_c"), "n_calib")
+    )
+    test = (
+        j.filter(F.col("o_orderkey") % 3 == 2)
+        .join(F.broadcast(mu), "seg")
+        .select(F.abs(F.col("pc") - F.col("mean_c")).alias("r"))
+    )
+    n_train = mu.agg(F.sum("n_tr").cast("bigint").alias("n_train"))
+    return (
+        test.crossJoin(F.broadcast(q))
+        .agg(
+            F.first("n_calib").cast("bigint").alias("n_calib"),
+            F.first("q_c").cast("bigint").alias("q_c"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            "n_calib",
+            "q_c",
+            "n_test",
+            "n_covered",
+            F.expr("(1000000 * n_covered) div n_test").cast("bigint").alias("coverage_e6"),
+        )
+    )

@@ -458,3 +458,32 @@ def test_sprt_accepts_h0_on_drought(spark, tmp_path):
     r = mod.queries()["sprt_conversion_monitor"](spark, str(tmp_path)).collect()[0]
     assert (r.n_trials, r.n_success, r.decision) == (150, 0, "accept_h0")
     assert (r.n_at_decision, r.llr_at_decision_e6) == (145, -145 * 20408)
+
+
+def test_conformal_hand_computed(spark, tmp_path):
+    # one segment. train (keys %3=0): three $10.00 orders -> mean 1000c.
+    # calib (%3=1): residuals 10..90 step 10 -> n=9, k=ceil(0.9*10)=9,
+    # q = 9th smallest = 90c. test (%3=2): residuals 50 (covered) and
+    # 95 (not) -> coverage 1/2.
+    orders = [(k, 1, 10.00) for k in (3, 6, 9)]
+    orders += [(3 * i + 1, 1, 10.00 + 0.10 * i) for i in range(1, 10)]
+    orders += [(2, 1, 10.50), (5, 1, 10.95)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "AUTO")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["conformal_interval_coverage"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_train, r.n_calib, r.n_test) == (3, 9, 2)
+    assert r.q_c == 90
+    assert (r.n_covered, r.coverage_e6) == (1, 500000)
+
+
+def test_conformal_guarantee_holds_on_fixture(spark, sf_dir):
+    # split-conformal's marginal guarantee: coverage ~>= 90% on
+    # exchangeable splits (key-residue splits of the same distribution)
+    r = _QS["conformal_interval_coverage"](spark, sf_dir).collect()[0]
+    assert r.coverage_e6 >= 880000
