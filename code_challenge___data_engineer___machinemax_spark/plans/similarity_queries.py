@@ -808,3 +808,88 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("overlap10"))
         .orderBy("qid")
     )
+
+
+@query(
+    "maxsim_multivector_topk",
+    oracle="""
+    WITH q AS (
+        SELECT s.k AS qk,
+               list_transform(embedding[s.k * 16 + 1 : s.k * 16 + 16],
+                   v -> CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings, (SELECT unnest(range(4)) AS k) s
+        WHERE vec_id = 0
+    ),
+    d AS (
+        SELECT vec_id, s.k AS dk,
+               list_transform(embedding[s.k * 16 + 1 : s.k * 16 + 16],
+                   v -> CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS dv
+        FROM embeddings, (SELECT unnest(range(4)) AS k) s
+        WHERE vec_id <> 0
+    ),
+    dots AS (
+        SELECT d.vec_id, q.qk,
+               MAX(CAST(list_sum(list_transform(range(16),
+                   i -> q.qv[i + 1] * d.dv[i + 1])) AS BIGINT)) AS best
+        FROM d CROSS JOIN q
+        GROUP BY d.vec_id, q.qk
+    ),
+    scored AS (
+        SELECT vec_id, CAST(SUM(best) AS BIGINT) AS maxsim
+        FROM dots GROUP BY vec_id
+    )
+    SELECT vec_id, maxsim
+    FROM scored ORDER BY maxsim DESC, vec_id LIMIT 10
+    """,
+)
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    Zaharia 2020): each vector is treated as FOUR 16-dim sub-vectors
+    (the stand-in for per-token embeddings); a document's score against
+    the query is sum over query sub-vectors of the max dot product over
+    the document's sub-vectors — the interaction happening 'late', per
+    sub-vector pair, which is what makes ColBERT-class retrieval more
+    precise than single-vector cosine at the same storage. Exact: all
+    components quantize to trunc-1e6 int64, every dot, max and sum is
+    BIGINT (|dot| <= 16 * (5e5)^2 = 4e12, x4 sub-vectors — far inside
+    int64). Top-10, ties to the smaller id; the query vector scores
+    itself out (excluded).
+
+    Scale shape: sub-vectors explode 4x and the 4-row query side
+    BROADCASTS into the scoring join (bounded by query token count,
+    never corpus x corpus); per-(doc, query-token) max and per-doc sum
+    are map-side-combinable aggs keyed on the int id; TakeOrdered keeps
+    the top-10 without a global sort. The production candidate-generation
+    step (ANN shortlist per query sub-vector, then exact MaxSim re-rank
+    on the shortlist) is the same composition the IVF/SRP operators
+    already provide."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = F.expr(
+        "transform(slice(embedding, k * 16 + 1, 16),"
+        " v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
+    )
+    ks = F.explode(F.expr("sequence(0, 3)")).alias("k")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(ks, "embedding")
+        .select(F.col("k").alias("qk"), sub.alias("qv"))
+    )
+    d = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", ks, "embedding")
+        .select("vec_id", F.col("k").alias("dk"), sub.alias("dv"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, dv, (a, b) -> a * b), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select("vec_id", "qk", dot.alias("dot"))
+        .groupBy("vec_id", "qk")
+        .agg(F.max("dot").alias("best"))
+        .groupBy("vec_id")
+        .agg(F.sum("best").cast("bigint").alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -219,3 +219,38 @@ def test_pq_codes_are_complete_and_bounded(spark, sf_dir):
     assert codes.filter(~F.col("code_id").between(1, 16)).count() == 0
     own = codes.filter(F.col("vec_id").between(1, 16))
     assert own.filter(F.col("code_id") != F.col("vec_id")).count() == 0
+
+
+def test_maxsim_hand_computed(spark, tmp_path):
+    # query vec 0 has unit mass in sub-vector 0 (dim 0) and sub-vector 1
+    # (dim 16); both query tokens best-match whichever doc sub-vector
+    # carries mass, so:
+    #   vec 1 (1.0 at dim 0)  -> maxsim = 1e12 + 1e12 = 2e12
+    #   vec 2 (2.0 at dim 16) -> maxsim = 2e12 + 2e12 = 4e12 (top)
+    #   vec 3 (all zeros)     -> 0
+    def vec(pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec([(0, 1.0), (16, 1.0)]), 0),
+        (1, vec([(0, 1.0)]), 0),
+        (2, vec([(16, 2.0)]), 0),
+        (3, vec([]), 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    import __spark_entry__ as mod
+
+    out = [
+        (r.vec_id, r.maxsim)
+        for r in mod.queries()["maxsim_multivector_topk"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        (2, 4_000_000_000_000),
+        (1, 2_000_000_000_000),
+        (3, 0),
+    ]
