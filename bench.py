@@ -215,6 +215,14 @@ def main() -> None:
     ensure_bm25_index_store(spark, sf_dir)
     ensure_pq_store(spark, sf_dir)
 
+    # NOTE (measured, r5 seventh session): a per-query gc.collect() hook —
+    # meant to unpersist each query's localCheckpoint RDDs before the next
+    # query — was A/B'd and REJECTED: it recovered the bench-tail queries
+    # (recsys_hitrate_eval 37.5 -> 24.8 s; isolated truth 19.1 s) but the
+    # ContextCleaner's ASYNC unpersist then ran inside the next timed
+    # region (simhash_near_dup_pairs 4.3 -> 14.4 s, total 150 -> 181 s).
+    # In-bench numbers for late heavy queries therefore overstate plan
+    # cost by warm-state pressure; SCALE.md carries the isolated numbers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

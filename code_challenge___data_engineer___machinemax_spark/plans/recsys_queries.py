@@ -479,6 +479,12 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item_b").alias("i"), F.col("item_a").alias("j"), "co"
         )
     )
+    # NOTE (measured, seventh session): aggregating before the anti-join
+    # (anti-join on the collapsed (u, j) frame instead of the fan-out) is
+    # wall-neutral here — the 23.6M-row fan-out collapses to 21M distinct
+    # (u, j) candidates, so there is no meaningful reduction to buy; the
+    # cost IS candidate volume, which is the documented contract of the
+    # full (untruncated-neighborhood) eval.
     cand = (
         train.join(sym, "i")
         .join(
