@@ -414,3 +414,127 @@ def label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _walk_oracle_sql(n_walks: int = 2, n_steps: int = 4) -> str:
+    """Unrolled-CTE twin of the seeded walk loop: the same md5-derived
+    step choice (('0x' || 15 hex chars)::BIGINT mod degree) replayed per
+    step — the same unroll discipline as the k-means/BFS/label-propagation
+    oracles."""
+    hash_expr = (
+        "('0x' || substr(md5(CAST(s.start AS VARCHAR) || ':' ||"
+        " CAST(s.wid AS VARCHAR) || ':' || '{t}' || ':' ||"
+        " CAST(s.cur AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    steps = []
+    prev = "s0"
+    for t in range(1, n_steps + 1):
+        steps.append(f"""
+    s{t} AS (
+        SELECT s.start, s.wid, a.nbr AS cur, {t} AS step
+        FROM {prev} s
+        JOIN deg d ON d.node = s.cur
+        JOIN idx a ON a.node = s.cur
+         AND a.i = ({hash_expr.format(t=t)}) % d.deg + 1
+    )""")
+        prev = f"s{t}"
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT start, wid, step, cur FROM s{t}" for t in range(n_steps + 1)
+    )
+    return f"""
+    WITH e AS ({_EDGES_SQL}),
+    adj AS (
+        SELECT x AS node, y AS nbr FROM e
+        UNION ALL
+        SELECT y, x FROM e
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    idx AS (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS i
+        FROM adj
+    ),
+    s0 AS (
+        SELECT node AS start, CAST(w.w AS INT) AS wid, node AS cur, 0 AS step
+        FROM deg, (SELECT unnest(range({n_walks})) AS w) w
+    ),{",".join(steps)[1:]}
+    SELECT start AS start_node, wid AS walk_id, CAST(step AS INT) AS step,
+           cur AS node
+    FROM ({union})
+    """
+
+
+@query("seeded_random_walks", oracle=_walk_oracle_sql())
+def seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk-corpus generation (Perozzi et al. 2014): two
+    4-step walks from every node of the support-floored co-purchase
+    graph, emitted as (start_node, walk_id, step, node) rows — the
+    sampling stage that turns a graph into sequence training data for
+    skip-gram embedding training (the embedding fit itself is out of
+    scope; the walks are the distributed work). The 'random' choice is a
+    seeded hash: step t picks neighbor index md5(start:walk:t:cur) mod
+    degree — uniform per step yet fully deterministic, so the walk
+    corpus is bit-reproducible across engines and partitionings, exactly
+    the property a reproducible training pipeline needs from its
+    samplers (same discipline as the seeded Bernoulli/priority samplers).
+
+    Scale shape: per step, the frontier joins the degree table and the
+    indexed adjacency on the int node key — walk count x 1 row each, no
+    fan-out; the per-node neighbor index is a node-partitioned window
+    (frames = one node's neighbors, degree-bounded). The driver loop
+    holds only DataFrames (localCheckpoint-pinned adjacency, like the
+    BFS/label-propagation loops); steps are sequential by nature, rounds
+    = walk length."""
+    e = _edges(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    adj = (
+        e.select(F.col("x").alias("node"), F.col("y").alias("nbr"))
+        .unionAll(e.select(F.col("y").alias("node"), F.col("x").alias("nbr")))
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    idx = adj.withColumn(
+        "i", F.row_number().over(W.partitionBy("node").orderBy("nbr"))
+    ).localCheckpoint()
+    walks = F.explode(F.expr("sequence(0, 1)")).alias("wid")
+    state = deg.select(
+        F.col("node").alias("start"), walks, F.col("node").alias("cur")
+    ).withColumn("step", F.lit(0))
+    out = [state]
+    for t in range(1, 5):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("start"), F.col("wid"), F.lit(t), F.col("cur"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        nxt = (
+            out[-1]
+            .join(deg.select(F.col("node").alias("cur"), "deg"), "cur")
+            .withColumn("__pick", (h % F.col("deg")) + 1)
+            .join(
+                idx.select(
+                    F.col("node").alias("cur"), F.col("i").alias("__pick"),
+                    F.col("nbr").alias("__next"),
+                ),
+                ["cur", "__pick"],
+            )
+            .select(
+                "start", "wid", F.col("__next").alias("cur"), F.lit(t).alias("step")
+            )
+            .localCheckpoint()
+        )
+        out.append(nxt)
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res.select(
+        F.col("start").alias("start_node"),
+        F.col("wid").cast("int").alias("walk_id"),
+        F.col("step").cast("int").alias("step"),
+        F.col("cur").alias("node"),
+    )

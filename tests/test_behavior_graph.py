@@ -359,3 +359,45 @@ def test_policy_replay_hand_computed(spark, tmp_path):
     assert (r.n_eval_events, r.n_matched, r.matched_value_c) == (3, 2, 300)
     assert (r.value_per_match_c, r.value_per_logged_c) == (150, 266)
     assert r.match_rate_e6 == 666666
+
+
+def test_seeded_walks_forced_path_and_determinism(spark, tmp_path):
+    # one edge (1,2) with support 2: degree 1 everywhere, so every step is
+    # forced -> walks strictly alternate 1,2,1,2,1 / 2,1,2,1,2 for both
+    # walk ids regardless of the hash values
+    rows = [(100, 1), (100, 2), (200, 1), (200, 2)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = _QS["seeded_random_walks"](spark, str(tmp_path)).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault((r.start_node, r.walk_id), {})[r.step] = r.node
+    assert len(walks) == 4  # 2 nodes x 2 walks
+    for (start, _), path in walks.items():
+        seq = [path[s] for s in range(5)]
+        other = 2 if start == 1 else 1
+        assert seq == [start, other, start, other, start]
+    # and the whole corpus is run-to-run deterministic
+    again = _QS["seeded_random_walks"](spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_seeded_walks_steps_follow_edges(spark, sf_dir):
+    # every consecutive (step, step+1) hop must be a real co-purchase edge
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _edges,
+    )
+
+    walks = _QS["seeded_random_walks"](spark, sf_dir)
+    e = _edges(spark, sf_dir)
+    und = set()
+    for r in e.collect():
+        und.add((r.x, r.y))
+        und.add((r.y, r.x))
+    byw = {}
+    for r in walks.collect():
+        byw.setdefault((r.start_node, r.walk_id), {})[r.step] = r.node
+    for path in byw.values():
+        for s in range(4):
+            assert (path[s], path[s + 1]) in und
