@@ -47,7 +47,9 @@ _EDGES_SQL = """
 """
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edges(
+    spark: SparkSession, sf_dir: str, absolute_floor: int | None = None
+) -> DataFrame:
     """Canonical (x < y) support-floored co-purchase edges.
 
     The basket self-join fans out k(k-1)/2 per order with k bounded by
@@ -60,12 +62,19 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()
-    floor = items.agg(
-        F.expr(
-            "GREATEST(CAST(2 AS BIGINT),"
-            " COUNT(DISTINCT basket) DIV 7500)"
-        ).alias("minsup")
+    # absolute_floor: opt-in for LINEAR-cost consumers (the walk sampler:
+    # one row per walk per step, no wedge join) — the relative floor exists
+    # to keep the QUADRATIC wedge-join density scale-invariant, but on this
+    # synthetic data the catalog grows with volume, co-purchase support
+    # stays ~3, and the relative floor empties the graph past sf0.01
+    # (measured: 0 edges at sf0.1). Quadratic consumers keep the relative
+    # floor; linear ones pass absolute_floor=2.
+    floor_expr = (
+        f"CAST({absolute_floor} AS BIGINT)"
+        if absolute_floor is not None
+        else "GREATEST(CAST(2 AS BIGINT), COUNT(DISTINCT basket) DIV 7500)"
     )
+    floor = items.agg(F.expr(floor_expr).alias("minsup"))
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(
@@ -441,8 +450,13 @@ def _walk_oracle_sql(n_walks: int = 2, n_steps: int = 4) -> str:
     union = "\n    UNION ALL\n    ".join(
         f"SELECT start, wid, step, cur FROM s{t}" for t in range(n_steps + 1)
     )
+    edges_sql = _EDGES_SQL.replace(
+        """HAVING COUNT(*) >= GREATEST(2,
+            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) // 7500)""",
+        "HAVING COUNT(*) >= 2",
+    )
     return f"""
-    WITH e AS ({_EDGES_SQL}),
+    WITH e AS ({edges_sql}),
     adj AS (
         SELECT x AS node, y AS nbr FROM e
         UNION ALL
@@ -484,8 +498,12 @@ def seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frames = one node's neighbors, degree-bounded). The driver loop
     holds only DataFrames (localCheckpoint-pinned adjacency, like the
     BFS/label-propagation loops); steps are sequential by nature, rounds
-    = walk length."""
-    e = _edges(spark, sf_dir)
+    = walk length. The edge list uses the ABSOLUTE support floor (2):
+    walk cost is linear in edges (one row per walk per step — no wedge
+    join), so the relative floor's quadratic-density guard does not
+    apply, and at bench scale the relative floor would empty the graph
+    entirely (0 edges at sf0.1 — see _edges)."""
+    e = _edges(spark, sf_dir, absolute_floor=2)
     from pyspark.sql import Window as W
 
     adj = (
