@@ -27,56 +27,69 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .registry import query
 
-# Shared oracle fragment: the support-floored canonical edge list (x < y,
-# co-purchased together). The floor is RELATIVE (classical minimum
-# support: >= 1 per 7500 baskets, never below 2) — an absolute floor lets
-# graph density grow with data volume over a fixed catalog, and the
-# wedge-join cost downstream is quadratic in density (measured: 13.7x
-# wall at the 10x replica with an absolute floor; scale-invariant with
-# the relative one).
-_EDGES_SQL = """
-        SELECT a.item AS x, b.item AS y
+# Shared oracle fragments for the co-purchase graph. _EDGES_RAW_SQL is
+# the support->=2 canonical edge list with its weight; _EDGES_SQL caps it
+# to the MUTUAL top-16 neighborhood (an edge survives iff each endpoint
+# ranks the other in its top 16 by (support desc, id)) — the structural
+# guard for the QUADRATIC consumers (wedge joins, supersteps): degree is
+# hard-bounded by 16, so wedge cost is bounded whatever the data does.
+# History: round 4 used a RELATIVE floor (support >= baskets/7500) for the
+# same purpose; it bounded the pathological 10x replica (identical copies
+# inflate support 10x over a fixed catalog) but on organically scaled data
+# the catalog grows with volume, per-pair support stays ~3, and the
+# relative floor left the graph EMPTY past sf0.01 (measured: 0 edges at
+# sf0.1). The degree cap bounds the same cost without emptying anything;
+# at the sf0.01 driver gate the two graphs are identical (max degree 13).
+_EDGES_RAW_SQL = """
+        SELECT a.item AS x, b.item AS y, COUNT(*) AS w
         FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
               FROM lineitem) a
         JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
               FROM lineitem) b
           ON a.basket = b.basket AND a.item < b.item
         GROUP BY 1, 2
-        HAVING COUNT(*) >= GREATEST(2,
-            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) // 7500)
+        HAVING COUNT(*) >= 2
+"""
+
+_EDGES_SQL = f"""
+        WITH __raw AS ({_EDGES_RAW_SQL}),
+        __sym AS (
+            SELECT x AS node, y AS other, w FROM __raw
+            UNION ALL
+            SELECT y, x, w FROM __raw
+        ),
+        __rk AS (
+            SELECT node, other,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY w DESC, other) AS r
+            FROM __sym
+        )
+        SELECT a.node AS x, a.other AS y
+        FROM __rk a JOIN __rk b ON b.node = a.other AND b.other = a.node
+        WHERE a.node < a.other AND a.r <= 16 AND b.r <= 16
 """
 
 
 def _edges(
-    spark: SparkSession, sf_dir: str, absolute_floor: int | None = None
+    spark: SparkSession, sf_dir: str, mutual_top_k: int | None = 16
 ) -> DataFrame:
-    """Canonical (x < y) support-floored co-purchase edges.
+    """Canonical (x < y) co-purchase edges: support >= 2, then (by
+    default) capped to the mutual top-``mutual_top_k`` neighborhood.
 
     The basket self-join fans out k(k-1)/2 per order with k bounded by
     order width (<= 7 lineitems here) — per-row constant work keyed on
-    the basket, never a cross product; the RELATIVE support floor (see
-    _EDGES_SQL) prunes proportionally harder as volume grows, keeping
-    the edge list item-dimension scaled and graph density — hence the
-    quadratic wedge cost downstream — scale-invariant."""
+    the basket, never a cross product. The mutual-kNN cap hard-bounds
+    every node's degree, which bounds the quadratic wedge-join /
+    superstep cost downstream structurally (see _EDGES_SQL history note:
+    the round-4 relative support floor achieved the bound only by
+    emptying organically scaled graphs). Linear-cost consumers (the walk
+    sampler) pass ``mutual_top_k=None`` for the raw floored graph."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()
-    # absolute_floor: opt-in for LINEAR-cost consumers (the walk sampler:
-    # one row per walk per step, no wedge join) — the relative floor exists
-    # to keep the QUADRATIC wedge-join density scale-invariant, but on this
-    # synthetic data the catalog grows with volume, co-purchase support
-    # stays ~3, and the relative floor empties the graph past sf0.01
-    # (measured: 0 edges at sf0.1). Quadratic consumers keep the relative
-    # floor; linear ones pass absolute_floor=2.
-    floor_expr = (
-        f"CAST({absolute_floor} AS BIGINT)"
-        if absolute_floor is not None
-        else "GREATEST(CAST(2 AS BIGINT), COUNT(DISTINCT basket) DIV 7500)"
-    )
-    floor = items.agg(F.expr(floor_expr).alias("minsup"))
     a, b = items.alias("a"), items.alias("b")
-    return (
+    raw = (
         a.join(
             b,
             (F.col("a.basket") == F.col("b.basket"))
@@ -84,9 +97,32 @@ def _edges(
         )
         .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
         .agg(F.count("*").alias("w"))
-        .crossJoin(F.broadcast(floor))
-        .filter(F.col("w") >= F.col("minsup"))
-        .select("x", "y")
+        .filter(F.col("w") >= 2)
+    )
+    if mutual_top_k is None:
+        return raw.select("x", "y")
+    from pyspark.sql import Window as W
+
+    sym = raw.select(
+        F.col("x").alias("node"), F.col("y").alias("other"), "w"
+    ).unionAll(raw.select(F.col("y").alias("node"), F.col("x").alias("other"), "w"))
+    rk = sym.withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("node").orderBy(F.desc("w"), F.asc("other"))),
+    )
+    fwd = rk.select("node", "other", F.col("r").alias("ra"))
+    bwd = rk.select(
+        F.col("other").alias("node"), F.col("node").alias("other"),
+        F.col("r").alias("rb"),
+    )
+    return (
+        fwd.join(bwd, ["node", "other"])
+        .filter(
+            (F.col("node") < F.col("other"))
+            & (F.col("ra") <= mutual_top_k)
+            & (F.col("rb") <= mutual_top_k)
+        )
+        .select(F.col("node").alias("x"), F.col("other").alias("y"))
     )
 
 
@@ -450,13 +486,8 @@ def _walk_oracle_sql(n_walks: int = 2, n_steps: int = 4) -> str:
     union = "\n    UNION ALL\n    ".join(
         f"SELECT start, wid, step, cur FROM s{t}" for t in range(n_steps + 1)
     )
-    edges_sql = _EDGES_SQL.replace(
-        """HAVING COUNT(*) >= GREATEST(2,
-            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) // 7500)""",
-        "HAVING COUNT(*) >= 2",
-    )
     return f"""
-    WITH e AS ({edges_sql}),
+    WITH e AS (SELECT x, y FROM ({_EDGES_RAW_SQL})),
     adj AS (
         SELECT x AS node, y AS nbr FROM e
         UNION ALL
@@ -498,12 +529,11 @@ def seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frames = one node's neighbors, degree-bounded). The driver loop
     holds only DataFrames (localCheckpoint-pinned adjacency, like the
     BFS/label-propagation loops); steps are sequential by nature, rounds
-    = walk length. The edge list uses the ABSOLUTE support floor (2):
-    walk cost is linear in edges (one row per walk per step — no wedge
-    join), so the relative floor's quadratic-density guard does not
-    apply, and at bench scale the relative floor would empty the graph
-    entirely (0 edges at sf0.1 — see _edges)."""
-    e = _edges(spark, sf_dir, absolute_floor=2)
+    = walk length. The edge list is the RAW support->=2 graph (no mutual
+    degree cap): walk cost is linear in edges — one row per walk per
+    step, never a wedge join — so the quadratic consumers' cap is not
+    needed, and per-step work stays O(1) per walk whatever the degree."""
+    e = _edges(spark, sf_dir, mutual_top_k=None)
     from pyspark.sql import Window as W
 
     adj = (
