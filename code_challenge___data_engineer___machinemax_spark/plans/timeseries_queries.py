@@ -1171,3 +1171,96 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "v_c", "h", (d2 * 1000).cast("bigint").alias("d2_e3")
     )
     return scored.orderBy(F.desc("d2_e3"), F.asc("event_id")).limit(50)
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+               CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT b.rev_c - a.rev_c AS dy, b.m - a.m AS dx, a.m AS m1
+        FROM monthly a JOIN monthly b ON b.m > a.m
+    ),
+    ranked AS (
+        SELECT dy, dx,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(dy AS DOUBLE) / dx, dx, m1) AS rk,
+               COUNT(*) OVER () AS n_pairs
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(dy AS BIGINT) AS med_dy_c,
+           CAST(dx AS BIGINT) AS med_dx,
+           CAST(CASE WHEN dy >= 0 THEN (1000000 * dy) // dx
+                ELSE -((1000000 * (-dy)) // dx) END AS BIGINT)
+               AS slope_e6_c_per_month
+    FROM ranked WHERE rk = (n_pairs + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise slopes (dy/dx over month pairs) — the estimator that ignores
+    up to ~29% outlier contamination where OLS (ols_by_segment's machinery)
+    chases it. The median slope is selected EXACTLY: slopes are integer
+    fractions (cent dy over month dx), ordered by their double quotient —
+    exact here because two distinct fractions with dx <= n_months differ
+    by >= 1/n_months^2 in absolute value while double rounding error at
+    these magnitudes is ~1e-8 of that — with (dx, first-month) closing
+    the total order for equal fractions; the lower median (rank
+    (n+1)//2) is the deterministic pick. The slope is reported as the
+    exact (dy, dx) fraction plus a sign-split trunc(1e6*dy/dx) scaling
+    (the kappa discipline: floor-vs-truncate divergence on negatives is
+    factored out).
+
+    Scale shape: the only corpus-sized work is the monthly aggregate
+    (one map-side-combined pass over orders); the pairwise-slope frame is
+    calendar-sized (months^2/2 ~ 2.7k rows for 6 years) — the broadcast
+    theta self-join and the unpartitioned rank window both live on that
+    post-aggregation frame, the audited-benign pattern shared with the
+    ACF/seasonal queries."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).cast("bigint").alias("rev_c"))
+        .localCheckpoint()
+    )
+    a = monthly.select(F.col("m").alias("m1"), F.col("rev_c").alias("r1"))
+    b = monthly.select(F.col("m").alias("m2"), F.col("rev_c").alias("r2"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("m2") > F.col("m1"))
+        .select(
+            (F.col("r2") - F.col("r1")).alias("dy"),
+            (F.col("m2") - F.col("m1")).alias("dx"),
+            "m1",
+        )
+    )
+    w = W.orderBy(F.expr("CAST(dy AS DOUBLE) / dx"), F.col("dx"), F.col("m1"))
+    ranked = pairs.select(
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n_pairs"),
+    )
+    n_points = monthly.agg(F.count("*").cast("bigint").alias("n_points"))
+    return (
+        ranked.filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            "n_points",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("dy").cast("bigint").alias("med_dy_c"),
+            F.col("dx").cast("bigint").alias("med_dx"),
+            F.expr(
+                "CAST(CASE WHEN dy >= 0 THEN (1000000 * dy) div dx"
+                " ELSE -((1000000 * (-dy)) div dx) END AS BIGINT)"
+            ).alias("slope_e6_c_per_month"),
+        )
+    )

@@ -278,3 +278,42 @@ def test_event_transition_matrix_is_stochastic(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert sum(v[1] for v in by_from.values()) == n_events - n_users
+
+
+def test_theil_sen_hand_computed(spark, tmp_path):
+    # monthly revenues 100c, 200c, 250c -> pairwise slopes 100/1, 150/2,
+    # 50/1 -> sorted 50, 75, 100 -> lower median (rank 2) = 75 = 150/2
+    import datetime as dt
+
+    orders = [
+        (1, dt.date(1995, 1, 15), 1.00),
+        (2, dt.date(1995, 2, 15), 2.00),
+        (3, dt.date(1995, 3, 15), 2.50),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["theil_sen_trend"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_points, r.n_pairs) == (3, 3)
+    assert (r.med_dy_c, r.med_dx) == (150, 2)
+    assert r.slope_e6_c_per_month == 75_000_000
+
+
+def test_theil_sen_ignores_one_outlier_month(spark, tmp_path):
+    # a perfect +100c/month trend with ONE wild outlier month: the median
+    # pairwise slope stays 100c/month (OLS would be dragged far off)
+    import datetime as dt
+
+    orders = [
+        (m, dt.date(1995, m, 15), float(m) if m != 4 else 90.0)
+        for m in range(1, 8)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["theil_sen_trend"](spark, str(tmp_path)).collect()[0]
+    assert r.slope_e6_c_per_month == 100_000_000
