@@ -1001,3 +1001,73 @@ def streamed_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def _cms_oracle() -> str:
+    from . import sketch_queries  # noqa: F401  (registers the batch twin first)
+    from .registry import get as _get
+
+    return _get("cms_heavy_hitters").oracle
+
+
+@query("streamed_cms_heavy_hitters", oracle=_cms_oracle())
+def streamed_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch: the 4x512 CMS cell table is maintained
+    as complete-mode streaming aggregation state over micro-batched event
+    waves — the only stream state is the fixed <=2048-cell table, KB-sized
+    forever, and CMS cells merge associatively so the cross-batch state
+    equals the batch sketch bit-for-bit. The heavy-hitter probe (the
+    deterministic user_id % 25 = 0 candidate set, min over the 4 rows'
+    cells) then runs batch-side against the finished state, so this query
+    shares cms_heavy_hitters' oracle VERBATIM — the streaming path must
+    land on the identical sketch or the estimates diverge. The streaming
+    twin of the drift monitor's histogram-state pattern, for the
+    frequency-sketch family: at 100 TB this is the top-talker monitor
+    that never buffers raw events."""
+    from .sketch_queries import _CMS_D, _CMS_W
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_cms_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    rows = F.explode(F.array(*[F.lit(str(r)) for r in range(_CMS_D)])).alias("r")
+
+    def bucket(key: F.Column) -> F.Column:
+        cell = F.md5(F.concat(F.col("r"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(cell, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    cells_agg = (
+        stream.select("user_id", rows)
+        .select("r", bucket(F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(cells_agg, "ccdem_streamed_cms", "complete")
+    cells = spark.sql("SELECT * FROM ccdem_streamed_cms").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = load_table(spark, sf_dir, "events")
+    probes = (
+        e.filter(F.col("user_id") % 25 == 0)
+        .select("user_id")
+        .distinct()
+        .select("user_id", rows)
+        .select("user_id", "r", bucket(F.col("user_id")).alias("bucket"))
+    )
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    truth = (
+        e.filter(F.col("user_id") % 25 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+    )
+    return est.join(truth, "user_id").select(
+        "user_id",
+        "est_n",
+        "true_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )

@@ -530,3 +530,17 @@ def test_purchase_attribution_fixture_requires_cross_batch_state(spark, sf_dir):
     cross = pairs.filter(F.col("vw") != F.col("pw")).count()
     assert cross > 0
     assert pairs.count() > cross  # and some same-batch pairs too
+
+
+def test_streamed_cms_state_equals_batch_sketch(spark, sf_dir):
+    # cells merge associatively, so the cross-wave streaming state must
+    # reproduce the batch sketch bit-for-bit -> identical estimates
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    streamed = sorted(
+        tuple(r) for r in qs["streamed_cms_heavy_hitters"](spark, sf_dir).collect()
+    )
+    batch = sorted(tuple(r) for r in qs["cms_heavy_hitters"](spark, sf_dir).collect())
+    assert streamed == batch
+    assert all(r[3] >= 0 for r in streamed)  # CMS never undercounts
