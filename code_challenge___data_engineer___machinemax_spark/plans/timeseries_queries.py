@@ -1264,3 +1264,101 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_e6_c_per_month"),
         )
     )
+
+
+@query(
+    "distribution_emd_ks",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(trunc(value * 100) AS BIGINT) AS x,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    pts AS (
+        SELECT x, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+        FROM vals GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM pts
+    ),
+    walk AS (
+        SELECT x,
+               SUM(ca) OVER (ORDER BY x) AS cum_a,
+               SUM(cb) OVER (ORDER BY x) AS cum_b,
+               LEAD(x) OVER (ORDER BY x) AS next_x
+        FROM pts
+    ),
+    terms AS (
+        SELECT ABS(cum_a * tot.nb - cum_b * tot.na) AS d,
+               COALESCE(next_x - x, 0) AS gap
+        FROM walk, tot
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           CAST(SUM(d * gap) AS BIGINT) AS emd_num,
+           CAST(tot.na * tot.nb AS BIGINT) AS den,
+           CAST((1000 * SUM(d * gap)) // (tot.na * tot.nb) AS BIGINT)
+               AS emd_c_e3,
+           CAST(MAX(d) AS BIGINT) AS ks_num,
+           CAST((1000000 * MAX(d)) // (tot.na * tot.nb) AS BIGINT) AS ks_e6
+    FROM terms, tot GROUP BY tot.na, tot.nb
+    """,
+)
+def distribution_emd_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D optimal transport (Wasserstein-1 / earth-mover's
+    distance) AND the Kolmogorov-Smirnov statistic between the view-value
+    and purchase-value distributions — the two classic distribution-shift
+    measures next to the binned PSI family, computed EXACTLY instead of
+    on a histogram: W1 = integral |F_a - F_b| dx collapses to a sum over
+    the distinct cent values of |cum_a*n_b - cum_b*n_a| * gap (an integer
+    once both CDFs are put over the common denominator n_a*n_b), and KS
+    is the max of the same cross-multiplied differences. Emitted as the
+    exact (numerator, denominator) pair plus trunc-scaled readouts
+    (emd at 1e3 rather than 1e6 so the product stays inside int64 up to
+    ~sf10; the full-precision pair is there for any consumer).
+
+    Scale shape: one conditional aggregation collapses the fact stream to
+    the distinct-cent-value domain (<= 49k rows whatever the data
+    volume — value-domain-sized, not data-sized), and the CDF walk's
+    unpartitioned windows run on that post-aggregation frame — the same
+    audited-benign class as the calendar-sized ACF/seasonal windows. At
+    an unbounded value domain the walk swaps to the two-pass
+    global_prefix_sum machinery unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.expr("CAST(value * 100 AS BIGINT)").alias("x"),
+        (F.col("event_type") == "view").cast("int").alias("a"),
+        (F.col("event_type") == "purchase").cast("int").alias("b"),
+    )
+    pts = vals.groupBy("x").agg(
+        F.sum("a").cast("bigint").alias("ca"), F.sum("b").cast("bigint").alias("cb")
+    )
+    tot = pts.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    w = W.orderBy("x")
+    walk = pts.select(
+        "x",
+        F.sum("ca").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_a"),
+        F.sum("cb").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_b"),
+        F.lead("x").over(w).alias("next_x"),
+    )
+    terms = walk.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")).alias("d"),
+        F.coalesce(F.col("next_x") - F.col("x"), F.lit(0)).alias("gap"),
+        "na",
+        "nb",
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.sum(F.expr("d * gap")).cast("bigint").alias("emd_num"),
+        F.expr("first(na * nb)").cast("bigint").alias("den"),
+        F.expr("(1000 * SUM(d * gap)) div first(na * nb)")
+        .cast("bigint")
+        .alias("emd_c_e3"),
+        F.max("d").cast("bigint").alias("ks_num"),
+        F.expr("(1000000 * MAX(d)) div first(na * nb)").cast("bigint").alias("ks_e6"),
+    ).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        "emd_num", "den", "emd_c_e3", "ks_num", "ks_e6",
+    )

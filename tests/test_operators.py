@@ -317,3 +317,46 @@ def test_theil_sen_ignores_one_outlier_month(spark, tmp_path):
 
     r = mod.queries()["theil_sen_trend"](spark, str(tmp_path)).collect()[0]
     assert r.slope_e6_c_per_month == 100_000_000
+
+
+def test_emd_ks_hand_computed(spark, tmp_path):
+    # views at 100c and 200c (mass 1/2 each) vs one purchase at 300c:
+    # W1 = 0.5*200 + 0.5*100 = 150c; KS = 1.0 (F_view=1, F_purchase=0
+    # on [200, 300)). Cross-multiplied integers: den = 2*1,
+    # emd_num = 1*100 + 2*100 = 300, ks_num = 2.
+    events = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "view", 1.00, ""),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "view", 2.00, ""),
+        (3, datetime(2024, 1, 1, 0, 2), 2, "purchase", 3.00, ""),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["distribution_emd_ks"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert (r.emd_num, r.den) == (300, 2)
+    assert r.emd_c_e3 == 150_000
+    assert (r.ks_num, r.ks_e6) == (2, 1_000_000)
+
+
+def test_emd_zero_for_identical_distributions(spark, tmp_path):
+    # identical value multisets -> W1 = 0 and KS = 0
+    events = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "view", 5.00, ""),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "view", 7.00, ""),
+        (3, datetime(2024, 1, 1, 0, 2), 2, "purchase", 5.00, ""),
+        (4, datetime(2024, 1, 1, 0, 3), 2, "purchase", 7.00, ""),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["distribution_emd_ks"](spark, str(tmp_path)).collect()[0]
+    assert (r.emd_num, r.ks_num) == (0, 0)
