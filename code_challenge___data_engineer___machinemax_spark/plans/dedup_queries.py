@@ -771,3 +771,125 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(truth_t, cand_t, "token").unionByName(
         stats(truth_s, cand_sh, "shingle")
     )
+
+
+@query(
+    "cdc_chunk_dedup_report",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, len(text) AS L
+        FROM documents WHERE text IS NOT NULL AND len(text) >= 1
+    ),
+    pos AS (
+        SELECT doc_id, text, unnest(range(8, L + 1)) AS i FROM docs
+    ),
+    marks AS (
+        SELECT DISTINCT doc_id, e FROM (
+            SELECT doc_id, CAST(i AS BIGINT) AS e
+            FROM pos
+            WHERE substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 2) = '00'
+            UNION ALL
+            SELECT doc_id, L FROM docs
+        )
+    ),
+    spans AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+               e
+        FROM marks
+    ),
+    chunks AS (
+        SELECT sp.doc_id,
+               md5(substr(d.text, CAST(sp.s AS INT),
+                          CAST(sp.e - sp.s + 1 AS INT))) AS dg,
+               sp.e - sp.s + 1 AS ln
+        FROM spans sp JOIN docs d USING (doc_id)
+    ),
+    uniq AS (SELECT dg, MIN(ln) AS ln FROM chunks GROUP BY dg)
+    SELECT CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks,
+           CAST((SELECT COUNT(*) FROM uniq) AS BIGINT) AS n_unique_chunks,
+           CAST((SELECT SUM(ln) FROM chunks) AS BIGINT) AS total_chars,
+           CAST((SELECT SUM(ln) FROM uniq) AS BIGINT) AS unique_chars,
+           CAST((1000000 * (SELECT SUM(ln) FROM uniq))
+                // (SELECT SUM(ln) FROM chunks) AS BIGINT) AS stored_frac_e6
+    """,
+)
+def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/FastCDC storage-dedup
+    family): every document splits at content-determined boundaries — a
+    position ends a chunk iff the hash of the 8-char window ending there
+    lands in a 1/256 target slice (md5 prefix '00'), giving ~256-char
+    average chunks whose boundaries MOVE WITH the content, so an insert
+    or deletion re-chunks only its neighborhood instead of shifting every
+    fixed-size block (the property that makes rsync/borg/dedup stores
+    work, and sub-document near-dup accounting possible in a corpus
+    pipeline). The report is the chunk-store outcome: chunk counts,
+    byte mass, unique-after-dedup mass, and the stored fraction.
+
+    Exactness: the boundary predicate, chunk digests and lengths are all
+    md5/integer; the one scaled readout is an integer floor division.
+
+    Scale shape: the position explode is linear in corpus characters
+    (the same cost class as shingling) and collapses immediately to the
+    sparse boundary set (~chars/256 rows); span assembly is a per-doc
+    window over those boundaries (frames = one doc's ~L/256 marks);
+    chunk digests group-by on 32-byte keys — the engine's standard
+    digest-shuffle discipline, never chunk bodies."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text", F.length("text").alias("L"))
+        .localCheckpoint()
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.expr("sequence(8, L)")).alias("i"),
+    )
+    bnd = pos.filter(
+        F.expr("substr(md5(substr(text, i - 7, 8)), 1, 2) = '00'")
+    ).select("doc_id", F.col("i").cast("bigint").alias("e"))
+    marks = bnd.unionByName(
+        d.select("doc_id", F.col("L").cast("bigint").alias("e"))
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    spans = marks.select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.lag("e").over(W.partitionBy("doc_id").orderBy("e")), F.lit(0)
+            )
+            + 1
+        ).alias("s"),
+        "e",
+    )
+    chunks = spans.join(d, "doc_id").select(
+        F.expr("md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT)))").alias("dg"),
+        (F.col("e") - F.col("s") + 1).alias("ln"),
+    )
+    uniq = chunks.groupBy("dg").agg(F.min("ln").alias("ln"))
+    tot = chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("ln").cast("bigint").alias("total_chars"),
+    )
+    un = uniq.agg(
+        F.count("*").cast("bigint").alias("n_unique_chunks"),
+        F.sum("ln").cast("bigint").alias("unique_chars"),
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        nd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(un))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_unique_chunks",
+            "total_chars",
+            "unique_chars",
+            F.expr("(1000000 * unique_chars) div total_chars")
+            .cast("bigint")
+            .alias("stored_frac_e6"),
+        )
+    )

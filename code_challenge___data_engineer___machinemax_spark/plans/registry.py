@@ -110,7 +110,7 @@ DRIVER_PRIORITY: list[str] = [
     "asof_purchase_to_view",
     # Round-6 window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r04 keys minus this round-5 window (100 as of the
+    # CORRECTNESS_r01-r04 keys minus this round-5 window (101 as of the
     # seventh session of round 5 — MORE than one 48-slot window; round 6
     # takes the first 48 and rounds 7-8 the remainder). All are green in
     # the local sf0.01 parity sweep:
@@ -152,7 +152,8 @@ DRIVER_PRIORITY: list[str] = [
     # fd_violation_audit, sprt_conversion_monitor, policy_replay_eval,
     # image_phash_near_dup, conformal_interval_coverage,
     # maxsim_multivector_topk, seeded_random_walks, theil_sen_trend,
-    # streamed_cms_heavy_hitters, distribution_emd_ks
+    # streamed_cms_heavy_hitters, distribution_emd_ks,
+    # cdc_chunk_dedup_report
 
     # r4-green queries (TPC-H completion, streaming suite, BPE, SCD2,
     # audio features, repetition/mixture text ops) rotate out — confirmed in

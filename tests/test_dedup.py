@@ -386,3 +386,46 @@ def test_minhash_recall_eval_two_bases_crafted(spark, tmp_path):
     assert t.recall_e6 == 500000
     assert (s.n_true, s.n_caught, s.n_missed) == (1, 1, 0)
     assert s.recall_e6 == 1000000
+
+
+def test_cdc_chunk_dedup_identical_docs(spark, tmp_path):
+    # two identical long docs + one sub-window doc: every chunk of the
+    # twin dedupes, the short doc is its own single chunk -> closed-form
+    # accounting without knowing where the boundaries fall
+    import hashlib
+
+    t = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )  # 1920 deterministic chars
+    docs = [(1, t), (2, t), (3, "abc")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    import __spark_entry__ as mod
+
+    r = mod.queries()["cdc_chunk_dedup_report"](spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 3
+    assert r.total_chars == 2 * len(t) + 3
+    k = (r.n_chunks - 1) // 2  # chunks per copy of t
+    assert r.n_chunks == 2 * k + 1
+    assert r.n_unique_chunks == k + 1  # twin fully deduped
+    assert r.unique_chars == len(t) + 3
+
+
+def test_cdc_boundaries_survive_prefix_insert(spark, tmp_path):
+    # the content-defined property: inserting a prefix SHIFTS positions
+    # but window contents at the old content reappear, so the suffix
+    # chunks dedup against the original — fixed-size blocking would share
+    # nothing. Pinned as unique mass strictly below total mass.
+    import hashlib
+
+    t = "".join(hashlib.md5(str(i).encode()).hexdigest() for i in range(60))
+    docs = [(1, t), (2, "Z" * 11 + t)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    import __spark_entry__ as mod
+
+    r = mod.queries()["cdc_chunk_dedup_report"](spark, str(tmp_path)).collect()[0]
+    assert r.n_chunks > 2  # t is long enough to have real boundaries
+    assert r.unique_chars < r.total_chars  # suffix chunks shared
