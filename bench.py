@@ -163,6 +163,18 @@ HEADLINE = [
     # sf0.1, data work per round tiny), measured and explained in
     # SCALE.md; benching it would measure the scheduler, not a plan.
     "kneser_ney_doc_scores",
+    # round-5 (seventh session, late): the three distinct new shapes worth
+    # slots — exact CDF-walk distribution shift (conditional agg to the
+    # value domain), content-defined chunking (position explode collapsing
+    # to the sparse boundary set), and late-interaction MaxSim (broadcast
+    # sub-vector scoring). The eval/attribution batch (shapley, sprt,
+    # conformal, replay, kappa, fd audit, theil-sen) is dimension- or
+    # split-pass-sized — parity-swept, not worth bench slots;
+    # minhash_recall_eval and image_phash_near_dup are pair-volume-bound
+    # (SCALE.md); seeded_random_walks is round-count-bound like dbscan.
+    "distribution_emd_ks",
+    "cdc_chunk_dedup_report",
+    "maxsim_multivector_topk",
 ]
 
 
