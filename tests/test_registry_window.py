@@ -1,0 +1,56 @@
+"""Registry-window hygiene: the driver checks only the FIRST 50 registered
+queries, so a typo in DRIVER_PRIORITY silently wastes a correctness slot.
+These tests pin (a) the window is exactly 50 real, oracle-bearing queries,
+and (b) the round-6 candidate list written into the registry comment is the
+EXACT set arithmetic it claims (oracle-bearing minus driver-checked minus
+the window) — the list future rounds rotate from."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from code_challenge___data_engineer___machinemax_spark import plans
+from code_challenge___data_engineer___machinemax_spark.plans.registry import (
+    DRIVER_PRIORITY,
+    _REGISTRY,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _checked_names() -> set[str]:
+    seen: set[str] = set()
+    for f in sorted(os.listdir(REPO)):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+            seen |= set(json.load(open(os.path.join(REPO, f))))
+    return seen
+
+
+def test_window_is_50_real_oracle_bearing_queries():
+    assert len(DRIVER_PRIORITY) == 50
+    oracles = plans.all_oracles()
+    for n in DRIVER_PRIORITY:
+        assert n in _REGISTRY, f"window names unregistered query {n!r}"
+        assert n in oracles, f"window slot wasted on rows-only query {n!r}"
+
+
+def test_candidate_comment_matches_set_arithmetic():
+    src = open(
+        os.path.join(
+            REPO,
+            "code_challenge___data_engineer___machinemax_spark",
+            "plans",
+            "registry.py",
+        )
+    ).read()
+    block = src[src.index("# Round-6 window candidates") :]
+    block = block[: block.index("]")]
+    listed = set(re.findall(r"[a-z0-9_]+", block.replace("# ", " ")))
+    listed = {n for n in listed if n in _REGISTRY}
+    computed = set(plans.all_oracles()) - _checked_names() - set(DRIVER_PRIORITY)
+    assert listed == computed, (
+        f"comment drift: missing {sorted(computed - listed)[:5]}, "
+        f"stale {sorted(listed - computed)[:5]}"
+    )
