@@ -1674,3 +1674,94 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_covered) div n_test").cast("bigint").alias("coverage_e6"),
         )
     )
+
+
+@query(
+    "pinball_loss_eval",
+    oracle="""
+    WITH j AS (
+        SELECT o_orderkey, c.c_mktsegment AS seg,
+               CAST(trunc(o.o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    tr AS (SELECT seg, pc FROM j WHERE o_orderkey % 2 = 0),
+    q AS (
+        SELECT seg, pc AS q_c, n_train FROM (
+            SELECT seg, pc,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY pc) AS rk,
+                   COUNT(*) OVER (PARTITION BY seg) AS n_train
+            FROM tr
+        ) WHERE rk = (9 * n_train + 9) // 10
+    ),
+    te AS (
+        SELECT j.seg, j.pc, q.q_c, q.n_train
+        FROM j JOIN q ON q.seg = j.seg WHERE j.o_orderkey % 2 = 1
+    )
+    SELECT seg,
+           CAST(MAX(n_train) AS BIGINT) AS n_train,
+           CAST(MAX(q_c) AS BIGINT) AS q_c,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pc >= q_c THEN 9 * (pc - q_c)
+                    ELSE (q_c - pc) END) AS BIGINT) AS pinball_x10_sum,
+           CAST(SUM(CASE WHEN pc >= q_c THEN 9 * (pc - q_c)
+                    ELSE (q_c - pc) END) // COUNT(*) AS BIGINT)
+               AS pinball_x10_mean,
+           CAST((1000000 * SUM(CASE WHEN pc <= q_c THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS below_frac_e6
+    FROM te GROUP BY seg
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation by pinball (quantile) loss: each
+    segment's tau=0.9 order-value quantile is estimated on the even-key
+    half (exact type-1 order statistic, rank ceil(0.9 n)) and scored on
+    the odd-key half with the loss that uniquely elicits quantiles —
+    pinball_tau(y, q) = tau(y-q) for y >= q else (1-tau)(q-y). With
+    tau = 9/10 the x10-scaled loss is pure BIGINT (9(y-q) or (q-y) cents)
+    and the empirical below-quantile fraction rides along as the
+    calibration readout (should sit near 900000e-6 per segment — the
+    property test pins a tolerant band). The forecast-scoring twin of
+    conformal_interval_coverage: that one checks interval COVERAGE, this
+    scores the quantile ESTIMATE with its proper loss.
+
+    Scale shape: one fact x broadcast-dim join feeds both splits; the
+    per-segment rank selection is a segment-partitioned window (never
+    global); the scoring pass is one conditional aggregate joined to the
+    |segments|-row quantile frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("pc"),
+    )
+    tr = j.filter(F.col("o_orderkey") % 2 == 0)
+    w = W.partitionBy("seg").orderBy("pc")
+    q = (
+        tr.select(
+            "seg",
+            "pc",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(W.partitionBy("seg")).alias("n_train"),
+        )
+        .filter(F.col("rk") == F.expr("(9 * n_train + 9) div 10"))
+        .select("seg", F.col("pc").alias("q_c"), "n_train")
+    )
+    te = j.filter(F.col("o_orderkey") % 2 == 1).join(F.broadcast(q), "seg")
+    loss = F.when(
+        F.col("pc") >= F.col("q_c"), 9 * (F.col("pc") - F.col("q_c"))
+    ).otherwise(F.col("q_c") - F.col("pc"))
+    return te.groupBy("seg").agg(
+        F.max("n_train").cast("bigint").alias("n_train"),
+        F.max("q_c").cast("bigint").alias("q_c"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(loss).cast("bigint").alias("pinball_x10_sum"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pc >= q_c THEN 9 * (pc - q_c)"
+            " ELSE (q_c - pc) END) div COUNT(*) AS BIGINT)"
+        ).alias("pinball_x10_mean"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN pc <= q_c THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("below_frac_e6"),
+    )

@@ -487,3 +487,29 @@ def test_conformal_guarantee_holds_on_fixture(spark, sf_dir):
     # exchangeable splits (key-residue splits of the same distribution)
     r = _QS["conformal_interval_coverage"](spark, sf_dir).collect()[0]
     assert r.coverage_e6 >= 880000
+
+
+def test_pinball_loss_hand_computed(spark, tmp_path):
+    # train (even keys): 10c..100c -> rank (9*10+9)//10 = 9 -> q = 90c
+    # test (odd keys): 100c -> 9*(100-90) = 90; 50c -> (90-50) = 40
+    orders = [(2 * i, 1, i / 10.0) for i in range(1, 11)]  # 10c..100c
+    orders += [(1, 1, 1.00), (3, 1, 0.50)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "AUTO")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    import __spark_entry__ as mod
+
+    r = mod.queries()["pinball_loss_eval"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_train, r.q_c, r.n_test) == (10, 90, 2)
+    assert (r.pinball_x10_sum, r.pinball_x10_mean) == (130, 65)
+    assert r.below_frac_e6 == 500000
+
+
+def test_pinball_quantile_is_calibrated_on_fixture(spark, sf_dir):
+    # the tau=0.9 estimate should put ~90% of exchangeable test mass at
+    # or below it, per segment
+    for r in _QS["pinball_loss_eval"](spark, sf_dir).collect():
+        assert 840000 <= r.below_frac_e6 <= 960000, r.seg
