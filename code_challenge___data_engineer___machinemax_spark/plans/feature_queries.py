@@ -1765,3 +1765,123 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("below_frac_e6"),
     )
+
+
+# --- Mann-Whitney U --------------------------------------------------------
+# Shared z-statistic expression tree (normal approximation with tie
+# correction), evaluated over the exact int64 columns n_a, n_b, u2_a,
+# tsum (u2_a is the DOUBLED U statistic so tied average ranks stay
+# integer; tsum = sum over tied groups of t^3 - t). Both engines
+# evaluate this identical double tree — the _WELCH_T discipline.
+_MWU_Z = (
+    "((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)"
+    " / sqrt("
+    "   (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+    "   * ((CAST(n_a + n_b AS DOUBLE) + 1.0)"
+    "      - CAST(tsum AS DOUBLE)"
+    "        / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))"
+    ") * 1e6"
+)
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(o.o_custkey % 2 AS INT) AS arm,
+               CAST(trunc(o.o_totalprice) AS BIGINT) AS price_d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dom AS (  -- distinct-value domain: one row per (segment, value)
+        SELECT segment, price_d,
+               CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+        FROM assigned GROUP BY segment, price_d
+    ), ranked AS (  -- doubled average rank of each tied group
+        SELECT segment, t, t_a,
+               2 * (SUM(t) OVER (PARTITION BY segment ORDER BY price_d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - t) + t + 1 AS r2
+        FROM dom
+    ), m AS (
+        SELECT segment,
+               CAST(SUM(t_a) AS BIGINT) AS n_a,
+               CAST(SUM(t) - SUM(t_a) AS BIGINT) AS n_b,
+               CAST(SUM(t_a * r2) AS BIGINT) AS r_a2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        FROM ranked GROUP BY segment
+    ), u AS (
+        SELECT segment, n_a, n_b, tsum,
+               CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u2_a
+        FROM m
+    )
+    SELECT segment, n_a, n_b, u2_a,
+           CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           tsum,
+           CAST(trunc({_MWU_Z}) AS BIGINT) AS z_e6
+    FROM u ORDER BY segment
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per market segment between the
+    two parity-assigned experiment arms — the NONPARAMETRIC companion to
+    `ab_test_welch`: where Welch compares means under a normality
+    assumption, U compares the whole distributions by rank, which is the
+    right experiment readout for the heavy-tailed metrics (revenue, session
+    length) an analytics platform actually ships. Emits the exact doubled
+    U statistic for both arms, the tie mass, and the tie-corrected normal
+    z approximation per stratum.
+
+    Exactness: ranks are computed on the DISTINCT-VALUE domain with tied
+    groups carrying their doubled average rank r2 = 2*cum_prev + t + 1
+    (doubling keeps the .5 average ranks integer), so U arrives as the
+    exact int64 u2_a = sum(t_a * r2) - n_a*(n_a+1); the z statistic is one
+    shared double expression over the exact moments (the _WELCH_T
+    discipline). Overflow: t^3 stays under int64 up to ~2e6 rows tied on
+    ONE value per stratum; past that the tsum column swaps to
+    DECIMAL(38,0) — the ab_test_welch discipline.
+
+    Scale: the row-level scan collapses FIRST to the (segment, value)
+    domain via one map-side-combinable aggregation — the rank window then
+    runs over domain-sized frames (bounded by the whole-dollar price
+    range, ~6e5 rows, NOT by row count — the distribution_emd_ks
+    discipline), partitioned by segment. One shuffle on (segment, value),
+    one on segment; output is strata-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    assigned = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.expr("CAST(o_totalprice AS BIGINT)").alias("price_d"),
+    )
+    dom = assigned.groupBy("segment", "price_d").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("t_a"),
+    )
+    w = W.partitionBy("segment").orderBy("price_d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = dom.withColumn(
+        "r2", 2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1
+    )
+    m = ranked.groupBy("segment").agg(
+        F.sum("t_a").cast("bigint").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("t_a") * F.col("r2")).cast("bigint").alias("r_a2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tsum"),
+    )
+    u = m.select(
+        "segment", "n_a", "n_b", "tsum",
+        F.expr("CAST(r_a2 - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+    )
+    return u.select(
+        "segment",
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.expr("CAST(2 * n_a * n_b - u2_a AS BIGINT)").alias("u2_b"),
+        "tsum",
+        F.expr(f"CAST({_MWU_Z} AS BIGINT)").alias("z_e6"),
+    ).orderBy("segment")

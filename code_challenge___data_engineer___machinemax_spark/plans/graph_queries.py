@@ -586,3 +586,147 @@ def seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("int").alias("step"),
         F.col("cur").alias("node"),
     )
+
+
+# --- HITS hubs & authorities ---------------------------------------------
+# Fixed-point scale for the per-iteration sum-normalization. 1e9 keeps
+# every product under int64 up to ~9e9 edges per authority (a_raw * SCALE
+# <= 2^63); past that the same plan swaps the score columns to
+# DECIMAL(38,0) — the ab_test_welch overflow discipline.
+_HITS_SCALE = 10**9
+
+
+def _hits_oracle_sql(scale: int = _HITS_SCALE, top_k: int = 20) -> str:
+    """Unrolled DuckDB twin of the HITS mutual recurrence (authority <-
+    sum of neighbor hub scores, hub <- sum of neighbor authority scores),
+    sum-normalized to ``scale`` with floor division after every step —
+    the pagerank_fixed_point unroll discipline applied to the bipartite
+    update."""
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    a1 AS (  -- h0 = 1 for every customer, so a1 is the supplier degree
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS raw FROM pairs GROUP BY s
+    ),
+    a1n AS (
+        SELECT s, CAST((raw * {scale}) // (SELECT SUM(raw) FROM a1) AS BIGINT)
+                   AS score
+        FROM a1
+    ),
+    h1 AS (
+        SELECT p.c, CAST(SUM(a.score) AS BIGINT) AS raw
+        FROM pairs p JOIN a1n a ON a.s = p.s GROUP BY p.c
+    ),
+    h1n AS (
+        SELECT c, CAST((raw * {scale}) // (SELECT SUM(raw) FROM h1) AS BIGINT)
+                   AS score
+        FROM h1
+    ),
+    a2 AS (
+        SELECT p.s, CAST(SUM(h.score) AS BIGINT) AS raw
+        FROM pairs p JOIN h1n h ON h.c = p.c GROUP BY p.s
+    ),
+    a2n AS (
+        SELECT s, CAST((raw * {scale}) // (SELECT SUM(raw) FROM a2) AS BIGINT)
+                   AS score
+        FROM a2
+    ),
+    tops AS (
+        (SELECT 'authority' AS role, CAST(s AS BIGINT) AS node, score
+         FROM a2n ORDER BY score DESC, s LIMIT {top_k})
+        UNION ALL
+        (SELECT 'hub', CAST(c AS BIGINT), score
+         FROM h1n ORDER BY score DESC, c LIMIT {top_k})
+    )
+    SELECT role, node, score AS score_e9 FROM tops
+    """
+
+
+def hits_scores(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The h0 -> a1 -> h1 -> a2 half-steps over a bipartite edge list
+    ``pairs(c, s)``; returns (hub scores ``(c, score)``, authority scores
+    ``(s, score)``), each sum-normalized to _HITS_SCALE. Separated from
+    the query so the recurrence is unit-testable on a toy graph."""
+
+    def _normalize(raw: DataFrame, key: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key, F.expr(f"CAST(raw * {_HITS_SCALE} AS BIGINT) DIV tot").alias("score")
+        )
+
+    a1 = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("raw"))
+    a1n = _normalize(a1, "s")
+    h1 = (
+        pairs.join(F.broadcast(a1n), "s")
+        .groupBy("c")
+        .agg(F.sum("score").cast("bigint").alias("raw"))
+    )
+    h1n = _normalize(h1, "c")
+    a2 = (
+        pairs.join(F.broadcast(h1n), "c")
+        .groupBy("s")
+        .agg(F.sum("score").cast("bigint").alias("raw"))
+    )
+    a2n = _normalize(a2, "s")
+    return h1n, a2n
+
+
+@query("hits_hub_authority", oracle=_hits_oracle_sql())
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities over the bipartite
+    customer->supplier co-order graph: customers are hubs, suppliers are
+    authorities; authority score = sum of connected hub scores, hub score
+    = sum of connected authority scores, iterated h0 -> a1 -> h1 -> a2
+    with exact integer sum-normalization (score * SCALE DIV total) after
+    every step. Complements `pagerank_customer_supplier` — PageRank ranks
+    by circulating mass on the symmetrized graph, HITS keeps the two node
+    roles distinct, which is the natural readout for a bipartite relation
+    (a supplier is 'authoritative' because well-scored customers buy from
+    it, not because other suppliers do). Output: top 20 per role.
+
+    Exactness: every step is int64 (sums of normalized scores are bounded
+    STRUCTURALLY by SCALE: each normalized frame sums to <= SCALE, and a
+    node's inflow is a subset-sum of one such frame), floor division on
+    positive values, ties broken by node id — both engines emit identical
+    BIGINTs. Generalizes the reference's per-page link counting
+    (index.py:158-165) to global link analysis, same family as the
+    PageRank op.
+
+    Scale: the fact scan happens ONCE (distinct (c, s) pairs); each
+    half-step is a fact x broadcast-dim equi-join (the score frame is
+    node-dimension sized) feeding a map-side-combinable sum keyed on the
+    other side's id; the normalizers are single-row aggregates broadcast
+    back. No window, no iteration state wider than a dimension. Top-20
+    plans as TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver). At 100 TB: identical loop over the bucketed pair store
+    (DEPLOY L1), score frames stay dimension-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h1n, a2n = hits_scores(pairs)
+    auth = (
+        a2n.orderBy(F.desc("score"), "s")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("bigint").alias("node"),
+            F.col("score").alias("score_e9"),
+        )
+    )
+    hubs = (
+        h1n.orderBy(F.desc("score"), "c")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("bigint").alias("node"),
+            F.col("score").alias("score_e9"),
+        )
+    )
+    return auth.unionByName(hubs)

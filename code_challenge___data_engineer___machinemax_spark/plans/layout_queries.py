@@ -142,3 +142,139 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("probe_y_hit"),
     )
+
+
+def _hilbert_sql_ctes(bits: int = _BITS) -> str:
+    """Chained-CTE DuckDB twin of sources.zorder.with_hilbert: the
+    top-down quadrant recurrence is sequential, so it unrolls one
+    (rx/ry-label, rotate) CTE pair per level — the pagerank/bellman-ford
+    unroll discipline. New state is emitted under fresh names (nd/nhx/nhy)
+    and renamed in the next CTE so DuckDB's lateral column aliasing can
+    never bind a reference to the just-computed value."""
+    n = 1 << bits
+    keys = "o_orderkey, x, y"
+    parts = [
+        f"""h0 AS (
+        SELECT {keys}, CAST(0 AS BIGINT) AS nd,
+               CAST(x AS BIGINT) AS nhx, CAST(y AS BIGINT) AS nhy
+        FROM base)"""
+    ]
+    quad = (
+        "CASE WHEN rx = 0 AND ry = 0 THEN 0"
+        " WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END"
+    )
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        parts.append(f"""r{i} AS (
+        SELECT {keys}, nd AS d, nhx AS hx, nhy AS hy,
+               CASE WHEN (nhx // {s}) % 2 = 1 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (nhy // {s}) % 2 = 1 THEN 1 ELSE 0 END AS ry
+        FROM h{i})""")
+        parts.append(f"""h{i + 1} AS (
+        SELECT {keys},
+               d + {s * s} * ({quad}) AS nd,
+               CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN {n - 1} - hy
+                    ELSE hy END AS nhx,
+               CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN {n - 1} - hx
+                    ELSE hx END AS nhy
+        FROM r{i})""")
+    parts.append(
+        f"hil AS (SELECT {keys}, nd AS hval FROM h{bits})"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "hilbert_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               (o_custkey & {_MASK}) AS x,
+               (date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                & {_MASK}) AS y
+        FROM orders
+    ),
+    {_hilbert_sql_ctes()},
+    z AS (
+        SELECT o_orderkey, x, y, ({_morton_sql("x", "y")}) AS zval FROM base
+    ), files AS (
+        SELECT 'hilbert' AS layout,
+               ntile({_FILES}) OVER (ORDER BY hval, o_orderkey) AS file_id,
+               x, y
+        FROM hil
+        UNION ALL
+        SELECT 'zorder' AS layout,
+               ntile({_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id,
+               x, y
+        FROM z
+    )
+    SELECT layout, CAST(file_id AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           CAST(MIN(x) <= {_PROBE_X[1]} AND MAX(x) >= {_PROBE_X[0]} AS INT)
+               AS probe_x_hit,
+           CAST(MIN(y) <= {_PROBE_Y[1]} AND MAX(y) >= {_PROBE_Y[0]} AS INT)
+               AS probe_y_hit
+    FROM files
+    GROUP BY layout, file_id
+    """,
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve vs Z-order clustering of `orders` into 16 equal-depth
+    files — the locality upgrade on `zorder_layout`: Morton order jumps
+    diagonally across the grid between quadrants (bit interleave is cheap
+    but discontinuous), while the Hilbert curve moves one grid cell per
+    step everywhere (pinned by the adjacency property test), so
+    equal-depth file cuts cover tighter (x, y) boxes and probe rectangles
+    overlap fewer files. Delta Lake ships exactly this pair of layout
+    choices (OPTIMIZE ZORDER BY vs liquid clustering's Hilbert default);
+    this query emits both manifests side by side so the pruning win is
+    data, not doctrine.
+
+    Exactness: the curve index is pure integer bit arithmetic unrolled
+    per level (sources/zorder.py:with_hilbert — linear expression growth
+    via named state columns), value-identical to the oracle's chained-CTE
+    replay; file stats and probe flags are MIN/MAX/COUNT over int64.
+
+    Scale: no UDF, no shuffle for the index itself (a 12-stage fused
+    projection); file assignment is `scalable_ntile` (range repartition,
+    no global window); stats roll up with one partial-agg shuffle on
+    (layout, file_id). The production write path is
+    repartitionByRange(hval) + sortWithinPartitions — identical cost to a
+    single-column sorted ingest."""
+    from ..sources.zorder import with_hilbert
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(_MASK)).alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("bigint")
+        .bitwiseAND(F.lit(_MASK))
+        .alias("y"),
+    )
+    hil = with_hilbert(base, "x", "y", _BITS, "hval")
+    z = base.withColumn("zval", morton_code(F.col("x"), F.col("y")))
+
+    hfiles = scalable_ntile(
+        hil, _FILES, [F.asc("hval"), F.asc("o_orderkey")], tile_col="file_id"
+    ).select(F.lit("hilbert").alias("layout"), "file_id", "x", "y")
+    zfiles = scalable_ntile(
+        z, _FILES, [F.asc("zval"), F.asc("o_orderkey")], tile_col="file_id"
+    ).select(F.lit("zorder").alias("layout"), "file_id", "x", "y")
+
+    files = hfiles.unionByName(zfiles)
+    return files.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        ((F.min("x") <= _PROBE_X[1]) & (F.max("x") >= _PROBE_X[0]))
+        .cast("int")
+        .alias("probe_x_hit"),
+        ((F.min("y") <= _PROBE_Y[1]) & (F.max("y") >= _PROBE_Y[0]))
+        .cast("int")
+        .alias("probe_y_hit"),
+    )

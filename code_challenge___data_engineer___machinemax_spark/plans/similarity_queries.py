@@ -893,3 +893,162 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- Johnson-Lindenstrauss distortion audit --------------------------------
+# Rademacher (+/-1) projection signs from the hyperplane() integer mix —
+# engine-neutral arithmetic so both sides derive the identical matrix.
+_JL_K = 8
+_JL_SIGN = (
+    "(CASE WHEN ((p * 73856093 + dim * 19349663 + 83492791) % 2000003) % 2 = 0"
+    " THEN 1 ELSE -1 END)"
+)
+# Distortion bucket over ratio_e6 = 1e6 * ||proj(a)-proj(b)||^2 / (k * ||a-b||^2)
+# (expectation is exactly 1e6 for Rademacher projections).
+_JL_BUCKET = (
+    "(CASE WHEN ratio_e6 < 500000 THEN 'a_lt_0.5x'"
+    " WHEN ratio_e6 < 800000 THEN 'b_0.5-0.8x'"
+    " WHEN ratio_e6 < 1250000 THEN 'c_0.8-1.25x'"
+    " WHEN ratio_e6 < 2000000 THEN 'd_1.25-2x'"
+    " ELSE 'e_ge_2x' END)"
+)
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+                   AS qv
+        FROM embeddings
+    ), proj AS (
+        SELECT c.vec_id, p.p, CAST(SUM({_JL_SIGN} * c.qv) AS BIGINT) AS y
+        FROM comp c CROSS JOIN (SELECT unnest(generate_series(0, {_JL_K - 1}))
+                                AS p) p
+        GROUP BY c.vec_id, p.p
+    ), orig AS (
+        SELECT a.vec_id AS pair_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS orig2
+        FROM comp a JOIN comp b
+          ON b.vec_id = a.vec_id + 1 AND b.dim = a.dim
+        WHERE a.vec_id % 5 = 0
+        GROUP BY a.vec_id
+    ), pdist AS (
+        SELECT a.vec_id AS pair_id,
+               CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS proj2
+        FROM proj a JOIN proj b
+          ON b.vec_id = a.vec_id + 1 AND b.p = a.p
+        WHERE a.vec_id % 5 = 0
+        GROUP BY a.vec_id
+    ), ratios AS (
+        SELECT o.pair_id,
+               CAST((p.proj2 * 1000000) // ({_JL_K} * o.orig2) AS BIGINT)
+                   AS ratio_e6
+        FROM orig o JOIN pdist p ON p.pair_id = o.pair_id
+        WHERE o.orig2 > 0
+    )
+    SELECT {_JL_BUCKET} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_e6) AS BIGINT) AS min_ratio_e6,
+           CAST(MAX(ratio_e6) AS BIGINT) AS max_ratio_e6,
+           CAST(SUM(ratio_e6) // COUNT(*) AS BIGINT) AS mean_ratio_e6
+    FROM ratios
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    64-dim embeddings to k=8 dimensions with a seeded Rademacher (+/-1)
+    sign matrix (Achlioptas 2003 — database-friendly JL: signs, not
+    Gaussians, so the projection is exact integer arithmetic on the
+    fixed-point components) and report, over a deterministic sample of
+    vector pairs, the distribution of squared-distance distortion
+    ratio = ||proj(a)-proj(b)||^2 / (k * ||a-b||^2), whose expectation is
+    exactly 1 — the acceptance test a pipeline runs before swapping the
+    full vectors for cheap sketches in clustering / dedup prefilters.
+    Complements the SRP family (`ann_topk_lsh` keeps only the SIGN of
+    each projection; this keeps the value, measuring how much geometry
+    the sketch retains).
+
+    Exactness: components quantize at 1e4 (the PQ discipline); signs come
+    from the same integer mix as `hyperplane()`; every sum/square/floor
+    division is int64 (bound: proj2 * 1e6 <= 8 * (64 * 10600)^2 * 1e6
+    ~ 3.7e18 < 2^63) — both engines emit identical BIGINTs, no doubles
+    anywhere.
+
+    Scale: the projection is ONE map-side-combinable aggregation keyed on
+    (vec_id, p) after a constant 8-way fan-out of the component rows (the
+    matmul as a groupBy — at 100 TB this is the mapInArrow batch matmul
+    of `_srp_buckets_udf`; here the agg formulation keeps it
+    oracle-replayable). Pair distances are offset self-joins on the
+    NARROW keys (vec_id, dim)/(vec_id, p) — co-partitioned equi-joins, no
+    cross product (the sample is id-arithmetic, not a random draw, so
+    both engines pick identical pairs); output is 5 buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)").alias("qv"),
+    )
+    proj = (
+        comp.select("vec_id", "dim", "qv", F.explode(F.sequence(F.lit(0), F.lit(_JL_K - 1))).alias("p"))
+        .groupBy("vec_id", "p")
+        .agg(F.expr(f"CAST(SUM({_JL_SIGN} * qv) AS BIGINT)").alias("y"))
+    )
+    a_c = comp.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("pair_id"), "dim", F.col("qv").alias("qa")
+    )
+    b_c = comp.select(
+        (F.col("vec_id") - 1).alias("pair_id"), "dim", F.col("qv").alias("qb")
+    )
+    orig = (
+        a_c.join(b_c, ["pair_id", "dim"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("orig2")
+        )
+    )
+    a_p = proj.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("pair_id"), "p", F.col("y").alias("ya")
+    )
+    b_p = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"), "p", F.col("y").alias("yb")
+    )
+    pdist = (
+        a_p.join(b_p, ["pair_id", "p"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("bigint")
+            .alias("proj2")
+        )
+    )
+    ratios = (
+        orig.join(pdist, "pair_id")
+        .filter(F.col("orig2") > 0)
+        .select(
+            F.expr(f"CAST((proj2 * 1000000) DIV ({_JL_K} * orig2) AS BIGINT)").alias(
+                "ratio_e6"
+            )
+        )
+    )
+    return (
+        ratios.select(F.expr(_JL_BUCKET).alias("bucket"), "ratio_e6")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("ratio_e6").cast("bigint").alias("min_ratio_e6"),
+            F.max("ratio_e6").cast("bigint").alias("max_ratio_e6"),
+            F.expr("CAST(SUM(ratio_e6) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_ratio_e6"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -76,3 +76,62 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- Hilbert curve ---------------------------------------------------------
+# The quadrant label at each level: (rx, ry) -> which of the 4 curve cells
+# the point falls in. (3*rx) XOR ry, written as an engine-neutral CASE so
+# the DuckDB oracle generator (plans/layout_queries.py) emits the same
+# decision table without depending on an xor operator spelling.
+_QUAD_CASE = (
+    "CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+    " WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END"
+)
+
+
+def with_hilbert(
+    df: DataFrame, x_col: str, y_col: str, bits: int, out_col: str
+) -> DataFrame:
+    """Append the Hilbert-curve index of (``x_col``, ``y_col``) on the
+    2^bits x 2^bits grid as ``out_col`` (inputs are masked to ``bits``
+    bits, the morton_code convention).
+
+    The classic top-down construction (one quadrant decision + frame
+    rotation per level, Wikipedia's xy2d) is a SEQUENTIAL recurrence, so
+    it unrolls into ``bits`` chained projections — each a constant-width
+    `withColumns` over named state columns (hx, hy, accumulated d), which
+    keeps the expression tree LINEAR in ``bits`` (inlining would grow it
+    ~5x per level) and lets whole-stage codegen fuse the chain into one
+    pass. No shuffle, no UDF — same write-cost profile as morton_code,
+    different locality: the Hilbert curve never makes the diagonal jumps
+    Morton makes between quadrants, so consecutive index ranges are
+    spatially tighter (fewer probe-box overlaps per file; measured by the
+    hilbert_layout query)."""
+    n = 1 << bits
+    mask = n - 1
+    df = df.withColumns(
+        {
+            "__hx": F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)),
+            "__hy": F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)),
+            out_col: F.lit(0).cast("bigint"),
+        }
+    )
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN (__hx DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (__hy DIV {s}) % 2 = 1 THEN 1 ELSE 0 END)"
+        quad = _QUAD_CASE.format(rx=rx, ry=ry)
+        df = df.withColumns(
+            {
+                out_col: F.expr(f"{out_col} + {s * s} * ({quad})"),
+                "__hx": F.expr(
+                    f"CASE WHEN {ry} = 1 THEN __hx"
+                    f" WHEN {rx} = 1 THEN {n - 1} - __hy ELSE __hy END"
+                ),
+                "__hy": F.expr(
+                    f"CASE WHEN {ry} = 1 THEN __hy"
+                    f" WHEN {rx} = 1 THEN {n - 1} - __hx ELSE __hx END"
+                ),
+            }
+        )
+    return df.drop("__hx", "__hy")

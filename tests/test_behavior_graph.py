@@ -401,3 +401,46 @@ def test_seeded_walks_steps_follow_edges(spark, sf_dir):
     for path in byw.values():
         for s in range(4):
             assert (path[s], path[s + 1]) in und
+
+
+def test_hits_toy_graph_hand_computed(spark):
+    """hits_scores on a 2-hub / 2-authority toy graph reproduces the
+    hand-run recurrence (h0=1 -> a1 -> h1 -> a2, sum-normalized with floor
+    division after every step)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _HITS_SCALE as S,
+    )
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        hits_scores,
+    )
+
+    pairs = spark.createDataFrame([(1, 10), (1, 20), (2, 10)], "c: long, s: long")
+    h1n, a2n = hits_scores(pairs)
+
+    a1n = {10: 2 * S // 3, 20: 1 * S // 3}
+    h1 = {1: a1n[10] + a1n[20], 2: a1n[10]}
+    h_tot = sum(h1.values())
+    h1n_exp = {c: v * S // h_tot for c, v in h1.items()}
+    a2 = {10: h1n_exp[1] + h1n_exp[2], 20: h1n_exp[1]}
+    a_tot = sum(a2.values())
+    a2n_exp = {s: v * S // a_tot for s, v in a2.items()}
+
+    assert {r.c: r.score for r in h1n.collect()} == h1n_exp
+    assert {r.s: r.score for r in a2n.collect()} == a2n_exp
+
+
+def test_hits_roles_and_score_bounds(spark, sf_dir):
+    """Query-level invariants at gate scale: <=20 rows per role, every
+    score in (0, SCALE] — normalized frames sum to <= SCALE so no single
+    node can exceed it — and the top authority outranks the role's median
+    (the scores are not degenerate)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.graph_queries import (
+        _HITS_SCALE as S,
+    )
+
+    rows = mod.queries()["hits_hub_authority"](spark, sf_dir).collect()
+    for role in ("authority", "hub"):
+        scores = sorted((r.score_e9 for r in rows if r.role == role), reverse=True)
+        assert 0 < len(scores) <= 20
+        assert all(0 < v <= S for v in scores)
+        assert scores[0] >= scores[len(scores) // 2]

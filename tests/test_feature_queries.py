@@ -513,3 +513,63 @@ def test_pinball_quantile_is_calibrated_on_fixture(spark, sf_dir):
     # or below it, per segment
     for r in _QS["pinball_loss_eval"](spark, sf_dir).collect():
         assert 840000 <= r.below_frac_e6 <= 960000, r.seg
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """mann_whitney_u's domain-collapsed rank algebra == a row-level
+    brute-force rank computation (sorted values, tied groups averaged) at
+    sf0.001; z agrees to 2e-6 (association order differs in the float
+    reassembly, values don't)."""
+    sf = "/root/testdata/sf0.001"
+    got = {r.segment: r for r in mod.queries()["mann_whitney_u"](spark, sf).collect()}
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(o_custkey % 2 AS INT) AS arm",
+            "CAST(o_totalprice AS BIGINT) AS price_d",
+        )
+        .collect()
+    )
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append((r.price_d, r.arm))
+    import math
+
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        # doubled average ranks, tie groups share 2*avg = lo + hi (1-based)
+        r2 = [0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            for k in range(i, j):
+                r2[k] = (i + 1) + j  # 2 * (lo + hi) / 2
+            i = j
+        n_a = sum(1 for _, arm in vals if arm == 0)
+        n_b = n - n_a
+        r_a2 = sum(rr for rr, (_, arm) in zip(r2, vals) if arm == 0)
+        u2_a = r_a2 - n_a * (n_a + 1)
+        tsum = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            t = j - i
+            tsum += t * t * t - t
+            i = j
+        g = got[seg]
+        assert (g.n_a, g.n_b, g.u2_a, g.u2_b, g.tsum) == (
+            n_a, n_b, u2_a, 2 * n_a * n_b - u2_a, tsum,
+        ), seg
+        z = ((u2_a - n_a * n_b) / 2.0) / math.sqrt(
+            (n_a * n_b / 12.0) * ((n + 1.0) - tsum / (n * (n - 1.0)))
+        )
+        assert abs(g.z_e6 - z * 1e6) <= 2, seg

@@ -168,3 +168,64 @@ def test_zorder_layout_query_shows_both_dim_pruning(spark, sf_dir):
     # z-order prunes BOTH probes to a strict minority of files
     assert by_layout["zorder"]["x"] <= 8
     assert by_layout["zorder"]["y"] <= 8
+
+
+# --- Hilbert curve ---------------------------------------------------------
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Reference Wikipedia xy2d, the spec with_hilbert unrolls."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_continuous(spark):
+    """with_hilbert == the sequential reference on sampled 12-bit points,
+    and on the full 16x16 grid it is a bijection whose consecutive indexes
+    are GRID NEIGHBORS (|dx|+|dy| == 1) — the locality property the
+    hilbert_layout query's pruning claim rests on (Morton order fails this:
+    it jumps diagonally between quadrants)."""
+    from code_challenge___data_engineer___machinemax_spark.sources.zorder import (
+        with_hilbert,
+    )
+
+    # reference equality at the query's production width (12 bits)
+    pts = [((i * 2654435761) % 4096, (i * 40503 + 17) % 4096) for i in range(64)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = {(r.x, r.y): r.h for r in with_hilbert(df, "x", "y", 12, "h").collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d(4096, x, y)
+
+    # bijection + unit-step continuity on the full 4-bit grid
+    full = [(x, y) for x in range(16) for y in range(16)]
+    df2 = spark.createDataFrame(full, "x: long, y: long")
+    by_d = {r.h: (r.x, r.y) for r in with_hilbert(df2, "x", "y", 4, "h").collect()}
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+
+def test_hilbert_layout_query_prunes_both_dimensions(spark, sf_dir):
+    """Both layouts in the hilbert_layout manifest must prune BOTH probe
+    rectangles (each probe touches a strict subset of the 16 files) — the
+    same gate zorder_layout passes, now also for the Hilbert assignment."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["hilbert_layout"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    for layout in ("hilbert", "zorder"):
+        files = [r for r in rows if r.layout == layout]
+        assert len(files) == 16
+        assert sum(r.probe_x_hit for r in files) < 16
+        assert sum(r.probe_y_hit for r in files) < 16

@@ -254,3 +254,24 @@ def test_maxsim_hand_computed(spark, tmp_path):
         (1, 2_000_000_000_000),
         (3, 0),
     ]
+
+
+def test_jl_distortion_concentrates_and_covers_sampled_pairs(spark, sf_dir):
+    """jl_projection_distortion: the sampled-pair count matches the
+    id-arithmetic sample (every vec_id % 5 == 0 with a successor, minus
+    zero-distance pairs), and the pair-weighted mean distortion sits near
+    its expectation of exactly 1e6 (k=8 Rademacher: per-pair std ~ 0.5,
+    so the mean over the sample concentrates well inside [0.7, 1.4])."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["jl_projection_distortion"](spark, sf_dir).collect()
+    total = sum(r.n_pairs for r in rows)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = {r.vec_id for r in e.select("vec_id").collect()}
+    expected = sum(1 for v in ids if v % 5 == 0 and v + 1 in ids)
+    assert 0 < total <= expected
+    assert total >= int(0.8 * expected)  # only exact-duplicate pairs drop
+    wmean = sum(r.mean_ratio_e6 * r.n_pairs for r in rows) / total
+    assert 700_000 < wmean < 1_400_000
+    for r in rows:
+        assert 0 <= r.min_ratio_e6 <= r.mean_ratio_e6 <= r.max_ratio_e6
