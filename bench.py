@@ -175,6 +175,14 @@ HEADLINE = [
     "distribution_emd_ks",
     "cdc_chunk_dedup_report",
     "maxsim_multivector_topk",
+    # round-5 (eighth session): no new slots. The four additions are cheap
+    # shapes by design — hilbert_layout is the zorder_layout skeleton plus
+    # a fused 12-stage projection (isolated ~1.9 s warm at sf0.1, the
+    # earlier 10.7 s read was first-query warm-up, the r4-established
+    # trap); hits_hub_authority is three fact-scan combinable aggs with
+    # broadcast score frames; mann_whitney_u and jl_projection_distortion
+    # collapse to value-domain / constant-fan-out frames. All
+    # parity-swept + SCALE.md-measured instead.
 ]
 
 

@@ -278,3 +278,158 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("probe_y_hit"),
     )
+
+
+# --- per-file bloom-filter skipping ---------------------------------------
+# Parquet-style per-file bloom filters: m bits / k md5-derived hashes per
+# file (the bloom_membership_report bit derivation, one filter per file).
+_BF_M = 4096
+_BF_K = 3
+# deterministic probe set: a thin arithmetic slice of customers, present
+# at every SF (~1/37 of the dimension)
+_BF_PROBE_PRED = "c_custkey % 37 = 5"
+
+
+@query(
+    "bloom_file_skipping",
+    oracle=f"""
+    WITH filed AS (
+        SELECT CAST(ntile({_FILES}) OVER (ORDER BY o_orderdate, o_orderkey)
+                    AS INT) AS file_id,
+               o_custkey
+        FROM orders
+    ), keys AS (
+        SELECT DISTINCT file_id, o_custkey FROM filed
+    ), hs AS (
+        SELECT unnest([{", ".join(repr(str(i)) for i in range(_BF_K))}]) AS i
+    ), bits AS (
+        SELECT DISTINCT file_id,
+               CAST(('0x' || substring(
+                        md5(i || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BF_M} AS pos
+        FROM keys, hs
+    ), stats AS (
+        SELECT file_id, COUNT(*) AS n_rows,
+               MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck
+        FROM filed GROUP BY file_id
+    ), probes AS (
+        SELECT c_custkey AS pk FROM customer WHERE {_BF_PROBE_PRED}
+    ), probe_bits AS (
+        SELECT pk, i,
+               CAST(('0x' || substring(
+                        md5(i || ':' || CAST(pk AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BF_M} AS pos
+        FROM probes, hs
+    ), bloom_hits AS (
+        SELECT pb.pk, b.file_id
+        FROM probe_bits pb JOIN bits b USING (pos)
+        GROUP BY pb.pk, b.file_id
+        HAVING COUNT(DISTINCT pb.i) = {_BF_K}
+    ), verdicts AS (
+        SELECT s.file_id, p.pk,
+               CAST(p.pk BETWEEN s.min_ck AND s.max_ck AS INT) AS mm,
+               CAST(bh.file_id IS NOT NULL AS INT) AS bl,
+               CAST(k.file_id IS NOT NULL AS INT) AS tr
+        FROM stats s CROSS JOIN probes p
+        LEFT JOIN bloom_hits bh ON bh.file_id = s.file_id AND bh.pk = p.pk
+        LEFT JOIN keys k ON k.file_id = s.file_id AND k.o_custkey = p.pk
+    )
+    SELECT v.file_id, CAST(MAX(s.n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(v.mm) AS BIGINT) AS minmax_touches,
+           CAST(SUM(v.bl) AS BIGINT) AS bloom_touches,
+           CAST(SUM(v.tr) AS BIGINT) AS true_touches
+    FROM verdicts v JOIN stats s USING (file_id)
+    GROUP BY v.file_id
+    ORDER BY v.file_id
+    """,
+)
+def bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-filter skipping vs min/max stats on a DATE-sorted
+    ingest of `orders` — the third leg of the file-skipping family: under
+    a time-sorted layout every file spans ~the whole customer domain, so
+    the min/max manifest (zorder_layout's pruning mechanism) touches all
+    16 files for any customer probe; a per-file bloom filter over the
+    point-lookup key (what parquet's column bloom filters and Iceberg
+    puffin files persist) skips most files anyway. Emits, per file, how
+    many of the probe keys each pruning strategy would touch next to the
+    ground truth — bloom_touches >= true_touches always (no false
+    negatives), minmax_touches ~ all probes.
+
+    Exactness: same md5 bit derivation as `bloom_membership_report`
+    (m=4096, k=3), integer counts — the realized false-positive mass per
+    file is itself under the value gate.
+
+    Scale: file assignment is `scalable_ntile`; the per-file filter state
+    is the DISTINCT (file_id, pos) table — <= 16 x m rows whatever the
+    row count, map-side-reduced; probes are a broadcast dimension slice;
+    the verdict frame is (files x probes)-sized. Production writes the
+    bit sets into the footer/manifest at ingest (one pass, mergeable by
+    OR) and the reader ANDs probe bits — this query keeps the decision
+    data queryable so the skip rate is measurable, not asserted."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    filed = scalable_ntile(
+        o.select("o_orderkey", "o_orderdate", "o_custkey"),
+        _FILES,
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        tile_col="file_id",
+    ).select("file_id", "o_custkey")
+    keys = filed.distinct()
+    hs = F.explode(F.array(*[F.lit(str(i)) for i in range(_BF_K)])).alias("i")
+
+    def pos(key) -> F.Column:
+        h = F.md5(F.concat(F.col("i"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BF_M
+
+    bits = (
+        keys.select("file_id", "o_custkey", hs)
+        .select("file_id", pos(F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    stats = filed.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+    )
+    probes = c.filter(F.expr(_BF_PROBE_PRED)).select(F.col("c_custkey").alias("pk"))
+    probe_bits = probes.select("pk", hs).select(
+        "pk", F.col("i"), pos(F.col("pk")).alias("pos")
+    )
+    bloom_hits = (
+        F.broadcast(probe_bits)
+        .join(bits, "pos")
+        .groupBy("pk", "file_id")
+        .agg(F.count_distinct("i").alias("nh"))
+        .filter(F.col("nh") == _BF_K)
+        .select("pk", "file_id", F.lit(1).alias("bl"))
+    )
+    # probe-restrict the truth side BEFORE the broadcast: keys is
+    # (files x key-domain)-sized, truth-for-probes is (files x probes)
+    truth = (
+        keys.join(F.broadcast(probes), keys.o_custkey == probes.pk)
+        .select("file_id", "pk", F.lit(1).alias("tr"))
+    )
+    verdicts = (
+        stats.crossJoin(F.broadcast(probes))
+        .join(F.broadcast(bloom_hits), ["file_id", "pk"], "left")
+        .join(F.broadcast(truth), ["file_id", "pk"], "left")
+        .select(
+            "file_id",
+            "n_rows",
+            F.col("pk").between(F.col("min_ck"), F.col("max_ck"))
+            .cast("int")
+            .alias("mm"),
+            F.coalesce(F.col("bl"), F.lit(0)).alias("bl"),
+            F.coalesce(F.col("tr"), F.lit(0)).alias("tr"),
+        )
+    )
+    return (
+        verdicts.groupBy("file_id")
+        .agg(
+            F.max("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("mm").cast("bigint").alias("minmax_touches"),
+            F.sum("bl").cast("bigint").alias("bloom_touches"),
+            F.sum("tr").cast("bigint").alias("true_touches"),
+        )
+        .orderBy("file_id")
+    )

@@ -1737,3 +1737,109 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_e6"),
         )
     )
+
+
+# --- Zipf law fit ----------------------------------------------------------
+# Shared OLS-on-log-log expression tree over the exact int64 moment
+# columns (s_x/s_y/s_xy/s_xx are sums of trunc-1e6 per-rank contributions;
+# products are cast to DOUBLE before multiplying — n * s_xy would overflow
+# int64 — so both engines evaluate the identical IEEE tree).
+_ZIPF_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)"
+    "    - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+)
+_ZIPF_INTERCEPT = (
+    f"(CAST(s_y AS DOUBLE) - ({_ZIPF_SLOPE}) * CAST(s_x AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+)
+_ZIPF_R = 512  # ranks fitted: the head of the frequency table
+
+
+@query(
+    "zipf_rank_frequency",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT unnest({tokenize_sql("text")}) AS token FROM documents)
+        GROUP BY token
+    ), head AS (
+        SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT {_ZIPF_R}
+    ), ranked AS (
+        SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+        FROM head
+    ), pts AS (
+        SELECT CAST(trunc(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x6,
+               CAST(trunc(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS y6
+        FROM ranked
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x6) AS BIGINT) AS s_x,
+               CAST(SUM(y6) AS BIGINT) AS s_y,
+               CAST(SUM(x6 * y6) AS BIGINT) AS s_xy,
+               CAST(SUM(x6 * x6) AS BIGINT) AS s_xx
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           (SELECT MAX(tf) FROM head) AS top_tf,
+           CAST(trunc(({_ZIPF_SLOPE}) * 1e6) AS BIGINT) AS slope_e6,
+           CAST(trunc(({_ZIPF_INTERCEPT})) AS BIGINT) AS intercept_e6
+    FROM m
+    """,
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency table: OLS slope of
+    ln(frequency) against ln(rank) across the top-512 terms — the corpus
+    'health' diagnostic next to `corpus_entropy_report` (natural text sits
+    near slope -1; a slope collapsing toward 0 means boilerplate/template
+    flooding, a cliff below -1.5 means a truncated vocabulary — both
+    failure modes a curation pipeline wants to alarm on per source/shard).
+    On the deliberately template-generated synthetic corpus (a ~31-word
+    near-uniform pool) the alarm FIRES: measured slope ~ -0.18, pinned by
+    tests — the diagnostic working, not the corpus being natural.
+
+    Exactness: per-rank contributions are trunc-1e6 integers (the ln
+    cross-engine idiom), their products and sums exact int64
+    (|x6*y6| <= 6.3e6 * 2e7 ~ 1.3e14, x 512 rows ~ 6e16 < 2^63); the
+    slope/intercept assemble from those moments in one shared double tree
+    (_WELCH_T discipline).
+
+    Scale: the frequency table is one map-side-combinable token agg; the
+    head is TakeOrderedAndProject (per-partition heaps, 512 rows to one
+    task); the rank window runs on the post-LIMIT 512-row frame — benign
+    by the audited post-LIMIT convention, documented here. One scan, one
+    token shuffle, constant-size everything after."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    head = tf.orderBy(F.desc("tf"), F.asc("token")).limit(_ZIPF_R)
+    # rank over the post-LIMIT 512-row frame (single-task by construction)
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("tf"), F.asc("token"))),
+    )
+    # Spark CAST truncates toward zero (== DuckDB's explicit trunc();
+    # DuckDB's bare CAST rounds — hence the asymmetric spelling)
+    pts = ranked.select(
+        F.expr("CAST(ln(CAST(rank AS DOUBLE)) * 1e6 AS BIGINT)").alias("x6"),
+        F.expr("CAST(ln(CAST(tf AS DOUBLE)) * 1e6 AS BIGINT)").alias("y6"),
+        "tf",
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x6").cast("bigint").alias("s_x"),
+        F.sum("y6").cast("bigint").alias("s_y"),
+        F.sum(F.col("x6") * F.col("y6")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("bigint").alias("s_xx"),
+        F.max("tf").cast("bigint").alias("top_tf"),
+    )
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        "top_tf",
+        F.expr(f"CAST(({_ZIPF_SLOPE}) * 1e6 AS BIGINT)").alias("slope_e6"),
+        F.expr(f"CAST(({_ZIPF_INTERCEPT}) AS BIGINT)").alias("intercept_e6"),
+    )

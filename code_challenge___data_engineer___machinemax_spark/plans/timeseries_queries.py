@@ -1362,3 +1362,90 @@ def distribution_emd_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
         "emd_num", "den", "emd_c_e3", "ks_num", "ks_e6",
     )
+
+
+@query(
+    "holt_linear_backtest",
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT CAST(row_number() OVER (ORDER BY mon) AS INT) AS i,
+               strftime(mon, '%Y-%m') AS month, rev_c
+        FROM (SELECT date_trunc('month', o_orderdate) AS mon,
+                     CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev_c
+              FROM orders GROUP BY 1)
+    ),
+    hw(i, month, rev_c, l, b, fc) AS (
+        SELECT i, month, rev_c, rev_c * 1000, CAST(0 AS BIGINT), rev_c * 1000
+        FROM m WHERE i = 1
+        UNION ALL
+        SELECT m.i, m.month, m.rev_c,
+               (m.rev_c * 1000 + hw.l + hw.b) // 2,
+               ((m.rev_c * 1000 + hw.l + hw.b) // 2 - hw.l + hw.b) // 2,
+               hw.l + hw.b
+        FROM hw JOIN m ON m.i = hw.i + 1
+    )
+    SELECT i AS month_idx, month, rev_c,
+           l AS level_k, b AS trend_k, fc AS forecast_k,
+           CAST(abs(rev_c * 1000 - fc) AS BIGINT) AS abs_err_k
+    FROM hw ORDER BY month_idx
+    """,
+)
+def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over monthly revenue
+    with a one-step-ahead forecast backtest — the trend-aware upgrade on
+    `ewma_order_values` (level only) and the recursive counterpart of
+    `theil_sen_trend` (one global slope): level and trend update each
+    month as l_t = (y_t + l_{t-1} + b_{t-1}) DIV 2,
+    b_t = (l_t - l_{t-1} + b_{t-1}) DIV 2 (alpha = beta = 1/2), and the
+    forecast for month t is l_{t-1} + b_{t-1}, scored as data.
+
+    Exactness: values carry as milli-cent int64 (rev_c * 1000); both
+    sides TRUNCATE divisions toward zero (DuckDB's // truncates on
+    negatives — measured, the trend column goes negative where trunc and
+    floor diverge — so the Python fold mirrors trunc explicitly), making
+    every level/trend/forecast bit-identical.
+
+    Scale: the recurrence is sequential BY DEFINITION, but its state
+    frame is calendar-bounded — the distributed work is the one
+    map-side-combinable monthly aggregation over the fact table; the
+    <=months-row fold then runs on the driver (the SPRT offset-fold /
+    BPE-merge discipline: driver holds calendar-sized state, never data).
+    At 100 TB the plan is unchanged — the scan grows, the fold does not.
+    DuckDB replays the same recurrence as a recursive CTE (the BFS-oracle
+    discipline), so the fold itself is value-checked, not trusted."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+        .orderBy("month")
+        .collect()  # calendar-bounded: one row per month, ever
+    )
+    def tdiv2(a: int) -> int:
+        # truncate-toward-zero halving: DuckDB's // semantics on negatives
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    rows = []
+    l_prev = b_prev = 0
+    for i, r in enumerate(monthly, start=1):
+        yk = r.rev_c * 1000
+        if i == 1:
+            l_cur, b_cur, fc = yk, 0, yk
+        else:
+            fc = l_prev + b_prev
+            l_cur = tdiv2(yk + fc)
+            b_cur = tdiv2(l_cur - l_prev + b_prev)
+        rows.append((i, r.month, r.rev_c, l_cur, b_cur, fc, abs(yk - fc)))
+        l_prev, b_prev = l_cur, b_cur
+    return spark.createDataFrame(
+        rows,
+        "month_idx: int, month: string, rev_c: bigint, level_k: bigint,"
+        " trend_k: bigint, forecast_k: bigint, abs_err_k: bigint",
+    ).orderBy("month_idx")

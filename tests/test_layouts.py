@@ -229,3 +229,22 @@ def test_hilbert_layout_query_prunes_both_dimensions(spark, sf_dir):
         assert len(files) == 16
         assert sum(r.probe_x_hit for r in files) < 16
         assert sum(r.probe_y_hit for r in files) < 16
+
+
+def test_bloom_file_skipping_invariants(spark, sf_dir):
+    """Per file: bloom_touches >= true_touches (a bloom filter has NO
+    false negatives) and minmax_touches >= true_touches; across the
+    date-sorted layout the bloom manifest must beat min/max pruning in
+    total (the query's reason to exist — min/max is blind to a
+    point-lookup key the sort ignored). The FP margin is value-pinned by
+    the oracle; these are the semantic floors."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["bloom_file_skipping"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.bloom_touches >= r.true_touches, f"file {r.file_id}: false negative"
+        assert r.minmax_touches >= r.true_touches, f"file {r.file_id}: minmax broken"
+    # at the gate SF the per-file filters are unsaturated (m=4096 vs ~1k
+    # keys/file), so bloom must prune strictly better than min/max
+    assert sum(r.bloom_touches for r in rows) < sum(r.minmax_touches for r in rows)

@@ -400,3 +400,29 @@ def test_bloom_prefilter_matches_exact_and_prunes(spark, sf_dir):
     # the k membership probes are map-side broadcast semi-joins
     assert txt.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in txt
+
+
+def test_holt_backtest_recurrence_replay(spark, sf_dir):
+    """Every output row of holt_linear_backtest must satisfy the exact
+    recurrence against its predecessor (level/trend update + one-step
+    forecast), replayed independently here in trunc-toward-zero
+    arithmetic — the sequential-replay discipline (propensity/SPRT)."""
+    import __spark_entry__ as mod
+
+    rows = sorted(
+        mod.queries()["holt_linear_backtest"](spark, sf_dir).collect(),
+        key=lambda r: r.month_idx,
+    )
+    assert rows[0].month_idx == 1
+    assert rows[0].level_k == rows[0].rev_c * 1000
+    assert rows[0].trend_k == 0
+
+    def tdiv2(a: int) -> int:
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.month_idx == prev.month_idx + 1
+        assert cur.forecast_k == prev.level_k + prev.trend_k
+        assert cur.level_k == tdiv2(cur.rev_c * 1000 + cur.forecast_k)
+        assert cur.trend_k == tdiv2(cur.level_k - prev.level_k + prev.trend_k)
+        assert cur.abs_err_k == abs(cur.rev_c * 1000 - cur.forecast_k)

@@ -381,3 +381,17 @@ def test_readability_hand_computed(spark, tmp_path):
     assert (r.words, r.sentences, r.syllables) == (6, 1, 6)
     # 206.835 - 1.015*6 - 84.6*1 = 116.145 -> 116145 scaled e3
     assert r.flesch_e3 == 116145
+
+
+def test_zipf_fit_flags_template_corpus(spark, sf_dir):
+    """The synthetic corpus is TEMPLATE-generated from a ~31-word pool
+    with near-uniform draws — exactly the boilerplate-flooding failure
+    mode the Zipf diagnostic exists to alarm on. The fit must therefore
+    come out negative but FAR flatter than natural text's -1 (measured
+    ~-0.18), over the full (small) vocabulary."""
+    import __spark_entry__ as mod
+
+    row = mod.queries()["zipf_rank_frequency"](spark, sf_dir).collect()[0]
+    assert 10 < row.n_ranks <= 512
+    assert row.top_tf > 0
+    assert -600_000 < row.slope_e6 < -50_000  # flat: template alarm fires
