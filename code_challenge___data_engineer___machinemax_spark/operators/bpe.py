@@ -115,3 +115,144 @@ def bpe_encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
     for _, a, b, _cnt in merges:
         cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
     return cur
+
+
+# --- unigram-LM (SentencePiece-style) tokenizer ----------------------------
+# The OTHER major subword family next to BPE: pieces carry log-probability
+# scores and a word's segmentation is the Viterbi-best path over its
+# positions (Kudo 2018). Piece length caps at 4; words cap at _UNI_MAX_WORD
+# chars (the DP unrolls one join per position — position count is part of
+# the operator contract, like the BPE iteration count).
+_UNI_MAX_PIECE = 4
+_UNI_MAX_WORD = 12
+
+
+def _substring_candidates(words: DataFrame) -> DataFrame:
+    """(word, n, p_start, p_end, piece): every substring of length
+    1.._UNI_MAX_PIECE of every word — the constant <= L x 4 fan-out the
+    vocab builder and the Viterbi DP both consume."""
+    return (
+        words.select(
+            "w",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p_end"),
+        )
+        .select(
+            "w",
+            "n",
+            "p_end",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), F.col("p_end")))
+            ).alias("k"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            "n",
+            (F.col("p_end") - F.col("k")).alias("p_start"),
+            "p_end",
+            F.expr("substring(w, p_end - k + 1, k)").alias("piece"),
+        )
+    )
+
+
+def unigram_vocab(words: DataFrame, n_multi: int = 44) -> DataFrame:
+    """Select the piece vocabulary from a (w, n) word-frequency table:
+    ALL single characters (the coverage guarantee — every word stays
+    encodable) plus the ``n_multi`` most corpus-frequent multi-character
+    substrings, each scored ln(piece_freq / vocab_total) as a trunc-1e6
+    integer. Deterministic: ties break on the piece string.
+
+    Scale: substring fan-out is a constant <= L x 4 per DISTINCT word (the
+    BPE train-on-the-vocabulary trick), the frequency reduce is map-side
+    combinable, and the selected vocabulary is a <= |chars| + n_multi row
+    broadcast frame."""
+    pf = (
+        _substring_candidates(words)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("bigint").alias("pfreq"))
+    )
+    chars = pf.filter(F.length("piece") == 1)
+    multi = (
+        pf.filter(F.length("piece") > 1)
+        .orderBy(F.desc("pfreq"), F.asc("piece"))
+        .limit(n_multi)
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(F.sum("pfreq").alias("tot"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.expr(
+            "CAST(ln(CAST(pfreq AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 AS BIGINT)"
+        ).alias("s_e6"),
+    )
+
+
+def unigram_viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Viterbi-best segmentation of every word in a (w, n) table under a
+    (piece, s_e6) unigram vocabulary: returns (word, n, n_pieces,
+    score_e6) where score is the max sum of piece log-probs and ties
+    prefer fewer pieces (then collapse — only the (score, count) pair is
+    emitted, so co-optimal segmentations agree).
+
+    The DP is the sequential recurrence best[p] = max over k of
+    best[p-k] + s(piece(p-k, p)), unrolled as one equi-join + one
+    max-of-struct combinable aggregation per position (no window) — the
+    bellman_ford / label-propagation superstep discipline. All arithmetic
+    is int64 on trunc-1e6 log-probs, so the DuckDB twin replays it
+    bit-identically.
+
+    Scale: every frame is keyed on the DISTINCT word (vocabulary-bounded,
+    never corpus-bounded); the candidate table is built once and
+    localCheckpoint'd; each of the <= _UNI_MAX_WORD supersteps joins
+    (word, pos)-sized state against it. Corpus-level encoding is then a
+    broadcast join of the result onto the token stream."""
+    words = words.filter(F.length("w") <= _UNI_MAX_WORD)
+    cand = (
+        _substring_candidates(words)
+        .join(F.broadcast(vocab), "piece")
+        .select("word", "p_start", "p_end", "s_e6")
+        .localCheckpoint()
+    )
+    state = words.select(
+        F.col("w").alias("word"),
+        F.lit(0).alias("pos"),
+        F.lit(0).cast("bigint").alias("score"),
+        F.lit(0).alias("np"),
+    )
+    for p in range(1, _UNI_MAX_WORD + 1):
+        step = (
+            cand.filter(F.col("p_end") == p)
+            .join(
+                state.select(
+                    "word", F.col("pos").alias("p_start"), "score", "np"
+                ),
+                ["word", "p_start"],
+            )
+            .select(
+                "word",
+                (F.col("score") + F.col("s_e6")).alias("score"),
+                (F.col("np") + 1).alias("np"),
+            )
+        )
+        best = (
+            step.groupBy("word")
+            .agg(F.max(F.struct("score", (-F.col("np")).alias("negnp"))).alias("m"))
+            .select(
+                "word",
+                F.lit(p).alias("pos"),
+                F.col("m.score").alias("score"),
+                (-F.col("m.negnp")).alias("np"),
+            )
+        )
+        state = state.unionByName(best).localCheckpoint()
+    return (
+        words.join(
+            state, (words.w == state.word) & (state.pos == F.length(words.w))
+        )
+        .select(
+            "word",
+            "n",
+            F.col("np").alias("n_pieces"),
+            F.col("score").alias("score_e6"),
+        )
+    )

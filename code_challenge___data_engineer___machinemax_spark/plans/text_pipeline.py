@@ -1843,3 +1843,110 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(({_ZIPF_SLOPE}) * 1e6 AS BIGINT)").alias("slope_e6"),
         F.expr(f"CAST(({_ZIPF_INTERCEPT}) AS BIGINT)").alias("intercept_e6"),
     )
+
+
+# --- unigram-LM tokenizer ---------------------------------------------------
+
+
+def _unigram_oracle_sql(max_word: int = 12, n_multi: int = 44) -> str:
+    """Unrolled DuckDB twin of operators.bpe.unigram_vocab +
+    unigram_viterbi: the substring fan-out, the char + top-N piece
+    selection, and one (join + per-word argmax) CTE pair per position —
+    the bellman_ford unroll discipline with the ROW_NUMBER argmax
+    mirroring Spark's max-of-struct tie-break (score desc, np asc).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and dp{{p}} is
+    referenced twice per level (by s{{p+1}} and dp{{p+1}}) — un-hinted,
+    the 12-level chain expands to 2^12 copies of the base scan (measured:
+    'Too many open files')."""
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED (
+        SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({tokenize_sql("text")}) AS token FROM documents)
+        GROUP BY token
+    ), occ AS MATERIALIZED (
+        SELECT substr(words.w, pe.p_end - kk.k + 1, kk.k) AS piece, words.n
+        FROM words,
+             unnest(generate_series(1, length(words.w))) AS pe(p_end),
+             unnest(generate_series(1, least(4, pe.p_end))) AS kk(k)
+    ), pf AS MATERIALIZED (
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS pfreq FROM occ GROUP BY piece
+    ), vocab0 AS MATERIALIZED (
+        SELECT piece, pfreq FROM pf WHERE length(piece) = 1
+        UNION ALL
+        (SELECT piece, pfreq FROM pf WHERE length(piece) > 1
+         ORDER BY pfreq DESC, piece LIMIT {n_multi})
+    ), vocab AS MATERIALIZED (
+        SELECT piece,
+               CAST(trunc(ln(CAST(pfreq AS DOUBLE)
+                             / (SELECT CAST(SUM(pfreq) AS DOUBLE) FROM vocab0))
+                          * 1e6) AS BIGINT) AS s
+        FROM vocab0
+    ), ww AS MATERIALIZED (
+        SELECT w, n FROM words WHERE length(w) <= {max_word}
+    ), cand AS MATERIALIZED (
+        SELECT ww.w AS word, pe.p_end - kk.k AS p_start, pe.p_end, v.s
+        FROM ww,
+             unnest(generate_series(1, length(ww.w))) AS pe(p_end),
+             unnest(generate_series(1, least(4, pe.p_end))) AS kk(k)
+        JOIN vocab v ON v.piece = substr(ww.w, pe.p_end - kk.k + 1, kk.k)
+    ), dp0 AS MATERIALIZED (
+        SELECT w AS word, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np
+        FROM ww
+    )"""
+    ]
+    for p in range(1, max_word + 1):
+        parts.append(f""", s{p} AS MATERIALIZED (
+        SELECT c.word, d.score + c.s AS score, d.np + 1 AS np
+        FROM cand c JOIN dp{p - 1} d ON d.word = c.word AND d.pos = c.p_start
+        WHERE c.p_end = {p}
+    ), b{p} AS MATERIALIZED (
+        SELECT word, {p} AS pos, score, np FROM (
+            SELECT word, score, np,
+                   ROW_NUMBER() OVER (PARTITION BY word
+                                      ORDER BY score DESC, np) AS rn
+            FROM s{p}) WHERE rn = 1
+    ), dp{p} AS MATERIALIZED (
+        SELECT * FROM dp{p - 1} UNION ALL SELECT * FROM b{p}
+    )""")
+    parts.append(f"""
+    SELECT ww.w AS word, ww.n, d.np AS n_pieces, d.score AS score_e6
+    FROM ww JOIN dp{max_word} d
+      ON d.word = ww.w AND d.pos = length(ww.w)
+    ORDER BY word""")
+    return "".join(parts)
+
+
+@query("unigram_tokenizer_scores", oracle=_unigram_oracle_sql())
+def unigram_tokenizer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) subword tokenizer:
+    build a piece vocabulary (every single character for coverage + the
+    44 most corpus-frequent multi-character substrings, scored by their
+    corpus log-probability), then Viterbi-segment every distinct word —
+    max-sum-of-log-probs over all segmentations, ties to fewer pieces.
+    The OTHER major tokenizer family next to `bpe_merge_training`
+    (BPE composes greedily bottom-up; unigram selects globally optimal
+    paths under a probabilistic vocabulary — what T5/LLaMA-family
+    tokenizers actually run). Emits (word, corpus freq, piece count,
+    Viterbi score) — the segmentation quality table a tokenizer-training
+    pipeline inspects before freezing a vocab.
+
+    Exactness: piece scores are trunc-1e6 ln integers (the established
+    cross-engine ln idiom); the DP is int64 adds and a (score desc,
+    np asc) argmax per position — the DuckDB twin unrolls the identical
+    recurrence, so every score is bit-identical.
+
+    Scale: everything downstream of the one corpus tokenize pass is
+    keyed on the DISTINCT word (the BPE train-on-the-vocabulary trick);
+    the candidate table is a <= L x 4 constant fan-out per word, built
+    once and localCheckpoint'd; each of the <= 12 DP supersteps is one
+    equi-join + one map-side-combinable max-of-struct groupBy (no
+    window). Corpus-level encoding then broadcasts this result onto the
+    token stream — corpus size never enters the DP."""
+    from ..operators.bpe import unigram_viterbi, unigram_vocab, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    words = word_frequencies(d).localCheckpoint()
+    vocab = unigram_vocab(words)
+    return unigram_viterbi(words, vocab).orderBy("word")

@@ -395,3 +395,49 @@ def test_zipf_fit_flags_template_corpus(spark, sf_dir):
     assert 10 < row.n_ranks <= 512
     assert row.top_tf > 0
     assert -600_000 < row.slope_e6 < -50_000  # flat: template alarm fires
+
+
+def test_unigram_viterbi_hand_computed(spark):
+    """Viterbi on a toy vocabulary: 'abab' must segment as ab+ab (2
+    pieces, score 2*s(ab)) — strictly better than four singles — and a
+    word with no multi-char cover falls back to singles."""
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import (
+        unigram_viterbi,
+    )
+
+    words = spark.createDataFrame([("abab", 10), ("cd", 3)], "w: string, n: long")
+    vocab = spark.createDataFrame(
+        [("a", -2_000_000), ("b", -2_000_000), ("c", -3_000_000),
+         ("d", -3_000_000), ("ab", -1_500_000)],
+        "piece: string, s_e6: long",
+    )
+    got = {r.word: r for r in unigram_viterbi(words, vocab).collect()}
+    assert got["abab"].n_pieces == 2
+    assert got["abab"].score_e6 == -3_000_000  # 2 * s(ab)
+    assert got["cd"].n_pieces == 2
+    assert got["cd"].score_e6 == -6_000_000
+
+
+def test_unigram_tokenizer_corpus_invariants(spark, sf_dir):
+    """Every distinct word (all <= 12 chars on this corpus) gets a
+    Viterbi row; piece counts respect the length-4 piece cap; scores are
+    negative log-prob sums so strictly below zero."""
+    import math
+
+    import __spark_entry__ as mod
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import (
+        word_frequencies,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_words = word_frequencies(d).count()
+    rows = mod.queries()["unigram_tokenizer_scores"](spark, sf_dir).collect()
+    assert len(rows) == n_words
+    for r in rows:
+        assert r.n_pieces >= math.ceil(len(r.word) / 4)
+        assert r.n_pieces <= len(r.word)
+        assert r.score_e6 < 0
