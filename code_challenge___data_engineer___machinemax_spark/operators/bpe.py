@@ -244,7 +244,13 @@ def unigram_viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
                 (-F.col("m.negnp")).alias("np"),
             )
         )
-        state = state.unionByName(best).localCheckpoint()
+        state = state.unionByName(best)
+        # checkpoint every 4th superstep only: the state frames are
+        # vocabulary-bounded, so the cost driver is the PER-STEP job
+        # barrier a checkpoint forces (12 sequential tiny jobs), not
+        # lineage recompute — measured 10.9 s -> (see SCALE.md) at sf0.1
+        if p % 4 == 0:
+            state = state.localCheckpoint()
     return (
         words.join(
             state, (words.w == state.word) & (state.pos == F.length(words.w))
