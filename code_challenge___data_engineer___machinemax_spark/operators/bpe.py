@@ -206,11 +206,32 @@ def unigram_viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
     localCheckpoint'd; each of the <= _UNI_MAX_WORD supersteps joins
     (word, pos)-sized state against it. Corpus-level encoding is then a
     broadcast join of the result onto the token stream."""
+    words, cand, state = _viterbi_tables(words, vocab)
+    return (
+        words.join(
+            state, (words.w == state.word) & (state.pos == F.length(words.w))
+        )
+        .select(
+            "word",
+            "n",
+            F.col("np").alias("n_pieces"),
+            F.col("score").alias("score_e6"),
+        )
+    )
+
+
+def _viterbi_tables(
+    words: DataFrame, vocab: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared forward pass: capped words, the vocab-joined candidate
+    table (piece string retained for path extraction), and the full DP
+    state (word, pos, score, np) — consumed by unigram_viterbi (final
+    scores) and unigram_viterbi_paths (backward path walk)."""
     words = words.filter(F.length("w") <= _UNI_MAX_WORD)
     cand = (
         _substring_candidates(words)
         .join(F.broadcast(vocab), "piece")
-        .select("word", "p_start", "p_end", "s_e6")
+        .select("word", "p_start", "p_end", "piece", "s_e6")
         .localCheckpoint()
     )
     state = words.select(
@@ -251,14 +272,79 @@ def unigram_viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
         # lineage recompute — measured 10.9 s -> (see SCALE.md) at sf0.1
         if p % 4 == 0:
             state = state.localCheckpoint()
-    return (
-        words.join(
-            state, (words.w == state.word) & (state.pos == F.length(words.w))
-        )
-        .select(
-            "word",
-            "n",
-            F.col("np").alias("n_pieces"),
-            F.col("score").alias("score_e6"),
-        )
+    return words, cand, state.localCheckpoint()
+
+
+def unigram_viterbi_paths(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The pieces along each word's Viterbi-best path — the E-step
+    evidence the unigram EM trainer's M-step counts. Returns one row per
+    (word, n, piece) path element.
+
+    Optimal substructure makes backward extraction a walk over the
+    RECORDED best states only: from (word, L) choose the predecessor
+    p_start whose best state satisfies score[p_start] + s(piece) ==
+    score[pos] and np[p_start] + 1 == np[pos]; among co-optimal
+    predecessors the walk canonically takes MAX p_start (shortest final
+    piece) — any fixed rule works, this one is replayed verbatim by the
+    DuckDB twin. <= _UNI_MAX_WORD backward supersteps, each an equi-join
+    on (word, position) plus a max-of-struct combinable argmax — the
+    same cost envelope as the forward pass, DISTINCT-word-keyed."""
+    words, cand, state = _viterbi_tables(words, vocab)
+    walk = words.join(
+        state, (words.w == state.word) & (state.pos == F.length(words.w))
+    ).select("word", "pos", "score", "np")
+    emitted: list[DataFrame] = []
+    prev = state.select(
+        F.col("word").alias("pword"),
+        F.col("pos").alias("p_start"),
+        F.col("score").alias("pscore"),
+        F.col("np").alias("pnp"),
     )
+    for t in range(1, _UNI_MAX_WORD + 1):
+        a = walk.filter(F.col("pos") > 0).alias("a")
+        c = cand.alias("c")
+        pv = prev.alias("pv")
+        matches = a.join(
+            c,
+            (F.col("c.word") == F.col("a.word"))
+            & (F.col("c.p_end") == F.col("a.pos")),
+        ).join(
+            pv,
+            (F.col("pv.pword") == F.col("a.word"))
+            & (F.col("pv.p_start") == F.col("c.p_start"))
+            & (F.col("pv.pscore") == F.col("a.score") - F.col("c.s_e6"))
+            & (F.col("pv.pnp") == F.col("a.np") - 1),
+        )
+        pick = (
+            matches.groupBy(F.col("a.word").alias("word"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c.p_start").alias("p_start"),
+                        F.col("c.piece").alias("piece"),
+                        F.col("pv.pscore").alias("pscore"),
+                        F.col("pv.pnp").alias("pnp"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "word",
+                F.col("m.p_start").alias("pos"),
+                F.col("m.piece").alias("piece"),
+                F.col("m.pscore").alias("score"),
+                F.col("m.pnp").alias("np"),
+            )
+        )
+        emitted.append(pick.select("word", "piece"))
+        walk = (
+            pick.select("word", "pos", "score", "np")
+            .unionByName(walk.filter(F.col("pos") == 0))
+        )
+        if t % 4 == 0:
+            walk = walk.localCheckpoint()
+    pieces = emitted[0]
+    for frame in emitted[1:]:
+        pieces = pieces.unionByName(frame)
+    return pieces.join(
+        words.select(F.col("w").alias("word"), "n"), "word"
+    ).select("word", "n", "piece")

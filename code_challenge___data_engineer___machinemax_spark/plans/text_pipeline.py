@@ -1848,7 +1848,7 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- unigram-LM tokenizer ---------------------------------------------------
 
 
-def _unigram_oracle_sql(max_word: int = 12, n_multi: int = 44) -> str:
+def _unigram_dp_prefix_sql(max_word: int = 12, n_multi: int = 44) -> str:
     """Unrolled DuckDB twin of operators.bpe.unigram_vocab +
     unigram_viterbi: the substring fan-out, the char + top-N piece
     selection, and one (join + per-word argmax) CTE pair per position —
@@ -1910,11 +1910,69 @@ def _unigram_oracle_sql(max_word: int = 12, n_multi: int = 44) -> str:
     ), dp{p} AS MATERIALIZED (
         SELECT * FROM dp{p - 1} UNION ALL SELECT * FROM b{p}
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _unigram_oracle_sql(max_word: int = 12, n_multi: int = 44) -> str:
+    """Final-scores oracle: the shared forward-DP prefix plus the
+    per-word readout at pos = length(word)."""
+    return (
+        _unigram_dp_prefix_sql(max_word, n_multi)
+        + f"""
     SELECT ww.w AS word, ww.n, d.np AS n_pieces, d.score AS score_e6
     FROM ww JOIN dp{max_word} d
       ON d.word = ww.w AND d.pos = length(ww.w)
-    ORDER BY word""")
+    ORDER BY word"""
+    )
+
+
+def _unigram_em_oracle_sql(max_word: int = 12, n_multi: int = 44) -> str:
+    """EM M-step oracle: forward DP, then the backward path walk (one
+    argmax-predecessor CTE pair per step — MAX p_start is the canonical
+    co-optimal tie-break, mirroring Spark's max-of-struct), then piece
+    counts and the refitted ln scores. Same MATERIALIZED discipline."""
+    parts = [_unigram_dp_prefix_sql(max_word, n_multi)]
+    parts.append(f""", wk0 AS MATERIALIZED (
+        SELECT ww.w AS word, d.pos, d.score, d.np
+        FROM ww JOIN dp{max_word} d
+          ON d.word = ww.w AND d.pos = length(ww.w)
+    )""")
+    for t in range(1, max_word + 1):
+        parts.append(f""", pk{t} AS MATERIALIZED (
+        SELECT wk.word, wk.pos AS cur_pos, MAX(c.p_start) AS p_start
+        FROM wk{t - 1} wk
+        JOIN cand c ON c.word = wk.word AND c.p_end = wk.pos
+        JOIN dp{max_word} d ON d.word = wk.word AND d.pos = c.p_start
+                           AND d.score = wk.score - c.s AND d.np = wk.np - 1
+        WHERE wk.pos > 0
+        GROUP BY wk.word, wk.pos
+    ), em{t} AS MATERIALIZED (
+        SELECT word, substr(word, p_start + 1, cur_pos - p_start) AS piece
+        FROM pk{t}
+    ), wk{t} AS MATERIALIZED (
+        SELECT p.word, p.p_start AS pos, d.score, d.np
+        FROM pk{t} p JOIN dp{max_word} d
+          ON d.word = p.word AND d.pos = p.p_start
+        UNION ALL
+        SELECT word, pos, score, np FROM wk{t - 1} WHERE pos = 0
+    )""")
+    ems = " UNION ALL ".join(f"SELECT word, piece FROM em{t}" for t in range(1, max_word + 1))
+    parts.append(f""", path AS MATERIALIZED (
+        {ems}
+    ), cnt AS MATERIALIZED (
+        SELECT e.piece, CAST(SUM(ww.n) AS BIGINT) AS path_cnt
+        FROM path e JOIN ww ON ww.w = e.word
+        GROUP BY e.piece
+    )
+    SELECT v.piece, COALESCE(c.path_cnt, 0) AS path_cnt,
+           v.s AS old_s_e6,
+           CASE WHEN c.path_cnt IS NOT NULL THEN
+               CAST(trunc(ln(CAST(c.path_cnt AS DOUBLE)
+                             / (SELECT CAST(SUM(path_cnt) AS DOUBLE) FROM cnt))
+                          * 1e6) AS BIGINT)
+           END AS new_s_e6
+    FROM vocab v LEFT JOIN cnt c ON c.piece = v.piece
+    ORDER BY v.piece""")
     return "".join(parts)
 
 
@@ -1950,3 +2008,52 @@ def unigram_tokenizer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = word_frequencies(d).localCheckpoint()
     vocab = unigram_vocab(words)
     return unigram_viterbi(words, vocab).orderBy("word")
+
+
+@query("unigram_em_refit", oracle=_unigram_em_oracle_sql())
+def unigram_em_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full unigram-EM training round (the M-step
+    `unigram_tokenizer_scores` stops short of): extract every word's
+    Viterbi-best path (backward walk over the recorded forward states —
+    optimal substructure means only best states are ever touched), count
+    corpus-weighted piece usage along those paths, and refit each piece's
+    log-probability to ln(path_count / total). Emits the vocabulary
+    delta: piece, path usage, old score, refitted score (NULL for pieces
+    no optimal path uses — exactly the pieces the next EM round prunes,
+    which is how SentencePiece shrinks its seed vocabulary).
+
+    Exactness: the backward walk re-derives each step from int64 score
+    and count equalities against the recorded states, with MAX p_start
+    as the canonical co-optimal tie-break replayed verbatim by the
+    unrolled DuckDB twin; refit scores are the trunc-1e6 ln idiom.
+
+    Scale: forward and backward passes are both <= 12 supersteps of
+    equi-join + max-of-struct combinable aggregation over
+    DISTINCT-word-keyed frames (vocabulary-bounded); the M-step reduce
+    is one map-side-combinable piece agg. Corpus size enters only the
+    initial tokenize pass."""
+    from ..operators.bpe import unigram_viterbi_paths, unigram_vocab, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    words = word_frequencies(d).localCheckpoint()
+    vocab = unigram_vocab(words).localCheckpoint()
+    path = unigram_viterbi_paths(words, vocab)
+    cnt = path.groupBy("piece").agg(F.sum("n").cast("bigint").alias("path_cnt"))
+    tot = cnt.agg(F.sum("path_cnt").alias("tot"))
+    refit = cnt.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "path_cnt",
+        F.expr(
+            "CAST(ln(CAST(path_cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 AS BIGINT)"
+        ).alias("new_s_e6"),
+    )
+    return (
+        vocab.join(refit, "piece", "left")
+        .select(
+            "piece",
+            F.coalesce("path_cnt", F.lit(0)).cast("bigint").alias("path_cnt"),
+            F.col("s_e6").alias("old_s_e6"),
+            "new_s_e6",
+        )
+        .orderBy("piece")
+    )

@@ -441,3 +441,30 @@ def test_unigram_tokenizer_corpus_invariants(spark, sf_dir):
         assert r.n_pieces >= math.ceil(len(r.word) / 4)
         assert r.n_pieces <= len(r.word)
         assert r.score_e6 < 0
+
+
+def test_unigram_em_paths_toy_and_conservation(spark, sf_dir):
+    """Toy: 'abab' path = [ab, ab], 'cd' = [c, d]. Corpus: total
+    freq-weighted path length must equal sum over words of
+    freq x n_pieces from the Viterbi score table — the path extraction
+    and the forward DP agree on every word (conservation, not sampling)."""
+    import __spark_entry__ as mod
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import (
+        unigram_viterbi_paths,
+    )
+
+    words = spark.createDataFrame([("abab", 10), ("cd", 3)], "w: string, n: long")
+    vocab = spark.createDataFrame(
+        [("a", -2_000_000), ("b", -2_000_000), ("c", -3_000_000),
+         ("d", -3_000_000), ("ab", -1_500_000)],
+        "piece: string, s_e6: long",
+    )
+    toy = sorted((r.word, r.piece) for r in unigram_viterbi_paths(words, vocab).collect())
+    assert toy == [("abab", "ab"), ("abab", "ab"), ("cd", "c"), ("cd", "d")]
+
+    refit = mod.queries()["unigram_em_refit"](spark, sf_dir).collect()
+    scores = mod.queries()["unigram_tokenizer_scores"](spark, sf_dir).collect()
+    assert sum(r.path_cnt for r in refit) == sum(r.n * r.n_pieces for r in scores)
+    # unused pieces keep NULL refit scores; used ones move
+    assert any(r.path_cnt == 0 and r.new_s_e6 is None for r in refit)
+    assert all(r.new_s_e6 is not None for r in refit if r.path_cnt > 0)
