@@ -435,3 +435,88 @@ def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_common"),
     )
+
+
+@query(
+    "hll_register_rollup",
+    oracle=f"""
+    WITH h AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS reg,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 13))
+                    AS BIGINT) AS sfx
+        FROM events
+    ), r AS (
+        SELECT week, day, reg, {_HLL_RHO.format(sfx="sfx")} AS rho FROM h
+    ), daily AS (
+        SELECT week, day, reg, MAX(rho) AS max_rho
+        FROM r GROUP BY week, day, reg
+    ), merged AS (
+        SELECT week, reg, MAX(max_rho) AS max_rho
+        FROM daily GROUP BY week, reg
+    ), direct AS (
+        SELECT week, reg, MAX(rho) AS max_rho
+        FROM r GROUP BY week, reg
+    )
+    SELECT d.week,
+           CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(SUM(d.max_rho) AS BIGINT) AS sum_rho_direct,
+           CAST(SUM(m.max_rho) AS BIGINT) AS sum_rho_merged,
+           CAST(SUM(CASE WHEN m.max_rho IS NULL OR m.max_rho <> d.max_rho
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM direct d LEFT JOIN merged m ON m.week = d.week AND m.reg = d.reg
+    GROUP BY d.week
+    ORDER BY d.week
+    """,
+)
+def hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-rollup table pattern: HLL registers built PER DAY, then
+    rolled up to weeks by register-wise max, compared register-by-
+    register against sketches built directly from the week's raw rows —
+    n_mismatch == 0 per week IS the mergeability law (max is
+    commutative/associative/idempotent), held as checked data rather
+    than asserted. This is the lakehouse pre-aggregation contract: keep
+    KB-sized daily sketch rows, answer any coarser distinct-count
+    rollup (week/month/all-time, any subset of days) WITHOUT touching
+    the fact table again — the pattern `streamed_cms_heavy_hitters`
+    pins for count-min across waves, completed here for HLL across
+    calendar grains.
+
+    Scale: the daily register table is <= days x 256 rows (map-side
+    reduced before its only shuffle); the weekly rollup reads ONLY that
+    table. The `direct` arm re-scans raw events purely to hold the
+    equality under the value gate — production never runs it."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    sfx = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(sfx == 0, 53).otherwise(53 - F.length(F.bin(sfx))).cast("int")
+    )
+    r = e.select(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("reg"),
+        rho.alias("rho"),
+    )
+    daily = r.groupBy("week", "day", "reg").agg(F.max("rho").alias("max_rho"))
+    merged = daily.groupBy("week", "reg").agg(F.max("max_rho").alias("m_rho"))
+    direct = r.groupBy("week", "reg").agg(F.max("rho").alias("d_rho"))
+    joined = direct.join(merged, ["week", "reg"], "left")
+    return (
+        joined.groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_regs"),
+            F.sum("d_rho").cast("bigint").alias("sum_rho_direct"),
+            F.sum("m_rho").cast("bigint").alias("sum_rho_merged"),
+            F.sum(
+                F.when(
+                    F.col("m_rho").isNull() | (F.col("m_rho") != F.col("d_rho")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+        .orderBy("week")
+    )

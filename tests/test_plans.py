@@ -426,3 +426,17 @@ def test_holt_backtest_recurrence_replay(spark, sf_dir):
         assert cur.level_k == tdiv2(cur.rev_c * 1000 + cur.forecast_k)
         assert cur.trend_k == tdiv2(cur.level_k - prev.level_k + prev.trend_k)
         assert cur.abs_err_k == abs(cur.rev_c * 1000 - cur.forecast_k)
+
+
+def test_hll_rollup_merge_law_holds(spark, sf_dir):
+    """The rollup's own mismatch counter must read zero for every week —
+    register-wise max of daily sketches == the direct weekly sketch —
+    and the two rho sums must agree exactly (the merge law as data)."""
+    import __spark_entry__ as mod
+
+    rows = mod.queries()["hll_register_rollup"](spark, sf_dir).collect()
+    assert rows, "no weeks"
+    for r in rows:
+        assert r.n_mismatch == 0, f"week {r.week}: merged != direct"
+        assert r.sum_rho_direct == r.sum_rho_merged
+        assert 0 < r.n_regs <= 256
