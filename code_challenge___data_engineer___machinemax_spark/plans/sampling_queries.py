@@ -251,3 +251,126 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_e9"), "doc_id")
         .limit(200)
     )
+
+
+# --- purged / embargoed time-series split ----------------------------------
+_EMB_CUTOFF = "DATE '2000-06-01'"
+_EMB_DAYS = 30
+
+
+@query(
+    "embargo_split_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ), test AS (
+        SELECT o_custkey, d AS td FROM base WHERE d >= {_EMB_CUTOFF}
+    ), arms AS (
+        SELECT 'embargo30' AS arm,
+               {_EMB_CUTOFF} - INTERVAL {_EMB_DAYS} DAY AS train_end
+        UNION ALL
+        SELECT 'naive', {_EMB_CUTOFF}
+    ), tr AS (
+        SELECT a.arm, b.o_custkey, b.d
+        FROM arms a JOIN base b ON b.d < a.train_end
+    ), stats AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_train FROM tr GROUP BY arm
+    ), dropped AS (
+        SELECT a.arm, CAST(COUNT(b.d) AS BIGINT) AS n_dropped
+        FROM arms a LEFT JOIN base b
+          ON b.d >= a.train_end AND b.d < {_EMB_CUTOFF}
+        GROUP BY a.arm
+    ), leaky AS (
+        SELECT t.arm, CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+        FROM tr t JOIN test s
+          ON s.o_custkey = t.o_custkey
+         AND s.td <= t.d + INTERVAL {_EMB_DAYS} DAY
+        GROUP BY t.arm
+    )
+    SELECT s.arm, s.n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test,
+           d.n_dropped,
+           COALESCE(l.n_leaky_pairs, 0) AS n_leaky_pairs
+    FROM stats s
+    JOIN dropped d ON d.arm = s.arm
+    LEFT JOIN leaky l ON l.arm = s.arm
+    ORDER BY s.arm
+    """,
+)
+def embargo_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged/embargoed time-series split (the Lopez de Prado backtest
+    discipline) vs the naive temporal split, as checked data: train ends
+    either AT the cutoff (naive) or an embargo window before it; a
+    'leaky pair' is a same-customer train order within the embargo
+    horizon of a test order — the serially-correlated neighbor a naive
+    split lets the model memorize. Emits, per arm, the split sizes, the
+    rows the embargo sacrifices, and the realized leaky-pair count — the
+    embargo arm's count must be ZERO by construction (train ends 30 days
+    early and leakage reaches exactly 30 days), which the value gate and
+    a test both pin; the naive arm's nonzero count is the measured
+    leakage a 'just split by date' pipeline silently trains on.
+
+    Scale: one fact scan fanned across the 2-row broadcast arm spine
+    (literal-bounded nested loop, the audited allowed shape); the leaky
+    join is a narrow equi-join on the customer key with per-customer
+    fan-out bounded by order frequency within a 30-day horizon; output
+    is 2 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+    cutoff = F.expr(_EMB_CUTOFF)
+    test = base.filter(F.col("d") >= cutoff).select(
+        F.col("o_custkey"), F.col("d").alias("td")
+    )
+    arms = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("embargo30").alias("arm"),
+                    F.expr(
+                        f"{_EMB_CUTOFF} - INTERVAL {_EMB_DAYS} DAY"
+                    ).cast("date").alias("train_end"),
+                ),
+                F.struct(
+                    F.lit("naive").alias("arm"),
+                    F.expr(_EMB_CUTOFF).cast("date").alias("train_end"),
+                ),
+            )
+        ).alias("a")
+    ).select("a.arm", "a.train_end")
+    tr = base.crossJoin(F.broadcast(arms)).filter(F.col("d") < F.col("train_end"))
+    stats = tr.groupBy("arm").agg(F.count("*").cast("bigint").alias("n_train"))
+    dropped = (
+        base.crossJoin(F.broadcast(arms))
+        .groupBy("arm")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.col("train_end")) & (F.col("d") < cutoff), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped")
+        )
+    )
+    leaky = (
+        tr.join(test, "o_custkey")
+        .filter(F.col("td") <= F.date_add(F.col("d"), _EMB_DAYS))
+        .groupBy("arm")
+        .agg(F.count("*").cast("bigint").alias("n_leaky_pairs"))
+    )
+    n_test = test.agg(F.count("*").cast("bigint").alias("n_test"))
+    return (
+        stats.join(dropped, "arm")
+        .crossJoin(F.broadcast(n_test))
+        .join(leaky, "arm", "left")
+        .select(
+            "arm",
+            "n_train",
+            "n_test",
+            "n_dropped",
+            F.coalesce("n_leaky_pairs", F.lit(0)).cast("bigint").alias(
+                "n_leaky_pairs"
+            ),
+        )
+        .orderBy("arm")
+    )

@@ -108,3 +108,19 @@ def test_kfold_balance_within_one(spark, sf_dir):
     for src, folds in by_src.items():
         assert max(folds.values()) - min(folds.values()) <= 1, src
         assert sum(folds.values()) == sizes[src]
+
+
+def test_embargo_kills_leaky_pairs(spark, sf_dir):
+    """The embargo arm's leaky-pair count is structurally zero (train
+    ends exactly one leakage horizon before the cutoff); the naive arm
+    must show nonzero measured leakage on this order stream, at the cost
+    of the embargo arm dropping ~30 days of training rows."""
+    import __spark_entry__ as mod
+
+    rows = {r.arm: r for r in mod.queries()["embargo_split_report"](spark, sf_dir).collect()}
+    emb, nai = rows["embargo30"], rows["naive"]
+    assert emb.n_leaky_pairs == 0
+    assert nai.n_leaky_pairs > 0
+    assert emb.n_train < nai.n_train
+    assert emb.n_dropped > 0 and nai.n_dropped == 0
+    assert emb.n_test == nai.n_test
