@@ -374,3 +374,137 @@ def embargo_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- popularity-weighted negative sampling ---------------------------------
+_NEG_SLICES = 8
+_NEG_K = 4
+_NEG_KEY = (
+    "ln((CAST({h} AS DOUBLE) + 1) / 1152921504606846976)"
+    " / CAST(pop AS DOUBLE) * 1e9"
+)
+_NEG_H_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(usr AS VARCHAR) || ':' ||"
+    " CAST(item AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_NEG_H_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(usr AS STRING), ':',"
+    " CAST(item AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+@query(
+    "negative_sampling_report",
+    oracle=f"""
+    WITH inter AS (
+        SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), items AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS pop,
+               CAST(('0x' || substring(md5(CAST(item AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_NEG_SLICES} AS islice
+        FROM inter GROUP BY item
+    ), quart AS (
+        SELECT item, pop, islice,
+               CAST(ntile(4) OVER (ORDER BY pop, item) AS INT) AS quartile
+        FROM items
+    ), users AS (
+        SELECT usr,
+               CAST(('0x' || substring(md5(CAST(usr AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_NEG_SLICES} AS uslice
+        FROM (SELECT DISTINCT usr FROM inter)
+    ), cand AS (
+        SELECT u.usr, q.item, q.pop, q.quartile
+        FROM users u JOIN quart q ON q.islice = u.uslice
+        WHERE NOT EXISTS (SELECT 1 FROM inter i
+                          WHERE i.usr = u.usr AND i.item = q.item)
+    ), keyed AS (
+        SELECT usr, item, quartile,
+               CAST(trunc({_NEG_KEY.format(h=_NEG_H_DUCK)}) AS BIGINT) AS key_e9
+        FROM cand
+    ), picked AS (
+        SELECT usr, item, quartile FROM (
+            SELECT usr, item, quartile,
+                   ROW_NUMBER() OVER (PARTITION BY usr
+                                      ORDER BY key_e9 DESC, item) AS rn
+            FROM keyed) WHERE rn <= {_NEG_K}
+    )
+    SELECT q.quartile,
+           CAST(COUNT(DISTINCT q.item) AS BIGINT) AS n_items,
+           CAST(COUNT(p.item) AS BIGINT) AS n_sampled
+    FROM quart q LEFT JOIN picked p ON p.quartile = q.quartile
+                                   AND p.item = q.item
+    GROUP BY q.quartile
+    ORDER BY q.quartile
+    """,
+)
+def negative_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-weighted negative sampling for contrastive training
+    (word2vec / two-tower recsys): each user draws {_NEG_K} non-
+    interacted items with inclusion probability proportional to item
+    popularity (the A-Res key of `weighted_priority_sample`, keyed on
+    (user, item)), from a deterministic 1/{_NEG_SLICES} catalog slice —
+    the sharded-negatives trick that keeps per-user candidate cost
+    CONSTANT as the catalog grows (production scales the slice count
+    with the catalog; in-batch negatives shard the same way). The
+    companion to `hard_negative_mining` (similarity-ranked) on the
+    random-negatives side. Output: items and sampled counts per
+    popularity quartile — the popularity-bias readout that decides the
+    weighting exponent before a training run.
+
+    Exactness: pure integer/md5 derivations plus the shared-IEEE A-Res
+    key (trunc-scaled int64); quartiles are ntile over the item
+    dimension; one LEFT JOIN aggregation emits 4 rows.
+
+    Scale: candidate generation is users x catalog/slices via an
+    equi-join on the slice id (never users x catalog); positives drop
+    out with a narrow (user, item) anti-join; the per-user top-k window
+    partitions on the user key. Every frame is dimension- or
+    slice-bounded."""
+    from ..operators.ranking import scalable_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("usr"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    slice_of = lambda c: (
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % _NEG_SLICES
+    )
+    items = inter.groupBy("item").agg(F.count("*").cast("bigint").alias("pop"))
+    quart = scalable_ntile(
+        items.withColumn("islice", slice_of("item")),
+        4,
+        [F.asc("pop"), F.asc("item")],
+        tile_col="quartile",
+    )
+    users = inter.select("usr").distinct().withColumn("uslice", slice_of("usr"))
+    cand = users.join(
+        quart, quart.islice == users.uslice
+    ).join(inter, ["usr", "item"], "left_anti")
+    keyed = cand.select(
+        "usr",
+        "item",
+        "quartile",
+        F.expr(_NEG_KEY.format(h=_NEG_H_SPARK)).cast("bigint").alias("key_e9"),
+    )
+    w = W.partitionBy("usr").orderBy(F.desc("key_e9"), F.asc("item"))
+    picked = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEG_K)
+        .select("item", "quartile")
+    )
+    return (
+        quart.select("quartile", "item")
+        .join(picked.withColumnRenamed("quartile", "pq"), "item", "left")
+        .groupBy("quartile")
+        .agg(
+            F.count_distinct("item").cast("bigint").alias("n_items"),
+            F.count("pq").cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("quartile")
+    )

@@ -124,3 +124,18 @@ def test_embargo_kills_leaky_pairs(spark, sf_dir):
     assert emb.n_train < nai.n_train
     assert emb.n_dropped > 0 and nai.n_dropped == 0
     assert emb.n_test == nai.n_test
+
+
+def test_negative_sampling_prefers_popular_items(spark, sf_dir):
+    """Inclusion probability is proportional to popularity: the top
+    popularity quartile must receive strictly more sampled negatives than
+    the bottom quartile, and the total draw is bounded by users x K."""
+    import __spark_entry__ as mod
+    from pyspark.sql import functions as F
+
+    rows = {r.quartile: r for r in mod.queries()["negative_sampling_report"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[4].n_sampled > rows[1].n_sampled
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_users = o.select("o_custkey").distinct().count()
+    assert 0 < sum(r.n_sampled for r in rows.values()) <= n_users * 4
