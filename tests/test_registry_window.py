@@ -45,7 +45,7 @@ def test_candidate_comment_matches_set_arithmetic():
             "registry.py",
         )
     ).read()
-    block = src[src.index("# Round-6 window candidates") :]
+    block = src[src.index("# Next-rotation window candidates") :]
     block = block[: block.index("]")]
     listed = set(re.findall(r"[a-z0-9_]+", block.replace("# ", " ")))
     listed = {n for n in listed if n in _REGISTRY}
