@@ -130,9 +130,13 @@ _UNI_MAX_WORD = 12
 def _substring_candidates(words: DataFrame) -> DataFrame:
     """(word, n, p_start, p_end, piece): every substring of length
     1.._UNI_MAX_PIECE of every word — the constant <= L x 4 fan-out the
-    vocab builder and the Viterbi DP both consume."""
+    vocab builder and the Viterbi DP both consume. Empty words are
+    filtered first: sequence(1, 0) DESCENDS to [1, 0] rather than
+    returning empty (the same hazard _adjacent_pairs guards), which would
+    emit phantom candidate rows no SQL generate_series twin produces."""
     return (
-        words.select(
+        words.filter(F.length("w") > 0)
+        .select(
             "w",
             "n",
             F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p_end"),

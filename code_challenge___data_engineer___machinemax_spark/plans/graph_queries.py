@@ -729,4 +729,6 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("score_e9"),
         )
     )
-    return auth.unionByName(hubs)
+    return auth.unionByName(hubs).orderBy(
+        "role", F.desc("score_e9"), "node"
+    )

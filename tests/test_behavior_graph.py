@@ -156,6 +156,29 @@ def test_recsys_hitrate_counters_consistent(spark, sf_dir):
     assert row.hitrate_e6 == row.hits_at10 * 1_000_000 // row.n_eval
 
 
+def test_item_item_hot_user_cap_bounds_pairs(spark, sf_dir):
+    from code_challenge___data_engineer___machinemax_spark.plans.recsys_queries import (
+        item_item_similarity,
+    )
+
+    # cap = 1: every customer keeps at most one item, so NO co-occurrence
+    # pair can form — the hard upper bound the cap contract promises (a
+    # planted mega-basket customer contributes cap*(cap-1)/2 = 0 pairs)
+    assert item_item_similarity(spark, sf_dir, max_user_items=1).count() == 0
+    # cap far above every basket width: a no-op — identical to the exact
+    # (oracle-parity) default, proving the cap only prunes above threshold
+    exact = _QS["item_item_similarity"](spark, sf_dir).collect()
+    capped = item_item_similarity(
+        spark, sf_dir, max_user_items=1_000_000
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped))
+    # a binding small cap bounds the co matrix: with at most 3 items per
+    # user, any pair's co-count <= the number of users, and the result
+    # stays a valid top-3-per-item frame
+    small = item_item_similarity(spark, sf_dir, max_user_items=3).collect()
+    assert all(r.rk <= 3 for r in small)
+
+
 def test_weighted_sample_keys_ordered_and_negative(spark, sf_dir):
     rows = _QS["weighted_priority_sample"](spark, sf_dir).collect()
     assert len(rows) == 200
