@@ -3,194 +3,200 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (round 6): per-family fresh-session measurement. The r5 bench ran
+all 62 headline queries in ONE JVM; the driver's published numbers then
+showed the 32-query r4-common set 1.78x slower than r4 (52.6 -> 93.5 s)
+while fresh-session isolated A/Bs of the same plans showed NO regression
+(SCALE.md r5 forensics) — the slowdown was session-wide warm-state
+pressure (the early timed queries absorbed the async cleanup of the
+store-priming warm-up; late heavy queries absorbed the accumulated
+localCheckpoint blocks of everything before them), not plan cost. A
+per-query gc hook was A/B'd and REJECTED in r5: the ContextCleaner's
+ASYNC unpersist then ran inside the NEXT timed region.
+
+So the published protocol now matches the steady-state protocol the
+isolated forensics used: the parent process (no Spark) runs each query
+FAMILY in its own subprocess with a fresh JVM, family-appropriate warm-up
+(tables, the pandas-UDF worker pool, the family's persisted stores — all
+untimed), and an explicit post-warm-up settle (JVM GC + drain pause) so
+no cleanup bleeds into the timed region. Family sessions are small
+(3-13 queries), so no query sits on an hour of accumulated session state.
+Store layouts are disk-persisted and signature-keyed (stores.py), so
+priming in one family session is visible to the next.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-# module-level so the pandas-UDF type hints (stringified by the
-# `from __future__ import annotations` semantics of the defining scope)
-# resolve against this module's globals
+# module-level so the pandas-UDF type hints (stringified by
+# `from __future__ import annotations`) resolve against module globals
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from code_challenge___data_engineer___machinemax_spark import plans
-from code_challenge___data_engineer___machinemax_spark.session import get_spark
-
-# Headline queries: one per engine capability family (scan-agg, multi-join,
-# top-k, window, sessionize, as-of join, text search, relevance ranking,
-# text analysis, minhash/near-dup dedup, contamination, quality gate,
-# vector search exact+ANN). bench time = sum over these.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "top_customers_by_revenue",
-    "latest_order_per_customer",
-    "events_hourly",
-    "event_sessions",
-    "asof_purchase_to_view",
-    "keyword_search_hit",
-    "term_frequencies",
-    "minhash_signatures",
-    "near_dup_pairs_minhash",
-    "quality_filter_pipeline",
-    "cosine_topk_bruteforce",
-    "ann_topk_lsh",
-    # the round-1 rewrites whose wins SCALE.md measured — tracked so a
-    # regression shows up in the round bench, not just locally
-    "bm25_keyword_ranking",
-    "tfidf_keyword_ranking",
-    "benchmark_contamination",
-    # round-3 flagships: contamination-adjacent overlap detection, SimHash
-    # banding (the second near-dup family), and the fixed-point iterative
-    # trainer — the new expensive shapes worth a regression guard
-    "doc_overlap_winnowing",
-    "simhash_near_dup_pairs",
-    "kmeans_fixed_point",
-    "semantic_dedup_pairs",
-    # round-4: the heaviest shapes from the completed TPC-H suite — the
-    # 5-way star join (q9), the HAVING semi-join re-aggregation (q18), and
-    # the decorrelated EXISTS/NOT-EXISTS pair (q21)
-    "q9_product_profit",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    # round-4 (late): the Gopher repetition gate and cross-doc passage
-    # mining — the two new text-corpus shapes (line-digest agg + gram
-    # explode with top-k) worth a regression guard
-    "repetition_signals",
-    "repeated_passages",
-    # round-4 (final session): the data-selection flagships and the
-    # composed curation funnel — broadcast micro-model scoring, the
-    # distributed-ntile LM bucketing, and the five-stage DAG.
-    # set_similarity_prefix_pairs is deliberately NOT here: its true
-    # result on the self-similar synthetic corpus is ~3M pairs at sf0.1
-    # (24% of all pairs exceed 0.8 Jaccard), so its cost is output-bound
-    # — measured and explained in SCALE.md instead.
-    "dsir_importance_weights",
-    "perplexity_tercile_mix",
-    "pipeline_funnel_report",
-    # the two remaining expensive NEW shapes: the PIT as-of join over the
-    # SCD2 history and the skip-gram pair explode
-    "pit_priority_revenue",
-    "pmi_cooccurrence",
-    # round-5: the DEPLOY L3/L4 store-backed read paths next to their
-    # self-contained twins (VERDICT r4 #2). The stores are primed in the
-    # warm-up (ingest-time work), so these numbers are the production
-    # probe/pair-gen plans: fingerprint-table scan instead of the 61-sum
-    # explode vote; pruned (t, bucket) index probe instead of corpus
-    # re-bucketing.
-    "simhash_near_dup_pairs_from_store",
-    "ann_topk_lsh_from_store",
-    "bm25_keyword_indexed",
-    # round-5: incremental ingest admission — fingerprint ONLY the new
-    # batch, band-join it against the persisted corpus fingerprints (the
-    # L4 ingest loop; the corpus is never re-fingerprinted)
-    "simhash_incremental_admission",
-    # round-5 (late): the sketch/eval/quality additions — the Bloom
-    # membership scorecard, the bloom-fronted decontamination next to its
-    # exact twin above (SCALE.md pins the 10x crossover), the per-rule
-    # data-quality gate, the sampled-frame real video decode, the seeded
-    # epoch shuffle, and the ANN recall eval (its exact brute-force arm is
-    # the deliberate cost model: 5 sample queries x corpus)
-    "bloom_membership_report",
-    "bloom_prefilter_contamination",
-    "data_quality_report",
-    "video_sampled_frame_decode",
-    "shuffle_shard_order",
-    "ann_recall_eval",
-    # round-5 (final session): the three new expensive shapes — Z-order
-    # layout assignment (two scalable_ntile passes over the Morton code),
-    # PQ encode + ADC top-k (the third ANN family: broadcast-codebook
-    # argmin over vec x subspace, then the table-lookup scan), and
-    # positional phrase search (per-token pruned posting self-join).
-    # kmv_theta_set_ops / skyline_orders / pq_code_histogram are cheap
-    # post-agg shapes — covered by the parity sweep, not worth bench slots.
-    "zorder_layout",
-    "pq_adc_topk",
-    "pq_adc_topk_from_store",
-    "phrase_search_positional",
-    # hybrid fusion runs both retrieval arms end-to-end; cusum is the
-    # events-scan + per-type-window time-series shape
-    "hybrid_search_rrf",
-    "cusum_changepoint",
-    # round-5 (third session): the expensive new shapes — the basket
-    # self-join pair mining (association rules), the customer-level CF
-    # co-occurrence (larger fan-out than baskets), and the blocked fuzzy
-    # linkage (levenshtein inside a prefix-blocked join). The feature /
-    # eval / interval queries (loo encoding, welch, winsorize, seasonal,
-    # open-orders, markov, mrl recall) are single-window or post-agg
-    # shapes — parity-swept, not worth bench slots.
-    "association_rules",
-    "item_item_similarity",
-    "entity_resolution_blocked",
-    # round-5 (fourth session): the graph pair (wedge enumeration over the
-    # relative-support co-purchase edges — the floor is the scale knob,
-    # SCALE.md), the leave-last-out recommender eval (co-matrix rebuild +
-    # candidate join, the heaviest new shape), and the cohort triangle
-    # (two user-keyed fact reductions). funnel / acf / woe / weighted
-    # sample are single-pass or calendar-sized — parity-swept, not worth
-    # bench slots; streamed_unconverted_views is wave-staging-bound like
-    # the other streaming queries (SCALE.md), which bench excludes.
-    "triangle_participation",
-    "adamic_adar_links",
-    "recsys_hitrate_eval",
-    "cohort_retention_matrix",
-    # round-5 (fifth session): the two substantive governance/eval shapes —
-    # naive-Bayes distillation (double corpus explode + token-keyed model
-    # join + per-doc argmax) and exact AUC (fact reduction + distributed
-    # prefix-sum). The remaining governance audits (t-closeness, DP counts,
-    # GDPR cascade, orphan/Benford/hashing) are dimension-sized aggregates —
-    # parity-swept, not worth bench slots.
-    "naive_bayes_quality_distill",
-    "score_auc_eval",
-    # round-5 (sixth session): the one new expensive shape — the seeded
-    # label-propagation superstep loop (4 iterative rounds of edge-join +
-    # min-struct reduce over the co-purchase graph, localCheckpoint'd
-    # between rounds). The causal pair / RBO / Arrow-transport twins are
-    # dimension-sized or post-LIMIT shapes — parity-swept, not benched.
-    "label_propagation_seeded",
-    # round-5 (seventh session): Kneser-Ney LM scoring — the four-agg +
-    # three-token-keyed-join smoothing shape over the bigram explode.
-    # dbscan_grid_clusters is deliberately NOT here: its wall is the
-    # connected-components round count (graph diameter of the
-    # near-percolating synthetic plane — 17 scheduling-bound rounds at
-    # sf0.1, data work per round tiny), measured and explained in
-    # SCALE.md; benching it would measure the scheduler, not a plan.
-    "kneser_ney_doc_scores",
-    # round-5 (seventh session, late): the three distinct new shapes worth
-    # slots — exact CDF-walk distribution shift (conditional agg to the
-    # value domain), content-defined chunking (position explode collapsing
-    # to the sparse boundary set), and late-interaction MaxSim (broadcast
-    # sub-vector scoring). The eval/attribution batch (shapley, sprt,
-    # conformal, replay, kappa, fd audit, theil-sen) is dimension- or
-    # split-pass-sized — parity-swept, not worth bench slots;
-    # minhash_recall_eval and image_phash_near_dup are pair-volume-bound
-    # (SCALE.md); seeded_random_walks is round-count-bound like dbscan.
-    "distribution_emd_ks",
-    "cdc_chunk_dedup_report",
-    "maxsim_multivector_topk",
-    # round-5 (eighth session): no new slots. The four additions are cheap
-    # shapes by design — hilbert_layout is the zorder_layout skeleton plus
-    # a fused 12-stage projection (isolated ~1.9 s warm at sf0.1, the
-    # earlier 10.7 s read was first-query warm-up, the r4-established
-    # trap); hits_hub_authority is three fact-scan combinable aggs with
-    # broadcast score frames; mann_whitney_u and jl_projection_distortion
-    # collapse to value-domain / constant-fan-out frames. All
-    # parity-swept + SCALE.md-measured instead.
+# Headline queries, grouped into families that share inputs and warm-up
+# needs; one fresh JVM per family. Within each family the r4-common
+# queries keep their historical order so round-over-round per-query
+# comparisons stay like-for-like. bench time = sum over all families.
+#
+# Slot rationale (why these and not every registered query) is unchanged
+# from r5 — one flagship per engine capability family plus every
+# expensive new shape worth a regression guard; cheap post-agg /
+# dimension-sized shapes are covered by the parity sweep instead:
+# - set_similarity_prefix_pairs: output-bound (~3M true pairs at sf0.1,
+#   24% of all pairs exceed 0.8 Jaccard on the self-similar synthetic
+#   corpus) — measured and explained in SCALE.md.
+# - dbscan_grid_clusters / seeded_random_walks: wall is the iteration
+#   count (graph diameter / walk length), scheduling-bound rounds with
+#   tiny per-round data — benching them measures the scheduler.
+# - kmv/skyline/pq_code_histogram, the eval/attribution batch (shapley,
+#   sprt, conformal, replay, kappa, fd audit, theil-sen), funnel/acf/woe,
+#   hilbert (zorder skeleton + fused projection), hits (three combinable
+#   aggs), mann-whitney/jl: dimension-sized or single-pass — parity-swept.
+# - streaming queries: wave-staging-bound (SCALE.md), excluded.
+FAMILIES: list[tuple[str, list[str]]] = [
+    (
+        "relational",
+        [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q5_revenue_by_nation",
+            "top_customers_by_revenue",
+            "latest_order_per_customer",
+            "q9_product_profit",
+            "q18_large_orders",
+            "q21_waiting_suppliers",
+            "pit_priority_revenue",
+        ],
+    ),
+    (
+        "events",
+        [
+            "events_hourly",
+            "event_sessions",
+            "asof_purchase_to_view",
+            "cusum_changepoint",
+            "distribution_emd_ks",
+            "cohort_retention_matrix",
+        ],
+    ),
+    (
+        "search",
+        [
+            "keyword_search_hit",
+            "term_frequencies",
+            "bm25_keyword_ranking",
+            "tfidf_keyword_ranking",
+            "bm25_keyword_indexed",
+            "phrase_search_positional",
+            "hybrid_search_rrf",
+            "maxsim_multivector_topk",
+        ],
+    ),
+    (
+        "dedup",
+        [
+            "minhash_signatures",
+            "near_dup_pairs_minhash",
+            "doc_overlap_winnowing",
+            "simhash_near_dup_pairs",
+            "simhash_near_dup_pairs_from_store",
+            "simhash_incremental_admission",
+            "cdc_chunk_dedup_report",
+        ],
+    ),
+    (
+        "textcorpus",
+        [
+            "quality_filter_pipeline",
+            "repetition_signals",
+            "repeated_passages",
+            "dsir_importance_weights",
+            "perplexity_tercile_mix",
+            "pipeline_funnel_report",
+            "benchmark_contamination",
+            "bloom_prefilter_contamination",
+            "bloom_membership_report",
+            "data_quality_report",
+            "pmi_cooccurrence",
+            "kneser_ney_doc_scores",
+            "naive_bayes_quality_distill",
+        ],
+    ),
+    (
+        "vector",
+        [
+            "cosine_topk_bruteforce",
+            "ann_topk_lsh",
+            "ann_topk_lsh_from_store",
+            "ann_recall_eval",
+            "pq_adc_topk",
+            "pq_adc_topk_from_store",
+            "kmeans_fixed_point",
+            "semantic_dedup_pairs",
+        ],
+    ),
+    (
+        "graphrec",
+        [
+            "association_rules",
+            "item_item_similarity",
+            "recsys_hitrate_eval",
+            "triangle_participation",
+            "adamic_adar_links",
+            "label_propagation_seeded",
+            "entity_resolution_blocked",
+            "score_auc_eval",
+        ],
+    ),
+    (
+        "layout_media",
+        [
+            "zorder_layout",
+            "shuffle_shard_order",
+            "video_sampled_frame_decode",
+        ],
+    ),
 ]
 
+# persisted-store primers per family (ingest-time work a production
+# deployment does once when data lands — warm-up, never timed)
+_FAMILY_STORES: dict[str, list[str]] = {
+    "search": ["ensure_bm25_index_store"],
+    "dedup": ["ensure_simhash_store"],
+    "vector": ["ensure_srp_store", "ensure_pq_store"],
+}
 
-def main() -> None:
+
+def _settle(spark, seconds: float = 1.5) -> None:
+    """Drain warm-up debris before the timed region: collect Python refs,
+    ask the JVM to GC (which triggers ContextCleaner unpersists), then
+    pause so the ASYNC cleanup lands here and not inside a timed query
+    (the r5-measured failure mode of cleaning between timed queries)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(seconds)
+
+
+def _run_family(name: str) -> None:
+    from code_challenge___data_engineer___machinemax_spark import plans
+    from code_challenge___data_engineer___machinemax_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    spark = get_spark("ccdem-bench")
+    spark = get_spark(f"ccdem-bench-{name}")
     queries = plans.all_queries()
+    members = dict(FAMILIES)[name]
 
     # Warm the JVM, file index and parquet footers once so the per-query
     # numbers measure the plans, not session startup / FS metadata.
@@ -200,54 +206,65 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    # Warm the Python worker pool + Arrow serialization path the same way:
-    # the first pandas-UDF query otherwise pays worker spawn (~2s measured,
-    # the whole r2->r3 ann_topk_lsh "regression" — SCALE.md), which is
-    # session startup, not the plan under measurement.
+    # Warm the Python worker pool + Arrow serialization path: the first
+    # pandas-UDF query otherwise pays worker spawn (~2s measured — the
+    # whole r2->r3 ann_topk_lsh "regression", SCALE.md). Repartition to
+    # 2x the executor-thread count so the FULL pool spawns here.
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
-    # repartition to (at least) the executor-thread count so the FULL worker
-    # pool spawns here — an 8-partition warm-up leaves the remaining workers
-    # to be spawned inside whichever UDF query first runs wider (measured:
-    # kmeans_fixed_point +3s when it, not the warm-up, paid the spawn)
     n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(4 * n_workers).repartition(2 * n_workers).select(
         _warm("id")
     ).collect()
 
-    # Prime the persisted layouts (DEPLOY.md L3/L4) — ingest-time work a
-    # production deployment does once when data lands, not per query. The
-    # *_from_store headline entries then measure the probe/pair-gen read
-    # path, which is the plan a 100 TB deployment actually runs.
-    from code_challenge___data_engineer___machinemax_spark.stores import (
-        ensure_bm25_index_store,
-        ensure_pq_store,
-        ensure_simhash_store,
-        ensure_srp_store,
-    )
+    # Prime this family's persisted layouts (DEPLOY.md L2/L3/L4) — the
+    # *_from_store entries then measure the probe/pair-gen read path,
+    # which is the plan a 100 TB deployment actually runs.
+    if name in _FAMILY_STORES:
+        from code_challenge___data_engineer___machinemax_spark import stores
 
-    ensure_simhash_store(spark, sf_dir)
-    ensure_srp_store(spark, sf_dir)
-    ensure_bm25_index_store(spark, sf_dir)
-    ensure_pq_store(spark, sf_dir)
+        for fn in _FAMILY_STORES[name]:
+            getattr(stores, fn)(spark, sf_dir)
 
-    # NOTE (measured, r5 seventh session): a per-query gc.collect() hook —
-    # meant to unpersist each query's localCheckpoint RDDs before the next
-    # query — was A/B'd and REJECTED: it recovered the bench-tail queries
-    # (recsys_hitrate_eval 37.5 -> 24.8 s; isolated truth 19.1 s) but the
-    # ContextCleaner's ASYNC unpersist then ran inside the next timed
-    # region (simhash_near_dup_pairs 4.3 -> 14.4 s, total 150 -> 181 s).
-    # In-bench numbers for late heavy queries therefore overstate plan
-    # cost by warm-state pressure; SCALE.md carries the isolated numbers.
+    _settle(spark)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qname in members:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        queries[qname](spark, sf_dir).collect()
+        timings[qname] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({"family": name, "queries": timings}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    timings: dict[str, float] = {}
+    families: dict[str, float] = {}
+    for name, members in FAMILIES:
+        out = None
+        for _attempt in (1, 2):  # one retry absorbs a flaky JVM start
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--family", name],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if proc.returncode == 0 and lines:
+                out = json.loads(lines[-1])
+                break
+        if out is None:
+            raise RuntimeError(f"bench family {name!r} failed twice")
+        assert set(out["queries"]) == set(members), name
+        timings.update(out["queries"])
+        families[name] = round(sum(out["queries"].values()), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -257,6 +274,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
                 "sf": sf,
             }
         )
@@ -264,4 +282,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--family":
+        _run_family(sys.argv[2])
+    else:
+        main()

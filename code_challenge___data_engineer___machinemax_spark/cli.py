@@ -1,7 +1,10 @@
-"""CLI driver — the reference's config surface (index.py:18-89: --accept,
---download, --single-page, --verbose, --wait, --no-random-wait,
---download-file(s)) mapped 1:1 onto engine parameters, plus the search API
-entry point (api.py:11-12's route as a subcommand).
+"""CLI driver — the reference's config surface (index.py:18-89) mapped
+onto engine parameters: --accept / --single-page / --wait /
+--no-random-wait as crawl flags, --download as the crawl's document sink,
+--verbose as the crawl's journal emitter, and --download-file /
+--download-files as the standalone ``download`` subcommand — plus the
+search API entry point (api.py:11-12's route as a subcommand) and
+engine-native sql / explain / run subcommands.
 
 Thin argparse over public engine functions; no logic lives here.
 """
@@ -12,7 +15,13 @@ import argparse
 import json
 import sys
 
-from .crawl.fetcher import FetchFn, dict_fetcher, http_fetcher, urls_from_file
+from .crawl.fetcher import (
+    FetchFn,
+    dict_fetcher,
+    fetch_stage,
+    http_fetcher,
+    urls_from_file,
+)
 from .crawl.ingest import ArticleStore
 from .crawl.orchestrator import crawl
 from .session import get_spark
@@ -34,6 +43,27 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seeds-file", default=None, help="file of seed URLs, one per line (newsspider.py:24-27)")
     c.add_argument("--robust-extract", action="store_true",
                    help="html.parser extraction instead of the regex fast path")
+    c.add_argument("--download", default=None, metavar="OUT_DIR",
+                   help="also download the matched documents into OUT_DIR "
+                        "(index.py:55-56 --download; adds downloaded_ok/"
+                        "downloaded_total to the report)")
+    c.add_argument("--verbose", action="store_true",
+                   help="emit the crawl journal as JSON lines on stderr "
+                        "(index.py:59-60 --verbose; index.py:215-235 journal)")
+
+    d = sub.add_parser(
+        "download",
+        help="download documents without crawling (index.py:71-84 "
+             "--download-file / --download-files)",
+    )
+    grp = d.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--url", default=None, help="one document URL (--download-file)")
+    grp.add_argument("--url-file", default=None,
+                     help="file of URLs, one per line (--download-files)")
+    d.add_argument("--out-dir", required=True, help="directory for the document bodies")
+    d.add_argument("--wait", type=float, default=5.0, help="politeness delay ceiling (s)")
+    d.add_argument("--no-random-wait", action="store_true", help="fixed instead of random 1..wait")
+    d.add_argument("--fixture", default=None, help="JSON file {url: [status, ctype, html]} served instead of HTTP (tests)")
 
     s = sub.add_parser("search", help="keyword search over a store (api.py:11-39)")
     s.add_argument("keyword")
@@ -92,8 +122,39 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.store:
             ArticleStore(spark, args.store).append(res.articles)
+        stats = dict(res.stats)
+        if args.download:
+            # --download (index.py:55-56): fetch the matched document URLs
+            # and sink their bodies; 'downloaded m / n' joins the report
+            from .crawl.ingest import download_fetched, download_report
+
+            ledger = download_fetched(
+                fetch_stage(res.downloads.select("url"), _fetcher(args)),
+                args.download,
+            )
+            ok_n, total = download_report(ledger)
+            stats["downloaded_ok"], stats["downloaded_total"] = ok_n, total
+        if args.verbose and res.journal is not None:
+            # --verbose (index.py:59-60): the journal, one JSON line per
+            # crawl event, on stderr — stdout stays the machine report
+            for line in res.journal.toJSON().collect():
+                print(line, file=sys.stderr)
         # the reference's run report (index.py:144,212)
-        print(json.dumps(res.stats))
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "download":
+        from .crawl.ingest import download_fetched, download_report
+
+        if args.url is not None:
+            frontier = spark.createDataFrame([(args.url,)], "url string")
+        else:
+            frontier = urls_from_file(spark, args.url_file)
+        ledger = download_fetched(
+            fetch_stage(frontier, _fetcher(args)), args.out_dir
+        )
+        ok_n, total = download_report(ledger)
+        print(json.dumps({"downloaded_ok": ok_n, "downloaded_total": total}))
         return 0
 
     if args.cmd == "sql":

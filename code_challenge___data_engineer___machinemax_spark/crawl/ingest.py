@@ -155,6 +155,18 @@ def download_files(pages: DataFrame, out_dir: str) -> DataFrame:
     return pages.select("url", "html").mapInPandas(write_partition, "url string, ok boolean, error string")
 
 
+def download_fetched(fetched: DataFrame, out_dir: str) -> DataFrame:
+    """Download sink over a ``fetch_stage`` output: successful fetches are
+    written by ``download_files``; fetch FAILURES stay in the ledger as
+    failed rows so the 'downloaded m / n' report counts attempts, exactly
+    like the reference's per-URL try/except loop (index.py:190-212)."""
+    ok_ledger = download_files(fetched.filter("ok"), out_dir)
+    failed = fetched.filter("NOT ok").selectExpr(
+        "url", "false AS ok", "error"
+    )
+    return ok_ledger.unionByName(failed)
+
+
 def download_report(ledger: DataFrame) -> tuple[int, int]:
     """'downloaded m / n' (reference index.py:212)."""
     row = ledger.agg(

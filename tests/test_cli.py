@@ -114,3 +114,64 @@ def test_cli_explain(spark, capsys):
 
     rc = main(["explain", "nope", "--tables-dir", "/root/testdata/sf0.001"])
     assert rc == 2
+
+
+def test_cli_download_single_file(spark, tmp_path, capsys):
+    # --download-file equivalent (index.py:78-81): one URL, one body on disk
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps({
+        "http://files.test/docs/report.pdf": [200, "application/pdf", "PDFBODY"],
+    }))
+    out_dir = tmp_path / "docs"
+    rc = main(["download", "--url", "http://files.test/docs/report.pdf",
+               "--out-dir", str(out_dir), "--fixture", str(fixture)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"downloaded_ok": 1, "downloaded_total": 1}
+    assert (out_dir / "report.pdf").read_text() == "PDFBODY"
+
+
+def test_cli_download_url_list_counts_failures(spark, tmp_path, capsys):
+    # --download-files equivalent (index.py:82-85): list file, blank lines
+    # skipped, fetch failures counted as attempts (reference's try/except)
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps({
+        "http://files.test/a.pdf": [200, "application/pdf", "AAA"],
+        "http://files.test/b.csv": [200, "text/csv", "b1,b2"],
+    }))
+    lst = tmp_path / "urls.lst"
+    lst.write_text("http://files.test/a.pdf\n\n  \nhttp://files.test/b.csv\n"
+                   "http://files.test/missing.pdf\n")
+    out_dir = tmp_path / "docs"
+    rc = main(["download", "--url-file", str(lst),
+               "--out-dir", str(out_dir), "--fixture", str(fixture)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"downloaded_ok": 2, "downloaded_total": 3}
+    assert (out_dir / "a.pdf").read_text() == "AAA"
+    assert (out_dir / "b.csv").read_text() == "b1,b2"
+    assert not (out_dir / "missing.pdf").exists()
+
+
+def test_cli_crawl_download_and_verbose(spark, tmp_path, capsys):
+    # crawl --download OUT_DIR (index.py:55-56) + --verbose journal
+    # (index.py:59-60, 215-235): the matched doc is fetched and sunk, and
+    # the journal's caught_doc event lands on stderr as a JSON line
+    site = {u: list(v) for u, v in SITE.items()}
+    site[f"{BASE}/files/report.pdf"] = [200, "application/pdf", "PDFBODY"]
+    fixture = tmp_path / "site.json"
+    fixture.write_text(json.dumps(site))
+    out_dir = tmp_path / "docs"
+    rc = main(["crawl", f"{BASE}/", "--fixture", str(fixture), "--depth", "4",
+               "--download", str(out_dir), "--verbose"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    stats = json.loads(captured.out.strip().splitlines()[-1])
+    assert stats["downloaded_ok"] == 1 and stats["downloaded_total"] == 1
+    assert (out_dir / "report.pdf").read_text() == "PDFBODY"
+    journal = [json.loads(l) for l in captured.err.strip().splitlines()
+               if l.startswith("{")]
+    events = {j["event"] for j in journal}
+    assert "caught_doc" in events and "tries" in events
+    assert any(j["url"].endswith("report.pdf") for j in journal
+               if j["event"] == "caught_doc")
