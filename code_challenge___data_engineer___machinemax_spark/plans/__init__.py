@@ -21,5 +21,6 @@ from . import recsys_queries  # noqa: F401
 from . import behavior_queries  # noqa: F401
 from . import graph_queries  # noqa: F401
 from . import governance_queries  # noqa: F401
+from . import packing_queries  # noqa: F401
 
 from .registry import all_oracles, all_queries  # noqa: F401

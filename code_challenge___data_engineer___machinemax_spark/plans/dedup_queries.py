@@ -55,9 +55,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures_df(d, "doc_id", "text", num_hashes=4, k=3)
 
 
-@query(
-    "near_dup_pairs_minhash",
-    oracle=f"""
+# shared by near_dup_pairs_minhash and near_dup_cluster_keep_one: the full
+# MinHash-LSH pipeline (8 hashes, 4 bands, exact-Jaccard verify at 0.5)
+_NEAR_DUP_PAIRS_ORACLE = f"""
     WITH sig AS (
         SELECT doc_id,
                list_transform(range(0, 8),
@@ -88,8 +88,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                      / len(list_distinct(list_concat(ta.toks, tb.toks)))
                 ELSE 0.0 END, 6) >= 0.5
-    """,
-)
+    """
+
+
+@query("near_dup_pairs_minhash", oracle=_NEAR_DUP_PAIRS_ORACLE)
 def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding (8 hashes, 4 bands) -> candidate pairs ->
     exact-Jaccard verification at 0.5. The full scale pipeline; on the
@@ -892,4 +894,96 @@ def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("stored_frac_e6"),
         )
+    )
+
+
+def _cc_rounds_sql(rounds: int = 4) -> str:
+    """Unrolled hash-min connected-components rounds over the verified
+    near-dup pair set — the same fixed-iteration oracle discipline as
+    _label_prop_oracle / the BPE CTE unroll: both engines run EXACTLY
+    `rounds` label-minimization steps, so parity holds whether or not the
+    labels have converged (they have, for near-dup clusters: components
+    are shallow because membership is transitive text similarity)."""
+    parts = [
+        f"pairs AS (SELECT id_a, id_b FROM ({_NEAR_DUP_PAIRS_ORACLE}))",
+        "edges AS (SELECT id_a AS x, id_b AS y FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"l{r} AS (SELECT n.node,"
+            f" least(n.lbl, coalesce(MIN(m.lbl), n.lbl)) AS lbl"
+            f" FROM l{r - 1} n"
+            f" LEFT JOIN edges e ON e.x = n.node"
+            f" LEFT JOIN l{r - 1} m ON m.node = e.y"
+            f" GROUP BY n.node, n.lbl)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT lbl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
+    """
+    )
+
+
+@query("near_dup_cluster_keep_one", oracle=_cc_rounds_sql())
+def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the keep-one step a dedup pipeline runs
+    AFTER pair generation: the verified MinHash pairs (the exact
+    `near_dup_pairs_minhash` set) are closed transitively into clusters by
+    4 rounds of hash-min label propagation, the minimum doc_id becomes the
+    cluster's canonical (kept) document, and every other member is
+    dropped. One row per cluster: canonical id, member count, drop count
+    — the ledger a 100 TB dedup job emits before rewriting the corpus.
+
+    Scale: the iterative stage runs over the PAIR set, not the corpus —
+    near-dup edges are a tiny fraction of documents (banding bounds
+    candidate volume; see operators/dedup.py), so each round is a
+    small-key join + min-agg, localCheckpoint'd between rounds exactly
+    like `label_propagation_seeded`. Fixed 4 rounds = fixed plan depth;
+    component diameter above that is handled in production by raising the
+    round count (a knob, not a redesign). Docs in no pair are trivially
+    kept and carry no ledger row."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(4):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("y"), F.col("lbl").alias("ylbl")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylbl").alias("nl"))
+            .withColumnRenamed("x", "node")
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )

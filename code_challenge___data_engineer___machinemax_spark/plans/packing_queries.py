@@ -1,0 +1,173 @@
+"""Batch-preparation shapes for LLM training/inference over `documents`:
+sequence packing (the concat-and-split step that turns a document stream
+into fixed-size context windows) and length-bucketed padding accounting
+(the dynamic-batching efficiency readout for inference). Both reduce to
+exact integer arithmetic over an ordered per-shard prefix sum, so the
+DuckDB oracles are value-exact.
+
+Generalizes the reference's batch-download ledger (index.py:190-212 —
+"process a list of documents, report totals") to the batching math a
+training pipeline runs on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_sql
+from ..tables import load_table
+from .registry import query
+
+# context-window budget (tokens per packed sequence); 512 keeps the window
+# count meaningful at every test SF
+_BUDGET = 512
+
+
+@query(
+    "context_window_packing",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, source,
+               CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tok
+        FROM documents
+    ), cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM lens
+    ), marked AS (
+        SELECT source, n_tok, cum,
+               (cum - n_tok) // {_BUDGET} AS first_win,
+               (greatest(cum, 1) - 1) // {_BUDGET} AS last_win
+        FROM cum
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) + {_BUDGET} - 1) // {_BUDGET} AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN last_win > first_win THEN 1 ELSE 0 END)
+                AS BIGINT) AS split_docs,
+           CAST(SUM(n_tok) * 1000000
+                // (((MAX(cum) + {_BUDGET} - 1) // {_BUDGET}) * {_BUDGET})
+                AS BIGINT) AS fill_e6
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by concat-and-split (the GPT-style pretraining
+    batch prep): per source shard, documents are concatenated in doc_id
+    order and the token stream is split every 512 tokens. Reports, per
+    source: document and token volume, the packed window count, how many
+    documents straddle a window boundary (they get split — the quality
+    cost of this packing style vs padding), and the fill rate of the
+    packed windows (the efficiency win vs padding; the only slack is the
+    final partial window).
+
+    Every number is exact int64 arithmetic over an ordered prefix sum —
+    a document occupies token positions (cum - n_tok, cum], so its first
+    window is (cum - n_tok) div B and its last is (cum - 1) div B
+    (guarded with greatest(cum, 1) so a leading zero-token document can't
+    push the dividend negative, where Spark's truncating div and DuckDB's
+    flooring // disagree).
+
+    Scale: packing is embarrassingly parallel across shards — the prefix
+    sum partitions by source (at 100 TB: by source x file-split, exactly
+    how trainers shard packing). One window-function pass + one per-source
+    aggregate; nothing wider than a shard's doc list is ever ordered, and
+    the output is dimension-sized. Cites reference index.py:190-212 (the
+    batch ledger this generalizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", "source", F.size(tokenize("text")).cast("bigint").alias("n_tok")
+    )
+    cum = lens.withColumn(
+        "cum", F.sum("n_tok").over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    marked = cum.select(
+        "source",
+        "n_tok",
+        "cum",
+        F.expr(f"(cum - n_tok) div {_BUDGET}").alias("first_win"),
+        F.expr(f"(greatest(cum, 1) - 1) div {_BUDGET}").alias("last_win"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.expr(f"(MAX(cum) + {_BUDGET} - 1) div {_BUDGET}")
+            .cast("bigint")
+            .alias("n_windows"),
+            F.sum(F.when(F.col("last_win") > F.col("first_win"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("split_docs"),
+            F.expr(
+                f"SUM(n_tok) * 1000000"
+                f" div (((MAX(cum) + {_BUDGET} - 1) div {_BUDGET}) * {_BUDGET})"
+            )
+            .cast("bigint")
+            .alias("fill_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# inference-side length buckets: powers of two with a floor of 16
+_BUCKET_EDGES = "greatest(16, CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT))"
+
+
+@query(
+    "length_bucket_padding_report",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len({tokenize_sql('text')}) AS BIGINT) AS n_tok
+        FROM documents
+    ), bucketed AS (
+        SELECT n_tok, {_BUCKET_EDGES} AS bucket FROM lens
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * bucket - SUM(n_tok) AS BIGINT) AS wasted_tokens,
+           CAST(SUM(n_tok) * 1000000 // (COUNT(*) * bucket) AS BIGINT)
+               AS efficiency_e6
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency (the inference-side counterpart
+    of `context_window_packing`): documents are assigned to power-of-two
+    length buckets (floor 16) — the standard dynamic-batching scheme where
+    a batch pads every member to its bucket size — and each bucket reports
+    its real vs padded token volume, the waste, and the packing
+    efficiency. The readout that decides bucket granularity for a serving
+    fleet: coarse buckets waste compute on padding, fine buckets starve
+    batches.
+
+    Exactness: bucket = 2^ceil(log2(n)) touches doubles only inside
+    log2/power of exact small integers, where both engines are correctly
+    rounded and the ceil collapses any ulp difference only at exact powers
+    of two — where log2 is exact in both. All reported numbers are int64
+    sums / integer division.
+
+    Scale: one scan, one small-key groupBy (≤ ~10 buckets) with map-side
+    partial aggregation — the same cost class as a count(*) by key."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(F.size(tokenize("text")).cast("bigint").alias("n_tok"))
+    bucketed = lens.select("n_tok", F.expr(_BUCKET_EDGES).alias("bucket"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.expr("COUNT(*) * bucket").cast("bigint").alias("padded_tokens"),
+            F.expr("COUNT(*) * bucket - SUM(n_tok)")
+            .cast("bigint")
+            .alias("wasted_tokens"),
+            F.expr("SUM(n_tok) * 1000000 div (COUNT(*) * bucket)")
+            .cast("bigint")
+            .alias("efficiency_e6"),
+        )
+        .orderBy("bucket")
+    )
