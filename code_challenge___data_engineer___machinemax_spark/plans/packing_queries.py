@@ -171,3 +171,99 @@ def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "span_corruption_mask_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {tokenize_sql('text')} AS toks FROM documents
+    ), pos AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS p, len(toks) AS n
+        FROM toks, unnest(range(0, len(toks))) t(i)
+    ), marked AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5(doc_id || ':' || p), 1, 15))::BIGINT
+                         % 100 < 15 THEN 1 ELSE 0 END AS m,
+               CASE WHEN p = 0 THEN 0
+                    WHEN ('0x' || substr(md5(doc_id || ':' || (p - 1)), 1, 15))::BIGINT
+                         % 100 < 15 THEN 1 ELSE 0 END AS prev_m
+        FROM pos
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(m) AS BIGINT) AS masked_tokens,
+           CAST(SUM(m) * 1000000 // COUNT(*) AS BIGINT) AS mask_rate_e6,
+           CAST(SUM(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans,
+           CAST(CASE WHEN SUM(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) = 0
+                THEN 0 ELSE SUM(m) * 1000000
+                     // SUM(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END) END
+                AS BIGINT) AS avg_span_len_e6
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def span_corruption_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking statistics (the BERT/T5 denoising-objective
+    data prep): every token position is masked iff a deterministic
+    md5-derived hash of (doc_id, position) lands under 15% — reproducible
+    noise, the property a distributed pipeline needs so re-runs and both
+    engines corrupt identically. Contiguous masked runs form spans (T5
+    replaces each span with one sentinel); reported per source: token and
+    mask volume, the realized mask rate (~150000e-6 by construction), the
+    span count, and mean span length.
+
+    Plan shape: the span-start test needs the PREVIOUS position's mask
+    bit — but the mask is a pure hash of (doc_id, pos), so the previous
+    bit is RECOMPUTED inline instead of read through a lag window: the
+    whole operator is one explode + map-side expressions + a small-key
+    aggregate, no window, no second shuffle. That is the scale win of
+    hash-derived noise over stored noise — at 100 TB the mask never
+    materializes. Both engines share the md5->60-bit-int idiom
+    (operators/dedup.py token_hash) so every bit matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokenize("text")).alias("p", "tok"),
+    ).select("doc_id", "source", F.col("p").cast("bigint").alias("p"))
+
+    def mask_bit(pcol):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), pcol)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(h % 100 < 15, 1).otherwise(0)
+
+    marked = pos.select(
+        "source",
+        mask_bit(F.col("p")).alias("m"),
+        F.when(F.col("p") == 0, 0)
+        .otherwise(mask_bit(F.col("p") - 1))
+        .alias("prev_m"),
+    )
+    span_starts = F.sum(
+        F.when((F.col("m") == 1) & (F.col("prev_m") == 0), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("total_tokens"),
+            F.sum("m").cast("bigint").alias("masked_tokens"),
+            F.expr("SUM(m) * 1000000 div COUNT(*)")
+            .cast("bigint")
+            .alias("mask_rate_e6"),
+            span_starts.cast("bigint").alias("n_spans"),
+            F.when(span_starts == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "SUM(m) * 1000000"
+                    " div SUM(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END)"
+                )
+            )
+            .cast("bigint")
+            .alias("avg_span_len_e6"),
+        )
+        .orderBy("source")
+    )

@@ -1052,3 +1052,107 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# int8 quantization error term for one e6-quantized component x with
+# per-vector scale m: the symmetric round-half-up code is computed with
+# sign split out so every division has a NONNEGATIVE dividend — floor,
+# truncate, and // agree there, the cross-engine discipline this repo
+# uses everywhere a negative could reach an integer division
+_INT8_ERR = (
+    "(x * 127 - (CASE WHEN x < 0 THEN -1 ELSE 1 END)"
+    " * ((2 * abs(x) * 127 + m) {div} (2 * m)) * m)"
+)
+
+
+@query(
+    "embedding_int8_quant_error",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ), mv AS (
+        SELECT vec_id, label, qv,
+               greatest(list_aggregate(list_transform(qv, x -> abs(x)), 'max'),
+                        1) AS m
+        FROM q
+    ), el AS (
+        SELECT vec_id, label, m, unnest(qv) AS x FROM mv
+    ), er AS (
+        SELECT vec_id, label, m, {_INT8_ERR.format(div='//')} AS e FROM el
+    ), pv AS (
+        SELECT vec_id, label, MAX(m) AS m,
+               SUM(e * e) // 16129 AS sse,
+               MAX(abs(e)) // 127 AS maxe
+        FROM er GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(sse) // COUNT(*) AS BIGINT) AS avg_sse_e12,
+           CAST(MAX(maxe) AS BIGINT) AS max_abs_err_e6,
+           CAST(SUM(m) // COUNT(*) AS BIGINT) AS avg_scale_e6
+    FROM pv GROUP BY label ORDER BY label
+    """,
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization error audit — the readout that decides
+    whether a vector store can serve 4x-smaller int8 codes: each vector is
+    quantized per-vector-symmetric (code = round(x * 127 / max|x|), the
+    faiss/SQ8 scheme), and each label reports the mean per-vector squared
+    reconstruction error, the worst per-component error, and the mean
+    quantization scale. Complements the PQ family (codebook quantization)
+    with the scalar-quantization arm.
+
+    Exactness: components quantize to e6 int64 once (the drift-report
+    idiom); the int8 code uses round-half-up computed as
+    (2*|x|*127 + m) div (2m) with the sign split out, so every integer
+    division in both engines sees a nonnegative dividend (floor == trunc
+    == //). Errors are exact int64 at the x127 scale; per-vector SSE
+    divides once by 127^2. Headroom: per-vector SSE <= 64 * (m/2)^2 /
+    127^2 ~ 6e13, label sums safe past 1e4 vectors per partition-of-
+    record; a 100 TB run reports per shard and floor-averages shard rows
+    (mergeable: carry (sum, n)).
+
+    Scale: Spark computes everything map-side with array aggregate()
+    lambdas — no explode, no per-element shuffle; the only exchange is
+    the label-keyed final aggregate (the oracle uses unnest + GROUP BY
+    for clarity; same numbers)."""
+    err = _INT8_ERR.format(div="div")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
+        ).alias("qv"),
+    ).withColumn(
+        "m",
+        F.expr(
+            "greatest(aggregate(qv, CAST(0 AS BIGINT),"
+            " (a, x) -> greatest(a, abs(x))), CAST(1 AS BIGINT))"
+        ),
+    )
+    pv = q.select(
+        "label",
+        "m",
+        F.expr(
+            f"aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + {err} * {err})"
+            " div 16129"
+        ).alias("sse"),
+        F.expr(
+            f"aggregate(qv, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs({err})))"
+            " div 127"
+        ).alias("maxe"),
+    )
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr("SUM(sse) div COUNT(*)").cast("bigint").alias("avg_sse_e12"),
+            F.max("maxe").cast("bigint").alias("max_abs_err_e6"),
+            F.expr("SUM(m) div COUNT(*)").cast("bigint").alias("avg_scale_e6"),
+        )
+        .orderBy("label")
+    )

@@ -2057,3 +2057,80 @@ def unigram_em_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("piece")
     )
+
+
+@query(
+    "rouge2_adjacent_eval",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, list_distinct({shingles_sql('text', 2)}) AS g
+        FROM documents
+    ), pairs AS (
+        SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+               CAST(len(list_intersect(c.g, r.g)) AS BIGINT) AS n_overlap,
+               CAST(len(c.g) AS BIGINT) AS n_cand,
+               CAST(len(r.g) AS BIGINT) AS n_ref
+        FROM grams c JOIN grams r ON r.doc_id = c.doc_id + 1
+    )
+    SELECT cand_id, ref_id, n_overlap, n_cand, n_ref,
+           CAST(CASE WHEN n_cand = 0 THEN 0
+                ELSE n_overlap * 1000000 // n_cand END AS BIGINT)
+               AS precision_e6,
+           CAST(CASE WHEN n_ref = 0 THEN 0
+                ELSE n_overlap * 1000000 // n_ref END AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN n_cand + n_ref = 0 THEN 0
+                ELSE 2 * n_overlap * 1000000 // (n_cand + n_ref) END AS BIGINT)
+               AS f1_e6
+    FROM pairs
+    ORDER BY cand_id
+    """,
+)
+def rouge2_adjacent_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap P/R/F1, Lin 2004) on the
+    deterministic adjacent-id pair set — doc i as the 'candidate', doc
+    i+1 as the 'reference'. The generation-eval counterpart of
+    `adjacent_doc_jaccard`: same fixed pair discipline (pins the metric
+    arithmetic independent of any candidate-generation stage), different
+    statistic (directional n-gram precision/recall rather than symmetric
+    set overlap). Distinct bigrams, not multiset-clipped counts — the
+    deviation is documented here and holds identically in both engines.
+
+    Exactness: every metric is int64 counts and integer division. Scale:
+    grams are computed once per doc (map-side transform over token
+    indices, no explode), and the pair join is id+1 equi-join — at 100 TB
+    a real eval joins candidate/reference by example_id exactly like
+    this; nothing here is quadratic."""
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.array_distinct(shingles("text", 2)).alias("g"))
+    c = grams.select(
+        F.col("doc_id").alias("cand_id"), F.col("g").alias("cg")
+    )
+    r = grams.select(F.col("doc_id").alias("ref_id"), F.col("g").alias("rg"))
+    pairs = c.join(r, F.col("ref_id") == F.col("cand_id") + 1).select(
+        "cand_id",
+        "ref_id",
+        F.size(F.array_intersect("cg", "rg")).cast("bigint").alias("n_overlap"),
+        F.size("cg").cast("bigint").alias("n_cand"),
+        F.size("rg").cast("bigint").alias("n_ref"),
+    )
+    return pairs.select(
+        "cand_id",
+        "ref_id",
+        "n_overlap",
+        "n_cand",
+        "n_ref",
+        F.when(F.col("n_cand") == 0, F.lit(0))
+        .otherwise(F.expr("n_overlap * 1000000 div n_cand"))
+        .cast("bigint")
+        .alias("precision_e6"),
+        F.when(F.col("n_ref") == 0, F.lit(0))
+        .otherwise(F.expr("n_overlap * 1000000 div n_ref"))
+        .cast("bigint")
+        .alias("recall_e6"),
+        F.when(F.col("n_cand") + F.col("n_ref") == 0, F.lit(0))
+        .otherwise(F.expr("2 * n_overlap * 1000000 div (n_cand + n_ref)"))
+        .cast("bigint")
+        .alias("f1_e6"),
+    ).orderBy("cand_id")
