@@ -382,3 +382,91 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def signed_round_div(a: str, scale: int, m: str, div: str) -> str:
+    """SQL for sign-split scaled integer rounding: round(|a| * scale / m)
+    with the sign reapplied. Every division sees a NONNEGATIVE dividend,
+    where floor, truncate and // agree — the cross-engine discipline this
+    repo uses wherever a negative could reach an integer division
+    (Spark's div truncates toward zero; DuckDB's // floors)."""
+    return (
+        f"(CASE WHEN {a} < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * abs({a}) * {scale} + {m}) {div} (2 * {m}))"
+    )
+
+
+def power_iteration_top_component(
+    df: DataFrame, vec_col: str, rounds: int = 3
+) -> DataFrame:
+    """k-step power iteration for the top principal direction of the
+    CENTERED vector corpus, in exact int64 fixed-point (the
+    kmeans_fixed_point discipline): components quantize to e6 once, the
+    centroid is the exact floor-mean, per-vector dots downscale by 2e6
+    and each new direction rescales to e4 by max-abs — all through
+    :func:`signed_round_div`, so the result is bit-reproducible across
+    engines and partitionings. Returns (dim int, v_e4 bigint), the
+    k-step iterate from the all-ones start (NOT a convergence promise:
+    the iterate approaches the true eigenvector at rate (l2/l1)^k, so on
+    a near-isotropic corpus it correctly reflects that no dominant
+    direction exists — see tests/test_clustering.py's planted-direction
+    test for the anisotropic case, verified against numpy).
+
+    The covariance is never materialized: each round is x(x.v) — one
+    vector-keyed dot pass, one dim-keyed accumulation, 64-row frames
+    broadcast back. el (vec, dim, x) is the reused iterative state,
+    checkpointed once like label_propagation's edge list."""
+    q = df.select(
+        F.expr(
+            f"transform({vec_col},"
+            " v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
+        ).alias("qv"),
+    ).withColumn("__rid", F.monotonically_increasing_id())
+    cent = (
+        q.select(F.posexplode("qv").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.floor(F.sum("val") / F.count("*")).cast("bigint").alias("c"))
+    )
+    el = (
+        q.select("__rid", F.posexplode("qv").alias("dim", "val"))
+        .join(F.broadcast(cent), "dim")
+        .select("__rid", "dim", (F.col("val") - F.col("c")).alias("x"))
+        .localCheckpoint()
+    )
+    v = df.sparkSession.range(64).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(10000).cast("bigint").alias("v"),
+    )
+    for _ in range(rounds):
+        dots = (
+            el.join(F.broadcast(v), "dim")
+            .groupBy("__rid")
+            .agg(
+                F.expr(
+                    "CAST("
+                    + signed_round_div("SUM(x * v)", 1, "2000000", "div")
+                    + " AS BIGINT)"
+                ).alias("d")
+            )
+        )
+        w = (
+            el.join(dots, "__rid")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("d")).cast("bigint").alias("w"))
+        )
+        m = w.agg(F.expr("greatest(MAX(abs(w)), 1)").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.expr(
+                    "CAST("
+                    + signed_round_div("w", 10000, "m", "div")
+                    + " AS BIGINT)"
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_e4")
+    ).orderBy("dim")

