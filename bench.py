@@ -139,6 +139,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "pmi_cooccurrence",
             "kneser_ney_doc_scores",
             "naive_bayes_quality_distill",
+            # round-6: the two new explode-volume text shapes (both linear
+            # at the 10x replica, SCALE.md) — the hash-mask span stats and
+            # the bigram-overlap generation eval (post shingles-fix)
+            "span_corruption_mask_stats",
+            "rouge2_adjacent_eval",
         ],
     ),
     (
@@ -152,6 +157,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "pq_adc_topk_from_store",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
+            # round-6: the fixed-point power-iteration PCA (3 rounds of
+            # vec-keyed dot + dim-keyed accumulate; 5x wall at 10x rows)
+            "pca_top_component",
         ],
     ),
     (
@@ -176,6 +184,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
         ],
     ),
 ]
+
+# flat view of the headline set (scripts/run_scale_sweep.py iterates it)
+HEADLINE: list[str] = [q for _, _members in FAMILIES for q in _members]
 
 # persisted-store primers per family (ingest-time work a production
 # deployment does once when data lands — warm-up, never timed)

