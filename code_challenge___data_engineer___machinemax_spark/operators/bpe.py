@@ -352,3 +352,105 @@ def unigram_viterbi_paths(words: DataFrame, vocab: DataFrame) -> DataFrame:
     return pieces.join(
         words.select(F.col("w").alias("word"), "n"), "word"
     ).select("word", "n", "piece")
+
+
+# --- WordPiece (greedy longest-match-first) ---------------------------------
+# The third major subword family next to BPE and the unigram LM: pieces are
+# position-marked ('##' continuation prefix, BERT convention) and a word's
+# segmentation is the GREEDY walk — at each position take the longest vocab
+# piece (<= _UNI_MAX_PIECE chars), advance, repeat. Unlike Viterbi there is
+# no scoring: determinism comes from the walk itself.
+
+
+def wordpiece_vocab(words: DataFrame, n_multi: int = 50) -> DataFrame:
+    """Select the WordPiece vocabulary from a (w, n) word-frequency table:
+    ALL position-marked single characters (the coverage guarantee — the
+    greedy walk can always take the 1-char piece of the very word being
+    encoded) plus the ``n_multi`` most corpus-frequent multi-character
+    forms. Forms are position-marked BEFORE counting: an initial substring
+    counts as the bare piece, a non-initial one as '##'+piece, so 'ing'
+    the suffix and 'ing' the prefix are different vocabulary entries —
+    the property that makes '##' segmentations round-trippable.
+    Deterministic: ties break on the form string."""
+    words = words.filter(F.length("w") <= _UNI_MAX_WORD)
+    forms = (
+        _substring_candidates(words)
+        .select(
+            F.when(F.col("p_start") == 0, F.col("piece"))
+            .otherwise(F.concat(F.lit("##"), F.col("piece")))
+            .alias("form"),
+            F.length("piece").alias("plen"),
+            "n",
+        )
+        .groupBy("form", "plen")
+        .agg(F.sum("n").cast("bigint").alias("wgt"))
+    )
+    singles = forms.filter(F.col("plen") == 1).select(
+        F.col("form").alias("piece")
+    )
+    multi = (
+        forms.filter(F.col("plen") > 1)
+        .orderBy(F.desc("wgt"), F.asc("form"))
+        .limit(n_multi)
+        .select(F.col("form").alias("piece"))
+    )
+    return singles.unionByName(multi)
+
+
+_WP_PIECE = (
+    "CASE WHEN pos = 0 THEN substring(word, pos + 1, L)"
+    " ELSE concat('##', substring(word, pos + 1, L)) END"
+)
+
+
+def wordpiece_encode(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Greedy longest-match-first segmentation of every word in a (w, n)
+    table under a position-marked (piece) vocabulary: one output row per
+    (word, n, piece) emission, in walk order across the unrolled steps.
+
+    The walk is sequential per word, unrolled as <= _UNI_MAX_WORD
+    supersteps (each advances >= 1 char): per step, the <= 4 candidate
+    pieces at the cursor explode map-side, one broadcast join against the
+    vocabulary keeps the matches, and a combinable MAX picks the longest
+    — the same superstep discipline as unigram_viterbi, minus the DP
+    state (greedy keeps only the cursor). Every frame is keyed on the
+    DISTINCT word (vocabulary-bounded, never corpus-bounded); corpus
+    encoding is a broadcast join of the result onto the token stream.
+    Coverage: the single-char form at any cursor of any input word is in
+    a vocabulary built from the same word table, so the walk always
+    advances (the inner join never strands a word mid-walk)."""
+    words = words.filter(F.length("w") <= _UNI_MAX_WORD)
+    state = words.select(F.col("w").alias("word"), "n", F.lit(0).alias("pos"))
+    outs: list[DataFrame] = []
+    cand_expr = (
+        "filter(transform(array(4, 3, 2, 1), L -> struct(L AS L,"
+        " CASE WHEN pos + L <= length(word) THEN " + _WP_PIECE + " END AS piece)),"
+        " c -> c.piece IS NOT NULL)"
+    )
+    for step in range(1, _UNI_MAX_WORD + 1):
+        cand = state.select(
+            "word", "n", "pos", F.explode(F.expr(cand_expr)).alias("c")
+        ).select(
+            "word",
+            "n",
+            "pos",
+            F.col("c.L").alias("L"),
+            F.col("c.piece").alias("piece"),
+        )
+        hit = (
+            cand.join(F.broadcast(vocab), "piece")
+            .groupBy("word", "n", "pos")
+            .agg(F.max("L").alias("L"))
+        )
+        outs.append(hit.select("word", "n", F.expr(_WP_PIECE).alias("piece")))
+        state = hit.select(
+            "word", "n", (F.col("pos") + F.col("L")).alias("pos")
+        ).filter(F.col("pos") < F.length("word"))
+        # same cadence note as _viterbi_tables: frames are tiny, the cost
+        # is the per-step job barrier, so checkpoint every 4th step only
+        if step % 4 == 0:
+            state = state.localCheckpoint()
+    enc = outs[0]
+    for o in outs[1:]:
+        enc = enc.unionByName(o)
+    return enc

@@ -2134,3 +2134,101 @@ def rouge2_adjacent_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_e6"),
     ).orderBy("cand_id")
+
+
+def _wordpiece_oracle_sql(n_multi: int = 50, top_k: int = 50) -> str:
+    """Unrolled-CTE DuckDB twin of operators/bpe.py::wordpiece_encode —
+    the greedy longest-match walk as one (candidates -> vocab join ->
+    MAX L) CTE triple per step, 12 steps (words cap at _UNI_MAX_WORD).
+    Every multiply-referenced CTE is MATERIALIZED (the unigram-oracle
+    lesson: un-hinted, a 12-level chain referenced twice per level
+    expands exponentially)."""
+    piece_case = (
+        "CASE WHEN {t}.pos = 0 THEN substr({t}.word, {t}.pos + 1, CAST({t}.L AS INT))"
+        " ELSE '##' || substr({t}.word, {t}.pos + 1, CAST({t}.L AS INT)) END"
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({tokenize_sql('text')}) AS w
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY w
+    ), wcap AS MATERIALIZED (
+        SELECT w, n FROM w0 WHERE length(w) <= 12
+    ), occ AS MATERIALIZED (
+        SELECT CASE WHEN pe.p_end - kk.k = 0
+                    THEN substr(wc.w, pe.p_end - kk.k + 1, CAST(kk.k AS INT))
+                    ELSE '##' || substr(wc.w, pe.p_end - kk.k + 1, CAST(kk.k AS INT))
+               END AS form,
+               kk.k AS plen, wc.n
+        FROM wcap wc,
+             unnest(generate_series(1, length(wc.w))) AS pe(p_end),
+             unnest(generate_series(1, least(4, pe.p_end))) AS kk(k)
+    ), pf AS MATERIALIZED (
+        SELECT form, plen, CAST(SUM(n) AS BIGINT) AS wgt FROM occ
+        GROUP BY form, plen
+    ), vocab AS MATERIALIZED (
+        SELECT form AS piece FROM pf WHERE plen = 1
+        UNION ALL
+        (SELECT form FROM pf WHERE plen > 1
+         ORDER BY wgt DESC, form LIMIT {n_multi})
+    ), s0 AS MATERIALIZED (
+        SELECT w AS word, n, 0 AS pos FROM wcap
+    )"""
+    ]
+    for k in range(1, 13):
+        cand_piece = piece_case.format(t="c")
+        hit_piece = piece_case.format(t="h")
+        parts.append(
+            f"""c{k} AS (
+        SELECT s.word, s.n, s.pos, ll.L
+        FROM s{k - 1} s CROSS JOIN unnest([4, 3, 2, 1]) AS ll(L)
+        WHERE s.pos + ll.L <= length(s.word)
+    ), h{k} AS MATERIALIZED (
+        SELECT c.word, c.n, c.pos, MAX(c.L) AS L
+        FROM c{k} c JOIN vocab v ON v.piece = {cand_piece}
+        GROUP BY c.word, c.n, c.pos
+    ), e{k} AS (
+        SELECT h.word, h.n, {hit_piece} AS piece FROM h{k} h
+    ), s{k} AS MATERIALIZED (
+        SELECT word, n, pos + L AS pos FROM h{k}
+        WHERE pos + L < length(word)
+    )"""
+        )
+    emits = "\n        UNION ALL ".join(f"SELECT n, piece FROM e{k}" for k in range(1, 13))
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM ({emits})
+    GROUP BY piece ORDER BY n_tokens DESC, piece LIMIT {top_k}
+    """
+    )
+
+
+@query("wordpiece_token_counts", oracle=_wordpiece_oracle_sql())
+def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization of the corpus — the third subword family
+    next to BPE (merge training) and the unigram LM (Viterbi): a
+    position-marked vocabulary (ALL '##'-marked single chars + top-50
+    multi-char forms by weighted frequency) and the greedy
+    longest-match-first walk per distinct word, weighted back by word
+    frequency. Top-50 pieces by corpus token count.
+
+    Scale: training-on-the-vocabulary (the BPE trick) — every frame is
+    keyed on DISTINCT words, never the corpus; the walk is <= 12
+    broadcast-join supersteps (operators/bpe.py::wordpiece_encode), and
+    corpus weighting rides the word-frequency table computed in one
+    map-side-combined pass. Both engines replay the identical greedy
+    walk, so the piece table is bit-identical."""
+    from ..operators.bpe import wordpiece_encode, wordpiece_vocab, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    words = word_frequencies(d)
+    enc = wordpiece_encode(words, wordpiece_vocab(words, n_multi=50))
+    return (
+        enc.groupBy("piece")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(50)
+    )

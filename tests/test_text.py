@@ -468,3 +468,36 @@ def test_unigram_em_paths_toy_and_conservation(spark, sf_dir):
     # unused pieces keep NULL refit scores; used ones move
     assert any(r.path_cnt == 0 and r.new_s_e6 is None for r in refit)
     assert all(r.new_s_e6 is not None for r in refit if r.path_cnt > 0)
+
+
+def test_wordpiece_greedy_hand_computed(spark):
+    # corpus: 'abcd' x3 + 'ab' x2 + 'cd' x1. Weighted multi-char forms:
+    # 'ab' 5 (initial in abcd + ab), then a 3-tie broken by form string:
+    # '##bc' < '##bcd' < '##cd' < 'abc' < 'abcd' — so n_multi=4 selects
+    # {'ab', '##bc', '##bcd', '##cd'}. Greedy on 'abcd' must take the
+    # LONGEST match at each cursor: 'ab' (4- and 3-char pieces absent),
+    # then '##cd' — never 'a'+'##b', and '##bcd' stays unused because the
+    # cursor is already past 'b'. 'cd' falls back to singles ('cd' bare
+    # weighs only 1 and is not selected).
+    from code_challenge___data_engineer___machinemax_spark.operators.bpe import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    words = spark.createDataFrame(
+        [("abcd", 3), ("ab", 2), ("cd", 1)], "w string, n long"
+    )
+    vocab = wordpiece_vocab(words, n_multi=4)
+    vset = {r.piece for r in vocab.collect()}
+    assert {"ab", "##bc", "##bcd", "##cd"} <= vset
+    assert "cd" not in vset  # the bare form did not make the cut
+    enc = wordpiece_encode(words, vocab).collect()
+    by_word = {}
+    for r in enc:
+        by_word.setdefault(r.word, []).append(r.piece)
+    assert sorted(by_word["abcd"]) == ["##cd", "ab"]
+    assert by_word["ab"] == ["ab"]
+    assert sorted(by_word["cd"]) == ["##d", "c"]
+    # every word's pieces account for every character exactly once
+    for w, pieces in by_word.items():
+        assert sum(len(p.removeprefix("##")) for p in pieces) == len(w)
