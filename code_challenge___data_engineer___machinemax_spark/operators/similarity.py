@@ -470,3 +470,64 @@ def power_iteration_top_component(
     return v.select(
         F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_e4")
     ).orderBy("dim")
+
+
+def ann_topk_lsh_multiprobe(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multiprobe SRP-LSH top-k (Lv et al. 2007): score vectors sharing
+    the query's bucket OR any 1-bit-flip neighbor of it, in any table —
+    each flipped bit crosses ONE hyperplane, the perturbation most likely
+    to recover a near neighbor that landed just across a boundary. Recall
+    of ~(P+1)x the probes per table WITHOUT extra tables: the corpus-side
+    layout (bucket table / L3 store) is unchanged, only the query fans
+    out to (1 + n_planes) probe keys per table — the knob a 100 TB
+    deployment turns when recall matters more than probe latency, since
+    re-bucketing the corpus (more tables) costs an ingest pass but more
+    probes cost only a wider IN-list at the scan.
+
+    Plan shape: identical to :func:`ann_topk_lsh` (corpus buckets via the
+    one Arrow-batched matmul, equi-join on (table, bucket), distinct,
+    rescore) — the ONLY change is the broadcast probe frame growing from
+    T rows to T x (1 + P)."""
+    tables = [
+        [hyperplane(t * 1009 + i, dim) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    buckets_udf = _srp_buckets_udf(tables)
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("__t", "__bucket"),
+    )
+    qb = query.select(
+        F.posexplode(buckets_udf(F.col("__qvec"))).alias("__t", "__b0")
+    )
+    # probe 0 = the exact bucket; probe i = flip hyperplane i-1's bit
+    probes = qb.select(
+        "__t",
+        F.explode(
+            F.expr(
+                f"array_union(array(__b0), transform(sequence(0, {n_planes - 1}),"
+                " i -> CAST(__b0 ^ shiftleft(1, i) AS BIGINT)))"
+            )
+        ).alias("__bucket"),
+    )
+    cand_ids = (
+        banded.join(F.broadcast(probes), ["__t", "__bucket"], "inner")
+        .select(id_col)
+        .distinct()
+    )
+    cand = df.join(cand_ids, id_col, "left_semi").crossJoin(F.broadcast(query))
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

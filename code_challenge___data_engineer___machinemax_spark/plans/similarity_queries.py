@@ -1243,3 +1243,43 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_component(e, "embedding", rounds=3)
+
+
+@query(
+    "ann_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH {_SRP_BUCKETS_SQL},
+    qb0 AS (SELECT DISTINCT t, bucket AS b0 FROM buckets WHERE vec_id = 0),
+    qb AS (
+      SELECT DISTINCT t,
+             CASE WHEN pr.p = 0 THEN b0
+                  ELSE xor(b0, CAST(1 << (pr.p - 1) AS BIGINT)) END AS bucket
+      FROM qb0 CROSS JOIN (SELECT unnest(range(0, 9)) AS p) pr
+    ),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM buckets b JOIN qb USING (t, bucket)
+      WHERE b.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_DOT_SQL.format(a='e.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe SRP-LSH top-10 (Lv et al. 2007): the query probes its
+    bucket plus all 8 one-bit-flip neighbors in each of the 8 tables —
+    9x the probes, zero corpus-side change (same bucket layout /
+    L3 store as `ann_topk_lsh`), the recall-vs-probe-latency knob of a
+    deployed vector index. tests/test_similarity.py pins that the
+    multiprobe candidate set strictly contains the single-probe set and
+    recall vs exact top-k does not decrease."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    from ..operators.similarity import ann_topk_lsh_multiprobe
+
+    return ann_topk_lsh_multiprobe(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)

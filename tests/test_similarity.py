@@ -275,3 +275,23 @@ def test_jl_distortion_concentrates_and_covers_sampled_pairs(spark, sf_dir):
     assert 700_000 < wmean < 1_400_000
     for r in rows:
         assert 0 <= r.min_ratio_e6 <= r.mean_ratio_e6 <= r.max_ratio_e6
+
+
+def test_multiprobe_candidates_contain_single_probe(spark, sf_dir):
+    # multiprobe probes the exact bucket PLUS its 1-bit flips: its
+    # candidate set must be a superset, so recall vs exact top-k can only
+    # go up (Lv et al. 2007's monotonicity)
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    single = {r.vec_id for r in qs["ann_topk_lsh"](spark, sf_dir).collect()}
+    multi_rows = qs["ann_topk_lsh_multiprobe"](spark, sf_dir).collect()
+    exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
+    multi = {r.vec_id for r in multi_rows}
+    # top-k under a SUPERSET candidate pool scores >= recall of the subset
+    recall_single = len(single & set(exact)) / len(exact)
+    recall_multi = len(multi & set(exact)) / len(exact)
+    assert recall_multi >= recall_single
+    # scores are exact cosines over the candidate pool: sorted desc
+    cosines = [r.cosine for r in multi_rows]
+    assert cosines == sorted(cosines, reverse=True)
