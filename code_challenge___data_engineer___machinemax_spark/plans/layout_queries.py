@@ -433,3 +433,52 @@ def bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@query(
+    "schema_evolution_rollup",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1
+                THEN ['app', 'store', 'web'][CAST(o_orderkey % 3 + 1 AS INT)]
+                ELSE 'unknown' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM orders
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read path: the orders table was written in two
+    snapshots whose schema changed between them (v2 added ``o_channel``;
+    stores.ensure_evolution_store). The query reads BOTH snapshots as one
+    relation with mergeSchema — Spark reconciles the footers, rows from
+    the old snapshot surface NULL for the added column — then coalesces
+    the NULLs to 'unknown' and rolls revenue up per channel. The oracle
+    derives the identical result from the base orders table, so the gate
+    checks the evolution read end-to-end (file listing, footer merge,
+    NULL back-fill, cent-exact sums).
+
+    Scale: mergeSchema's cost is FOOTER reconciliation at planning time
+    (per file, driver-side) — data-side cost is unchanged columnar scan;
+    at 100 TB you bound it by evolving per-partition (new files only) and
+    pinning the merged schema in the catalog after the first read. The
+    agg is one small-key groupBy with map-side combine."""
+    from ..stores import ensure_evolution_store
+
+    root = ensure_evolution_store(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v1", f"{root}/v2"
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel"),
+            F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_c"),
+        )
+        .orderBy("channel")
+    )

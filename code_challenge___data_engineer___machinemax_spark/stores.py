@@ -237,3 +237,27 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
         with open(os.path.join(path, "_SUCCESS"), "w"):
             pass
     return path
+
+
+def ensure_evolution_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-snapshot orders layout whose SCHEMA EVOLVED
+    between writes — the ingest reality a long-lived 100 TB table faces:
+    ``v1/`` holds the even orderkeys with the original 3 columns;
+    ``v2/`` holds the odd orderkeys written later with an ADDED
+    ``o_channel`` column. Both land under one root so a mergeSchema read
+    sees one table. Signature-keyed and idempotent like every store."""
+    path = _store_path(sf_dir, "orders", "evolution_v2")
+    if not _ready(os.path.join(path, "v2")):
+        o = load_table(spark, sf_dir, "orders")
+        base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+        base.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
+            os.path.join(path, "v1")
+        )
+        base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_channel",
+            F.element_at(
+                F.array(F.lit("app"), F.lit("store"), F.lit("web")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(path, "v2"))
+    return path
