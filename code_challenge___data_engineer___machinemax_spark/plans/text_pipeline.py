@@ -2136,7 +2136,7 @@ def rouge2_adjacent_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cand_id")
 
 
-def _wordpiece_oracle_sql(n_multi: int = 50, top_k: int = 50) -> str:
+def _wordpiece_cte_parts(n_multi: int = 50) -> list[str]:
     """Unrolled-CTE DuckDB twin of operators/bpe.py::wordpiece_encode —
     the greedy longest-match walk as one (candidates -> vocab join ->
     MAX L) CTE triple per step, 12 steps (words cap at _UNI_MAX_WORD).
@@ -2195,6 +2195,12 @@ def _wordpiece_oracle_sql(n_multi: int = 50, top_k: int = 50) -> str:
         WHERE pos + L < length(word)
     )"""
         )
+    return parts
+
+
+def _wordpiece_oracle_sql(n_multi: int = 50, top_k: int = 50) -> str:
+    """Piece-count twin: group the walk emissions by piece."""
+    parts = _wordpiece_cte_parts(n_multi)
     emits = "\n        UNION ALL ".join(f"SELECT n, piece FROM e{k}" for k in range(1, 13))
     return (
         "WITH " + ",\n    ".join(parts)
@@ -2231,4 +2237,90 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
         .orderBy(F.desc("n_tokens"), "piece")
         .limit(50)
+    )
+
+
+def _fertility_oracle_sql(n_multi: int = 50) -> str:
+    """Per-language fertility twin: the wordpiece walk chain (shared CTE
+    builder) collapsed to per-word piece counts, joined back onto the
+    per-language token stream."""
+    parts = _wordpiece_cte_parts(n_multi)
+    emits = "\n        UNION ALL ".join(
+        f"SELECT word, piece FROM e{k}" for k in range(1, 13)
+    )
+    parts.append(
+        f"""wp AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+        FROM ({emits}) GROUP BY word
+    ), tok AS (
+        SELECT lang, w FROM (
+            SELECT lang, unnest({tokenize_sql('text')}) AS w
+            FROM documents WHERE text IS NOT NULL)
+        WHERE length(w) <= 12
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(wp.n_pieces) * 1000000 // COUNT(*) AS BIGINT)
+               AS fertility_e6,
+           CAST(SUM(length(t.w)) * 1000000 // SUM(wp.n_pieces) AS BIGINT)
+               AS chars_per_piece_e6
+    FROM tok t JOIN wp ON wp.word = t.w
+    GROUP BY t.lang ORDER BY t.lang
+    """
+    )
+
+
+@query("tokenizer_fertility_by_lang", oracle=_fertility_oracle_sql())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the eval that decides whether a
+    vocabulary serves all languages fairly (Rust et al. 2021): pieces per
+    word and chars per piece under the WordPiece segmentation, per lang.
+    High fertility for a language means its text costs more tokens per
+    unit of content — the readout multilingual-corpus builders weigh
+    against the temperature-mix (`source_mixture_weights`).
+
+    Scale: the greedy walk runs ONCE over distinct words (vocabulary-
+    bounded); the corpus pass is one token explode joined to the
+    broadcast word->piece-count table, then a lang-keyed combinable agg —
+    the encode-by-broadcast pattern the wordpiece/unigram operators
+    document. Words above the 12-char operator cap are excluded on BOTH
+    sides (the cap is part of the operator contract). All reported
+    numbers are int64 counts and integer division."""
+    from ..operators.bpe import (
+        _UNI_MAX_WORD,
+        wordpiece_encode,
+        wordpiece_vocab,
+        word_frequencies,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = word_frequencies(d)
+    enc = wordpiece_encode(words, wordpiece_vocab(words, n_multi=50))
+    wp = enc.groupBy("word").agg(F.count("*").cast("bigint").alias("n_pieces"))
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select("lang", F.explode(tokenize("text")).alias("w"))
+        .filter(F.length("w") <= _UNI_MAX_WORD)
+    )
+    return (
+        tok.join(F.broadcast(wp), tok.w == wp.word)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.expr("SUM(n_pieces) * 1000000 div COUNT(*)")
+            .cast("bigint")
+            .alias("fertility_e6"),
+            F.expr("SUM(length(w)) * 1000000 div SUM(n_pieces)")
+            .cast("bigint")
+            .alias("chars_per_piece_e6"),
+        )
+        .orderBy("lang")
     )
