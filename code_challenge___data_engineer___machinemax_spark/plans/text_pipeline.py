@@ -2324,3 +2324,110 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doremi_domain_reweighting",
+    oracle=f"""
+    WITH occ AS (
+        SELECT source, unnest({tokenize_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    dom AS (
+        SELECT occ.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(trunc(-ln(CAST(freq.cnt AS DOUBLE) / tot.total)
+                                   * 1e6) AS BIGINT)) AS BIGINT) AS nll_sum_e6
+        FROM occ JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY occ.source
+    ),
+    scored AS (
+        SELECT source, n_tokens, nll_sum_e6 // n_tokens AS mean_nll_e6 FROM dom
+    ),
+    base AS (
+        SELECT CAST(SUM(mean_nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
+        FROM scored
+    ),
+    wts AS (
+        SELECT s.source, s.n_tokens, s.mean_nll_e6,
+               s.mean_nll_e6 - b.avg_nll_e6 AS excess_e6,
+               CAST(trunc(exp(CAST(s.mean_nll_e6 - b.avg_nll_e6 AS DOUBLE)
+                              / 1e6) * 1e6) AS BIGINT) AS weight_e6
+        FROM scored s CROSS JOIN base b
+    ),
+    wtot AS (SELECT CAST(SUM(weight_e6) AS BIGINT) AS wt FROM wts)
+    SELECT source, n_tokens, mean_nll_e6, excess_e6, weight_e6,
+           ROUND(CAST(weight_e6 AS DOUBLE) / wtot.wt, 6) AS mix_share
+    FROM wts CROSS JOIN wtot
+    ORDER BY source
+    """,
+)
+def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi-style domain reweighting
+    (Xie et al. 2023, reduced to its EG core): each source's "excess
+    loss" is its mean per-token negative log-probability under the
+    corpus unigram LM minus the cross-domain average, and the new mixture
+    weight is uniform * exp(eta * excess) renormalized (eta = 1) — harder
+    domains get upweighted, the data-mixing counterpart of
+    `source_mixture_weights`' temperature smoothing.
+
+    Determinism: per-token NLL trunc-scales to e6 int64 and sums exactly
+    (the unigram_logprob_scores discipline, shared-libm ln); means are
+    floor divisions; the single exp() per SOURCE evaluates one identical
+    double expression in both engines and immediately trunc-scales; the
+    normalizing denominator is an exact integer sum, and the final share
+    is one correctly-rounded double division.
+
+    Scale: one corpus token explode (ingest-time class), the token-keyed
+    frequency join, then everything downstream is source-dimension-sized
+    — the EG step itself costs nothing at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(tokenize("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+    nll = (
+        -F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6
+    ).cast("bigint")
+    dom = (
+        occ.join(freq.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(nll).cast("bigint").alias("nll_sum_e6"),
+        )
+    )
+    scored = dom.select(
+        "source",
+        "n_tokens",
+        F.expr("nll_sum_e6 div n_tokens").alias("mean_nll_e6"),
+    )
+    base = scored.agg(
+        F.expr("SUM(mean_nll_e6) div COUNT(*)").cast("bigint").alias("avg_nll_e6")
+    )
+    wts = scored.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_tokens",
+        "mean_nll_e6",
+        (F.col("mean_nll_e6") - F.col("avg_nll_e6")).alias("excess_e6"),
+        F.expr(
+            "CAST(exp(CAST(mean_nll_e6 - avg_nll_e6 AS DOUBLE) / 1e6) * 1e6"
+            " AS BIGINT)"
+        ).alias("weight_e6"),
+    )
+    wtot = wts.agg(F.sum("weight_e6").cast("bigint").alias("wt"))
+    return (
+        wts.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_tokens",
+            "mean_nll_e6",
+            "excess_e6",
+            "weight_e6",
+            F.round(F.col("weight_e6").cast("double") / F.col("wt"), 6).alias(
+                "mix_share"
+            ),
+        )
+        .orderBy("source")
+    )
