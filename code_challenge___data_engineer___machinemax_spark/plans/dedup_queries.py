@@ -931,13 +931,17 @@ def _cc_rounds_sql(rounds: int = 4) -> str:
 
 @query("near_dup_cluster_keep_one", oracle=_cc_rounds_sql())
 def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup canonicalization — the keep-one step a dedup pipeline runs
-    AFTER pair generation: the verified MinHash pairs (the exact
+    """Near-dup drop LEDGER — the per-cluster report a dedup job emits
+    before rewriting the corpus: the verified MinHash pairs (the exact
     `near_dup_pairs_minhash` set) are closed transitively into clusters by
     4 rounds of hash-min label propagation, the minimum doc_id becomes the
     cluster's canonical (kept) document, and every other member is
-    dropped. One row per cluster: canonical id, member count, drop count
-    — the ledger a 100 TB dedup job emits before rewriting the corpus.
+    dropped. One row per cluster: canonical id, member count, drop count.
+    Complements `dedup_cluster_resolution` (ranking_queries.py), which
+    labels EVERY corpus document (component + is_canonical, closure run
+    to convergence, recursive-CTE oracle): that one feeds the corpus
+    rewrite, this one is the bounded-depth audit artifact — clusters
+    only, fixed 4-round contract, unrolled-CTE oracle.
 
     Scale: the iterative stage runs over the PAIR set, not the corpus —
     near-dup edges are a tiny fraction of documents (banding bounds
