@@ -1071,3 +1071,66 @@ def streamed_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.col("est_n") - F.col("true_n")).alias("overcount"),
     )
+
+
+@query(
+    "streamed_mask_rate_monitor",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p
+        FROM (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+             unnest(range(0, len(toks))) t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(doc_id || ':' || p), 1, 15))
+                              ::BIGINT % 100 < 15 THEN 1 ELSE 0 END)
+                AS BIGINT) AS masked_tokens,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(doc_id || ':' || p), 1, 15))
+                              ::BIGINT % 100 < 15 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS mask_rate_e6
+    FROM pos
+    """,
+)
+def streamed_mask_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-corruption mask-rate counters maintained AS STREAMING
+    STATE over two disjoint document ingest waves: because the mask is a
+    pure hash of (doc_id, position) (`span_corruption_mask_stats`), the
+    monitor needs NO stored noise and every counter is a monotone
+    exact-integer sum that commutes across micro-batch merges — the final
+    complete-mode emission must equal the batch corpus numbers exactly.
+    This is the ingest-time guardrail a training pipeline runs while data
+    lands: a mask rate drifting off the 15% contract flags a tokenizer or
+    id-assignment regression in the producing job."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_mask_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 0), landing, "wave1")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 1), landing, "wave2")
+    from ..streaming.events import run_to_memory
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    pos = stream.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("p", "tok")
+    ).select("doc_id", F.col("p").cast("bigint").alias("p"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("p"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    marked = pos.select(F.when(h % 100 < 15, 1).otherwise(0).alias("m"))
+    agg = marked.agg(
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.sum("m").cast("bigint").alias("masked_tokens"),
+        F.expr("SUM(m) * 1000000 div COUNT(*)").cast("bigint").alias("mask_rate_e6"),
+    )
+    run_to_memory(agg, "ccdem_streamed_mask", "complete")
+    out = spark.sql(
+        "SELECT total_tokens, masked_tokens, mask_rate_e6 FROM ccdem_streamed_mask"
+    ).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
