@@ -267,3 +267,113 @@ def span_corruption_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# first-fit-decreasing fold body, Spark SQL: acc = bin remainders, x = the
+# next (clamped) doc length. `get(filter(...), 0)` is the first bin index
+# that fits (NULL => open a new bin); both engines walk the identical
+# fold. The empty accumulator is guarded FIRST: sequence(1, size(acc))
+# DESCENDS to [1, 0] when acc is empty (the _substring_candidates hazard)
+# and element_at would fault on the phantom indices.
+_FFD_STEP_SPARK = (
+    "CASE WHEN size(acc) = 0 THEN array({B} - x)"
+    " WHEN get(filter(sequence(1, size(acc)),"
+    " i -> element_at(acc, i) >= x), 0) IS NULL"
+    " THEN concat(acc, array({B} - x))"
+    " ELSE transform(sequence(1, size(acc)),"
+    " i -> IF(i = get(filter(sequence(1, size(acc)),"
+    " j -> element_at(acc, j) >= x), 0), element_at(acc, i) - x,"
+    " element_at(acc, i))) END"
+)
+
+
+@query(
+    "ffd_packing_report",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source,
+               least(CAST(len({tokenize_sql('text')}) AS BIGINT), {_BUDGET}) AS n_tok
+        FROM documents
+        WHERE len({tokenize_sql('text')}) > 0
+    ), per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               list_reverse(list_sort(list(n_tok))) AS items
+        FROM lens GROUP BY source
+    ), packed AS (
+        SELECT source, n_docs, total_tokens,
+               list_reduce(
+                   list_transform(items, x -> [{_BUDGET} - x]),
+                   (acc, x) -> CASE
+                       WHEN len(list_filter(range(1, len(acc) + 1),
+                                i -> acc[i] >= ({_BUDGET} - x[1]))) = 0
+                       THEN list_concat(acc, x)
+                       ELSE list_transform(range(1, len(acc) + 1),
+                            i -> CASE WHEN i = list_filter(
+                                     range(1, len(acc) + 1),
+                                     j -> acc[j] >= ({_BUDGET} - x[1]))[1]
+                                 THEN acc[i] - ({_BUDGET} - x[1])
+                                 ELSE acc[i] END)
+                   END) AS bins
+        FROM per_source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(len(bins) AS BIGINT) AS n_bins,
+           CAST((total_tokens + {_BUDGET} - 1) // {_BUDGET} AS BIGINT)
+               AS lower_bound_bins,
+           CAST(total_tokens * 1000000 // (len(bins) * {_BUDGET}) AS BIGINT)
+               AS fill_e6
+    FROM packed ORDER BY source
+    """,
+)
+def ffd_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per source shard — the SPLIT-FREE
+    packing alternative to `context_window_packing`: documents are never
+    cut across windows (each bin holds whole documents padded to the 512
+    budget; oversized docs clamp to one full window), sorted longest-
+    first and placed into the first bin that fits. Reports bins used vs
+    the ceil(total/512) lower bound and the realized fill — the
+    packing-quality-vs-document-integrity tradeoff a trainer weighs
+    (FFD guarantees <= 11/9 OPT + 6/9 bins, Johnson 1973).
+
+    Distribution contract: bin packing is inherently sequential, so the
+    fold runs PER SHARD over that shard's length list — a per-source
+    aggregate to a sorted array, then one aggregate() lambda fold
+    (identical list_reduce in the oracle). Shards pack independently at
+    100 TB exactly as trainers shard packing; the per-shard list is
+    memory-bounded by the shard, and the fold is O(docs x bins) with
+    both factors shard-local. Zero-token docs are excluded (they occupy
+    no window). All arithmetic is exact int64; both engines replay the
+    identical first-fit walk, so bin counts match bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source", F.size(tokenize("text")).cast("bigint").alias("raw_tok")
+    ).filter(F.col("raw_tok") > 0).select(
+        "source", F.least(F.col("raw_tok"), F.lit(_BUDGET)).alias("n_tok")
+    )
+    per_source = lens.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.reverse(F.sort_array(F.collect_list("n_tok"))).alias("items"),
+    )
+    step = _FFD_STEP_SPARK.format(B=_BUDGET)
+    packed = per_source.withColumn(
+        "bins",
+        F.expr(
+            f"aggregate(items, CAST(array() AS ARRAY<BIGINT>),"
+            f" (acc, x) -> {step})"
+        ),
+    )
+    return packed.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.size("bins").cast("bigint").alias("n_bins"),
+        F.expr(f"(total_tokens + {_BUDGET} - 1) div {_BUDGET}")
+        .cast("bigint")
+        .alias("lower_bound_bins"),
+        F.expr(f"total_tokens * 1000000 div (size(bins) * {_BUDGET})")
+        .cast("bigint")
+        .alias("fill_e6"),
+    ).orderBy("source")

@@ -97,3 +97,19 @@ def test_schema_evolution_counts_match_base(spark, sf_dir):
     by = {r.channel: r for r in rows}
     # v1 snapshot (even keys, no channel column) back-fills to 'unknown'
     assert "unknown" in by and set(by) == {"unknown", "app", "store", "web"}
+
+
+def test_ffd_packing_bounds(spark, sf_dir):
+    rows = _QS["ffd_packing_report"](spark, sf_dir).collect()
+    assert rows
+    total_bins = total_lb = 0
+    for r in rows:
+        # FFD can never beat the volume lower bound, and never exceeds
+        # one-bin-per-doc
+        assert r.lower_bound_bins <= r.n_bins <= r.n_docs
+        assert 0 < r.fill_e6 <= 1_000_000
+        total_bins += r.n_bins
+        total_lb += r.lower_bound_bins
+    # Johnson's FFD guarantee vs OPT >= volume lower bound, checked in
+    # aggregate (9*FFD <= 11*OPT + 6, per shard summed over shards)
+    assert 9 * total_bins <= 11 * total_lb + 6 * len(rows)
