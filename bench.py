@@ -167,7 +167,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
         [
             "association_rules",
             "item_item_similarity",
+            # round-7: the L5 co-purchase store read paths (the plan a
+            # deployment serves; self-contained twins stay as the
+            # ingest-cost regression guards)
+            "item_item_similarity_from_store",
             "recsys_hitrate_eval",
+            "recsys_hitrate_eval_from_store",
             "triangle_participation",
             "adamic_adar_links",
             "label_propagation_seeded",
@@ -194,6 +199,7 @@ _FAMILY_STORES: dict[str, list[str]] = {
     "search": ["ensure_bm25_index_store"],
     "dedup": ["ensure_simhash_store"],
     "vector": ["ensure_srp_store", "ensure_pq_store"],
+    "graphrec": ["ensure_copurchase_store"],
 }
 
 

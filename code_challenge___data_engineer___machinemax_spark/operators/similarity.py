@@ -397,7 +397,7 @@ def signed_round_div(a: str, scale: int, m: str, div: str) -> str:
 
 
 def power_iteration_top_component(
-    df: DataFrame, vec_col: str, rounds: int = 3
+    df: DataFrame, vec_col: str, rounds: int = 3, dim: int = 64
 ) -> DataFrame:
     """k-step power iteration for the top principal direction of the
     CENTERED vector corpus, in exact int64 fixed-point (the
@@ -413,12 +413,23 @@ def power_iteration_top_component(
     test for the anisotropic case, verified against numpy).
 
     The covariance is never materialized: each round is x(x.v) — one
-    vector-keyed dot pass, one dim-keyed accumulation, 64-row frames
+    vector-keyed dot pass, one dim-keyed accumulation, dim-row frames
     broadcast back. el (vec, dim, x) is the reused iterative state,
-    checkpointed once like label_propagation's edge list."""
+    checkpointed once like label_propagation's edge list.
+
+    ``dim`` must equal the vector width: the start vector is built as a
+    dim-row range, so a wider input would silently project onto the first
+    ``dim`` coordinates — every row is therefore width-checked inline
+    (raise_error, not a silent dim-join drop)."""
+    checked = (
+        f"CASE WHEN size({vec_col}) = {dim} THEN {vec_col}"
+        f" ELSE raise_error(concat('power_iteration_top_component:"
+        f" expected {dim}-dim vectors, got ',"
+        f" CAST(size({vec_col}) AS STRING))) END"
+    )
     q = df.select(
         F.expr(
-            f"transform({vec_col},"
+            f"transform({checked},"
             " v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
         ).alias("qv"),
     ).withColumn("__rid", F.monotonically_increasing_id())
@@ -433,7 +444,7 @@ def power_iteration_top_component(
         .select("__rid", "dim", (F.col("val") - F.col("c")).alias("x"))
         .localCheckpoint()
     )
-    v = df.sparkSession.range(64).select(
+    v = df.sparkSession.range(dim).select(
         F.col("id").cast("int").alias("dim"),
         F.lit(10000).cast("bigint").alias("v"),
     )

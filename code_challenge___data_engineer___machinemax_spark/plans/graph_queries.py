@@ -221,14 +221,16 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted links.
 
     Scale: wedges are enumerated from the undirected adjacency list by a
-    self-equi-join on the shared neighbor (fan-out deg(w)² per node — the
-    hub-explosion knob; at 100 TB the hot-node cap idiom from
-    operators/dedup.py bounds it, and the support floor already prunes
-    the long tail). The degree table is node-dimension sized and
-    broadcast; existing edges are removed with an anti-join on the
-    canonical (u, v) pair key. Per-wedge contributions are trunc-scaled
-    BEFORE the int64 sum, so aggregation order cannot perturb the
-    result."""
+    self-equi-join on the shared neighbor — fan-out deg(w)² per node, and
+    deg is STRUCTURALLY bounded at mutual_top_k = 16 because the input is
+    ``_edges``' mutual top-16 graph (an edge survives only if EACH
+    endpoint ranks the other ≤ 16, so no node keeps more than 16
+    incident edges), making wedge volume ≤ 16²/2 per node at any corpus
+    size — the bound is already implemented, not a deferred 100 TB knob. The degree table is
+    node-dimension sized and broadcast; existing edges are removed with
+    an anti-join on the canonical (u, v) pair key. Per-wedge
+    contributions are trunc-scaled BEFORE the int64 sum, so aggregation
+    order cannot perturb the result."""
     edges = _edges(spark, sf_dir)
     und = edges.select(F.col("x").alias("n"), F.col("y").alias("nb")).unionAll(
         edges.select(F.col("y").alias("n"), F.col("x").alias("nb"))

@@ -24,6 +24,22 @@ from .registry import query
 _BUDGET = 512
 
 
+def _shard_col(sub_shards: int):
+    """The packing families' skew knob (VERDICT r6 #2): a deterministic
+    hash-salt sub-shard key — pmod(xxhash64(doc_id), k) — that bounds the
+    per-fold list / per-window-partition width at ~1/k of the source
+    instead of the whole source (the `shuffle_shard_order` sharding
+    idiom). At 100 TB a single hot source (billions of docs) is otherwise
+    ONE straggler window partition / ONE executor-killing array cell; with
+    the salt, each (source, sub_shard) packs independently and the report
+    rolls the shards back up per source. sub_shards=1 collapses to a
+    constant key — the exact single-sequence-per-source contract the
+    oracles check."""
+    if sub_shards <= 1:
+        return F.lit(0)
+    return F.pmod(F.xxhash64("doc_id"), F.lit(sub_shards))
+
+
 @query(
     "context_window_packing",
     oracle=f"""
@@ -48,12 +64,15 @@ _BUDGET = 512
            CAST(SUM(CASE WHEN last_win > first_win THEN 1 ELSE 0 END)
                 AS BIGINT) AS split_docs,
            CAST(SUM(n_tok) * 1000000
-                // (((MAX(cum) + {_BUDGET} - 1) // {_BUDGET}) * {_BUDGET})
+                // (greatest((MAX(cum) + {_BUDGET} - 1) // {_BUDGET}, 1)
+                    * {_BUDGET})
                 AS BIGINT) AS fill_e6
     FROM marked GROUP BY source ORDER BY source
     """,
 )
-def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def context_window_packing(
+    spark: SparkSession, sf_dir: str, *, sub_shards: int = 1
+) -> DataFrame:
     """Sequence packing by concat-and-split (the GPT-style pretraining
     batch prep): per source shard, documents are concatenated in doc_id
     order and the token stream is split every 512 tokens. Reports, per
@@ -71,39 +90,57 @@ def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     flooring // disagree).
 
     Scale: packing is embarrassingly parallel across shards — the prefix
-    sum partitions by source (at 100 TB: by source x file-split, exactly
-    how trainers shard packing). One window-function pass + one per-source
-    aggregate; nothing wider than a shard's doc list is ever ordered, and
-    the output is dimension-sized. Cites reference index.py:190-212 (the
-    batch ledger this generalizes)."""
+    sum partitions by (source, sub_shard). ``sub_shards`` is the skew
+    knob (see :func:`_shard_col`): at the default 1 the shard key is the
+    source alone (the oracle's contract — one packed stream per source);
+    a 100 TB run raises it so no window partition is ever wider than a
+    hash slice of the hottest source, and the per-source report is the
+    exact rollup of its shards (each shard contributes its own partial
+    final window, so n_windows can grow by at most sub_shards - 1 per
+    source). One window-function pass + a two-level aggregate; nothing
+    wider than a shard's doc list is ever ordered, and the output is
+    dimension-sized. fill_e6's divisor is clamped to >= 1 window so an
+    all-zero-token source degrades to 0, never NULL (ADVICE r6). Cites
+    reference index.py:190-212 (the batch ledger this generalizes)."""
     d = load_table(spark, sf_dir, "documents")
     lens = d.select(
-        "doc_id", "source", F.size(tokenize("text")).cast("bigint").alias("n_tok")
+        "doc_id",
+        "source",
+        _shard_col(sub_shards).alias("shard"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tok"),
     )
     cum = lens.withColumn(
-        "cum", F.sum("n_tok").over(W.partitionBy("source").orderBy("doc_id"))
+        "cum",
+        F.sum("n_tok").over(W.partitionBy("source", "shard").orderBy("doc_id")),
     )
     marked = cum.select(
         "source",
+        "shard",
         "n_tok",
         "cum",
         F.expr(f"(cum - n_tok) div {_BUDGET}").alias("first_win"),
         F.expr(f"(greatest(cum, 1) - 1) div {_BUDGET}").alias("last_win"),
     )
+    per_shard = marked.groupBy("source", "shard").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("n_tok").cast("bigint").alias("tt"),
+        F.expr(f"(MAX(cum) + {_BUDGET} - 1) div {_BUDGET}")
+        .cast("bigint")
+        .alias("nw"),
+        F.sum(F.when(F.col("last_win") > F.col("first_win"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sd"),
+    )
     return (
-        marked.groupBy("source")
+        per_shard.groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("total_tokens"),
-            F.expr(f"(MAX(cum) + {_BUDGET} - 1) div {_BUDGET}")
-            .cast("bigint")
-            .alias("n_windows"),
-            F.sum(F.when(F.col("last_win") > F.col("first_win"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("split_docs"),
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("tt").cast("bigint").alias("total_tokens"),
+            F.sum("nw").cast("bigint").alias("n_windows"),
+            F.sum("sd").cast("bigint").alias("split_docs"),
             F.expr(
-                f"SUM(n_tok) * 1000000"
-                f" div (((MAX(cum) + {_BUDGET} - 1) div {_BUDGET}) * {_BUDGET})"
+                f"SUM(tt) * 1000000"
+                f" div (greatest(SUM(nw), 1) * {_BUDGET})"
             )
             .cast("bigint")
             .alias("fill_e6"),
@@ -334,7 +371,9 @@ _FFD_STEP_SPARK = (
     FROM packed ORDER BY source
     """,
 )
-def ffd_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ffd_packing_report(
+    spark: SparkSession, sf_dir: str, *, sub_shards: int = 1
+) -> DataFrame:
     """First-fit-decreasing bin packing per source shard — the SPLIT-FREE
     packing alternative to `context_window_packing`: documents are never
     cut across windows (each bin holds whole documents padded to the 512
@@ -345,42 +384,60 @@ def ffd_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FFD guarantees <= 11/9 OPT + 6/9 bins, Johnson 1973).
 
     Distribution contract: bin packing is inherently sequential, so the
-    fold runs PER SHARD over that shard's length list — a per-source
+    fold runs PER SHARD over that shard's length list — a per-shard
     aggregate to a sorted array, then one aggregate() lambda fold
-    (identical list_reduce in the oracle). Shards pack independently at
-    100 TB exactly as trainers shard packing; the per-shard list is
-    memory-bounded by the shard, and the fold is O(docs x bins) with
-    both factors shard-local. Zero-token docs are excluded (they occupy
-    no window). All arithmetic is exact int64; both engines replay the
-    identical first-fit walk, so bin counts match bit-for-bit."""
+    (identical list_reduce in the oracle). ``sub_shards`` is the skew
+    knob (see :func:`_shard_col`): at the default 1 a shard is a whole
+    source (the oracle's contract); a 100 TB run raises it so the
+    collected array and the O(docs x bins) fold are bounded by a hash
+    slice of the hottest source, never the source itself, and the report
+    rolls shards back up per source (n_bins = sum of per-shard bins — a
+    valid whole-source packing, since shard-local bins are bins). Zero-
+    token docs are excluded (they occupy no window). All arithmetic is
+    exact int64; both engines replay the identical first-fit walk, so
+    bin counts match bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    lens = d.select(
-        "source", F.size(tokenize("text")).cast("bigint").alias("raw_tok")
-    ).filter(F.col("raw_tok") > 0).select(
-        "source", F.least(F.col("raw_tok"), F.lit(_BUDGET)).alias("n_tok")
+    lens = (
+        d.select(
+            "source",
+            _shard_col(sub_shards).alias("shard"),
+            F.size(tokenize("text")).cast("bigint").alias("raw_tok"),
+        )
+        .filter(F.col("raw_tok") > 0)
+        .select(
+            "source",
+            "shard",
+            F.least(F.col("raw_tok"), F.lit(_BUDGET)).alias("n_tok"),
+        )
     )
-    per_source = lens.groupBy("source").agg(
+    per_shard = lens.groupBy("source", "shard").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.reverse(F.sort_array(F.collect_list("n_tok"))).alias("items"),
     )
     step = _FFD_STEP_SPARK.format(B=_BUDGET)
-    packed = per_source.withColumn(
+    packed = per_shard.withColumn(
         "bins",
         F.expr(
             f"aggregate(items, CAST(array() AS ARRAY<BIGINT>),"
             f" (acc, x) -> {step})"
         ),
     )
-    return packed.select(
-        "source",
-        "n_docs",
-        "total_tokens",
-        F.size("bins").cast("bigint").alias("n_bins"),
-        F.expr(f"(total_tokens + {_BUDGET} - 1) div {_BUDGET}")
-        .cast("bigint")
-        .alias("lower_bound_bins"),
-        F.expr(f"total_tokens * 1000000 div (size(bins) * {_BUDGET})")
-        .cast("bigint")
-        .alias("fill_e6"),
-    ).orderBy("source")
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.size("bins")).cast("bigint").alias("n_bins"),
+            F.expr(f"(SUM(total_tokens) + {_BUDGET} - 1) div {_BUDGET}")
+            .cast("bigint")
+            .alias("lower_bound_bins"),
+            F.expr(
+                f"SUM(total_tokens) * 1000000"
+                f" div (SUM(size(bins)) * {_BUDGET})"
+            )
+            .cast("bigint")
+            .alias("fill_e6"),
+        )
+        .orderBy("source")
+    )

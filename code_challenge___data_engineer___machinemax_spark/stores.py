@@ -239,6 +239,64 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_copurchase_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the L9 co-purchase graph for the recsys/graph family —
+    the ingest-time artifact the graphrec queries were rebuilding per
+    query (the lineitem ⋈ orders join, the (u, i) dedup, and the
+    customer-keyed co-occurrence self-join were 5 of the family's 8
+    members' shared prefix). Five relations under one signature-keyed
+    root (signed by BOTH source tables, since the graph joins them):
+
+    - ``counts/``  (i, n)                 — item user-count dimension
+    - ``edges/``   (item_a, item_b, co)   — full-history co-purchase
+      graph, support >= 2, canonical item_a < item_b
+    - ``eval_lastpick/`` (u, held)        — leave-last-out held items
+    - ``eval_train/``    (u, i)           — leakage-free training matrix
+    - ``eval_edges/``    (item_a, item_b, co) — train-only co graph
+
+    Written stage-by-stage with parquet read-backs between stages, so the
+    fact-sized prefix executes exactly once per stage (no recompute tree);
+    eval artifacts depend on earlier ones through their on-disk copies."""
+    from .plans.recsys_queries import _cooccurrence, _last_pick, _order_lines
+
+    sig = hashlib.sha256(
+        (
+            _source_signature(sf_dir, "lineitem")
+            + _source_signature(sf_dir, "orders")
+        ).encode()
+    ).hexdigest()[:12]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(store_root(), tag, f"l9_copurchase_{sig}")
+    if not _ready(path):
+        ol = _order_lines(spark, sf_dir)
+        ui = ol.select("u", "i").distinct().localCheckpoint()
+        ui.groupBy("i").agg(F.count("*").cast("bigint").alias("n")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "counts"))
+        _cooccurrence(ui).write.mode("overwrite").parquet(
+            os.path.join(path, "edges")
+        )
+        _last_pick(ol).write.mode("overwrite").parquet(
+            os.path.join(path, "eval_lastpick")
+        )
+        lastpick = spark.read.parquet(os.path.join(path, "eval_lastpick"))
+        (
+            ol.join(lastpick, "u")
+            .filter(F.col("i") != F.col("held"))
+            .select("u", "i")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "eval_train"))
+        )
+        train = spark.read.parquet(os.path.join(path, "eval_train"))
+        _cooccurrence(train).write.mode("overwrite").parquet(
+            os.path.join(path, "eval_edges")
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_evolution_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a two-snapshot orders layout whose SCHEMA EVOLVED
     between writes — the ingest reality a long-lived 100 TB table faces:

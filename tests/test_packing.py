@@ -4,7 +4,14 @@ rate targets)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as mod
+from code_challenge___data_engineer___machinemax_spark.plans.packing_queries import (
+    _shard_col,
+    context_window_packing,
+    ffd_packing_report,
+)
 
 _QS = mod.queries()
 
@@ -18,6 +25,68 @@ def test_packing_conservation_and_fill_bounds(spark, sf_dir):
         # fill rate is (0, 1e6]; only the last window can be slack
         assert 0 < r.fill_e6 <= 1_000_000
         assert 0 <= r.split_docs <= r.n_docs
+
+
+def test_packing_sub_shard_knob_rollup_invariants(spark, sf_dir):
+    """The sub_shards skew knob (VERDICT r6 #2) must preserve the volume
+    columns exactly and can only add the per-shard partial final windows:
+    n_windows grows by at most sub_shards - 1 per source (sum-of-ceils vs
+    ceil-of-sum), and the fill stays a valid rate."""
+    base = {r.source: r for r in context_window_packing(spark, sf_dir).collect()}
+    k = 4
+    sharded = {
+        r.source: r
+        for r in context_window_packing(spark, sf_dir, sub_shards=k).collect()
+    }
+    assert set(base) == set(sharded)
+    for s, r in sharded.items():
+        b = base[s]
+        assert (r.n_docs, r.total_tokens) == (b.n_docs, b.total_tokens)
+        assert b.n_windows <= r.n_windows <= b.n_windows + (k - 1)
+        assert 0 < r.fill_e6 <= 1_000_000
+        assert 0 <= r.split_docs <= r.n_docs
+
+
+def test_ffd_sub_shard_knob_rollup_invariants(spark, sf_dir):
+    """Sharded FFD is still a valid whole-source packing: volumes and the
+    lower bound are shard-invariant, and the rolled-up bin count respects
+    the ceil(total/B) bound."""
+    base = {r.source: r for r in ffd_packing_report(spark, sf_dir).collect()}
+    sharded = {
+        r.source: r
+        for r in ffd_packing_report(spark, sf_dir, sub_shards=4).collect()
+    }
+    assert set(base) == set(sharded)
+    for s, r in sharded.items():
+        b = base[s]
+        assert (r.n_docs, r.total_tokens, r.lower_bound_bins) == (
+            b.n_docs,
+            b.total_tokens,
+            b.lower_bound_bins,
+        )
+        assert r.lower_bound_bins <= r.n_bins <= r.n_docs
+        assert 0 < r.fill_e6 <= 1_000_000
+
+
+def test_sub_shard_salt_bounds_planted_mega_source(spark):
+    """The knob's 100 TB contract: a planted mega-source's widest
+    (source, sub_shard) slice is a hash fraction of the source, never the
+    whole source — the shape that otherwise becomes one straggler window
+    partition / one executor-killing array cell."""
+    d = spark.range(2000).select(
+        F.lit("mega").alias("source"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+    )
+    k = 8
+    widths = [
+        r["count"]
+        for r in d.select(_shard_col(k).alias("shard"))
+        .groupBy("shard")
+        .count()
+        .collect()
+    ]
+    assert len(widths) == k
+    assert max(widths) <= 2 * 2000 // k
 
 
 def test_padding_report_waste_identity(spark, sf_dir):

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from code_challenge___data_engineer___machinemax_spark import plans
 from code_challenge___data_engineer___machinemax_spark.stores import (
     _source_signature,
+    ensure_copurchase_store,
     ensure_simhash_store,
     ensure_srp_store,
     srp_query_buckets,
@@ -46,6 +47,28 @@ def test_ann_store_topk_equals_self_contained(spark, sf_dir, store_env):
     stored = qs["ann_topk_lsh_from_store"](spark, sf_dir)
     fresh = qs["ann_topk_lsh"](spark, sf_dir)
     assert _rows(stored) == _rows(fresh)
+
+
+def test_copurchase_store_item_item_equals_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["item_item_similarity_from_store"](spark, sf_dir)
+    fresh = qs["item_item_similarity"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_copurchase_store_hitrate_equals_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["recsys_hitrate_eval_from_store"](spark, sf_dir)
+    fresh = qs["recsys_hitrate_eval"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_copurchase_ensure_is_idempotent(spark, sf_dir, store_env):
+    p1 = ensure_copurchase_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_copurchase_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
 
 
 def test_ensure_is_idempotent(spark, sf_dir, store_env):
