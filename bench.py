@@ -174,8 +174,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "recsys_hitrate_eval",
             "recsys_hitrate_eval_from_store",
             "triangle_participation",
+            "triangle_participation_from_store",
             "adamic_adar_links",
+            "adamic_adar_links_from_store",
             "label_propagation_seeded",
+            "label_propagation_seeded_from_store",
             "entity_resolution_blocked",
             "score_auc_eval",
         ],

@@ -21,11 +21,25 @@ established entropy idiom.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .registry import query
+
+
+def _stored_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutual-top-16 co-purchase edge list read from the persisted L9
+    store (``basket_edges/`` in ``stores.ensure_copurchase_store``) — the
+    ingest-time artifact the ``_from_store`` graph twins share. Identical
+    rows to :func:`_edges` by construction (the store writes that exact
+    DataFrame once per data signature)."""
+    from ..stores import ensure_copurchase_store
+
+    path = ensure_copurchase_store(spark, sf_dir)
+    return spark.read.parquet(os.path.join(path, "basket_edges"))
 
 # Shared oracle fragments for the co-purchase graph. _EDGES_RAW_SQL is
 # the support->=2 canonical edge list with its weight; _EDGES_SQL caps it
@@ -126,9 +140,8 @@ def _edges(
     )
 
 
-@query(
-    "triangle_participation",
-    oracle=f"""
+# shared by triangle_participation and its _from_store twin
+_TRIANGLE_ORACLE = f"""
     WITH edges AS ({_EDGES_SQL}
     ), tri AS (
         SELECT e1.x AS a, e1.y AS b, e2.y AS c
@@ -144,23 +157,12 @@ def _edges(
     FROM nodes GROUP BY part
     ORDER BY n_triangles DESC, part
     LIMIT 50
-    """,
-)
-def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation over the co-purchase graph: for
-    every part, how many closed triples it sits in (top-50) — the local
-    clustering signal behind community/cohesion analytics.
+    """
 
-    Scale: edges are stored id-oriented (x < y), so a triangle a<b<c is
-    enumerated exactly once as the wedge (a,b)+(b,c) closed by the
-    equi-join probe (a,c) — the standard oriented wedge-close that keeps
-    fan-out at sum(outdeg²) instead of the unoriented sum(deg²); the
-    production knob at 100 TB is re-orienting by (degree, id) so hubs get
-    small out-degrees, identical output. Every join is an equi-join on
-    node or (node, node) pair keys — co-partitioned shuffles, no
-    cartesian. The support floor bounds the edge list; per-node counts
-    come from a stack() explode of the (small) triangle set."""
-    edges = _edges(spark, sf_dir)
+
+def _triangle_report(edges: DataFrame) -> DataFrame:
+    """Oriented wedge-close tail shared by triangle_participation and its
+    _from_store twin."""
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.x") == F.col("e1.y"))
@@ -184,9 +186,39 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "adamic_adar_links",
-    oracle=f"""
+@query("triangle_participation", oracle=_TRIANGLE_ORACLE)
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-purchase graph: for
+    every part, how many closed triples it sits in (top-50) — the local
+    clustering signal behind community/cohesion analytics.
+
+    Scale: edges are stored id-oriented (x < y), so a triangle a<b<c is
+    enumerated exactly once as the wedge (a,b)+(b,c) closed by the
+    equi-join probe (a,c) — the standard oriented wedge-close that keeps
+    fan-out at sum(outdeg²) instead of the unoriented sum(deg²); the
+    production knob at 100 TB is re-orienting by (degree, id) so hubs get
+    small out-degrees, identical output. Every join is an equi-join on
+    node or (node, node) pair keys — co-partitioned shuffles, no
+    cartesian. The support floor bounds the edge list; per-node counts
+    come from a stack() explode of the (small) triangle set."""
+    return _triangle_report(_edges(spark, sf_dir))
+
+
+@query("triangle_participation_from_store", oracle=_TRIANGLE_ORACLE)
+def triangle_participation_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`triangle_participation` over the persisted L9 co-purchase store:
+    the basket self-join + mutual-top-16 ranking that derives the edge
+    list (the fact-sized prefix every graph query shares) ran once at
+    ingest; the query is the wedge-close joins over the edge-dimension
+    parquet relation only. Identical oracle to the self-contained twin
+    (the store caches the deterministic edge derivation)."""
+    return _triangle_report(_stored_edges(spark, sf_dir))
+
+
+# shared by adamic_adar_links and its _from_store twin
+_ADAMIC_ORACLE = f"""
     WITH edges AS ({_EDGES_SQL}
     ), und AS (
         SELECT x AS n, y AS nb FROM edges
@@ -212,26 +244,12 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM contrib GROUP BY u, v
     ORDER BY aa_score_e6 DESC, part_u, part_v
     LIMIT 50
-    """,
-)
-def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction on the co-purchase graph: for every
-    NON-adjacent part pair, sum 1/ln(deg(w)) over their common neighbors
-    w — rare shared neighbors count more — and report the top-50
-    predicted links.
+    """
 
-    Scale: wedges are enumerated from the undirected adjacency list by a
-    self-equi-join on the shared neighbor — fan-out deg(w)² per node, and
-    deg is STRUCTURALLY bounded at mutual_top_k = 16 because the input is
-    ``_edges``' mutual top-16 graph (an edge survives only if EACH
-    endpoint ranks the other ≤ 16, so no node keeps more than 16
-    incident edges), making wedge volume ≤ 16²/2 per node at any corpus
-    size — the bound is already implemented, not a deferred 100 TB knob. The degree table is
-    node-dimension sized and broadcast; existing edges are removed with
-    an anti-join on the canonical (u, v) pair key. Per-wedge
-    contributions are trunc-scaled BEFORE the int64 sum, so aggregation
-    order cannot perturb the result."""
-    edges = _edges(spark, sf_dir)
+
+def _adamic_adar_report(edges: DataFrame) -> DataFrame:
+    """Wedge-enumeration tail shared by adamic_adar_links and its
+    _from_store twin."""
     und = edges.select(F.col("x").alias("n"), F.col("y").alias("nb")).unionAll(
         edges.select(F.col("y").alias("n"), F.col("x").alias("nb"))
     )
@@ -268,6 +286,37 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score_e6"), "part_u", "part_v")
         .limit(50)
     )
+
+
+@query("adamic_adar_links", oracle=_ADAMIC_ORACLE)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: for every
+    NON-adjacent part pair, sum 1/ln(deg(w)) over their common neighbors
+    w — rare shared neighbors count more — and report the top-50
+    predicted links.
+
+    Scale: wedges are enumerated from the undirected adjacency list by a
+    self-equi-join on the shared neighbor — fan-out deg(w)² per node, and
+    deg is STRUCTURALLY bounded at mutual_top_k = 16 because the input is
+    ``_edges``' mutual top-16 graph (an edge survives only if EACH
+    endpoint ranks the other ≤ 16, so no node keeps more than 16
+    incident edges), making wedge volume ≤ 16²/2 per node at any corpus
+    size — the bound is already implemented, not a deferred 100 TB knob. The degree table is
+    node-dimension sized and broadcast; existing edges are removed with
+    an anti-join on the canonical (u, v) pair key. Per-wedge
+    contributions are trunc-scaled BEFORE the int64 sum, so aggregation
+    order cannot perturb the result."""
+    return _adamic_adar_report(_edges(spark, sf_dir))
+
+
+@query("adamic_adar_links_from_store", oracle=_ADAMIC_ORACLE)
+def adamic_adar_links_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`adamic_adar_links` over the persisted L9 co-purchase store: the
+    edge derivation ran once at ingest, so the plan is the wedge
+    self-join + broadcast degree join over the edge-dimension parquet
+    relation — the degree bound (mutual top-16) is baked into the stored
+    rows. Identical oracle to the self-contained twin."""
+    return _adamic_adar_report(_stored_edges(spark, sf_dir))
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
@@ -402,30 +451,9 @@ def _label_prop_oracle(rounds: int = 4, n_seeds: int = 8) -> str:
     return "".join(parts)
 
 
-@query("label_propagation_seeded", oracle=_label_prop_oracle())
-def label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded label propagation (multi-source BFS labeling) over the
-    co-purchase graph: the 8 highest-degree parts seed communities with
-    their own ids; 4 synchronous rounds later every reached node carries
-    the label of its NEAREST seed (ties: smallest label) — the
-    semi-supervised community assignment that complements the
-    unsupervised families (connected components, k-core, triangles).
-    Output is the community roster: label, member count, smallest
-    member, eccentricity of the reached set.
-
-    Determinism: the update rule is a lexicographic MIN over (dist,
-    label) pairs — associative/commutative, so partition order cannot
-    perturb the fixed point; the round bound is part of the semantics
-    (same contract as bellman_ford_hops).
-
-    Scale: a Pregel superstep per round — candidates = current states
-    UNION edge-join(states), reduced by a node-keyed min-of-struct
-    (partial map-side combine; no window, no row_number). The labeled
-    frontier is at most node-dimension sized; edges are built once and
-    localCheckpoint'd; each round is one co-partitioned equi-join +
-    one combine-enabled groupBy. At 100 TB the same loop runs over the
-    bucketed edge store (DEPLOY L1) with zero exchanges per round."""
-    edges = _edges(spark, sf_dir)
+def _label_prop_report(edges: DataFrame) -> DataFrame:
+    """Superstep tail shared by label_propagation_seeded and its
+    _from_store twin."""
     und = (
         edges.select(F.col("x").alias("n"), F.col("y").alias("nb"))
         .unionAll(edges.select(F.col("y").alias("n"), F.col("x").alias("nb")))
@@ -461,6 +489,44 @@ def label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("label_propagation_seeded", oracle=_label_prop_oracle())
+def label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (multi-source BFS labeling) over the
+    co-purchase graph: the 8 highest-degree parts seed communities with
+    their own ids; 4 synchronous rounds later every reached node carries
+    the label of its NEAREST seed (ties: smallest label) — the
+    semi-supervised community assignment that complements the
+    unsupervised families (connected components, k-core, triangles).
+    Output is the community roster: label, member count, smallest
+    member, eccentricity of the reached set.
+
+    Determinism: the update rule is a lexicographic MIN over (dist,
+    label) pairs — associative/commutative, so partition order cannot
+    perturb the fixed point; the round bound is part of the semantics
+    (same contract as bellman_ford_hops).
+
+    Scale: a Pregel superstep per round — candidates = current states
+    UNION edge-join(states), reduced by a node-keyed min-of-struct
+    (partial map-side combine; no window, no row_number). The labeled
+    frontier is at most node-dimension sized; edges are built once and
+    localCheckpoint'd; each round is one co-partitioned equi-join +
+    one combine-enabled groupBy. At 100 TB the same loop runs over the
+    bucketed edge store (DEPLOY L1) with zero exchanges per round."""
+    return _label_prop_report(_edges(spark, sf_dir))
+
+
+@query("label_propagation_seeded_from_store", oracle=_label_prop_oracle())
+def label_propagation_seeded_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`label_propagation_seeded` over the persisted L9 co-purchase
+    store: the supersteps' cost is plan depth, but the edge derivation
+    (basket self-join + mutual-kNN ranking) still dominated the wall —
+    from the store it is one parquet scan, and the round loop starts
+    immediately. Identical oracle to the self-contained twin."""
+    return _label_prop_report(_stored_edges(spark, sf_dir))
 
 
 def _walk_oracle_sql(n_walks: int = 2, n_steps: int = 4) -> str:

@@ -1,4 +1,5 @@
-"""Persisted-layout materialization (DEPLOY.md L3/L4) wired into queries.
+"""Persisted-layout materialization (DEPLOY.md L2/L3/L4/L9) wired into
+queries.
 
 The headline near-dup / ANN queries previously recomputed at query time
 what a production deployment materializes at ingest (VERDICT r4
@@ -253,15 +254,22 @@ def ensure_copurchase_store(spark: SparkSession, sf_dir: str) -> str:
     - ``eval_lastpick/`` (u, held)        — leave-last-out held items
     - ``eval_train/``    (u, i)           — leakage-free training matrix
     - ``eval_edges/``    (item_a, item_b, co) — train-only co graph
+    - ``basket_edges/``  (x, y)           — the BASKET-keyed (per-order)
+      mutual-top-16 graph the graph-analytics family rides
+      (``graph_queries._edges``): wedge/superstep consumers read this
 
     Written stage-by-stage with parquet read-backs between stages, so the
     fact-sized prefix executes exactly once per stage (no recompute tree);
-    eval artifacts depend on earlier ones through their on-disk copies."""
+    eval artifacts depend on earlier ones through their on-disk copies.
+    The layout version participates in the signature, so extending the
+    relation set can never serve a store written by older code."""
+    from .plans.graph_queries import _edges
     from .plans.recsys_queries import _cooccurrence, _last_pick, _order_lines
 
     sig = hashlib.sha256(
         (
-            _source_signature(sf_dir, "lineitem")
+            "v2;"
+            + _source_signature(sf_dir, "lineitem")
             + _source_signature(sf_dir, "orders")
         ).encode()
     ).hexdigest()[:12]
@@ -291,6 +299,9 @@ def ensure_copurchase_store(spark: SparkSession, sf_dir: str) -> str:
         train = spark.read.parquet(os.path.join(path, "eval_train"))
         _cooccurrence(train).write.mode("overwrite").parquet(
             os.path.join(path, "eval_edges")
+        )
+        _edges(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(path, "basket_edges")
         )
         with open(os.path.join(path, "_SUCCESS"), "w"):
             pass

@@ -63,6 +63,18 @@ def test_copurchase_store_hitrate_equals_self_contained(spark, sf_dir, store_env
     assert _rows(stored) == _rows(fresh)
 
 
+def test_copurchase_store_graph_twins_equal_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    for base in (
+        "triangle_participation",
+        "adamic_adar_links",
+        "label_propagation_seeded",
+    ):
+        assert _rows(qs[f"{base}_from_store"](spark, sf_dir)) == _rows(
+            qs[base](spark, sf_dir)
+        ), base
+
+
 def test_copurchase_ensure_is_idempotent(spark, sf_dir, store_env):
     p1 = ensure_copurchase_store(spark, sf_dir)
     mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
