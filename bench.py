@@ -157,6 +157,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "pq_adc_topk_from_store",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
+            # round-7: the L10 cluster-assignment store read path (the
+            # plan a SemDeDup deployment serves; the self-contained twin
+            # stays as the ingest-cost regression guard)
+            "semantic_dedup_pairs_from_store",
             # round-6: the fixed-point power-iteration PCA (3 rounds of
             # vec-keyed dot + dim-keyed accumulate; 5x wall at 10x rows)
             "pca_top_component",
@@ -201,7 +205,7 @@ HEADLINE: list[str] = [q for _, _members in FAMILIES for q in _members]
 _FAMILY_STORES: dict[str, list[str]] = {
     "search": ["ensure_bm25_index_store"],
     "dedup": ["ensure_simhash_store"],
-    "vector": ["ensure_srp_store", "ensure_pq_store"],
+    "vector": ["ensure_srp_store", "ensure_pq_store", "ensure_semantic_kmeans_store"],
     "graphrec": ["ensure_copurchase_store"],
 }
 

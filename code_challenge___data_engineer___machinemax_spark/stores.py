@@ -308,6 +308,37 @@ def ensure_copurchase_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_semantic_kmeans_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the L10 semantic-cluster assignment for ``embeddings``:
+    ``assigned/`` = (vec_id, qv, centroid_id) after the fixed-point
+    k-means (k=8, 2 assign+update rounds + final assignment) — the
+    iterative broadcast-score / argmin / posexplode-mean loop that
+    dominates ``semantic_dedup_pairs``' wall. SemDeDup clusters once per
+    corpus snapshot and serves every dedup threshold from the stored
+    assignment; the pairing tail
+    (operators.clustering.semantic_pairs_from_assigned) reads ONLY this
+    relation. Partitioned by centroid_id so a per-cluster consumer prunes
+    to its own list, like the L3 IVF layout."""
+    from .operators.clustering import kmeans_fixed_point
+
+    path = _store_path(sf_dir, "embeddings", "l10_semantic_kmeans_k8_i2")
+    if not _ready(path):
+        e = load_table(spark, sf_dir, "embeddings")
+        quant = F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT))"
+        )
+        assigned = kmeans_fixed_point(e, "vec_id", "embedding", k=8, iters=2).select(
+            "vec_id", "centroid_id"
+        )
+        aq = assigned.join(e.select("vec_id", quant.alias("qv")), "vec_id")
+        aq.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(path, "assigned")
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_evolution_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a two-snapshot orders layout whose SCHEMA EVOLVED
     between writes — the ingest reality a long-lived 100 TB table faces:

@@ -15,6 +15,7 @@ from code_challenge___data_engineer___machinemax_spark import plans
 from code_challenge___data_engineer___machinemax_spark.stores import (
     _source_signature,
     ensure_copurchase_store,
+    ensure_semantic_kmeans_store,
     ensure_simhash_store,
     ensure_srp_store,
     srp_query_buckets,
@@ -228,3 +229,28 @@ def test_pq_store_adc_equals_self_contained_and_scans_codes_only(
     # the corpus side comes from the parquet codes store
     assert "l3_pq" in txt
     assert txt.count("embeddings.parquet") <= 1
+
+
+def test_semantic_kmeans_store_pairs_equal_self_contained(spark, sf_dir, store_env):
+    qs = plans.all_queries()
+    stored = qs["semantic_dedup_pairs_from_store"](spark, sf_dir)
+    fresh = qs["semantic_dedup_pairs"](spark, sf_dir)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_semantic_kmeans_store_reads_assignment_not_vectors(spark, sf_dir, store_env):
+    """The stored-assignment pairing plan must read the L10 relation, never
+    re-scan the embeddings vectors (the k-means rounds ran at ingest)."""
+    qs = plans.all_queries()
+    df = qs["semantic_dedup_pairs_from_store"](spark, sf_dir)
+    txt = explain_text(df)
+    assert "l10_semantic_kmeans" in txt
+    assert "embeddings.parquet" not in txt
+
+
+def test_semantic_kmeans_ensure_is_idempotent(spark, sf_dir, store_env):
+    p1 = ensure_semantic_kmeans_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_semantic_kmeans_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
