@@ -85,6 +85,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "q18_large_orders",
             "q21_waiting_suppliers",
             "pit_priority_revenue",
+            # round-7: the mergeable equi-width quantile sketch (sub-sketch
+            # build + count-sum merge + cumulative read, all on lineitem)
+            "quantile_bin_sketch",
         ],
     ),
     (
@@ -121,6 +124,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "simhash_near_dup_pairs_from_store",
             "simhash_incremental_admission",
             "cdc_chunk_dedup_report",
+            # round-7: the ExactSubstr coverage signal (gram-keyed
+            # dup-set join — the heaviest text shuffle shape)
+            "repeated_ngram_coverage",
         ],
     ),
     (
@@ -155,6 +161,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "ann_recall_eval",
             "pq_adc_topk",
             "pq_adc_topk_from_store",
+            # round-7: the composed IVF-PQ probe (coarse prune + ADC)
+            "ivf_pq_topk",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
             # round-7: the L10 cluster-assignment store read path (the

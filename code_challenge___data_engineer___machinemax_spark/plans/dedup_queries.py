@@ -991,3 +991,88 @@ def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "repeated_ngram_coverage",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({shingles_sql('text', 5)}) AS gram
+        FROM documents
+    ),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM g LEFT JOIN dup d USING (gram)
+        GROUP BY g.doc_id
+    ),
+    per_source AS (
+        SELECT doc.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(p.n_dup) AS BIGINT) AS n_dup_grams
+        FROM per_doc p JOIN documents doc USING (doc_id)
+        GROUP BY doc.source
+    )
+    SELECT source, n_docs, n_grams, n_dup_grams,
+           (n_dup_grams * 1000000) // n_grams AS coverage_ppm
+    FROM per_source
+    """,
+)
+def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ExactSubstr dedup *coverage* — the removal-volume signal
+    (Lee et al. 2022): for every 5-token gram occurrence, is that gram
+    shared with at least one other document? `repeated_passages` mines
+    WHAT the shared passages are; this measures HOW MUCH of each source
+    an ExactSubstr-style cut would remove (n_dup_grams / n_grams, as an
+    exact parts-per-million integer) — the number a curation pipeline
+    reads before deciding whether a source is boilerplate-heavy enough to
+    need substring dedup at all. Documents shorter than 5 tokens have no
+    grams and drop out of n_docs (identical both engines).
+
+    Scale: one linear shingle explode (operators/dedup.py::shingle_rows,
+    never the quadratic nested-lambda form); the dup-gram set is a
+    two-phase countDistinct on the gram key, and the membership mark is
+    an equi-join of the gram stream against that set on the same key —
+    the canonical ExactSubstr shuffle, partial-aggregated map-side on
+    both sides. Per-doc totals reduce before the source dimension join,
+    so the source join is doc-keyed, not gram-keyed. At 100 TB the join
+    key would be a 128-bit gram hash instead of the raw string (same
+    discipline the line-level dedup pins); the raw-string key keeps the
+    oracle twin byte-identical here."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(d, "doc_id", "text", k=5).withColumnRenamed(
+        "shingle", "gram"
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram", F.lit(1).alias("__is_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__is_dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_dup").cast("bigint").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "coverage_ppm", F.expr("(n_dup_grams * 1000000) div n_grams")
+        )
+    )

@@ -1283,3 +1283,96 @@ def ann_topk_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.similarity import ann_topk_lsh_multiprobe
 
     return ann_topk_lsh_multiprobe(e, _query_df(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+@query(
+    "ivf_pq_topk",
+    oracle=_PQ_ORACLE_PREFIX
+    + """
+    , coarse AS (
+        SELECT vec_id AS list_id, m, pos, qv FROM parts
+        WHERE vec_id BETWEEN 1 AND 8
+    ), cdist AS (
+        SELECT p.vec_id, c.list_id,
+               SUM((p.qv - c.qv) * (p.qv - c.qv)) AS d
+        FROM parts p JOIN coarse c ON c.m = p.m AND c.pos = p.pos
+        GROUP BY 1, 2
+    ), cassign AS (
+        SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, list_id) AS rn
+            FROM cdist WHERE vec_id <> 0)
+        WHERE rn = 1
+    ), qprobe AS (
+        SELECT list_id FROM cdist WHERE vec_id = 0 ORDER BY d, list_id LIMIT 2
+    ), qtab AS (SELECT m, code_id, d FROM dists WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+        FROM assign a
+        JOIN cassign ca ON ca.vec_id = a.vec_id
+        JOIN qprobe qp ON qp.list_id = ca.list_id
+        JOIN qtab q ON q.m = a.m AND q.code_id = a.code_id
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index probe — the FAISS `IVFx,PQy` architecture
+    (Jegou et al., PAMI 2011) that `ivf_topk` (coarse pruning, exact
+    rescoring) and `pq_adc_topk` (full-corpus ADC scan) each pin half of:
+    an 8-list coarse quantizer prunes the corpus to the query's nprobe=2
+    nearest inverted lists, then PQ asymmetric distances rank ONLY those
+    lists' vectors — at a billion vectors neither half is deployable
+    alone (exact rescoring reads floats; un-pruned ADC touches every
+    code). Non-residual variant (codes encode the raw vectors, FAISS
+    `by_residual=false`), keeping both quantizers data-defined and exact:
+    coarse centroids are the quantized vectors of ids 1-8, the PQ
+    codebook the subvectors of ids 1-16, every distance an int64 sum —
+    so the DuckDB oracle replays coarse assign + probe + ADC bit-exactly.
+
+    Scale: the coarse codebook (8 x 64 components) and the PQ distance
+    table (8 x 16) broadcast; corpus-side work is one broadcast-join
+    partial-agg per quantizer keyed on (vec_id, subspace) and an argmin
+    window over 8 rows per vector; the ADC scan is list-pruned by a
+    semi-join on the coarse assignment (in the stored layout —
+    stores.py L3 — that pruning is a partition filter, as
+    `ivf_topk_from_store` demonstrates). Top-10 is
+    TakeOrderedAndProject. tests/test_similarity.py pins containment:
+    the IVF-PQ result equals the full ADC ranking restricted to probed
+    lists."""
+    from ..operators.similarity import pq_adc_topk as adc_topk
+    from ..operators.similarity import pq_assign, pq_subspace_distances
+
+    parts, codebook = _pq_codebook_and_parts(spark, sf_dir)
+    coarse = parts.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("list_id"), "m", "pos", F.col("qv").alias("lv")
+    )
+    diff = F.col("qv") - F.col("lv")
+    cdist = (
+        parts.join(F.broadcast(coarse), ["m", "pos"])
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "list_id")
+    cassign = (
+        cdist.filter(F.col("vec_id") != 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    probes = [
+        r.list_id
+        for r in cdist.filter(F.col("vec_id") == 0)
+        .orderBy("d", "list_id")
+        .limit(2)
+        .collect()
+    ]
+    corpus = parts.filter(F.col("vec_id") != 0)
+    codes = pq_assign(corpus, codebook, "vec_id")
+    cand = cassign.filter(F.col("list_id").isin(probes)).select("vec_id")
+    qtab = pq_subspace_distances(
+        parts.filter(F.col("vec_id") == 0), codebook, "vec_id"
+    ).select("m", "code_id", "d")
+    return adc_topk(codes.join(cand, "vec_id", "left_semi"), qtab, "vec_id", k=10)

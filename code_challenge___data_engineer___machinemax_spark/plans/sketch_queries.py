@@ -520,3 +520,106 @@ def hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "quantile_bin_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               strftime(l_shipdate, '%Y-%m') AS shard,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                   // 51200 AS bin
+        FROM lineitem
+    ),
+    sub AS (
+        SELECT l_returnflag, shard, bin, COUNT(*) AS c
+        FROM b GROUP BY l_returnflag, shard, bin
+    ),
+    sk AS (
+        SELECT l_returnflag, bin, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM sub GROUP BY l_returnflag, bin
+    ),
+    cum AS (
+        SELECT l_returnflag, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+        FROM sk
+    ),
+    tot AS (
+        SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM sk GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           MAX(t.n_rows) AS n_rows,
+           MAX(t.n_bins) AS n_bins,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 50 + 99) // 100
+                         THEN c.bin END) * 51200 AS BIGINT) AS p50_lo_cents,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 90 + 99) // 100
+                         THEN c.bin END) * 51200 AS BIGINT) AS p90_lo_cents,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 99 + 99) // 100
+                         THEN c.bin END) * 51200 AS BIGINT) AS p99_lo_cents
+    FROM cum c JOIN tot t USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch — the quantile member of the
+    sketch family (HLL registers, CMS cells, KMV synopses, Bloom bits,
+    and now equi-width histogram bins, all under the exact value gate):
+    per return flag, bin l_extendedprice into $512 buckets (exact cents
+    // 51200, positive so floor == trunc), build per-(flag, ship-month)
+    sub-sketches, merge them by summing counts — the shard-level build +
+    register-merge that makes a sketch deployable across 100 TB of
+    ingest waves — and read p50/p90/p99 as the lower edge of the first
+    bin whose cumulative count reaches ceil(q*n/100). Estimate error is
+    structurally <= one bin width ($512), the classic equi-width
+    histogram bound; `approx_order_percentiles` covers the engine's
+    built-in KLL-style estimator, this pins the sketch math itself.
+
+    Scale: the sub-sketch agg partial-reduces map-side to at most
+    (flags x months x bins) rows before its only shuffle; the merge and
+    the cumulative-sum window run over the KB-sized sketch (bins per
+    flag ~ price-range/512), never the fact table. Merging two corpora's
+    sketches is the same count-sum — associative like the HLL
+    register max (`hll_register_rollup` pins that law where it is
+    non-trivial; for sums it holds by construction)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("shard"),
+        F.expr(
+            "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) div 51200"
+        ).alias("bin"),
+    )
+    sub = base.groupBy("l_returnflag", "shard", "bin").agg(F.count("*").alias("c"))
+    sk = sub.groupBy("l_returnflag", "bin").agg(
+        F.sum("c").cast("bigint").alias("cnt")
+    )
+    cum = sk.withColumn(
+        "cum", F.sum("cnt").over(W.partitionBy("l_returnflag").orderBy("bin"))
+    )
+    tot = sk.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+
+    def lo(q: int):
+        target = F.expr(f"(n_rows * {q} + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= target, F.col("bin"))) * 51200
+        ).cast("bigint")
+
+    return (
+        cum.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_bins").alias("n_bins"),
+            lo(50).alias("p50_lo_cents"),
+            lo(90).alias("p90_lo_cents"),
+            lo(99).alias("p99_lo_cents"),
+        )
+    )

@@ -42,7 +42,7 @@ PAIR_EMITTING = {
 # the fixed-k registered query at 100x the vectors measures quadratic
 # within-cluster pairing the operator contract says to avoid. SCALE.md's
 # k-scaling section measures the operator at the replica with k scaled.
-FIXED_PARAM = {"semantic_dedup_pairs"}
+FIXED_PARAM = {"semantic_dedup_pairs", "semantic_dedup_pairs_from_store"}
 
 
 def main() -> None:

@@ -440,3 +440,27 @@ def test_hll_rollup_merge_law_holds(spark, sf_dir):
         assert r.n_mismatch == 0, f"week {r.week}: merged != direct"
         assert r.sum_rho_direct == r.sum_rho_merged
         assert 0 < r.n_regs <= 256
+
+
+def test_quantile_bin_sketch_brackets_exact_quantiles(spark, sf_dir):
+    """Each reported bin lower edge must sit within one bin width ($512 =
+    51200 cents) at or below the exact quantile — the structural error
+    bound of an equi-width histogram sketch — and the per-flag estimates
+    must be monotone in q."""
+    import math
+
+    rows = {r.l_returnflag: r for r in _QS["quantile_bin_sketch"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    prices = {}
+    for rec in li.select("l_returnflag", "l_extendedprice").collect():
+        prices.setdefault(rec.l_returnflag, []).append(
+            math.floor(float(rec.l_extendedprice) * 100)
+        )
+    assert set(rows) == set(prices)
+    for flag, r in rows.items():
+        vals = sorted(prices[flag])
+        assert r.n_rows == len(vals)
+        assert r.p50_lo_cents <= r.p90_lo_cents <= r.p99_lo_cents
+        for q, lo in ((50, r.p50_lo_cents), (90, r.p90_lo_cents), (99, r.p99_lo_cents)):
+            exact = vals[math.ceil(q * len(vals) / 100) - 1]
+            assert lo <= exact < lo + 51200, (flag, q, lo, exact)

@@ -295,3 +295,55 @@ def test_multiprobe_candidates_contain_single_probe(spark, sf_dir):
     # scores are exact cosines over the candidate pool: sorted desc
     cosines = [r.cosine for r in multi_rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_pq_equals_probed_subset_of_full_adc(spark, sf_dir):
+    """IVF-PQ must return exactly the full-corpus ADC ranking restricted to
+    the nprobe=2 probed lists, truncated to 10 — pruning changes which
+    vectors are scored, never how they rank (docstring containment pin)."""
+    from code_challenge___data_engineer___machinemax_spark import plans
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+        pq_components,
+        pq_subspace_distances,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = pq_components(e, "embedding", "vec_id", sub_dim=8, scale=10000)
+    codebook = parts.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("code_id"), "m", "pos", F.col("qv").alias("cv")
+    )
+    codes = pq_assign(parts.filter(F.col("vec_id") != 0), codebook, "vec_id")
+    qtab = pq_subspace_distances(
+        parts.filter(F.col("vec_id") == 0), codebook, "vec_id"
+    ).select("m", "code_id", "d")
+    full = pq_adc_topk(codes, qtab, "vec_id", k=10**6).collect()
+
+    # coarse assignment: nearest of the 8 list centroids (= quantized
+    # vectors of ids 1-8), ties to the lowest list id — same as the query
+    coarse = parts.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("list_id"), "m", "pos", F.col("qv").alias("lv")
+    )
+    diff = F.col("qv") - F.col("lv")
+    cdist = (
+        parts.join(F.broadcast(coarse), ["m", "pos"])
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum(diff * diff).alias("d"))
+        .collect()
+    )
+    best: dict[int, tuple] = {}
+    for r in cdist:
+        key = (r.d, r.list_id)
+        if r.vec_id not in best or key < best[r.vec_id]:
+            best[r.vec_id] = key
+    qd = sorted((r.d, r.list_id) for r in cdist if r.vec_id == 0)
+    probes = [lid for _, lid in qd[:2]]
+    member = {v for v, (_, lid) in best.items() if v != 0 and lid in probes}
+
+    expect = [(r.vec_id, r.adc_dist) for r in full if r.vec_id in member][:10]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in plans.all_queries()["ivf_pq_topk"](spark, sf_dir).collect()
+    ]
+    assert got == expect
