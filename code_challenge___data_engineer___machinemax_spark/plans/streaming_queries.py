@@ -1134,3 +1134,99 @@ def streamed_mask_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "streamed_quantile_sketch_monitor",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) // 1600 AS bin
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM sk
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM sk GROUP BY event_type
+    )
+    SELECT c.event_type,
+           MAX(t.n_rows) AS n_rows,
+           MAX(t.n_bins) AS n_bins,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 50 + 99) // 100
+                         THEN c.bin END) * 1600 AS BIGINT) AS p50_lo_cents,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 90 + 99) // 100
+                         THEN c.bin END) * 1600 AS BIGINT) AS p90_lo_cents,
+           CAST(MIN(CASE WHEN c.cum >= (t.n_rows * 99 + 99) // 100
+                         THEN c.bin END) * 1600 AS BIGINT) AS p99_lo_cents
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def streamed_quantile_sketch_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING equi-width quantile sketch: the (event_type, $16-bin)
+    count table is maintained as complete-mode streaming aggregation state
+    over micro-batched event waves — the latency-percentile monitor an
+    ingest pipeline runs on a value stream. The only stream state is the
+    fixed bin table (types x ~31 bins, KB-sized forever), and bin counts
+    merge by summation, so the cross-batch state equals the batch sketch
+    exactly — the streaming twin of `quantile_bin_sketch`'s shard-merge
+    law, with the micro-batch boundary as the shard. The p50/p90/p99
+    read (cumulative counts over the finished state) runs batch-side;
+    values are positive cents so floor == trunc cross-engine."""
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_qsk_")
+    stream = _event_wave_stream(spark, sf_dir, base)
+    sk_agg = (
+        stream.select(
+            "event_type",
+            F.expr(
+                "CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) div 1600"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..streaming.events import run_to_memory
+
+    run_to_memory(sk_agg, "ccdem_streamed_qsk", "complete")
+    sk = (
+        spark.sql("SELECT event_type, bin, CAST(cnt AS BIGINT) AS cnt FROM ccdem_streamed_qsk")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    from pyspark.sql import Window as W
+
+    cum = sk.withColumn(
+        "cum", F.sum("cnt").over(W.partitionBy("event_type").orderBy("bin"))
+    )
+    tot = sk.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+
+    def lo(q: int):
+        target = F.expr(f"(n_rows * {q} + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= target, F.col("bin"))) * 1600
+        ).cast("bigint")
+
+    return (
+        cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_bins").alias("n_bins"),
+            lo(50).alias("p50_lo_cents"),
+            lo(90).alias("p90_lo_cents"),
+            lo(99).alias("p99_lo_cents"),
+        )
+    )
