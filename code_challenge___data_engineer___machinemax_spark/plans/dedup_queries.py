@@ -1040,10 +1040,13 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join of the gram stream against that set on the same key —
     the canonical ExactSubstr shuffle, partial-aggregated map-side on
     both sides. Per-doc totals reduce before the source dimension join,
-    so the source join is doc-keyed, not gram-keyed. At 100 TB the join
-    key would be a 128-bit gram hash instead of the raw string (same
-    discipline the line-level dedup pins); the raw-string key keeps the
-    oracle twin byte-identical here."""
+    so the source join is doc-keyed, not gram-keyed. The gram stream is
+    exploded twice (dup-set build, membership mark) — both linear; a
+    deployment materializes the gram table once at ingest (the L4
+    fingerprint-table discipline) and both branches read it. At 100 TB
+    the join key would be a 128-bit gram hash instead of the raw string
+    (same discipline the line-level dedup pins); the raw-string key keeps
+    the oracle twin byte-identical here."""
     from ..operators.dedup import shingle_rows
 
     d = load_table(spark, sf_dir, "documents")

@@ -595,8 +595,13 @@ def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     )
     sub = base.groupBy("l_returnflag", "shard", "bin").agg(F.count("*").alias("c"))
-    sk = sub.groupBy("l_returnflag", "bin").agg(
-        F.sum("c").cast("bigint").alias("cnt")
+    # the merged sketch is KB-sized and fans out to both the cumulative
+    # read and the totals — checkpoint it so the fact scan runs ONCE
+    # (without this the cum and tot branches each re-scan lineitem)
+    sk = (
+        sub.groupBy("l_returnflag", "bin")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .localCheckpoint()
     )
     cum = sk.withColumn(
         "cum", F.sum("cnt").over(W.partitionBy("l_returnflag").orderBy("bin"))
