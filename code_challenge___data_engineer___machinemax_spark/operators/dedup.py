@@ -136,8 +136,14 @@ def lsh_candidate_pairs(
     through its other, non-boilerplate bands (OR amplification); exact
     dedup upstream is the right tool for the identical-text mass in a hot
     bucket. AQE skew-join remains on for moderate skew below the cap.
+
+    The banded signature frame ((id, band, band_key) — docs x bands rows
+    of short keys) is localCheckpoint'd before it fans out into the hot
+    filter and both self-join sides: the signature computation (shingle
+    explode + per-band md5 mins, the measured cost center) executes
+    once, not once per branch.
     """
-    banded = band_rows(df, id_col, text_col, num_hashes, bands)
+    banded = band_rows(df, id_col, text_col, num_hashes, bands).localCheckpoint()
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_key")

@@ -1071,7 +1071,10 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage (docs, tokens) deltas are the curation yield numbers.
 
     Scale: one tokenize pass feeds every stage (toks carried, text
-    dropped); dedup windows per digest; contamination shuffles 60-bit gram
+    dropped) — s1 and the post-dedup s4 are localCheckpoint'd, since the
+    five stage aggregates plus the gram branches would otherwise each
+    re-tokenize the corpus (7 parquet scans in the un-pinned plan); dedup
+    windows per digest; contamination shuffles 60-bit gram
     ints; the five stage aggregates are partial+final counts unioned as
     one-row frames — the funnel adds no corpus-sized stage beyond its
     component operators."""
@@ -1083,7 +1086,7 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         tokenize("text").alias("toks"),
         text_digest("text").alias("digest"),
-    )
+    ).localCheckpoint()
     s2 = s1.filter(F.col("toks").isNotNull() & (F.size("toks") >= 5))
     s3 = s2.filter(F.col("lang") == "en")
     w = W.partitionBy("digest").orderBy("doc_id")
@@ -1091,6 +1094,7 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         s3.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "toks")
+        .localCheckpoint()
     )
     idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
     gram_hash = F.conv(

@@ -794,7 +794,11 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     total function.
 
     Scale: labeling + training are three shuffles (per-doc rule agg,
-    token x label counts, per-label totals). Scoring fans test occurrences
+    token x label counts, per-label totals); the doc-dimension label
+    frame and the (label, vocab)-sized model are localCheckpoint'd, and
+    the per-label totals / vocabulary size derive from the model rather
+    than re-scanning the corpus — the token explode executes once for
+    training and once for the test fifth. Scoring fans test occurrences
     out by the label count — 2x here; at 100 TB the candidate set stays
     label-domain-sized and the (token, label) model joins shuffle-hash on
     token, so the cost is O(test tokens x labels), the same as any
@@ -802,6 +806,8 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never global)."""
     d = load_table(spark, sf_dir, "documents")
     raw = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    # doc-dimension sized — pin it so the rule explode runs once, not
+    # once per downstream branch
     lab = raw.groupBy("doc_id").agg(
         F.when(
             1000
@@ -811,19 +817,26 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("drop"))
         .alias("lang")
-    )
+    ).localCheckpoint()
     occ = raw.join(lab, "doc_id").select("doc_id", "lang", "token")
     train = occ.filter(F.col("doc_id") % 5 != 0)
     test = occ.filter(F.col("doc_id") % 5 == 0)
+    # the (label, token) model is (labels x vocab)-sized — pin it and
+    # derive the per-label totals and the vocabulary size FROM it, so
+    # the train-occurrence explode executes exactly once (previously
+    # each aggregate re-scanned and re-exploded the corpus: 12 parquet
+    # scans in the expanded plan)
     freq = train.groupBy("lang", "token").agg(
         F.count("*").cast("bigint").alias("cnt")
-    )
-    tot = train.groupBy("lang").agg(F.count("*").cast("bigint").alias("tot_s"))
-    vocab = train.agg(
+    ).localCheckpoint()
+    tot = freq.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot_s"))
+    vocab = freq.agg(
         F.countDistinct("token").cast("bigint").alias("v")
     )
-    per_src = train.groupBy("lang").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs_s")
+    per_src = (
+        lab.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs_s"))
     )
     prior = per_src.crossJoin(
         F.broadcast(per_src.agg(F.sum("n_docs_s").cast("bigint").alias("n_docs")))

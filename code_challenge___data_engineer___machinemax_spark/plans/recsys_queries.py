@@ -300,8 +300,11 @@ def item_item_similarity(
     pruned neighbor lists — bounded frames, no global sort. Cosine =
     co / sqrt(n_a*n_b) evaluated once per row from exact int64 counts by
     the shared expression tree, so both engines produce identical
-    trunc-scaled BIGINTs."""
-    ui = _order_lines(spark, sf_dir).select("u", "i").distinct()
+    trunc-scaled BIGINTs. The (u, i) matrix is localCheckpoint'd before
+    fanning out into the counts agg and the two self-join sides — the
+    same pin the L9 ingest path uses — so the lineitem ⋈ orders
+    derivation executes once, not once per branch."""
+    ui = _order_lines(spark, sf_dir).select("u", "i").distinct().localCheckpoint()
     if max_user_items is not None:
         w_cap = W.partitionBy("u").orderBy(F.xxhash64("u", "i"), "i")
         ui = (
