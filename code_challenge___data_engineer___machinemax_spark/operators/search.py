@@ -324,14 +324,20 @@ def bm25_rank(
     with_dl = df.select(F.col(key_col), tokenize(text_col).alias("__toks")).withColumn(
         "dl", F.size("__toks")
     )
-    doc_len = with_dl.select(key_col, "dl")
+    # pin the two with_dl projections: doc_len (two int columns per doc)
+    # and the match-bounded tf — un-pinned, corpus stats / dfreq /
+    # doc_len_matched each re-ran the tokenize scan (the plan is a tree;
+    # 5 scans measured). Materializing 16-byte doc rows once beats
+    # re-tokenizing the corpus per branch; the production path is
+    # bm25_rank_from_index, which stores these tables outright.
+    doc_len = with_dl.select(key_col, "dl").localCheckpoint()
     corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     matched = with_dl.select(
         F.col(key_col),
         F.explode(F.filter("__toks", lambda t: t.isin(toks))).alias("token"),
     )
-    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf")).localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
     # restrict doc lengths to MATCHED docs before joining: unrestricted,
@@ -388,14 +394,15 @@ def tfidf_rank(
     with_dl = df.select(F.col(key_col), tokenize(text_col).alias("__toks")).withColumn(
         "dl", F.size("__toks")
     )
-    doc_len = with_dl.select(key_col, "dl")
+    # same doc_len/tf pins as bm25_rank (tree re-tokenization)
+    doc_len = with_dl.select(key_col, "dl").localCheckpoint()
     corpus = doc_len.agg(F.count("*").alias("n_docs"))
 
     matched = with_dl.select(
         F.col(key_col),
         F.explode(F.filter("__toks", lambda t: t.isin(toks))).alias("token"),
     )
-    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    tf = matched.groupBy(key_col, "token").agg(F.count("*").alias("tf")).localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
 
     # match-bounded doc lengths, no forced broadcast (same rationale as

@@ -159,18 +159,24 @@ def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     def first_after(step_type: str, prev: DataFrame) -> DataFrame:
+        # each stage frame is user-dimension sized and consumed twice
+        # (next stage + its scalar count) — pinned, the four stages scan
+        # the fact table once each instead of cascading re-derivations
+        # (10 scans un-pinned)
         return (
             e.filter(F.col("event_type") == step_type)
             .join(prev, "user_id")
             .filter(F.col("ts") > F.col("t_prev"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t_prev"))
+            .localCheckpoint()
         )
 
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_prev"))
+        .localCheckpoint()
     )
     s2 = first_after("view", s1)
     s3 = first_after("click", s2)

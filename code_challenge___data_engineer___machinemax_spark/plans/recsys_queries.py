@@ -101,9 +101,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     and confidence are single shared-expression doubles over exact int64
     counts, trunc-scaled, so both engines emit identical BIGINTs."""
     li = load_table(spark, sf_dir, "lineitem")
+    # pinned: counts, total and both self-join sides consume it (5 scans
+    # un-pinned — the recompute-tree audit discipline)
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     counts = items.groupBy("item").agg(F.count("*").cast("bigint").alias("n"))
     total = items.agg(
         F.countDistinct("basket").cast("bigint").alias("baskets")
@@ -381,9 +383,12 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidates shuffle to the count. The 2-itemset level is
     association_rules one shelf up."""
     li = load_table(spark, sf_dir, "lineitem")
+    # pin the basket-item table (five join sides consume it) and the
+    # frequent-pair level (three semi-join prunes consume it) — un-pinned
+    # the lineitem scan + distinct re-ran per branch (9 scans measured)
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     a = items.alias("a")
     b = items.alias("b")
     c = items.alias("c")
@@ -397,6 +402,7 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pn"))
         .filter(F.col("pn") >= 2)
         .select("i1", "i2")
+        .localCheckpoint()
     )
     cand = (
         a.join(

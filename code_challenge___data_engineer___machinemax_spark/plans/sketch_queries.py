@@ -392,10 +392,14 @@ def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn", "__salt")
     )
     final_w = W.partitionBy("event_type").orderBy("hv")
+    # the finished sketch (types x k rows, KB) fans out into the type
+    # spine and both set arms — pinned so the fact-sized distinct +
+    # salted ranking runs once (8 scans un-pinned; recompute-tree audit)
     sketch = (
         survivors.withColumn("__rn", F.row_number().over(final_w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+        .localCheckpoint()
     )
 
     types = sketch.select("event_type").distinct()

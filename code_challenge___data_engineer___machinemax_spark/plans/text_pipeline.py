@@ -2230,8 +2230,13 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import wordpiece_encode, wordpiece_vocab, word_frequencies
 
     d = load_table(spark, sf_dir, "documents")
-    words = word_frequencies(d)
-    enc = wordpiece_encode(words, wordpiece_vocab(words, n_multi=50))
+    # pin the word table and the vocabulary (the unigram/BPE discipline):
+    # every one of the <= 12 greedy supersteps broadcast-joins the vocab
+    # and the early steps chain straight to the word table — un-pinned,
+    # both re-derive their corpus scan per step (64 scans measured)
+    words = word_frequencies(d).localCheckpoint()
+    vocab = wordpiece_vocab(words, n_multi=50).localCheckpoint()
+    enc = wordpiece_encode(words, vocab)
     return (
         enc.groupBy("piece")
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
@@ -2300,9 +2305,17 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    words = word_frequencies(d)
-    enc = wordpiece_encode(words, wordpiece_vocab(words, n_multi=50))
-    wp = enc.groupBy("word").agg(F.count("*").cast("bigint").alias("n_pieces"))
+    # same words/vocab pin as wordpiece_token_counts (65 scans un-pinned);
+    # wp is word-dimension sized and fans into the broadcast join, so pin
+    # it too — the 12-superstep walk then executes exactly once
+    words = word_frequencies(d).localCheckpoint()
+    vocab = wordpiece_vocab(words, n_multi=50).localCheckpoint()
+    enc = wordpiece_encode(words, vocab)
+    wp = (
+        enc.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_pieces"))
+        .localCheckpoint()
+    )
     tok = (
         d.filter(F.col("text").isNotNull())
         .select("lang", F.explode(tokenize("text")).alias("w"))
@@ -2384,7 +2397,9 @@ def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the EG step itself costs nothing at any scale."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select("source", F.explode(tokenize("text")).alias("token"))
-    freq = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    # vocab-sized; pinned so the LM-build explode runs once, and the
+    # total derives from the pinned table instead of a fresh corpus pass
+    freq = occ.groupBy("token").agg(F.count("*").alias("cnt")).localCheckpoint()
     total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
     nll = (
         -F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6
@@ -2398,11 +2413,13 @@ def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nll).cast("bigint").alias("nll_sum_e6"),
         )
     )
+    # source-dimension sized; pinned because base and wts both consume it
+    # — un-pinned each re-ran the corpus-sized scoring join (12 scans)
     scored = dom.select(
         "source",
         "n_tokens",
         F.expr("nll_sum_e6 div n_tokens").alias("mean_nll_e6"),
-    )
+    ).localCheckpoint()
     base = scored.agg(
         F.expr("SUM(mean_nll_e6) div COUNT(*)").cast("bigint").alias("avg_nll_e6")
     )

@@ -31,6 +31,9 @@ Two honest scope limits:
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 import pytest
 
 from code_challenge___data_engineer___machinemax_spark import plans
@@ -44,9 +47,29 @@ _QS = plans.all_queries()
 # frame whose plan is a LocalTableScan — nothing to lint
 _SWEEP = sorted(n for n in _QS if not n.startswith("streamed_"))
 
+# Rule 3 (recompute-tree guard, round 7): Spark plans are trees, not DAGs —
+# a frame consumed by N branches re-executes its derivation N times, so a
+# single source table appearing many times in one expanded plan means a
+# shared prefix silently re-runs per branch (adamic_adar_links hit 112
+# lineitem scans before the audit; wordpiece 64). The fix is a
+# localCheckpoint pin at the fan-out point. Structural multi-arm shapes
+# (evals comparing methods, set ops over several filtered subsets, audits
+# of several DIFFERENT tables) legitimately re-scan a table a handful of
+# times — the ceiling is set just above the worst audited-and-justified
+# case (conformal_interval_coverage: 7 per-arm scans of orders/customer).
+_MAX_SINGLE_TABLE_SCANS = 7
+
 
 @pytest.mark.parametrize("name", _SWEEP)
 def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
     txt = explain_text(_QS[name](spark, sf_dir))
     assert "CartesianProduct" not in txt, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in txt, f"{name}: row-at-a-time Python eval"
+    scans = Counter(re.findall(r"/(\w+)\.parquet", txt))
+    worst = max(scans.values(), default=0)
+    assert worst <= _MAX_SINGLE_TABLE_SCANS, (
+        f"{name}: one table scanned {worst}x in the expanded plan "
+        f"({dict(scans)}) — a shared derivation re-executes per branch; "
+        "pin it with localCheckpoint at the fan-out point "
+        "(SCALE.md round-7 recompute-tree audit)"
+    )
