@@ -1,12 +1,16 @@
 """Whole-registry plan lint: EVERY registered query's physical plan is held
-to the two non-negotiable scale rules —
+to the four non-negotiable scale rules —
 
 1. no ``CartesianProduct`` (an unkeyed all-pairs join is a scale-killer at
    any data volume; broadcast nested-loop against a literal/LIMIT-bounded
    spine is allowed and separately audited by the targeted plan tests);
 2. no ``BatchEvalPython`` (row-at-a-time Python eval; Python is allowed in
    plans only through the Arrow transports — ArrowEvalPython / MapInPandas /
-   FlatMapGroupsInPandas / MapInArrow — or the vectorized SQL surface).
+   FlatMapGroupsInPandas / MapInArrow — or the vectorized SQL surface);
+3. no single source table scanned more than 7 times in one expanded plan
+   (a recompute tree: a shared derivation re-executing per consuming
+   branch — SCALE.md round-7 audit);
+4. no unpartitioned ``Window`` node (the whole input on one partition).
 
 The targeted tests in test_plans.py pin *specific* good shapes (pushdown,
 broadcast, partial agg); this sweep guarantees the *absence* of the two
@@ -59,6 +63,15 @@ _SWEEP = sorted(n for n in _QS if not n.startswith("streamed_"))
 # case (conformal_interval_coverage: 7 per-arm scans of orders/customer).
 _MAX_SINGLE_TABLE_SCANS = 7
 
+# Rule 4 (global-window guard, round 7): a Window node with an EMPTY
+# partition list moves the entire input to one partition — at 100 TB that
+# is one executor sorting the corpus. Every ranking/cumsum in the registry
+# partitions its window (or runs post-LIMIT on a k-row frame whose window
+# sits before a checkpoint, outside the linted tail); registry-wide sweep
+# found zero, and this rule keeps it that way.
+_WINDOW_NODE = re.compile(r"^\(\d+\) Window(GroupLimit)?\s*$", re.M)
+_EMPTY_PARTITION = re.compile(r"\], \[\], \[")
+
 
 @pytest.mark.parametrize("name", _SWEEP)
 def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
@@ -73,3 +86,12 @@ def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
         "pin it with localCheckpoint at the fan-out point "
         "(SCALE.md round-7 recompute-tree audit)"
     )
+    for m in _WINDOW_NODE.finditer(txt):
+        seg = txt[m.end() : m.end() + 1500]
+        am = re.search(r"Arguments: (.*)", seg)
+        if am and _EMPTY_PARTITION.search(am.group(1)):
+            raise AssertionError(
+                f"{name}: unpartitioned Window in plan — the whole input "
+                "moves to ONE partition; partition the window or bound its "
+                "input (post-LIMIT k-row frame) before ranking"
+            )
