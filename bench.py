@@ -161,8 +161,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "ann_recall_eval",
             "pq_adc_topk",
             "pq_adc_topk_from_store",
-            # round-7: the composed IVF-PQ probe (coarse prune + ADC)
+            # round-7: the composed IVF-PQ probes (coarse prune + ADC;
+            # non-residual and FAISS-default residual encodings)
             "ivf_pq_topk",
+            "ivf_pq_residual_topk",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
             # round-7: the L10 cluster-assignment store read path (the

@@ -1376,3 +1376,169 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.filter(F.col("vec_id") == 0), codebook, "vec_id"
     ).select("m", "code_id", "d")
     return adc_topk(codes.join(cand, "vec_id", "left_semi"), qtab, "vec_id", k=10)
+
+
+@query(
+    "ivf_pq_residual_topk",
+    oracle=_PQ_ORACLE_PREFIX
+    + """
+    , coarse AS (
+        SELECT vec_id AS list_id, m, pos, qv FROM parts
+        WHERE vec_id BETWEEN 1 AND 8
+    ), cdist AS (
+        SELECT p.vec_id, c.list_id,
+               SUM((p.qv - c.qv) * (p.qv - c.qv)) AS d
+        FROM parts p JOIN coarse c ON c.m = p.m AND c.pos = p.pos
+        GROUP BY 1, 2
+    ), cassign AS (
+        SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, list_id) AS rn
+            FROM cdist WHERE vec_id <> 0)
+        WHERE rn = 1
+    ), qprobe AS (
+        SELECT list_id FROM cdist WHERE vec_id = 0 ORDER BY d, list_id LIMIT 2
+    ), rparts AS (
+        SELECT p.vec_id, p.m, p.pos, p.qv - c.qv AS rv
+        FROM parts p
+        JOIN cassign a ON a.vec_id = p.vec_id
+        JOIN coarse c ON c.list_id = a.list_id AND c.m = p.m AND c.pos = p.pos
+    ), rcode AS (
+        SELECT vec_id AS code_id, m, pos, rv AS cv FROM rparts
+        WHERE vec_id BETWEEN 1 AND 16
+    ), rdists AS (
+        SELECT r.vec_id, r.m, c.code_id,
+               SUM((r.rv - c.cv) * (r.rv - c.cv)) AS d
+        FROM rparts r JOIN rcode c ON c.m = r.m AND c.pos = r.pos
+        GROUP BY 1, 2, 3
+    ), rassign AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT vec_id, m, code_id,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, code_id) AS rn
+            FROM rdists)
+        WHERE rn = 1
+    ), qres AS (
+        SELECT qp.list_id, p.m, p.pos, p.qv - c.qv AS rv
+        FROM parts p
+        JOIN qprobe qp ON TRUE
+        JOIN coarse c ON c.list_id = qp.list_id AND c.m = p.m AND c.pos = p.pos
+        WHERE p.vec_id = 0
+    ), qtab AS (
+        SELECT q.list_id, q.m, c.code_id,
+               SUM((q.rv - c.cv) * (q.rv - c.cv)) AS d
+        FROM qres q JOIN rcode c ON c.m = q.m AND c.pos = q.pos
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        FROM rassign a
+        JOIN cassign ca ON ca.vec_id = a.vec_id
+        JOIN qprobe qp ON qp.list_id = ca.list_id
+        JOIN qtab t ON t.list_id = ca.list_id AND t.m = a.m
+                   AND t.code_id = a.code_id
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ probe — FAISS's default `by_residual=true`
+    refinement of `ivf_pq_topk`: every vector is PQ-encoded as its
+    RESIDUAL against its coarse-list centroid (residuals cluster near the
+    origin, so the same codebook budget quantizes them finer), and the
+    query builds a SEPARATE distance table per probed list from its own
+    per-list residual — the reason FAISS recomputes the ADC tables
+    nprobe times per query. Codebooks stay data-defined and exact int64
+    (coarse = quantized vectors 1-8, residual codewords = the residuals
+    of vectors 1-16 under their own assigned lists), so the full
+    composition — coarse assign, residual encode, per-list query tables,
+    pruned ADC — replays bit-exactly in the DuckDB oracle. Fully
+    declarative: the probe set is a 2-row frame joined through the plan,
+    never collected.
+
+    Honest eval note: with these UNTRAINED data-defined codebooks the
+    residual variant scores lower recall-vs-exact than `ivf_pq_topk` on
+    this synthetic corpus (3 vs 8 of exact top-50 at sf0.001 — both well
+    above the ~1 chance level, pinned in test_similarity.py). Residual
+    encoding's advantage materializes when codebooks are TRAINED on the
+    residual distribution (k-means, as `kmeans_fixed_point` pins
+    separately); this query pins the residual ADC algebra itself under
+    the exact value gate.
+
+    Scale: identical shuffle classes to `ivf_pq_topk` plus one extra
+    broadcast join (residual = component-wise subtraction against the
+    KB-sized coarse codebook); the per-list query tables are nprobe x
+    M x K rows — still KB — and the ADC scan remains semi-join-pruned to
+    the probed lists. The component explode is pinned once
+    (localCheckpoint) and feeds both quantizers; at deployment the
+    residual codes live in the L3/L7 partitioned store exactly like the
+    non-residual variant's."""
+    from ..operators.similarity import pq_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = pq_components(e, "embedding", "vec_id", sub_dim=8, scale=10000).localCheckpoint()
+    coarse = parts.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("list_id"), "m", "pos", F.col("qv").alias("lv")
+    )
+    cdiff = F.col("qv") - F.col("lv")
+    cdist = (
+        parts.join(F.broadcast(coarse), ["m", "pos"])
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum(cdiff * cdiff).alias("d"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "list_id")
+    cassign = (
+        cdist.filter(F.col("vec_id") != 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    qprobe = (
+        cdist.filter(F.col("vec_id") == 0)
+        .orderBy("d", "list_id")
+        .limit(2)
+        .select("list_id")
+    )
+    rparts = (
+        parts.join(cassign, "vec_id")
+        .join(F.broadcast(coarse), ["list_id", "m", "pos"])
+        .select("vec_id", "m", "pos", (F.col("qv") - F.col("lv")).alias("rv"))
+        .localCheckpoint()
+    )
+    rcode = rparts.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("code_id"), "m", "pos", F.col("rv").alias("cv")
+    )
+    rdiff = F.col("rv") - F.col("cv")
+    rdists = (
+        rparts.join(F.broadcast(rcode), ["m", "pos"])
+        .groupBy("vec_id", "m", "code_id")
+        .agg(F.sum(rdiff * rdiff).alias("d"))
+    )
+    w2 = W.partitionBy("vec_id", "m").orderBy("d", "code_id")
+    rassign = (
+        rdists.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", "code_id")
+    )
+    qres = (
+        parts.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(qprobe))
+        .join(F.broadcast(coarse), ["list_id", "m", "pos"])
+        .select("list_id", "m", "pos", (F.col("qv") - F.col("lv")).alias("rv"))
+    )
+    qtab = (
+        qres.join(F.broadcast(rcode), ["m", "pos"])
+        .groupBy("list_id", "m", "code_id")
+        .agg(F.sum(rdiff * rdiff).alias("d"))
+    )
+    return (
+        rassign.join(cassign, "vec_id")
+        .join(F.broadcast(qprobe), "list_id", "left_semi")
+        .join(F.broadcast(qtab), ["list_id", "m", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -347,3 +347,28 @@ def test_ivf_pq_equals_probed_subset_of_full_adc(spark, sf_dir):
         for r in plans.all_queries()["ivf_pq_topk"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_ivf_pq_residual_sorted_and_above_chance_recall(spark, sf_dir):
+    """The residual IVF-PQ top-10 must be ascending in adc_dist with the
+    vec_id tie-break, deterministic across invocations, and overlap the
+    exact cosine top-50 above the chance level (10 draws from ~500
+    corpus vectors => ~1 expected; the docstring's honest-eval floor)."""
+    from code_challenge___data_engineer___machinemax_spark import plans
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    qs = plans.all_queries()
+    rows = qs["ivf_pq_residual_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    keys = [(r.adc_dist, r.vec_id) for r in rows]
+    assert keys == sorted(keys)
+    again = [(r.adc_dist, r.vec_id) for r in qs["ivf_pq_residual_topk"](spark, sf_dir).collect()]
+    assert keys == again
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    exact50 = {r.vec_id for r in cosine_topk(corpus, q, "vec_id", "embedding", k=50).collect()}
+    assert len({r.vec_id for r in rows} & exact50) >= 2
