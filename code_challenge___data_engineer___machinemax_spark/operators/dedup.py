@@ -142,6 +142,16 @@ def lsh_candidate_pairs(
     filter and both self-join sides: the signature computation (shingle
     explode + per-band md5 mins, the measured cost center) executes
     once, not once per branch.
+
+    Availability trade-off (ADVICE r7): ``localCheckpoint`` eagerly
+    executes at construction time and stores NON-replicated blocks whose
+    truncated lineage cannot recompute after an executor loss — fine on
+    the single-JVM bench/test harness, but a multi-executor 100 TB
+    deployment should swap operator-internal pins to
+    ``persist(StorageLevel.MEMORY_AND_DISK)`` + a materializing action
+    (recomputable lineage survives executor loss) or a reliable
+    ``checkpoint()`` to cluster storage. The same note applies to the
+    tokenize/tf pins in ``search.bm25_rank``/``tfidf_rank``.
     """
     banded = band_rows(df, id_col, text_col, num_hashes, bands).localCheckpoint()
     if max_bucket_size is not None:

@@ -330,6 +330,9 @@ def bm25_rank(
     # 5 scans measured). Materializing 16-byte doc rows once beats
     # re-tokenizing the corpus per branch; the production path is
     # bm25_rank_from_index, which stores these tables outright.
+    # Executor-loss caveat: localCheckpoint blocks are non-replicated and
+    # non-recomputable — see dedup.lsh_candidate_pairs's availability
+    # note for the multi-executor alternative (persist + action).
     doc_len = with_dl.select(key_col, "dl").localCheckpoint()
     corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
 

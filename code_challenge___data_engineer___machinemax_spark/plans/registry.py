@@ -35,103 +35,84 @@ _REGISTRY: dict[str, Registered] = {}
 # oracles were fixed this round, and the advanced relational shapes all land
 # inside the 50-query window. Queries not listed keep registration order
 # after these (they remain fully covered by the local sf0.01 parity sweep).
-# Round-7 rotation (VERDICT r6 next-round #1): the window carries (a) the
-# two stable sentinels, (b) the 7 queries touched or added this round —
-# context_window_packing and ffd_packing_report (sub-shard salt knob +
-# degenerate-division guard, default keeps oracle parity), and the new L9
-# co-purchase store read paths item_item_similarity_from_store /
-# recsys_hitrate_eval_from_store / triangle_participation_from_store /
-# adamic_adar_links_from_store / label_propagation_seeded_from_store
-# (VERDICT r6 #4; identical oracles to their self-contained twins) — and
-# (c) the first 41 (alphabetical) of the 81 remaining never-driver-checked
-# oracle queries staged below. Green here makes cumulative driver coverage
-# 284/330 (the registry grew to 330 oracles with the 6 late round-7
-# additions, all staged below); round 8 rotates the remaining 46 (<= 48
-# slots, so the set still closes). Everything outside the window is
-# cumulative-green from earlier rounds and stays covered by the local
-# sf0.01 parity sweep (tests/test_oracle_parity.py).
+# Round-8 rotation (VERDICT r7 next-round #1/#2): the window carries (a)
+# the two stable sentinels, (b) the 2 re-certifications — the certified
+# queries most edited after their last driver row by the round-7
+# recompute-pin sweep (adamic_adar_links 112->2 scans,
+# item_item_similarity checkpointed derivations) — and (c) ALL 46
+# remaining never-driver-checked oracle queries. Green here closes the
+# full driver certification: every oracle-bearing query registered before
+# round 8 will have at least one green driver CORRECTNESS row.
+# Cumulative driver-green coverage is machine-pinned (not hand-maintained
+# prose — VERDICT r7 #5): tests/test_registry_window.py asserts the
+# figure on the next line equals len(union of CORRECTNESS_r*.json keys)
+# over len(all_oracles()).
+# CUMULATIVE_DRIVER_GREEN: 284 of 332 oracle-bearing queries
+# Everything outside the window is cumulative-green from earlier rounds
+# and stays covered by the local sf0.01 parity sweep
+# (tests/test_oracle_parity.py).
 DRIVER_PRIORITY: list[str] = [
     # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
     "keyword_search_hit",
-    # touched/added this round (VERDICT r6 #2/#4, ADVICE #2)
-    "context_window_packing",
-    "ffd_packing_report",
-    "item_item_similarity_from_store",
-    "recsys_hitrate_eval_from_store",
-    "triangle_participation_from_store",
-    "adamic_adar_links_from_store",
-    "label_propagation_seeded_from_store",
-    # first 41 of the staged never-driver-checked backlog (alphabetical)
-    "ann_topk_lsh_multiprobe",
-    "doremi_domain_reweighting",
-    "embedding_int8_quant_error",
-    "hybrid_search_rrf",
-    "image_phash_near_dup",
-    "incremental_rollup_merge",
-    "isotonic_calibration_bins",
-    "ivf_topk_from_store",
-    "jl_projection_distortion",
-    "kaplan_meier_churn",
-    "kcore_membership",
-    "keyword_search_stored_index",
-    "kmv_theta_set_ops",
-    "kneser_ney_doc_scores",
-    "l_diversity_release",
-    "label_propagation_seeded",
-    "length_bucket_padding_report",
-    "loo_target_encoding",
-    "mahalanobis_outliers",
-    "mann_whitney_u",
-    "markov_next_event_accuracy",
-    "maxsim_multivector_topk",
-    "media_decode_real_png",
-    "minhash_recall_eval",
-    "mrl_truncation_recall",
-    "mrr_retrieval_eval",
-    "multi_touch_attribution",
-    "naive_bayes_quality_distill",
-    "near_dup_cluster_keep_one",
-    "negative_sampling_report",
-    "numeric_correlation_matrix",
-    "observed_pipeline_metrics",
-    "open_orders_daily",
-    "order_interval_coverage",
-    "pca_top_component",
-    "phrase_search_positional",
-    "pinball_loss_eval",
-    "policy_replay_eval",
-    "pq_adc_topk",
-    "pq_adc_topk_from_store",
-    "pq_code_histogram",
+    # re-certifications (VERDICT r7 #2): driver rows predate the
+    # round-7 recompute-pin edits to these two plans
+    "adamic_adar_links",
+    "item_item_similarity",
+    # the final 46 never-driver-checked oracle queries (alphabetical)
+    "ivf_pq_residual_topk",
+    "ivf_pq_topk",
+    "propensity_caliper_match",
+    "psi_drift_report",
+    "python_datasource_rollup",
+    "python_stream_source_rollup",
+    "quantile_bin_sketch",
+    "rake_keyphrases",
+    "rbo_rank_agreement",
+    "referential_orphan_audit",
+    "repeated_ngram_coverage",
+    "rouge2_adjacent_eval",
+    "schema_evolution_rollup",
+    "score_auc_eval",
+    "seasonal_naive_backtest",
+    "seeded_random_walks",
+    "semantic_dedup_pairs_from_store",
+    "shapley_channel_attribution",
+    "shuffle_shard_order",
+    "simhash_incremental_admission",
+    "skyline_orders",
+    "span_corruption_mask_stats",
+    "sprt_conversion_monitor",
+    "streamed_cms_heavy_hitters",
+    "streamed_mask_rate_monitor",
+    "streamed_psi_monitor",
+    "streamed_purchase_attribution",
+    "streamed_quantile_sketch_monitor",
+    "streamed_segment_enrichment",
+    "streamed_unconverted_views",
+    "t_closeness_release",
+    "textrank_keywords",
+    "theil_sen_trend",
+    "tokenizer_fertility_by_lang",
+    "triangle_participation",
+    "unigram_em_refit",
+    "unigram_tokenizer_scores",
+    "uplift_qini_deciles",
+    "variant_props_extract",
+    "video_sampled_frame_decode",
+    "weighted_priority_sample",
+    "winsorized_segment_stats",
+    "woe_iv_encoding",
+    "wordpiece_token_counts",
+    "zipf_rank_frequency",
+    "zorder_layout",
     # Next-rotation window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r06 keys minus this round-7 window (40 as of the
-    # start of round 7 — round 8 rotates these; any query added in round
-    # 7 joins this list). All are green in the local sf0.01 parity sweep
-    # (list regenerated by the exact set arithmetic above;
-    # tests/test_registry_window.py pins it):
-    # ivf_pq_residual_topk, ivf_pq_topk,
-    # propensity_caliper_match, psi_drift_report, python_datasource_rollup,
-    # python_stream_source_rollup, quantile_bin_sketch, rake_keyphrases,
-    # rbo_rank_agreement, referential_orphan_audit,
-    # repeated_ngram_coverage, rouge2_adjacent_eval,
-    # schema_evolution_rollup, score_auc_eval, seasonal_naive_backtest,
-    # seeded_random_walks, semantic_dedup_pairs_from_store,
-    # shapley_channel_attribution,
-    # shuffle_shard_order, simhash_incremental_admission, skyline_orders,
-    # span_corruption_mask_stats, sprt_conversion_monitor,
-    # streamed_cms_heavy_hitters, streamed_mask_rate_monitor,
-    # streamed_psi_monitor, streamed_purchase_attribution,
-    # streamed_quantile_sketch_monitor,
-    # streamed_segment_enrichment, streamed_unconverted_views,
-    # t_closeness_release, textrank_keywords, theil_sen_trend,
-    # tokenizer_fertility_by_lang, triangle_participation,
-    # unigram_em_refit, unigram_tokenizer_scores, uplift_qini_deciles,
-    # variant_props_extract, video_sampled_frame_decode,
-    # weighted_priority_sample, winsorized_segment_stats,
-    # woe_iv_encoding, wordpiece_token_counts, zipf_rank_frequency,
-    # zorder_layout
+    # CORRECTNESS_r01-r07 keys minus this round-8 window. Only the store
+    # twins added in round 8 itself remain (VERDICT r7 #3/#4); they are
+    # green in the local sf0.01 parity sweep and rotate into round 9
+    # (list pinned by tests/test_registry_window.py set arithmetic):
+    # hybrid_search_rrf_from_store, ivf_pq_residual_topk_from_store
 ]
 
 

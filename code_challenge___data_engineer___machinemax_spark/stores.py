@@ -240,6 +240,96 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_pq_residual_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the residual IVF-PQ layout for ``embeddings`` (DEPLOY.md
+    L7; VERDICT r7 #4 — the deployment claim in
+    ``ivf_pq_residual_topk``'s docstring, now a measured artifact):
+
+    - ``coarse/``    (list_id, m, pos, lv) — coarse codebook components
+      (the quantized components of vectors 1-8) — KB, broadcast at query
+      time.
+    - ``rcodebook/`` (code_id, m, pos, cv) — RESIDUAL codeword components
+      (the residuals of vectors 1-16 under their own assigned coarse
+      lists) — KB, broadcast at query time.
+    - ``rcodes/``    (vec_id, m, code_id) PARTITIONED BY list_id — each
+      corpus vector's residual PQ code co-located with its coarse list,
+      so an nprobe-list query scans ~nprobe/C of the codes relation via
+      partition pruning.
+
+    The expensive steps — the component explode, the coarse assignment
+    argmin, and the per-(vector, subspace) residual encode over every
+    corpus vector (the second linear pass behind the self-contained
+    query's 2.7x replica scaling, SCALE.md round 7) — run exactly once,
+    here. Parameters mirror ``ivf_pq_residual_topk`` (sub_dim=8,
+    scale=10000, 8 coarse lists, 16 residual codewords), so the stored
+    encode is bit-identical to the self-contained derivation and the twin
+    query shares its oracle verbatim."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.similarity import pq_components
+
+    path = _store_path(sf_dir, "embeddings", "l7_pq_residual_m8_k16_c8")
+    if not _ready(path):
+        e = load_table(spark, sf_dir, "embeddings")
+        parts = pq_components(
+            e, "embedding", "vec_id", sub_dim=8, scale=10000
+        ).localCheckpoint()
+        coarse = parts.filter(F.col("vec_id").between(1, 8)).select(
+            F.col("vec_id").alias("list_id"), "m", "pos", F.col("qv").alias("lv")
+        )
+        coarse.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "coarse")
+        )
+        coarse_r = spark.read.parquet(os.path.join(path, "coarse"))
+        cdiff = F.col("qv") - F.col("lv")
+        cdist = (
+            parts.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(coarse_r), ["m", "pos"])
+            .groupBy("vec_id", "list_id")
+            .agg(F.sum(cdiff * cdiff).alias("d"))
+        )
+        w = W.partitionBy("vec_id").orderBy("d", "list_id")
+        cassign = (
+            cdist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "list_id")
+        )
+        rparts = (
+            parts.join(cassign, "vec_id")
+            .join(F.broadcast(coarse_r), ["list_id", "m", "pos"])
+            .select(
+                "vec_id", "list_id", "m", "pos",
+                (F.col("qv") - F.col("lv")).alias("rv"),
+            )
+            .localCheckpoint()
+        )
+        rcode = rparts.filter(F.col("vec_id").between(1, 16)).select(
+            F.col("vec_id").alias("code_id"), "m", "pos", F.col("rv").alias("cv")
+        )
+        rcode.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "rcodebook")
+        )
+        rcode_r = spark.read.parquet(os.path.join(path, "rcodebook"))
+        rdiff = F.col("rv") - F.col("cv")
+        rdists = (
+            rparts.join(F.broadcast(rcode_r), ["m", "pos"])
+            .groupBy("vec_id", "list_id", "m", "code_id")
+            .agg(F.sum(rdiff * rdiff).alias("d"))
+        )
+        w2 = W.partitionBy("vec_id", "m").orderBy("d", "code_id")
+        (
+            rdists.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "m", "code_id", "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(path, "rcodes"))
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_copurchase_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the L9 co-purchase graph for the recsys/graph family —
     the ingest-time artifact the graphrec queries were rebuilding per

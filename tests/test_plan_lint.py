@@ -13,9 +13,9 @@ to the four non-negotiable scale rules —
 4. no unpartitioned ``Window`` node (the whole input on one partition).
 
 The targeted tests in test_plans.py pin *specific* good shapes (pushdown,
-broadcast, partial agg); this sweep guarantees the *absence* of the two
-worst shapes across the whole 270+-query surface, so a future query can't
-quietly regress into either.
+broadcast, partial agg); this sweep guarantees the *absence* of all four
+worst shapes across the whole 330+-query surface, so a future query can't
+quietly regress into any of them.
 
 Two honest scope limits:
 
@@ -63,14 +63,23 @@ _SWEEP = sorted(n for n in _QS if not n.startswith("streamed_"))
 # case (conformal_interval_coverage: 7 per-arm scans of orders/customer).
 _MAX_SINGLE_TABLE_SCANS = 7
 
+# Rule 3 counts scans by Location path (InMemoryFileIndex), so relations
+# NOT named *.parquet — the ensure_* store layouts — are guarded too.
+_SCAN_LOCATION = re.compile(
+    r"Location: InMemoryFileIndex(?:\(\d+ paths?\))?\s*\[([^,\]]+)"
+)
+
 # Rule 4 (global-window guard, round 7): a Window node with an EMPTY
 # partition list moves the entire input to one partition — at 100 TB that
 # is one executor sorting the corpus. Every ranking/cumsum in the registry
 # partitions its window (or runs post-LIMIT on a k-row frame whose window
 # sits before a checkpoint, outside the linted tail); registry-wide sweep
-# found zero, and this rule keeps it that way.
+# found zero, and this rule keeps it that way. The partition spec is the
+# MIDDLE bracket list for Window ([exprs], [part], [order]) but LEADS for
+# WindowGroupLimit ([part], [order], rank_fn, k, mode) — match both an
+# embedded and a leading empty list (ADVICE r7 #2).
 _WINDOW_NODE = re.compile(r"^\(\d+\) Window(GroupLimit)?\s*$", re.M)
-_EMPTY_PARTITION = re.compile(r"\], \[\], \[")
+_EMPTY_PARTITION = re.compile(r"^\[\], \[|\], \[\], \[")
 
 
 @pytest.mark.parametrize("name", _SWEEP)
@@ -78,7 +87,15 @@ def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
     txt = explain_text(_QS[name](spark, sf_dir))
     assert "CartesianProduct" not in txt, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in txt, f"{name}: row-at-a-time Python eval"
-    scans = Counter(re.findall(r"/(\w+)\.parquet", txt))
+    # count EVERY scanned relation by its Location path tail — source
+    # parquet tables AND store-backed relations written without a
+    # .parquet suffix (ensure_* layouts like .../l3_ivf_<sig>/assigned),
+    # which the old /(\w+)\.parquet pattern left invisible to the
+    # recompute-tree guard (ADVICE r7 #3)
+    scans = Counter(
+        "/".join(loc.rstrip("/").split("/")[-2:])
+        for loc in _SCAN_LOCATION.findall(txt)
+    )
     worst = max(scans.values(), default=0)
     assert worst <= _MAX_SINGLE_TABLE_SCANS, (
         f"{name}: one table scanned {worst}x in the expanded plan "

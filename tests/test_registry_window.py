@@ -36,6 +36,25 @@ def test_window_is_50_real_oracle_bearing_queries():
         assert n in oracles, f"window slot wasted on rows-only query {n!r}"
 
 
+def test_cumulative_coverage_figure_is_machine_checked():
+    """VERDICT r7 #5: the CUMULATIVE_DRIVER_GREEN figure in the registry
+    comment was hand-maintained prose; pin it to the same set arithmetic
+    that pins everything else in that comment."""
+    src = open(
+        os.path.join(
+            REPO,
+            "code_challenge___data_engineer___machinemax_spark",
+            "plans",
+            "registry.py",
+        )
+    ).read()
+    m = re.search(r"# CUMULATIVE_DRIVER_GREEN: (\d+) of (\d+)", src)
+    assert m, "registry comment lost its CUMULATIVE_DRIVER_GREEN line"
+    oracles = set(plans.all_oracles())
+    assert int(m.group(1)) == len(_checked_names() & oracles)
+    assert int(m.group(2)) == len(oracles)
+
+
 def test_candidate_comment_matches_set_arithmetic():
     src = open(
         os.path.join(
