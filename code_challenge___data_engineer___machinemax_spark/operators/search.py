@@ -273,7 +273,10 @@ def bm25_rank_from_index(
         F.col("bucket").isin(prefixes) & F.col("token").isin(toks)
     )
     stats = spark.read.parquet(_os.path.join(index_path, "stats"))
-    dfreq = postings.groupBy("token").agg(F.countDistinct(key_col).alias("df"))
+    # the layout holds exactly ONE row per (document, token) — see
+    # materialize_bm25_index's groupBy — so count(*) IS the distinct doc
+    # frequency, without countDistinct's two-phase expand over the probe
+    dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         postings.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))

@@ -254,3 +254,51 @@ def test_semantic_kmeans_ensure_is_idempotent(spark, sf_dir, store_env):
     p2 = ensure_semantic_kmeans_store(spark, sf_dir)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_pq_residual_store_topk_equals_self_contained_and_prunes(
+    spark, sf_dir, store_env
+):
+    """The L7 residual-layout probe must equal the self-contained residual
+    IVF-PQ twin, read only the probed lists' partitions of the stored
+    codes (PartitionFilters on list_id), and touch embeddings only for
+    the single query row."""
+    qs = plans.all_queries()
+    stored_df = qs["ivf_pq_residual_topk_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["ivf_pq_residual_topk"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    assert "l7_pq_residual" in txt
+    # the full-corpus component explode / coarse assign / residual encode
+    # ran at ingest — the probe's only embeddings access is the query row
+    assert txt.count("embeddings.parquet") <= 1
+    assert "list_id IN" in txt or "list_id#" in txt  # partition-pruned scan
+
+
+def test_pq_residual_ensure_is_idempotent(spark, sf_dir, store_env):
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_pq_residual_store,
+    )
+
+    p1 = ensure_pq_residual_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_pq_residual_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_hybrid_rrf_store_equals_self_contained(spark, sf_dir, store_env):
+    """The L2-backed hybrid fusion must return EXACTLY the self-contained
+    result (bit-identical BM25 scores off the layout), and its sparse arm
+    must probe the posting layout instead of re-tokenizing documents."""
+    qs = plans.all_queries()
+    stored_df = qs["hybrid_search_rrf_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["hybrid_search_rrf"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    assert "l2_bm25" in txt
+    assert "documents.parquet" not in txt  # sparse arm never scans the corpus
