@@ -131,6 +131,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # round-7: the ExactSubstr coverage signal (gram-keyed
             # dup-set join — the heaviest text shuffle shape)
             "repeated_ngram_coverage",
+            # round-8: SoftDeDup — per-document 1e6/cluster_size sampling
+            # weights off the same verified-pair closure as the keep-one
+            # ledger (reweighting instead of removal)
+            "near_dup_sampling_weights",
         ],
     ),
     (
@@ -173,6 +177,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # residual encode ran at ingest; the probe is partition-pruned
             # ADC — the deployment story the self-contained twin asserts)
             "ivf_pq_residual_topk_from_store",
+            # round-8: the two serving shapes — two-stage ADC->exact
+            # rerank (recall recovery off the codes store) and the
+            # batched 5-query IVF probe (one pruned scan amortized
+            # across the query batch)
+            "pq_adc_rerank_topk",
+            "ivf_batch_topk_from_store",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
             # round-7: the L10 cluster-assignment store read path (the
@@ -231,6 +241,7 @@ _FAMILY_STORES: dict[str, list[str]] = {
         "ensure_pq_store",
         "ensure_semantic_kmeans_store",
         "ensure_pq_residual_store",
+        "ensure_ivf_store",
     ],
     "graphrec": ["ensure_copurchase_store"],
 }

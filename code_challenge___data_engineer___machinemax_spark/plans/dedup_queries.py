@@ -897,13 +897,10 @@ def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_rounds_sql(rounds: int = 4) -> str:
-    """Unrolled hash-min connected-components rounds over the verified
-    near-dup pair set — the same fixed-iteration oracle discipline as
-    _label_prop_oracle / the BPE CTE unroll: both engines run EXACTLY
-    `rounds` label-minimization steps, so parity holds whether or not the
-    labels have converged (they have, for near-dup clusters: components
-    are shallow because membership is transitive text similarity)."""
+def _cc_rounds_parts(rounds: int = 4) -> list[str]:
+    """The shared CTE chain: verified near-dup pairs -> symmetric edges ->
+    `rounds` unrolled hash-min label steps (l0..l{rounds}). Composed by
+    both the keep-one ledger and the SoftDeDup weight oracles."""
     parts = [
         f"pairs AS (SELECT id_a, id_b FROM ({_NEAR_DUP_PAIRS_ORACLE}))",
         "edges AS (SELECT id_a AS x, id_b AS y FROM pairs"
@@ -919,12 +916,41 @@ def _cc_rounds_sql(rounds: int = 4) -> str:
             f" LEFT JOIN l{r - 1} m ON m.node = e.y"
             f" GROUP BY n.node, n.lbl)"
         )
+    return parts
+
+
+def _cc_rounds_sql(rounds: int = 4) -> str:
+    """Unrolled hash-min connected-components rounds over the verified
+    near-dup pair set — the same fixed-iteration oracle discipline as
+    _label_prop_oracle / the BPE CTE unroll: both engines run EXACTLY
+    `rounds` label-minimization steps, so parity holds whether or not the
+    labels have converged (they have, for near-dup clusters: components
+    are shallow because membership is transitive text similarity)."""
     return (
-        "WITH " + ",\n    ".join(parts) + f"""
+        "WITH " + ",\n    ".join(_cc_rounds_parts(rounds)) + f"""
     SELECT lbl AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
     FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
+    """
+    )
+
+
+def _soft_dedup_sql(rounds: int = 4) -> str:
+    """SoftDeDup oracle: the same cluster closure, read out as a
+    PER-DOCUMENT sampling weight 1e6/cluster_size (docs in no near-dup
+    cluster carry size 1 / full weight)."""
+    return (
+        "WITH " + ",\n    ".join(_cc_rounds_parts(rounds)) + f"""
+    , sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n
+                FROM l{rounds} GROUP BY lbl),
+    mem AS (SELECT l.node, l.lbl, s.n
+            FROM l{rounds} l JOIN sizes s USING (lbl))
+    SELECT d.doc_id,
+           COALESCE(m.lbl, d.doc_id) AS cluster_id,
+           CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // COALESCE(m.n, 1) AS BIGINT) AS weight_ppm
+    FROM documents d LEFT JOIN mem m ON m.node = d.doc_id
     """
     )
 
@@ -952,6 +978,22 @@ def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count (a knob, not a redesign). Docs in no pair are trivially
     kept and carry no ledger row."""
     d = load_table(spark, sf_dir, "documents")
+    labels = _hashmin_labels(d, rounds=4)
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _hashmin_labels(d: DataFrame, rounds: int = 4) -> DataFrame:
+    """The shared iterative stage of the two cluster readouts: verified
+    MinHash pairs -> symmetric edges -> `rounds` hash-min label steps,
+    localCheckpoint'd between rounds. Returns (node, lbl) for every doc
+    that appears in at least one near-dup pair."""
     pairs = (
         near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
         .select("id_a", "id_b")
@@ -965,7 +1007,7 @@ def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    for _ in range(4):
+    for _ in range(rounds):
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("y"), F.col("lbl").alias("ylbl")),
@@ -983,13 +1025,45 @@ def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return labels
+
+
+@query("near_dup_sampling_weights", oracle=_soft_dedup_sql())
+def near_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup — duplicate-aware REWEIGHTING instead of removal (the
+    modern alternative to `near_dup_cluster_keep_one`'s drop ledger, used
+    when dropping near-dups costs coverage): every document gets a
+    sampling weight 1e6/cluster_size from the same 4-round hash-min
+    closure over the verified MinHash pair set, so a trainer's sampler
+    sees each near-dup CLUSTER with total weight ~1e6 regardless of how
+    many copies exist, while unclustered documents keep full weight.
+    One row per corpus document: (doc_id, cluster_id, cluster_size,
+    weight_ppm) — the consumable artifact a data loader joins on.
+
+    Scale: the iterative stage runs over the PAIR set (tiny — banding
+    bounds candidate volume, see `near_dup_cluster_keep_one`); the only
+    corpus-width step is the final LEFT JOIN of documents against the
+    KB-sized cluster membership, a broadcast. Exact integer weights
+    (1e6 DIV size) so the oracle replays bit-identically."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = _hashmin_labels(d, rounds=4)
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("bigint").alias("n"))
+    mem = labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("__cluster"),
+        F.col("n").alias("__size"),
+    )
     return (
-        labels.groupBy(F.col("lbl").alias("cluster_id"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        d.select("doc_id")
+        .join(F.broadcast(mem), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__cluster", "doc_id").alias("cluster_id"),
+            F.coalesce("__size", F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.expr("CAST(1000000 DIV COALESCE(__size, 1) AS BIGINT)").alias(
+                "weight_ppm"
+            ),
         )
-        .orderBy("cluster_id")
     )
 
 

@@ -1612,3 +1612,196 @@ def ivf_pq_residual_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "pq_adc_rerank_topk",
+    oracle=_PQ_ORACLE_PREFIX
+    + f"""
+    , qtab AS (SELECT m, code_id, d FROM dists WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+        FROM assign a JOIN qtab q ON q.m = a.m AND q.code_id = a.code_id
+        GROUP BY 1
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_DOT_SQL.format(a='e.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving — the production ANN pattern (FAISS
+    `IndexRefineFlat`, DiskANN's rerank pass): stage 1 scans ONLY the
+    stored PQ codes (M bytes/vector) for an ADC top-50 shortlist; stage 2
+    recovers the recall the lossy codes gave up by EXACTLY rescoring just
+    those 50 ids against their full float vectors and returning the exact
+    cosine top-10 of the shortlist. Completes the PQ family's deployment
+    story: `pq_adc_topk_from_store` pins the compressed scan,
+    `embedding_int8_quant_error` pins the quantization loss, this pins
+    the standard recall-recovery composition.
+
+    Scale: the memory-bandwidth-bound stage touches codes only (the 32x
+    compression win); the expensive float vectors are read for exactly k'
+    = 50 rows via a broadcast semi-join on the shortlist ids — at 100 TB
+    that is the difference between streaming the full vector column and
+    50 point reads. Both stages are deterministic exact-int/list-order
+    arithmetic, so the DuckDB oracle replays the full composition."""
+    import os as _os
+
+    from ..operators.similarity import pq_adc_topk as adc_topk
+    from ..operators.similarity import pq_components, pq_subspace_distances
+    from ..stores import ensure_pq_store
+
+    store = ensure_pq_store(spark, sf_dir)
+    codebook = spark.read.parquet(_os.path.join(store, "codebook"))
+    codes = spark.read.parquet(_os.path.join(store, "codes"))
+    qparts = pq_components(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0),
+        "embedding",
+        "vec_id",
+        sub_dim=8,
+        scale=10000,
+    )
+    qtab = pq_subspace_distances(qparts, codebook, "vec_id").select(
+        "m", "code_id", "d"
+    )
+    shortlist = adc_topk(codes, qtab, "vec_id", k=50).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(_query_df(spark, sf_dir)))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "ivf_batch_topk_from_store",
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS d
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    qtop AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   {_DOT_SQL.format(a='q.qvec', b='c.cvec')}
+                   / (sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})
+                      * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) DESC,
+                   c.centroid_id) AS rn
+        FROM cent c CROSS JOIN queries q
+      ) WHERE rn <= 3
+    )
+    SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rk FROM (
+      SELECT t.qid, a.vec_id,
+             {_DOT_SQL.format(a='a.embedding', b='q.qvec')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})) AS cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY
+                 {_DOT_SQL.format(a='a.embedding', b='q.qvec')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})) DESC,
+                 a.vec_id) AS rk
+      FROM assigned a
+      JOIN qtop t USING (centroid_id)
+      JOIN queries q ON q.qid = t.qid
+      WHERE a.vec_id <> q.qid
+    ) WHERE rk <= 10
+    """,
+)
+def ivf_batch_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF serving off the persisted L3 layout: FIVE query vectors
+    (vec_id < 5) probe the store in ONE plan — per-query nprobe=3 lists
+    are picked against the broadcast stored codebook, and the corpus side
+    is ONE partition-pruned scan over the UNION of all probed lists
+    (driver-side planning metadata, bounded by queries x nprobe), joined
+    to the per-query probe table so each candidate row fans out only to
+    the queries that probed its list. The single-query twin
+    (`ivf_topk_from_store`) pins the probe; this pins the serving shape
+    that matters at volume — the store scan amortizes across the query
+    BATCH instead of re-running per query, which is how an online ANN
+    service (or a bulk kNN-join stage in a dedup pipeline) actually
+    consumes the layout.
+
+    Scale: probe-set size is queries x nprobe lists regardless of corpus
+    volume; the scan covers ~(distinct probed lists)/C of the store via
+    PartitionFilters; per-query top-10 is a window PARTITIONED BY qid
+    over list-pruned candidates (never the corpus). Cosine accumulates
+    in list order on both engines; ties break on vec_id."""
+    import os as _os
+
+    from ..stores import ensure_ivf_store
+
+    store = ensure_ivf_store(spark, sf_dir)
+    centroids = spark.read.parquet(_os.path.join(store, "centroids"))
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qtop = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("__d"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= 3)
+        .select("qid", "centroid_id")
+    )
+    probes = sorted({r.centroid_id for r in qtop.collect()})
+    cand = spark.read.parquet(_os.path.join(store, "assigned")).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    scored = (
+        cand.join(F.broadcast(qtop), "centroid_id")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qvec")))
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

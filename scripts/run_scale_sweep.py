@@ -35,6 +35,9 @@ PAIR_EMITTING = {
     # every document) — candidate volume, not plan scaling, dominates
     "simhash_near_dup_pairs_from_store",
     "simhash_incremental_admission",
+    # rides the same verified near-dup pair closure — cross-replica pair
+    # volume, not plan scaling, dominates at the 10-copy replica
+    "near_dup_sampling_weights",
 }
 
 # semantic_dedup_pairs is also excluded: its oracle pins k=8 (right for the

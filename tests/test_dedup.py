@@ -429,3 +429,28 @@ def test_cdc_boundaries_survive_prefix_insert(spark, tmp_path):
     r = mod.queries()["cdc_chunk_dedup_report"](spark, str(tmp_path)).collect()[0]
     assert r.n_chunks > 2  # t is long enough to have real boundaries
     assert r.unique_chars < r.total_chars  # suffix chunks shared
+
+
+def test_sampling_weights_cover_corpus_and_match_ledger(spark, sf_dir):
+    """SoftDeDup weights: one row per corpus document; singletons carry
+    full weight 1e6; clustered docs' (cluster_id, cluster_size) must agree
+    with the keep-one ledger's (cluster_id, n_docs); and weight_ppm is
+    exactly 1e6 DIV size."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    weights = get("near_dup_sampling_weights").fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(weights) == n_docs
+    assert len({r.doc_id for r in weights}) == n_docs
+
+    ledger = {
+        r.cluster_id: r.n_docs
+        for r in get("near_dup_cluster_keep_one").fn(spark, sf_dir).collect()
+    }
+    for r in weights:
+        assert r.weight_ppm == 1_000_000 // r.cluster_size
+        if r.cluster_size == 1:
+            assert r.weight_ppm == 1_000_000
+        else:
+            assert ledger.get(r.cluster_id) == r.cluster_size, r

@@ -372,3 +372,54 @@ def test_ivf_pq_residual_sorted_and_above_chance_recall(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
     exact50 = {r.vec_id for r in cosine_topk(corpus, q, "vec_id", "embedding", k=50).collect()}
     assert len({r.vec_id for r in rows} & exact50) >= 2
+
+
+def test_pq_rerank_improves_or_matches_adc_recall(spark, sf_dir, tmp_path, monkeypatch):
+    """The rerank stage must (a) return only shortlist members, exactly
+    ranked by true cosine, and (b) recall at least as many of the EXACT
+    cosine top-10 as raw ADC ranking does — recovering recall is the whole
+    point of the two-stage serve."""
+    import numpy as np
+
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    rerank = get("pq_adc_rerank_topk").fn(spark, sf_dir).collect()
+    assert len(rerank) == 10
+    cosines = [r.cosine for r in rerank]
+    assert cosines == sorted(cosines, reverse=True)
+
+    adc10 = {r.vec_id for r in get("pq_adc_topk").fn(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+
+    def cos(v):
+        return float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+
+    exact = sorted(((cos(v), vid) for vid, v in vecs.items() if vid != 0),
+                   key=lambda t: (-t[0], t[1]))
+    exact10 = {vid for _, vid in exact[:10]}
+    got = {r.vec_id for r in rerank}
+    assert len(got & exact10) >= len(adc10 & exact10)
+
+
+def test_ivf_batch_topk_per_query_matches_single_probe(spark, sf_dir, tmp_path, monkeypatch):
+    """Each qid gets exactly 10 ranked rows, and qid=0's rows must equal
+    the single-query store probe (`ivf_topk_from_store`) — the batch plan
+    is an amortization, never a semantic change."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    batch = get("ivf_batch_topk_from_store").fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        assert sorted(r.rk for r in rows) == list(range(1, 11)), qid
+
+    single = get("ivf_topk_from_store").fn(spark, sf_dir).collect()
+    batch0 = sorted(((r.vec_id, r.cosine) for r in by_q[0]))
+    assert batch0 == sorted((r.vec_id, r.cosine) for r in single)
