@@ -115,6 +115,8 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # layout (the self-contained twin stays as the 14-scan ingest
             # regression guard)
             "hybrid_search_rrf_from_store",
+            # round-8: batched serving — 5 queries, one pruned probe
+            "bm25_batch_search_from_store",
             "maxsim_multivector_topk",
         ],
     ),
@@ -135,6 +137,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # weights off the same verified-pair closure as the keep-one
             # ledger (reweighting instead of removal)
             "near_dup_sampling_weights",
+            # round-8: fuzzy decontamination — bench bands x train bands
+            # cross-set LSH join (no train x train pair ever generated)
+            "minhash_decontamination",
         ],
     ),
     (

@@ -217,6 +217,59 @@ def near_dup_pairs(
     )
 
 
+def cross_dup_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """CROSS-SET near-dup pairs (a in df_a, b in df_b) via MinHash-LSH —
+    the fuzzy-decontamination shape: band each side independently and
+    equi-join A-bands against B-bands on (band, band_key), so no A x A or
+    B x B candidate is ever generated or verified (the self-join variant
+    :func:`near_dup_pairs` pays for both). Candidates get the same exact
+    token-set Jaccard >= ``threshold`` verification.
+
+    ``max_bucket_size`` caps the B-side (by convention the big training
+    split) band buckets exactly like :func:`lsh_candidate_pairs`'s hot
+    guard: a boilerplate bucket with B rows would otherwise multiply
+    every colliding A row by B. Returns (id_a, id_b, jaccard); id_a and
+    id_b are NOT ordered (they come from different sets).
+
+    Scale: two banding passes over disjoint row sets = one corpus pass;
+    the join key is (band, band_key) — small and uniform; the verify is
+    bounded by candidate volume, which banding (and the cap) bounds."""
+    a = band_rows(df_a, id_col, text_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = band_rows(df_b, id_col, text_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        b = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    cand = a.join(b, ["band", "band_key"]).select("id_a", "id_b").distinct()
+    toks = F.array_distinct(tokenize(text_col))
+    left = df_a.select(F.col(id_col).alias("id_a"), toks.alias("__ta"))
+    right = df_b.select(F.col(id_col).alias("id_b"), toks.alias("__tb"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", F.round(jaccard_arrays(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,

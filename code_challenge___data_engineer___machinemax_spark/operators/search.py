@@ -299,6 +299,81 @@ def bm25_rank_from_index(
     )
 
 
+def bm25_batch_rank_from_index(
+    spark,
+    index_path: str,
+    keywords: list[str],
+    key_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25 over the persisted posting layout: N keyword queries
+    share ONE pruned index probe — the serving shape of a search service
+    (or a bulk offline relevance-labeling stage), where per-query cost
+    must amortize to probe/|batch|.
+
+    The probe covers the UNION of all queries' tokens (still planning
+    metadata: PartitionFilters on the token buckets + token IN (...) at
+    the scan); per-token df/idf and per-(doc, token) term scores are
+    computed ONCE from the probed rows and shared across queries; a
+    broadcast (qid, token) map then fans each term score out to exactly
+    the queries containing that token, and the per-query top-k is a
+    window PARTITIONED BY qid. Scores are bit-identical to N separate
+    :func:`bm25_rank_from_index` calls (same formula, same doubles).
+    Returns (qid, key, bm25, rk)."""
+    import os as _os
+
+    qmap_rows = [
+        (qid, t) for qid, kw in enumerate(keywords) for t in query_tokens(kw)
+    ]
+    toks = sorted({t for _, t in qmap_rows})
+    if not toks:
+        return spark.range(0).select(
+            F.col("id").cast("int").alias("qid"),
+            F.col("id").alias(key_col),
+            F.lit(0.0).alias("bm25"),
+            F.col("id").cast("int").alias("rk"),
+        )
+    prefixes = sorted(
+        {t[0] if t[0] in "0123456789abcdefghijklmnopqrstuvwxyz" else "_" for t in toks}
+    )
+    postings = spark.read.parquet(_os.path.join(index_path, "postings")).filter(
+        F.col("bucket").isin(prefixes) & F.col("token").isin(toks)
+    )
+    stats = spark.read.parquet(_os.path.join(index_path, "stats"))
+    # one row per (doc, token) in the layout => count(*) IS the doc freq
+    dfreq = postings.groupBy("token").agg(F.count("*").alias("df"))
+    term = (
+        postings.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    qmap = spark.createDataFrame(qmap_rows, "qid int, token string")
+    scored = (
+        term.join(F.broadcast(qmap), "token")
+        .groupBy("qid", key_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(key_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", key_col, "bm25", "rk")
+    )
+
+
 def bm25_rank(
     df: DataFrame,
     key_col: str,

@@ -1028,6 +1028,78 @@ def _hashmin_labels(d: DataFrame, rounds: int = 4) -> DataFrame:
     return labels
 
 
+@query(
+    "minhash_decontamination",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                   i -> list_aggregate(
+                       list_transform({shingles_sql('text', 3)}, s -> md5(i || ':' || s)),
+                       'min')) AS sig
+        FROM documents
+    ), banded AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ), verified AS (
+        SELECT id_a, id_b,
+               ROUND(CASE WHEN len(list_distinct(list_concat(ta.toks, tb.toks))) > 0
+                     THEN CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM cand
+        JOIN (SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+              FROM documents) ta ON ta.doc_id = id_a
+        JOIN (SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+              FROM documents) tb ON tb.doc_id = id_b
+    )
+    SELECT id_a AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM verified WHERE jaccard >= 0.5
+    GROUP BY id_a
+    """,
+)
+def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — the near-dup counterpart of the exact
+    n-gram checks (`benchmark_contamination` / `decontaminated_corpus`):
+    a benchmark document is contaminated if the TRAINING split contains a
+    near-duplicate of it (token-set Jaccard >= 0.5 via MinHash-LSH), not
+    just a verbatim n-gram overlap — the check that catches paraphrased /
+    reformatted benchmark leakage (the reason Llama-class pipelines run
+    fuzzy decontamination on top of exact matching). Same 10% benchmark
+    split convention (doc_id % 10 = 0); one row per contaminated
+    benchmark doc: how many training near-dups, and the worst (max)
+    Jaccard.
+
+    Plan shape: CROSS-SET banding (operators/dedup.py::cross_dup_pairs) —
+    bench bands equi-join train bands on (band, band_key), so candidate
+    volume is bench-side-bounded and no train x train pair is ever
+    generated or verified (the waste the self-join near-dup pipeline
+    would pay here). Scale: two banding passes over disjoint splits = one
+    corpus pass; the train-side hot-bucket cap is available for
+    boilerplate-heavy corpora (not needed at oracle scale, where the
+    oracle mirrors exhaustive candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    from ..operators.dedup import cross_dup_pairs
+
+    pairs = cross_dup_pairs(
+        bench, train, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_train_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 @query("near_dup_sampling_weights", oracle=_soft_dedup_sql())
 def near_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup — duplicate-aware REWEIGHTING instead of removal (the

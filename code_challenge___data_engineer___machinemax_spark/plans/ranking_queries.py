@@ -81,6 +81,82 @@ def bm25_keyword_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank_from_index(spark, path, "merge vector", key_col="doc_id", k=10)
 
 
+# the 5-query batch: every token is established corpus vocabulary (the
+# same 6 tokens the bm25/mrr/phrase evals use), so each query has hits
+_BATCH_QUERIES: list[str] = [
+    "merge vector",
+    "scan filter",
+    "table window",
+    "merge table",
+    "vector filter",
+]
+
+
+@query(
+    "bm25_batch_search_from_store",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest({tokenize_sql('text')}) AS token FROM documents
+    ), doc_len AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doc_len
+    ), qmap(qid, token) AS (VALUES
+        {", ".join(f"({qid}, '{t}')" for qid, kw in enumerate(_BATCH_QUERIES) for t in kw.split())}
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+        WHERE token IN (SELECT token FROM qmap) GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT q.qid, tf.doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                   * (tf * 2.2::DOUBLE)
+                   / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                          + 0.75::DOUBLE * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN qmap q USING (token) JOIN dfreq USING (token)
+        JOIN doc_len USING (doc_id) CROSS JOIN corpus
+        GROUP BY q.qid, tf.doc_id
+    )
+    SELECT qid, doc_id, bm25, CAST(rk AS INT) AS rk FROM (
+        SELECT qid, doc_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def bm25_batch_search_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 serving off the persisted L2 posting layout: FIVE
+    keyword queries share ONE pruned index probe (the union of their
+    tokens — still PartitionFilters + token IN (...) at the scan),
+    per-token df/idf and per-(doc, token) term scores compute once and
+    fan out to queries via a broadcast (qid, token) map, and each query's
+    top-10 is a qid-partitioned window. The search-family counterpart of
+    `ivf_batch_topk_from_store`: the layout amortizes across the query
+    BATCH — per-query cost is probe/|batch|, which is how a search
+    service (or an offline relevance-labeling sweep over thousands of
+    queries) actually consumes the index. 2-token score sums stay
+    commutative in IEEE double, so cross-engine value equality holds per
+    the family convention; ranking is on the ROUNDED score with doc_id
+    ties, identically in the oracle.
+
+    Scale: probe volume is union-of-tokens bounded regardless of batch
+    size; the (qid, token) fan-out multiplies only matched posting rows
+    by the queries sharing each token; the per-query window partitions by
+    qid over match-bounded candidates (operators/search.py::
+    bm25_batch_rank_from_index)."""
+    from ..operators.search import bm25_batch_rank_from_index
+    from ..stores import ensure_bm25_index_store
+
+    path = ensure_bm25_index_store(spark, sf_dir)
+    return bm25_batch_rank_from_index(
+        spark, path, _BATCH_QUERIES, key_col="doc_id", k=10
+    )
+
+
 def _cluster_oracle_sql() -> str:
     """Recursive-CTE oracle for connected components: reuse the registered
     near-dup-pairs oracle as the edge list (identical parameters:

@@ -47,7 +47,7 @@ _REGISTRY: dict[str, Registered] = {}
 # prose — VERDICT r7 #5): tests/test_registry_window.py asserts the
 # figure on the next line equals len(union of CORRECTNESS_r*.json keys)
 # over len(all_oracles()).
-# CUMULATIVE_DRIVER_GREEN: 284 of 335 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN: 284 of 337 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -108,14 +108,16 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout",
     # Next-rotation window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r07 keys minus this round-8 window. Only the five
+    # CORRECTNESS_r01-r07 keys minus this round-8 window. Only the seven
     # queries added in round 8 itself remain — the two store twins
-    # (VERDICT r7 #3/#4) and the three new serving/reweighting shapes;
-    # all are green in the local sf0.01 parity sweep and rotate into
-    # round 9 (list pinned by tests/test_registry_window.py arithmetic):
+    # (VERDICT r7 #3/#4), the three serving/reweighting shapes, and the
+    # two batch/decontamination shapes; all are green in the local sf0.01
+    # parity sweep and rotate into round 9 (list pinned by
+    # tests/test_registry_window.py arithmetic):
     # hybrid_search_rrf_from_store, ivf_pq_residual_topk_from_store,
     # pq_adc_rerank_topk, ivf_batch_topk_from_store,
-    # near_dup_sampling_weights
+    # near_dup_sampling_weights, minhash_decontamination,
+    # bm25_batch_search_from_store
 ]
 
 

@@ -38,6 +38,10 @@ PAIR_EMITTING = {
     # rides the same verified near-dup pair closure — cross-replica pair
     # volume, not plan scaling, dominates at the 10-copy replica
     "near_dup_sampling_weights",
+    # the key shift preserves doc_id % 10, so every bench doc gains 10
+    # bench copies x 10 train copies of each match — the same deliberate
+    # cross-replica blowup
+    "minhash_decontamination",
 }
 
 # semantic_dedup_pairs is also excluded: its oracle pins k=8 (right for the

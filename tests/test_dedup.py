@@ -454,3 +454,65 @@ def test_sampling_weights_cover_corpus_and_match_ledger(spark, sf_dir):
             assert r.weight_ppm == 1_000_000
         else:
             assert ledger.get(r.cluster_id) == r.cluster_size, r
+
+
+def test_cross_dup_pairs_match_self_join_cross_split_subset(spark, sf_dir):
+    """The cross-set LSH join must find EXACTLY the cross-split subset of
+    the full self-join near-dup pairs (same banding, same verify): no
+    candidate lost by banding the splits separately, none invented."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        cross_dup_pairs,
+        near_dup_pairs,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
+    expected = set()
+    for r in full.collect():
+        if r.id_a % 10 == 0 and r.id_b % 10 != 0:
+            expected.add((r.id_a, r.id_b, r.jaccard))
+        elif r.id_b % 10 == 0 and r.id_a % 10 != 0:
+            expected.add((r.id_b, r.id_a, r.jaccard))
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in cross_dup_pairs(
+            d.filter("doc_id % 10 = 0"),
+            d.filter("doc_id % 10 != 0"),
+            "doc_id",
+            "text",
+            threshold=0.5,
+            num_hashes=8,
+            bands=4,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_cross_dup_hot_bucket_cap_bounds_candidates(spark):
+    """With a planted boilerplate bucket on the train side, the cap must
+    drop the hot bucket's pairs while keeping distinct-content matches."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        cross_dup_pairs,
+    )
+
+    # train ids must avoid multiples of 10 (the bench-split convention)
+    boiler_ids = [i for i in range(1, 35) if i % 10 != 0][:30]
+    rows = [(0, "alpha beta gamma delta epsilon unique zero")]
+    # 30 identical boilerplate train docs (one hot bucket) + 1 true match
+    rows += [(i, "common boiler plate text repeated everywhere") for i in boiler_ids]
+    rows += [(41, "alpha beta gamma delta epsilon unique zero")]
+    # a bench doc colliding only with the boilerplate bucket
+    rows += [(40, "common boiler plate text repeated everywhere")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id % 10 = 0")
+    train = df.filter("doc_id % 10 != 0")
+    capped = cross_dup_pairs(
+        bench, train, "doc_id", "text", threshold=0.5, max_bucket_size=5
+    ).collect()
+    # the 30-row boilerplate bucket is dropped; doc 0's exact twin survives
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, 41)}
+    uncapped = cross_dup_pairs(bench, train, "doc_id", "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == {(0, 41)} | {
+        (40, i) for i in boiler_ids
+    }

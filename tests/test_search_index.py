@@ -149,3 +149,36 @@ def test_stemmed_materialized_index_matches_stemmed_bruteforce(spark, tmp_path):
         ).collect()
     }
     assert hits == {1, 2, 3}
+
+
+def test_bm25_batch_matches_per_query_probes(spark, sf_dir, tmp_path, monkeypatch):
+    """Each qid's batch rows must be bit-identical to a separate
+    single-query probe of the same layout — the batch is an
+    amortization, never a semantic change."""
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        bm25_batch_rank_from_index,
+        bm25_rank_from_index,
+    )
+    from code_challenge___data_engineer___machinemax_spark.plans.ranking_queries import (
+        _BATCH_QUERIES,
+    )
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_bm25_index_store,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    path = ensure_bm25_index_store(spark, sf_dir)
+    batch = bm25_batch_rank_from_index(spark, path, _BATCH_QUERIES, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, set()).add((r.doc_id, r.bm25, r.rk))
+    assert set(by_q) == set(range(len(_BATCH_QUERIES)))
+    for qid, kw in enumerate(_BATCH_QUERIES):
+        single = bm25_rank_from_index(spark, path, kw, k=10).collect()
+        ranked = {
+            (r.doc_id, r.bm25, i + 1)
+            for i, r in enumerate(
+                sorted(single, key=lambda r: (-r.bm25, r.doc_id))
+            )
+        }
+        assert by_q[qid] == ranked, kw
