@@ -47,7 +47,7 @@ _REGISTRY: dict[str, Registered] = {}
 # prose — VERDICT r7 #5): tests/test_registry_window.py asserts the
 # figure on the next line equals len(union of CORRECTNESS_r*.json keys)
 # over len(all_oracles()).
-# CUMULATIVE_DRIVER_GREEN: 284 of 337 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 8): 284 of 337 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).

@@ -1,9 +1,11 @@
 """Registry-window hygiene: the driver checks only the FIRST 50 registered
 queries, so a typo in DRIVER_PRIORITY silently wastes a correctness slot.
 These tests pin (a) the window is exactly 50 real, oracle-bearing queries,
-and (b) the round-6 candidate list written into the registry comment is the
+(b) the staged candidate list written into the registry comment is the
 EXACT set arithmetic it claims (oracle-bearing minus driver-checked minus
-the window) — the list future rounds rotate from."""
+the window) — the list future rounds rotate from — and (c) the
+CUMULATIVE_DRIVER_GREEN figure in that comment matches the same
+arithmetic (VERDICT r7 #5: no hand-maintained coverage prose)."""
 
 from __future__ import annotations
 
@@ -20,10 +22,11 @@ from code_challenge___data_engineer___machinemax_spark.plans.registry import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _checked_names() -> set[str]:
+def _checked_names(before_round: int | None = None) -> set[str]:
     seen: set[str] = set()
     for f in sorted(os.listdir(REPO)):
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if m and (before_round is None or int(m.group(1)) < before_round):
             seen |= set(json.load(open(os.path.join(REPO, f))))
     return seen
 
@@ -39,7 +42,10 @@ def test_window_is_50_real_oracle_bearing_queries():
 def test_cumulative_coverage_figure_is_machine_checked():
     """VERDICT r7 #5: the CUMULATIVE_DRIVER_GREEN figure in the registry
     comment was hand-maintained prose; pin it to the same set arithmetic
-    that pins everything else in that comment."""
+    that pins everything else in that comment. The figure is scoped
+    '(before round N)' so the assertion stays true when the driver later
+    writes CORRECTNESS_rN itself — the next rotation edit bumps N and the
+    figure together, and THIS test goes red if either is forgotten."""
     src = open(
         os.path.join(
             REPO,
@@ -48,11 +54,13 @@ def test_cumulative_coverage_figure_is_machine_checked():
             "registry.py",
         )
     ).read()
-    m = re.search(r"# CUMULATIVE_DRIVER_GREEN: (\d+) of (\d+)", src)
+    m = re.search(
+        r"# CUMULATIVE_DRIVER_GREEN \(before round (\d+)\): (\d+) of (\d+)", src
+    )
     assert m, "registry comment lost its CUMULATIVE_DRIVER_GREEN line"
     oracles = set(plans.all_oracles())
-    assert int(m.group(1)) == len(_checked_names() & oracles)
-    assert int(m.group(2)) == len(oracles)
+    assert int(m.group(2)) == len(_checked_names(before_round=int(m.group(1))) & oracles)
+    assert int(m.group(3)) == len(oracles)
 
 
 def test_candidate_comment_matches_set_arithmetic():
