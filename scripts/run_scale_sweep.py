@@ -61,6 +61,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # prime every persisted layout UNTIMED, matching the bench protocol:
+    # ensure_* is ingest-time work a deployment does once per data
+    # landing; without this the first *_from_store query at a fresh
+    # sf_dir pays the store BUILD inside its timed region (round-8
+    # sweep: item_item_similarity_from_store read 22.7 s with the L9
+    # build folded in vs 2.4 s as the probe it actually is)
+    from bench import _FAMILY_STORES
+    from code_challenge___data_engineer___machinemax_spark import stores
+
+    for fns in _FAMILY_STORES.values():
+        for fn in fns:
+            getattr(stores, fn)(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in PAIR_EMITTING | FIXED_PARAM:
