@@ -125,6 +125,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
         [
             "minhash_signatures",
             "near_dup_pairs_minhash",
+            # round-8: the L4 MinHash-band layout read path (banding ran
+            # at ingest; the query is the pair join + candidate-pruned
+            # verify — the self-contained twin stays as ingest guard)
+            "near_dup_pairs_minhash_from_store",
             "doc_overlap_winnowing",
             "simhash_near_dup_pairs",
             "simhash_near_dup_pairs_from_store",
@@ -240,7 +244,7 @@ HEADLINE: list[str] = [q for _, _members in FAMILIES for q in _members]
 # deployment does once when data lands — warm-up, never timed)
 _FAMILY_STORES: dict[str, list[str]] = {
     "search": ["ensure_bm25_index_store"],
-    "dedup": ["ensure_simhash_store"],
+    "dedup": ["ensure_simhash_store", "ensure_minhash_band_store"],
     "vector": [
         "ensure_srp_store",
         "ensure_pq_store",

@@ -240,6 +240,37 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_minhash_band_store(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 8, bands: int = 4
+) -> str:
+    """Materialize the MinHash-LSH banding table for ``documents`` — the
+    'MinHash bands' entry of the DEPLOY.md L4 fingerprint family, now a
+    real layout like its SimHash sibling: one ``(doc_id, band, band_key)``
+    row per (document, band), PARTITIONED BY ``band`` and sorted by
+    ``band_key`` within partitions so bucket probes (streaming admission,
+    cross-set decontamination) prune at the scan. The expensive step —
+    the shingle explode + per-band md5-min signature aggregation (the
+    measured cost center of every MinHash query) — runs exactly once,
+    here; batch pair generation against the layout is a pure
+    (band, band_key) self-equi-join on 3-column rows."""
+    from .operators.dedup import band_rows
+
+    path = _store_path(sf_dir, "documents", f"l4_minhash_h{num_hashes}b{bands}")
+    if not _ready(path):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            band_rows(d, "doc_id", "text", num_hashes, bands)
+            .repartition("band")
+            .sortWithinPartitions("band_key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_pq_residual_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the residual IVF-PQ layout for ``embeddings`` (DEPLOY.md
     L7; VERDICT r7 #4 — the deployment claim in

@@ -27,6 +27,7 @@ from code_challenge___data_engineer___machinemax_spark.tables import TABLES, loa
 
 PAIR_EMITTING = {
     "near_dup_pairs_minhash",
+    "near_dup_pairs_minhash_from_store",
     "simhash_near_dup_pairs",
     "doc_overlap_winnowing",
     "set_similarity_prefix_pairs",
