@@ -130,6 +130,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # verify — the self-contained twin stays as ingest guard)
             "near_dup_pairs_minhash_from_store",
             "doc_overlap_winnowing",
+            # round-8: the L4 winnowing layout read path (fingerprint
+            # selection ran at ingest; the query is the fp self-join)
+            "doc_overlap_winnowing_from_store",
             "simhash_near_dup_pairs",
             "simhash_near_dup_pairs_from_store",
             "simhash_incremental_admission",
@@ -244,7 +247,11 @@ HEADLINE: list[str] = [q for _, _members in FAMILIES for q in _members]
 # deployment does once when data lands — warm-up, never timed)
 _FAMILY_STORES: dict[str, list[str]] = {
     "search": ["ensure_bm25_index_store"],
-    "dedup": ["ensure_simhash_store", "ensure_minhash_band_store"],
+    "dedup": [
+        "ensure_simhash_store",
+        "ensure_minhash_band_store",
+        "ensure_winnowing_store",
+    ],
     "vector": [
         "ensure_srp_store",
         "ensure_pq_store",

@@ -47,7 +47,7 @@ _REGISTRY: dict[str, Registered] = {}
 # prose — VERDICT r7 #5): tests/test_registry_window.py asserts the
 # figure on the next line equals len(union of CORRECTNESS_r*.json keys)
 # over len(all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 8): 284 of 338 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 8): 284 of 339 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -117,7 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     # hybrid_search_rrf_from_store, ivf_pq_residual_topk_from_store,
     # pq_adc_rerank_topk, ivf_batch_topk_from_store,
     # near_dup_sampling_weights, minhash_decontamination,
-    # bm25_batch_search_from_store, near_dup_pairs_minhash_from_store
+    # bm25_batch_search_from_store, near_dup_pairs_minhash_from_store,
+    # doc_overlap_winnowing_from_store
 ]
 
 

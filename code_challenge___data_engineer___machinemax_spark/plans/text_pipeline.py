@@ -586,6 +586,38 @@ def doc_overlap_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry import get as _get_reg
+
+
+@query(
+    "doc_overlap_winnowing_from_store",
+    # the self-contained twin's oracle verbatim: the layout caches the
+    # deterministic fingerprint selection, so pair sets are identical
+    oracle=_get_reg("doc_overlap_winnowing").oracle,
+)
+def doc_overlap_winnowing_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_overlap_winnowing` over the persisted L4 winnowing table
+    (stores.py:ensure_winnowing_store) — with this twin every member of
+    DEPLOY.md's L4 fingerprint family (SimHash, MinHash bands, winnowing)
+    has a measured store read path: the fingerprint SELECTION (the
+    posexplode + lead + frame-min pass over every document) ran at
+    ingest, and the query is only the fp-keyed self-equi-join + the
+    shared-count floor. No localCheckpoint needed — parquet is the pin.
+    Same oracle as the self-contained twin (the ingest-cost guard)."""
+    from ..stores import ensure_winnowing_store
+
+    path = ensure_winnowing_store(spark, sf_dir)
+    fps = spark.read.parquet(path)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
 @query(
     "bigram_logprob_scores",
     oracle=f"""

@@ -30,6 +30,7 @@ PAIR_EMITTING = {
     "near_dup_pairs_minhash_from_store",
     "simhash_near_dup_pairs",
     "doc_overlap_winnowing",
+    "doc_overlap_winnowing_from_store",
     "set_similarity_prefix_pairs",
     # the store-backed/incremental twins hit the same deliberate
     # cross-replica near-dup blowup (10 identical key-shifted copies of

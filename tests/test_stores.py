@@ -335,3 +335,30 @@ def test_minhash_band_ensure_is_idempotent(spark, sf_dir, store_env):
     p2 = ensure_minhash_band_store(spark, sf_dir)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_winnowing_store_overlap_equals_self_contained(spark, sf_dir, store_env):
+    """The L4-winnowing-backed overlap query must equal the self-contained
+    twin, and its plan must do NO fingerprint selection — documents is
+    absent entirely (parquet is the pin)."""
+    qs = plans.all_queries()
+    stored_df = qs["doc_overlap_winnowing_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["doc_overlap_winnowing"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    assert "l4_winnow" in txt
+    assert "documents.parquet" not in txt
+
+
+def test_winnowing_ensure_is_idempotent(spark, sf_dir, store_env):
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_winnowing_store,
+    )
+
+    p1 = ensure_winnowing_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_winnowing_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
