@@ -124,19 +124,22 @@ FAMILIES: list[tuple[str, list[str]]] = [
         "dedup",
         [
             "minhash_signatures",
-            "near_dup_pairs_minhash",
-            # round-8: the L4 MinHash-band layout read path (banding ran
-            # at ingest; the query is the pair join + candidate-pruned
-            # verify — the self-contained twin stays as ingest guard)
+            # round-9 rebalance (VERDICT r8 #4, the graphrec pattern): the
+            # four self-contained pair emitters each have a published L4
+            # *_from_store twin (or, for CDC, a pure ingest-guard role) —
+            # the *_from_store read paths are the family headline, the
+            # emitters rebuild banding/fingerprinting purely as ingest
+            # regression guards. ONE stays in the timed bench per round
+            # (round-robin over _DEDUP_GUARD_ROTATION below — round 9
+            # publishes doc_overlap_winnowing); the other three run as
+            # sf0.01 timed guards in tests/test_ingest_guards.py plus the
+            # full oracle parity sweep. Coverage unchanged; only the
+            # publication tier moved (COVERAGE.md dedup notes).
             "near_dup_pairs_minhash_from_store",
             "doc_overlap_winnowing",
-            # round-8: the L4 winnowing layout read path (fingerprint
-            # selection ran at ingest; the query is the fp self-join)
             "doc_overlap_winnowing_from_store",
-            "simhash_near_dup_pairs",
             "simhash_near_dup_pairs_from_store",
             "simhash_incremental_admission",
-            "cdc_chunk_dedup_report",
             # round-7: the ExactSubstr coverage signal (gram-keyed
             # dup-set join — the heaviest text shuffle shape)
             "repeated_ngram_coverage",
@@ -179,12 +182,15 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "ann_topk_lsh",
             "ann_topk_lsh_from_store",
             "ann_recall_eval",
-            "pq_adc_topk",
             "pq_adc_topk_from_store",
-            # round-7: the composed IVF-PQ probes (coarse prune + ADC;
-            # non-residual and FAISS-default residual encodings)
+            # round-9 rebalance (VERDICT r8 #5): the three self-contained
+            # encode+probe paths (pq_adc_topk, ivf_pq_topk,
+            # ivf_pq_residual_topk) all have published L3/L7 store twins —
+            # ONE stays in the timed bench per round (round-robin over
+            # _VECTOR_GUARD_ROTATION below — round 9 publishes
+            # ivf_pq_topk); the other two run as sf0.01 timed guards in
+            # tests/test_ingest_guards.py plus the oracle parity sweep.
             "ivf_pq_topk",
-            "ivf_pq_residual_topk",
             # round-8: the L7 residual layout read path (coarse assign +
             # residual encode ran at ingest; the probe is partition-pruned
             # ADC — the deployment story the self-contained twin asserts)
@@ -216,11 +222,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # twins each rebuild the basket join purely as ingest
             # regression guards; ONE stays in the timed bench per round
             # (round-robin over _GRAPHREC_GUARD_ROTATION below — round 8
-            # publishes item_item_similarity) and the other four run as
-            # sf0.01 timed guards in tests/test_ingest_guards.py plus the
-            # full oracle parity sweep. Coverage is unchanged; only the
-            # publication tier moved (COVERAGE.md graphrec notes).
-            "item_item_similarity",
+            # published item_item_similarity; round 9 advances to index 1,
+            # recsys_hitrate_eval) and the other four run as sf0.01 timed
+            # guards in tests/test_ingest_guards.py plus the full oracle
+            # parity sweep. Coverage is unchanged; only the publication
+            # tier moved (COVERAGE.md graphrec notes).
+            "recsys_hitrate_eval",
             "item_item_similarity_from_store",
             "recsys_hitrate_eval_from_store",
             "triangle_participation_from_store",
@@ -262,17 +269,35 @@ _FAMILY_STORES: dict[str, list[str]] = {
     "graphrec": ["ensure_copurchase_store"],
 }
 
-# Round-robin pool for the graphrec family's ONE timed self-contained
-# ingest guard (VERDICT r7 #6): round 8 publishes index 0; advance by one
-# per round. The other four run as sf0.01 timed guards in
-# tests/test_ingest_guards.py.
+# Round-robin pools for each family's ONE timed self-contained ingest
+# guard (VERDICT r7 #6 for graphrec; VERDICT r8 #4/#5 extend the same
+# rebalance to dedup and vector): per round, exactly one member of each
+# pool is published in the timed bench (advance the index by one per
+# round); the rest run as sf0.01 timed guards in
+# tests/test_ingest_guards.py, and ALL stay in the oracle parity sweep.
 _GRAPHREC_GUARD_ROTATION: list[str] = [
-    "item_item_similarity",      # round 8 (in bench above)
-    "recsys_hitrate_eval",
+    "item_item_similarity",      # round 8
+    "recsys_hitrate_eval",       # round 9 (in bench above)
     "triangle_participation",
     "adamic_adar_links",
     "label_propagation_seeded",
 ]
+_DEDUP_GUARD_ROTATION: list[str] = [
+    "doc_overlap_winnowing",     # round 9 (in bench above)
+    "near_dup_pairs_minhash",
+    "cdc_chunk_dedup_report",
+    "simhash_near_dup_pairs",
+]
+_VECTOR_GUARD_ROTATION: list[str] = [
+    "ivf_pq_topk",               # round 9 (in bench above)
+    "ivf_pq_residual_topk",
+    "pq_adc_topk",
+]
+GUARD_ROTATIONS: dict[str, list[str]] = {
+    "graphrec": _GRAPHREC_GUARD_ROTATION,
+    "dedup": _DEDUP_GUARD_ROTATION,
+    "vector": _VECTOR_GUARD_ROTATION,
+}
 
 
 def _settle(spark, seconds: float = 1.5) -> None:

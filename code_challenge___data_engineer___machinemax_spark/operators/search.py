@@ -324,8 +324,14 @@ def bm25_batch_rank_from_index(
     Returns (qid, key, bm25, rk)."""
     import os as _os
 
+    # dedupe tokens WITHIN each query (order-preserving): the single-query
+    # path scores each posting row once regardless of how many times the
+    # keyword repeats a token, so a duplicate (qid, token) row here would
+    # double-count term_score and break the bit-identical claim (ADVICE r8)
     qmap_rows = [
-        (qid, t) for qid, kw in enumerate(keywords) for t in query_tokens(kw)
+        (qid, t)
+        for qid, kw in enumerate(keywords)
+        for t in dict.fromkeys(query_tokens(kw))
     ]
     toks = sorted({t for _, t in qmap_rows})
     if not toks:

@@ -35,19 +35,24 @@ _REGISTRY: dict[str, Registered] = {}
 # oracles were fixed this round, and the advanced relational shapes all land
 # inside the 50-query window. Queries not listed keep registration order
 # after these (they remain fully covered by the local sf0.01 parity sweep).
-# Round-8 rotation (VERDICT r7 next-round #1/#2): the window carries (a)
-# the two stable sentinels, (b) the 2 re-certifications — the certified
-# queries most edited after their last driver row by the round-7
-# recompute-pin sweep (adamic_adar_links 112->2 scans,
-# item_item_similarity checkpointed derivations) — and (c) ALL 46
-# remaining never-driver-checked oracle queries. Green here closes the
-# full driver certification: every oracle-bearing query registered before
-# round 8 will have at least one green driver CORRECTNESS row.
-# Cumulative driver-green coverage is machine-pinned (not hand-maintained
-# prose — VERDICT r7 #5): tests/test_registry_window.py asserts the
-# figure on the next line equals len(union of CORRECTNESS_r*.json keys)
-# over len(all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 8): 284 of 339 oracle-bearing queries
+# Round-9 rotation (VERDICT r8 next-round #1/#3): the window carries (a)
+# the two stable sentinels, (b) the NINE queries round 8 added after its
+# rotation window was frozen — the last oracle-bearing queries with no
+# driver CORRECTNESS row (green here => cumulative driver-green reaches
+# 339/339 of today's oracle surface) — and (c) the STALENESS RE-CERT
+# RULE filling every remaining slot: among already-certified queries
+# (sentinels excluded), take the ones whose LAST driver row is oldest,
+# ties alphabetical, until the window holds 50. This round that is all
+# 14 remaining round-1 rows plus the first 25 round-2 rows, so every
+# certified query's driver row now ages out after at most ~4 rounds of
+# rotation. The rule is machine-pinned, not prose:
+# tests/test_registry_window.py::test_recert_slots_follow_oldest_first_rule
+# recomputes per-query last-driver-round from the CORRECTNESS_r*.json
+# files and asserts the re-cert slice equals the oldest-first selection.
+# Cumulative driver-green coverage is machine-pinned the same way
+# (VERDICT r7 #5): the figure on the next line must equal
+# len(union of CORRECTNESS_r*.json keys ∩ all_oracles()).
+# CUMULATIVE_DRIVER_GREEN (before round 9): 330 of 346 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -55,70 +60,69 @@ DRIVER_PRIORITY: list[str] = [
     # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
     "keyword_search_hit",
-    # re-certifications (VERDICT r7 #2): driver rows predate the
-    # round-7 recompute-pin edits to these two plans
-    "adamic_adar_links",
-    "item_item_similarity",
-    # the final 46 never-driver-checked oracle queries (alphabetical)
-    "ivf_pq_residual_topk",
-    "ivf_pq_topk",
-    "propensity_caliper_match",
-    "psi_drift_report",
-    "python_datasource_rollup",
-    "python_stream_source_rollup",
-    "quantile_bin_sketch",
-    "rake_keyphrases",
-    "rbo_rank_agreement",
-    "referential_orphan_audit",
-    "repeated_ngram_coverage",
-    "rouge2_adjacent_eval",
-    "schema_evolution_rollup",
-    "score_auc_eval",
-    "seasonal_naive_backtest",
-    "seeded_random_walks",
-    "semantic_dedup_pairs_from_store",
-    "shapley_channel_attribution",
-    "shuffle_shard_order",
-    "simhash_incremental_admission",
-    "skyline_orders",
-    "span_corruption_mask_stats",
-    "sprt_conversion_monitor",
-    "streamed_cms_heavy_hitters",
-    "streamed_mask_rate_monitor",
-    "streamed_psi_monitor",
-    "streamed_purchase_attribution",
-    "streamed_quantile_sketch_monitor",
-    "streamed_segment_enrichment",
-    "streamed_unconverted_views",
-    "t_closeness_release",
-    "textrank_keywords",
-    "theil_sen_trend",
-    "tokenizer_fertility_by_lang",
-    "triangle_participation",
-    "unigram_em_refit",
-    "unigram_tokenizer_scores",
-    "uplift_qini_deciles",
-    "variant_props_extract",
-    "video_sampled_frame_decode",
-    "weighted_priority_sample",
-    "winsorized_segment_stats",
-    "woe_iv_encoding",
-    "wordpiece_token_counts",
-    "zipf_rank_frequency",
-    "zorder_layout",
+    # the 9 round-8-added oracle queries — the only ones with no driver
+    # row (staged list pinned by test_registry_window.py in round 8)
+    "bm25_batch_search_from_store",
+    "doc_overlap_winnowing_from_store",
+    "hybrid_search_rrf_from_store",
+    "ivf_batch_topk_from_store",
+    "ivf_pq_residual_topk_from_store",
+    "minhash_decontamination",
+    "near_dup_pairs_minhash_from_store",
+    "near_dup_sampling_weights",
+    "pq_adc_rerank_topk",
+    # staleness re-certs, oldest-last-driver-row-first (rule above):
+    # the 14 queries whose only driver row is round 1 (alphabetical)
+    "all_active_users",
+    "brand_lineitem_stats",
+    "customers_with_orders",
+    "customers_without_orders",
+    "frequent_customers",
+    "grouping_sets_order_stats",
+    "monthly_revenue_running",
+    "most_recent_orders",
+    "point_lookup_order",
+    "purchasers_who_errored",
+    "region_customer_counts",
+    "segments_above_avg",
+    "viewers_never_purchased",
+    "window_function_showcase",
+    # then round-2 rows, alphabetical, until the window holds 50
+    "adjacent_doc_jaccard",
+    "article_field_extraction",
+    "below_avg_quantity_revenue",
+    "cleanse_html_strip",
+    "coalesce_fallback",
+    "corpus_profile",
+    "dedup_cluster_resolution",
+    "dedup_exact_groups",
+    "doc_fingerprints",
+    "document_chunks",
+    "download_report",
+    "event_sessions",
+    "frontier_dedup",
+    "keyword_search_miss",
+    "label_centroids",
+    "lang_id_heuristic",
+    "large_quantity_orders",
+    "link_classify",
+    "link_extraction",
+    "media_binary_stats",
+    "minhash_signatures",
+    "orders_with_late_lineitems",
+    "pii_redaction",
+    "point_lookup_document",
+    "priority_line_counts",
     # Next-rotation window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
-    # CORRECTNESS_r01-r07 keys minus this round-8 window. Only the seven
-    # queries added in round 8 itself remain — the two store twins
-    # (VERDICT r7 #3/#4), the three serving/reweighting shapes, and the
-    # two batch/decontamination shapes; all are green in the local sf0.01
-    # parity sweep and rotate into round 9 (list pinned by
-    # tests/test_registry_window.py arithmetic):
-    # hybrid_search_rrf_from_store, ivf_pq_residual_topk_from_store,
-    # pq_adc_rerank_topk, ivf_batch_topk_from_store,
-    # near_dup_sampling_weights, minhash_decontamination,
-    # bm25_batch_search_from_store, near_dup_pairs_minhash_from_store,
-    # doc_overlap_winnowing_from_store
+    # CORRECTNESS_r*.json keys minus this window: exactly the queries
+    # round 9 itself added after this window froze (all green in the
+    # local sf0.01 parity sweep; they rotate into round 10 right after
+    # the sentinels, per the oldest-first rule above):
+    # cluster_aware_split, near_dup_keep_best_quality,
+    # taxonomy_tag_counts, token_budget_selection,
+    # ivf_topk_with_tombstones, ivf_recall_nprobe_curve,
+    # embedding_hygiene_audit
 ]
 
 

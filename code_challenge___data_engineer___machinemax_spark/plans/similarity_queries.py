@@ -1805,3 +1805,333 @@ def ivf_batch_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("qid", "vec_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+@query(
+    "ivf_topk_with_tombstones",
+    # the ivf_topk oracle with the deletion predicate applied at candidate
+    # read time (the index itself is NOT rebuilt — FAISS remove_ids /
+    # DiskANN delete-list semantics)
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS d
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    qtop AS (
+      SELECT c.centroid_id
+      FROM cent c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a='qvec', b='c.cvec')}
+               / (sqrt({_DOT_SQL.format(a='qvec', b='qvec')})
+                  * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) DESC,
+               c.centroid_id
+      LIMIT 3
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           ROUND({_DOT_SQL.format(a='a.embedding', b='qvec')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})), 6) AS cosine
+    FROM assigned a JOIN qtop USING (centroid_id) CROSS JOIN q
+    WHERE a.vec_id % 7 <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ivf_topk_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving with DELETES: probe the persisted L3 layout under a
+    tombstone set (here vec_id % 7 = 0 — in production a GDPR-erasure or
+    staleness delete list) WITHOUT rebuilding the index — the FAISS
+    remove_ids / DiskANN delete-list pattern. The coarse assignment and
+    the probed lists are exactly `ivf_topk_from_store`'s; the tombstone
+    predicate is applied to the partition-pruned candidate scan, so
+    deleted vectors can never surface and the top-10 backfills from the
+    surviving candidates in the same lists.
+
+    Scale: the delete set rides as a pushed-down predicate on the pruned
+    scan (a modulus here; a broadcast anti-join against a tombstone table
+    in production — KB-MB, bounded by deletion volume, compacted away on
+    the next index rebuild). No other plan change vs the store probe:
+    codebook broadcast, nprobe lists driver-side, PartitionFilters on
+    centroid_id."""
+    import os as _os
+
+    from ..stores import ensure_ivf_store
+
+    store = ensure_ivf_store(spark, sf_dir)
+    centroids = spark.read.parquet(_os.path.join(store, "centroids"))
+    q = _query_df(spark, sf_dir)
+    probe_rows = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
+        .orderBy(F.desc("__d"), F.asc("centroid_id"))
+        .limit(3)
+        .select("centroid_id")
+        .collect()
+    )
+    probes = [r.centroid_id for r in probe_rows]
+    cand = (
+        spark.read.parquet(_os.path.join(store, "assigned"))
+        .filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != 0)
+        .filter(F.col("vec_id") % 7 != 0)  # the tombstone set
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "ivf_recall_nprobe_curve",
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS d
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    clist AS (
+      SELECT centroid_id, ROW_NUMBER() OVER (ORDER BY qc DESC, centroid_id)
+             AS list_rank
+      FROM (
+        SELECT c.centroid_id,
+               {_DOT_SQL.format(a='qvec', b='c.cvec')}
+               / (sqrt({_DOT_SQL.format(a='qvec', b='qvec')})
+                  * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS qc
+        FROM cent c CROSS JOIN q
+      )
+    ),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY
+               {_DOT_SQL.format(a='e.embedding', b='qvec')}
+               / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})) DESC,
+               e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      ) WHERE rk <= 10
+    ),
+    np(nprobe) AS (VALUES (1), (2), (4)),
+    cand AS (
+      SELECT a.vec_id, cl.list_rank,
+             {_DOT_SQL.format(a='a.embedding', b='qvec')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})) AS cos
+      FROM assigned a JOIN clist cl USING (centroid_id) CROSS JOIN q
+      WHERE cl.list_rank <= 4
+    ),
+    ranked AS (
+      SELECT np.nprobe, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY np.nprobe
+                                ORDER BY c.cos DESC, c.vec_id) AS rk
+      FROM cand c JOIN np ON c.list_rank <= np.nprobe
+    )
+    SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM ranked r LEFT JOIN exact e ON e.vec_id = r.vec_id
+    WHERE r.rk <= 10
+    GROUP BY r.nprobe
+    """,
+)
+def ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING CURVE — recall@10 vs probe width, the number an
+    ANN deployment reads before freezing its latency/recall trade-off
+    (FAISS's standard eval artifact): for nprobe in (1, 2, 4), probe the
+    persisted L3 layout and count how many of the EXACT brute-force
+    top-10 the pruned probe recovers. One row per nprobe: hits and exact
+    parts-per-million recall. Deterministic end to end (mean-centroid
+    codebook, cosine in list order, vec_id tie-breaks), so the DuckDB
+    oracle replays the whole curve.
+
+    Scale: the centroid ranking is driver-side planning metadata (C
+    rows); the candidate scan covers only the UNION of the widest
+    probe's lists via PartitionFilters and is shared by all three curve
+    points (the nprobe fan-out is a 3-row broadcast literal frame, a
+    theta-join against list_rank — never a corpus product); per-nprobe
+    top-10 is a window PARTITIONED BY nprobe over list-pruned
+    candidates. The exact arm is one corpus pass (TakeOrderedAndProject
+    top-10) — the calibration cost you pay once per tuning run, on a
+    sampled query set in production."""
+    import os as _os
+
+    from ..stores import ensure_ivf_store
+
+    store = ensure_ivf_store(spark, sf_dir)
+    centroids = spark.read.parquet(_os.path.join(store, "centroids"))
+    q = _query_df(spark, sf_dir)
+    clist_rows = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
+        .orderBy(F.desc("__d"), F.asc("centroid_id"))
+        .limit(4)
+        .select("centroid_id")
+        .collect()
+    )
+    probe_map = spark.createDataFrame(
+        [(r.centroid_id, i + 1) for i, r in enumerate(clist_rows)],
+        "centroid_id int, list_rank int",
+    )
+    probes = [r.centroid_id for r in clist_rows]
+    e = load_table(spark, sf_dir, "embeddings")
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("__c", cosine(F.col("embedding"), F.col("__qvec")))
+        .orderBy(F.desc("__c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("__hit"))
+    )
+    nprobe_df = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    cand = (
+        spark.read.parquet(_os.path.join(store, "assigned"))
+        .filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe_map), "centroid_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine(F.col("embedding"), F.col("__qvec")))
+        .join(F.broadcast(nprobe_df), F.col("list_rank") <= F.col("nprobe"))
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("nprobe").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rk") <= 10)
+    return (
+        ranked.join(F.broadcast(exact10), "vec_id", "left")
+        .groupBy(F.col("nprobe").cast("bigint").alias("nprobe"))
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            (F.sum(F.coalesce("__hit", F.lit(0))) * 100000)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+@query(
+    "embedding_hygiene_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm,
+             CASE WHEN len(list_filter(embedding,
+                      x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END AS bad
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+           MIN(CASE WHEN bad = 0
+               THEN CAST(ROUND(nrm * 1000000) AS BIGINT) END) AS norm_min_e6,
+           MAX(CASE WHEN bad = 0
+               THEN CAST(ROUND(nrm * 1000000) AS BIGINT) END) AS norm_max_e6
+    FROM v GROUP BY label
+    """,
+)
+def embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding INGEST HYGIENE — the guard a vector pipeline runs before
+    any index build, because one NaN or zero vector silently poisons
+    cosine math downstream (NaN propagates through every dot product it
+    touches; zero vectors make cosine undefined): per label, vector
+    count, DISTINCT DIMENSIONALITY count (anything but 1 means mixed
+    encoder versions landed in one corpus), zero-norm and non-finite
+    counts, and the norm range as exact scaled integers (drift in the
+    norm envelope flags an unnormalized batch). All healthy zeros on the
+    synthetic corpus — the point is the shape: this is the cheap
+    full-scan certificate that makes the L3/L7 store builds safe to run.
+
+    Scale: one linear pass, one small-domain (label) aggregate; the
+    per-vector work (length, self-dot, finite check) is JVM higher-order
+    functions inside whole-stage codegen — no UDF, no explode (the
+    dims stay packed in their arrays)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(F.col("embedding"))
+    bad = F.when(
+        F.exists(
+            "embedding",
+            lambda x: F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        ),
+        1,
+    ).otherwise(0)
+    v = e.select(
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        nrm.alias("nrm"),
+        bad.alias("bad"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims_distinct"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.sum("bad").cast("bigint").alias("n_nonfinite"),
+        # the envelope is computed over FINITE vectors only — a NaN norm
+        # must be COUNTED (n_nonfinite), never fed to the bigint cast
+        F.min(
+            F.when(
+                F.col("bad") == 0,
+                F.round(F.col("nrm") * 1000000).cast("bigint"),
+            )
+        ).alias("norm_min_e6"),
+        F.max(
+            F.when(
+                F.col("bad") == 0,
+                F.round(F.col("nrm") * 1000000).cast("bigint"),
+            )
+        ).alias("norm_max_e6"),
+    )

@@ -2480,3 +2480,137 @@ def doremi_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Tiny keyword -> topic taxonomy for dictionary tagging. Production
+# taxonomies run to 10^5-10^6 surface forms (product catalogs, MeSH,
+# safety terms) — still KB-MB, i.e. broadcast-sized by construction.
+_TAXONOMY: dict[str, list[str]] = {
+    "storage": ["table", "row", "column", "part"],
+    "execution": ["scan", "join", "merge", "sort", "hash"],
+    "streaming": ["stream", "window", "batch"],
+}
+
+
+@query(
+    "taxonomy_tag_counts",
+    oracle=f"""
+    WITH dict(token, topic) AS (VALUES {", ".join(
+        f"('{t}', '{topic}')" for topic, ts in _TAXONOMY.items() for t in ts
+    )}),
+    tok AS (
+        SELECT doc_id, source, unnest({tokenize_sql('text')}) AS token
+        FROM documents
+    )
+    SELECT source, topic,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tok JOIN dict USING (token)
+    GROUP BY source, topic
+    """,
+)
+def taxonomy_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging (the FlashText / Aho-Corasick pipeline stage,
+    DataFrame-shaped): tag every token occurrence against a broadcast
+    keyword->topic taxonomy and roll up per (source, topic) — docs
+    reached and total keyword occurrences. This is how corpus curation
+    attaches topic/domain/safety labels at scale when a classifier is too
+    expensive: the taxonomy is planning-sized data (even 10^6 surface
+    forms are MBs), so the tag step is a broadcast equi-join against the
+    exploded token stream — never a per-row Python matcher.
+
+    Scale: one linear tokenize+explode pass (the engine's hottest shape,
+    shared with term_frequencies); the join side is an explicitly
+    broadcast ~KB dimension (size bounded by the TAXONOMY, not the
+    corpus — unlike the dup-rate-dependent frames of VERDICT r8); the
+    rollup partial-aggregates map-side on (source, topic), a domain
+    bounded by |sources| x |topics|."""
+    d = load_table(spark, sf_dir, "documents")
+    dict_rows = [
+        (t, topic) for topic, ts in _TAXONOMY.items() for t in ts
+    ]
+    dict_df = spark.createDataFrame(dict_rows, "token string, topic string")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(dict_df), "token")
+        .groupBy("source", "topic")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(tok) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(tok)) AS BIGINT) AS n_types
+        FROM (SELECT doc_id, source, {tokenize_sql('text')} AS tok FROM documents)
+        WHERE len(tok) > 0
+    ),
+    q AS (SELECT *, (1000000 * n_types) // n_tok AS quality_ppm FROM toks),
+    c AS (SELECT *, SUM(n_tok) OVER (
+              ORDER BY quality_ppm DESC, doc_id ASC) AS cum FROM q),
+    t AS (SELECT SUM(n_tok) AS total FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_selected,
+           CAST(MIN(quality_ppm) AS BIGINT) AS worst_quality_ppm
+    FROM c, t
+    WHERE cum - n_tok < total // 2
+    GROUP BY source
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data pruning under a TOKEN BUDGET (the SemDeDup/D4/"data-constrained
+    scaling" selection stage): rank every document by a deterministic
+    quality proxy — type-token ratio in exact ppm — and keep documents
+    best-first until the selection holds half the corpus's tokens (a doc
+    is admitted if it STARTS inside the budget, the greedy-prefix
+    convention). One row per source: how many docs and tokens that source
+    contributes to the selected pool, plus its worst admitted quality —
+    the per-source composition shift a curation team reviews before
+    committing a budget cut.
+
+    Scale: the global best-first order is NOT a single-partition window —
+    operators/ranking.py::global_prefix_sum range-partitions on the order
+    keys, cumsums inside each partition, and prefix-sums the <=P per-
+    partition TOTALS driver-side (metadata, not data) — the same
+    two-pass discipline as scalable_ntile; the token budget itself is a
+    1-row broadcast scalar. Everything upstream is one linear tokenize
+    pass."""
+    from ..operators.ranking import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(tokenize("text")).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(tokenize("text"))).cast("bigint").alias("n_types"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("quality_ppm", F.expr("(1000000 * n_types) div n_tok"))
+    )
+    total = toks.agg(F.sum("n_tok").alias("__total"))
+    ranked = global_prefix_sum(
+        toks,
+        [F.col("quality_ppm").desc(), F.col("doc_id").asc()],
+        "n_tok",
+        cumsum_col="__cum",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("__cum") - F.col("n_tok") < F.expr("__total div 2"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum("n_tok").cast("bigint").alias("tokens_selected"),
+            F.min("quality_ppm").cast("bigint").alias("worst_quality_ppm"),
+        )
+    )

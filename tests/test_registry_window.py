@@ -63,6 +63,54 @@ def test_cumulative_coverage_figure_is_machine_checked():
     assert int(m.group(3)) == len(oracles)
 
 
+def _last_driver_round(before_round: int) -> dict[str, int]:
+    last: dict[str, int] = {}
+    for f in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if m and int(m.group(1)) < before_round:
+            for k in json.load(open(os.path.join(REPO, f))):
+                last[k] = max(last.get(k, 0), int(m.group(1)))
+    return last
+
+
+def test_recert_slots_follow_oldest_first_rule():
+    """VERDICT r8 #3: the re-cert rotation rule is machine-pinned, not
+    prose. The window must be: [2 sentinels] + [every oracle-bearing
+    query with no driver row, alphabetical] + [already-certified queries
+    ordered by OLDEST last-driver-row first, ties alphabetical] until 50.
+    Scoped to CORRECTNESS files before the round named in the registry's
+    CUMULATIVE_DRIVER_GREEN line, so the assertion stays true after the
+    driver writes this round's own file; the next rotation edit bumps the
+    round and recomputes — and THIS test goes red if the recompute is
+    skipped or hand-ordered."""
+    src = open(
+        os.path.join(
+            REPO,
+            "code_challenge___data_engineer___machinemax_spark",
+            "plans",
+            "registry.py",
+        )
+    ).read()
+    m = re.search(r"# CUMULATIVE_DRIVER_GREEN \(before round (\d+)\)", src)
+    assert m
+    before = int(m.group(1))
+    oracles = set(plans.all_oracles())
+    last = {q: r for q, r in _last_driver_round(before).items() if q in oracles}
+    sentinels = DRIVER_PRIORITY[:2]
+    assert sentinels == ["q1_pricing_summary", "keyword_search_hit"]
+    never = oracles - set(last)
+    # queries added AFTER this window froze are staged for the next
+    # rotation (candidate comment, tested below), not in this window
+    never_in_window = sorted(never & set(DRIVER_PRIORITY))
+    assert DRIVER_PRIORITY[2 : 2 + len(never_in_window)] == never_in_window
+    pool = sorted(
+        (q for q in last if q not in sentinels),
+        key=lambda q: (last[q], q),
+    )
+    n_recert = 50 - 2 - len(never_in_window)
+    assert DRIVER_PRIORITY[2 + len(never_in_window) :] == pool[:n_recert]
+
+
 def test_candidate_comment_matches_set_arithmetic():
     src = open(
         os.path.join(

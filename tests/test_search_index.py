@@ -182,3 +182,27 @@ def test_bm25_batch_matches_per_query_probes(spark, sf_dir, tmp_path, monkeypatc
             )
         }
         assert by_q[qid] == ranked, kw
+
+
+def test_bm25_batch_dedupes_repeated_query_tokens(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r8: a keyword repeating a token ('merge merge') must score
+    like the single-query path, which counts each posting row once
+    regardless of token multiplicity — undeduplicated (qid, token) rows
+    would join the same posting twice and double-count term_score."""
+    from code_challenge___data_engineer___machinemax_spark.operators.search import (
+        bm25_batch_rank_from_index,
+        bm25_rank_from_index,
+    )
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_bm25_index_store,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    path = ensure_bm25_index_store(spark, sf_dir)
+    kw = "merge merge"
+    single = {
+        (r.doc_id, r.bm25)
+        for r in bm25_rank_from_index(spark, path, "merge", k=10).collect()
+    }
+    batch = bm25_batch_rank_from_index(spark, path, [kw], k=10).collect()
+    assert {(r.doc_id, r.bm25) for r in batch} == single

@@ -423,3 +423,63 @@ def test_ivf_batch_topk_per_query_matches_single_probe(spark, sf_dir, tmp_path, 
     single = get("ivf_topk_from_store").fn(spark, sf_dir).collect()
     batch0 = sorted(((r.vec_id, r.cosine) for r in by_q[0]))
     assert batch0 == sorted((r.vec_id, r.cosine) for r in single)
+
+
+def test_nprobe_recall_curve_is_monotone(spark, sf_dir, tmp_path, monkeypatch):
+    """Widening the probe can only add candidates, so recall@10 must be
+    non-decreasing in nprobe; hits are bounded by k=10 and recall_ppm is
+    exactly hits * 100000."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    rows = {r.nprobe: r for r in get("ivf_recall_nprobe_curve").fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits
+    for r in rows.values():
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_ppm == r.n_hits * 100000
+    # at this tiny scale the widest probe should recover most of the truth
+    assert rows[4].n_hits >= 5
+
+
+def test_tombstoned_ids_never_surface(spark, sf_dir, tmp_path, monkeypatch):
+    """No vec_id % 7 == 0 row may appear, and the survivors must equal the
+    plain store probe's results with tombstones removed and the top-10
+    backfilled from the same probed lists."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    got = get("ivf_topk_with_tombstones").fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(r.vec_id % 7 != 0 for r in got)
+    plain = get("ivf_topk_from_store").fn(spark, sf_dir).collect()
+    surviving_plain = [(r.vec_id, r.cosine) for r in plain if r.vec_id % 7 != 0]
+    # the tombstoned run must agree with the plain run on the shared prefix
+    got_pairs = [(r.vec_id, r.cosine) for r in got]
+    assert got_pairs[: len(surviving_plain)] == surviving_plain
+
+
+def test_embedding_hygiene_flags_planted_pathologies(spark, tmp_path):
+    """Plant a zero vector, a NaN vector and a wrong-dimension vector in
+    one label; a clean label must audit clean."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    clean = [([0.6, 0.8, 0.0], 1)] * 3
+    dirty = [
+        ([0.0, 0.0, 0.0], 2),          # zero norm
+        ([float("nan"), 1.0, 0.0], 2), # non-finite
+        ([1.0, 0.0], 2),               # dimension drift
+        ([0.0, 1.0, 0.0], 2),          # healthy
+    ]
+    rows = [(i, v, lab) for i, (v, lab) in enumerate(clean + dirty)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    audit = {r.label: r for r in get("embedding_hygiene_audit").fn(spark, str(tmp_path)).collect()}
+    c, d = audit[1], audit[2]
+    assert (c.n_vecs, c.n_dims_distinct, c.n_zero_norm, c.n_nonfinite) == (3, 1, 0, 0)
+    assert c.norm_min_e6 == c.norm_max_e6 == 1_000_000
+    assert d.n_vecs == 4
+    assert d.n_dims_distinct == 2
+    assert d.n_zero_norm == 1
+    assert d.n_nonfinite == 1
