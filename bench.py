@@ -173,6 +173,12 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # the bigram-overlap generation eval (post shingles-fix)
             "span_corruption_mask_stats",
             "rouge2_adjacent_eval",
+            # round-9: dictionary tagging (broadcast taxonomy equi-join
+            # against the exploded token stream) and token-budget pruning
+            # (global_prefix_sum — the distributed cumsum shape's only
+            # bench representative)
+            "taxonomy_tag_counts",
+            "token_budget_selection",
         ],
     ),
     (
@@ -201,6 +207,9 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # across the query batch)
             "pq_adc_rerank_topk",
             "ivf_batch_topk_from_store",
+            # round-9: the nprobe tuning curve — one widest-probe pruned
+            # scan shared by all three curve points + the exact arm
+            "ivf_recall_nprobe_curve",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
             # round-7: the L10 cluster-assignment store read path (the

@@ -365,6 +365,96 @@ def prefix_filter_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: emit (id_sub, id_super,
+    containment) for every ordered pair with |A∩B| / |A| >= ``threshold``
+    — the ASYMMETRIC cousin of :func:`prefix_filter_pairs`' Jaccard join
+    (Broder's containment; Agrawal et al.'s error-tolerant set
+    containment): the dedup signal for quote inclusion, syndicated-wire
+    reprints and boilerplate wrapping, where a small document lives
+    inside a big one and symmetric Jaccard stays LOW (|A|/|B|-bounded) so
+    MinHash-LSH never surfaces the pair.
+
+    Lossless pruning: C(A->B) >= t implies overlap o >= ceil(t*|A|)
+    (o integral), so if B misses ALL of A's first
+    ``|A| - ceil(t*|A|) + 1`` tokens under one global order, then
+    o <= ceil(t*|A|) - 1 — contradiction. Hence the PROBE side (the
+    contained candidate) keeps only that prefix, rarest-token-first,
+    while the INDEX side (the container candidate) keeps ALL its token
+    rows — the standard containment-join asymmetry (a container can't be
+    prefix-pruned: any of its tokens may be the collision witness). The
+    only length identity is |B| >= ceil(t*|A|). The same 1e-6 slack as
+    the Jaccard join keeps candidate generation a superset of the
+    round-6 verify.
+
+    Plan shape / 100 TB: tokenize once -> explode -> token df agg ->
+    rarest-first prefix (per-document window) -> prefix x full-rows
+    equi-join ON THE TOKEN -> distinct candidates -> array verify.
+    Fan-out is sum over prefix tokens of df(token) — rarest-first keeps
+    it near-linear on natural corpora; ``max_token_df`` (opt-in, lossy,
+    mirrors max_token_bucket) drops tokens above a document-frequency
+    ceiling from BOTH sides for boilerplate-heavy corpora. The
+    oracle-checked config leaves it off."""
+    eps = 1e-6
+    toks = (
+        df.select(F.col(id_col), F.array_distinct(tokenize(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__sz", F.size("__toks"))
+    )
+    occ = toks.select(id_col, "__sz", F.explode("__toks").alias("__tok"))
+    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
+    if max_token_df is not None:
+        keep = dfreq.filter(F.col("__df") <= max_token_df).select("__tok")
+        occ = occ.join(F.broadcast(keep), "__tok")
+    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
+    )
+    probe = (
+        occ.join(dfreq, "__tok")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(F.col(id_col).alias("id_sub"), F.col("__sz").alias("__sza"), "__tok")
+    )
+    index = occ.select(
+        F.col(id_col).alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    cand = (
+        probe.join(index, "__tok")
+        .filter(
+            (F.col("id_sub") != F.col("id_super"))
+            & (
+                F.col("__szb")
+                >= F.ceil(F.lit(threshold - eps) * F.col("__sza"))
+            )
+        )
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    sub = toks.select(F.col(id_col).alias("id_sub"), F.col("__toks").alias("__ta"))
+    sup = toks.select(F.col(id_col).alias("id_super"), F.col("__toks").alias("__tb"))
+    return (
+        cand.join(sub, "id_sub")
+        .join(sup, "id_super")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+                / F.size(F.col("__ta")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_sub", "id_super", "containment")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60, spread: bool = False
 ) -> DataFrame:

@@ -1433,3 +1433,179 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+        FROM documents
+    ), nz AS (SELECT *, len(toks) AS sz FROM t WHERE len(toks) > 0)
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / a.sz, 6) AS containment
+    FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / a.sz, 6) >= 0.8
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-CONTAINMENT pairs (|A∩B|/|A| >= 0.8, ordered) via the
+    asymmetric prefix filter (operators/dedup.py::containment_prefix_
+    pairs) — the dedup signal symmetric Jaccard structurally misses: a
+    tweet quoted inside an article, a wire story inside a boilerplate
+    wrapper, a doc fully contained in its own expansion (the keep-best
+    fixture's shape) have containment ~1.0 but Jaccard ~|A|/|B|, so
+    MinHash-LSH never pairs them. One row per ordered (contained,
+    container) pair; near-identical docs legitimately emit both
+    directions. The oracle is the brute-force all-ordered-pairs ground
+    truth (feasible only at oracle scale), so a green row proves the
+    probe-prefix/index-full pruning loses no pair — the same
+    lossless-candidates bar as `set_similarity_prefix_pairs`."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "exact_substr_cut_spans",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, source, {tokenize_sql('text')} AS toks
+              FROM documents)
+        WHERE len(toks) >= 5
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+               array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        FROM tk, unnest(range(0, len(toks) - 4)) t(i)
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    occ AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (gram)),
+    runs AS (
+        SELECT doc_id, p,
+               CASE WHEN MAX(p + 4) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR p > MAX(p + 4) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_run
+        FROM occ
+    ),
+    rid AS (
+        SELECT doc_id, p,
+               SUM(new_run) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_id, run_id,
+               CAST(MAX(p + 4) - MIN(p) + 1 AS BIGINT) AS covered
+        FROM rid GROUP BY doc_id, run_id
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS covered
+        FROM spans GROUP BY doc_id
+    )
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(pd.covered, 0)) AS BIGINT) AS tokens_covered,
+           CAST(SUM(COALESCE(pd.covered, 0)) * 1000000 // SUM(tk.n_tok)
+                AS BIGINT) AS cut_ppm
+    FROM tk LEFT JOIN per_doc pd USING (doc_id)
+    GROUP BY tk.source
+    """,
+)
+def exact_substr_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT VOLUME at span granularity (Lee et al. 2022's
+    actual removal step, one level deeper than `repeated_ngram_coverage`
+    which counts gram OCCURRENCES): for every document, the duplicated
+    5-gram occurrences define token intervals [p, p+4]; overlapping
+    intervals merge into maximal spans (the text an ExactSubstr pass
+    would cut), and the per-source rollup reports exactly how many
+    tokens the cut removes (exact ppm). Occurrence counting double-counts
+    overlapping grams — span coverage is the number the storage/quality
+    trade is actually made on.
+
+    Scale: one positional gram explode (linear); the dup-gram set and
+    membership mark are the same two gram-keyed shuffles as the coverage
+    query; the interval union is the classic cummax-run-id merge — MAX
+    OVER (PARTITION BY doc ... 1 PRECEDING) then a running SUM of
+    run-starts, both windows PARTITIONED BY document (a document's own
+    gram count bounds every window). No pair materialization anywhere —
+    this measures the cut, it never enumerates the duplicate pairs."""
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = (
+        d.select("doc_id", "source", tokenize("text").alias("__t"))
+        .withColumn("n_tok", F.size("__t").cast("bigint"))
+        .filter(F.col("n_tok") >= 5)
+    )
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 5),"
+                " i -> concat_ws(' ', slice(__t, i + 1, 5)))"
+            )
+        ).alias("p", "gram"),
+    ).select("doc_id", F.col("p").cast("bigint").alias("p"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    occ = grams.join(dup, "gram").select("doc_id", "p")
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    runs = occ.withColumn(
+        "new_run",
+        F.when(
+            F.max(F.col("p") + 4).over(w_prev).isNull()
+            | (F.col("p") > F.max(F.col("p") + 4).over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    rid = runs.withColumn("run_id", F.sum("new_run").over(w_run))
+    spans = rid.groupBy("doc_id", "run_id").agg(
+        (F.max(F.col("p") + 4) - F.min("p") + 1).cast("bigint").alias("covered")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("covered").cast("bigint").alias("covered")
+    )
+    return (
+        tk.select("doc_id", "source", "n_tok")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.coalesce("covered", F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_covered"),
+            F.expr(
+                "CAST(SUM(COALESCE(covered, 0)) * 1000000"
+                " div SUM(n_tok) AS BIGINT)"
+            ).alias("cut_ppm"),
+        )
+    )

@@ -761,7 +761,7 @@ def _kcenter_oracle_sql(k: int = 5, dim: int = 64, scale: int = 1_000_000) -> st
         )
 
     parts = [
-        f"""q AS (
+        f"""q AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                    v -> CAST(trunc(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS qv
@@ -1490,3 +1490,197 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return dbscan_grid(e, "vec_id", "embedding", eps=15_000, min_pts=4)
+
+
+def _bt_oracle(rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of bradley_terry_strengths — the exact
+    int64 fixed-point discipline (pca/kmeans/HITS): strengths live as
+    e6-scaled int64, each MM denominator term is an integer division of a
+    1e12-scaled count by the pair's strength sum, and each round
+    renormalizes to mean 1e6 with integer arithmetic — both engines walk
+    identical bits for any fixed round count."""
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT doc_id, source,
+               (1000000 * len(list_distinct(toks))) // len(toks) AS qual
+        FROM (SELECT doc_id, source, {tokenize_sql('text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0)""",
+        """comp AS (
+        SELECT CASE WHEN a.qual > b.qual THEN a.source ELSE b.source END AS win_s,
+               CASE WHEN a.qual > b.qual THEN b.source ELSE a.source END AS lose_s
+        FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+        WHERE a.source <> b.source AND a.qual <> b.qual)""",
+        """dirs AS (
+        SELECT win_s AS i, lose_s AS j, CAST(COUNT(*) AS BIGINT) AS w
+        FROM comp GROUP BY 1, 2)""",
+        """sym AS MATERIALIZED (
+        SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT i, j, w AS n FROM dirs
+            UNION ALL SELECT j, i, w FROM dirs
+        ) GROUP BY i, j)""",
+        """wins AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS w FROM dirs GROUP BY i)""",
+        """items AS (SELECT DISTINCT i FROM sym)""",
+        """nitems AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM items)""",
+        """s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS s FROM items)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT sym.i,
+               CAST(SUM((sym.n * 1000000000000)
+                        // greatest(si.s + sj.s, 1)) AS BIGINT) AS den
+        FROM sym
+        JOIN s{r - 1} si ON si.i = sym.i
+        JOIN s{r - 1} sj ON sj.i = sym.j
+        GROUP BY sym.i)"""
+        )
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+        SELECT d{r}.i,
+               CAST((COALESCE(w.w, 0) * 1000000000000)
+                    // greatest(d{r}.den, 1) AS BIGINT) AS s
+        FROM d{r} LEFT JOIN wins w ON w.i = d{r}.i)"""
+        )
+        parts.append(
+            f"""t{r} AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM r{r})"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+        SELECT i, CAST((s * nn * 1000000) // greatest(tot, 1) AS BIGINT) AS s
+        FROM r{r}, t{r}, nitems)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT s{rounds}.i AS source,
+           s{rounds}.s AS strength_e6,
+           COALESCE(w.w, 0) AS wins,
+           nc.n AS n_comparisons
+    FROM s{rounds}
+    LEFT JOIN wins w ON w.i = s{rounds}.i
+    JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n FROM sym GROUP BY i) nc
+      ON nc.i = s{rounds}.i
+    """
+    )
+
+
+@query("bradley_terry_strengths", oracle=_bt_oracle())
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths — the pairwise-comparison model
+    behind RLHF reward-data curation and LLM-judged eval leaderboards
+    (Chatbot-Arena-style): given head-to-head outcomes, fit one strength
+    per item such that P(i beats j) = s_i / (s_i + s_j), via Hunter's MM
+    update s_i <- w_i / sum_j n_ij / (s_i + s_j), 6 fixed rounds,
+    renormalized to mean 1e6 each round. Items are SOURCES; comparisons
+    are deterministic quality duels between adjacent-id documents of
+    different sources (winner = higher exact type-token ratio, ties
+    skipped) — the synthetic stand-in for human/judge preference pairs.
+    One row per source: fitted strength (e6), raw wins, comparisons.
+
+    Fixed-point discipline (pca/kmeans/HITS): strengths are e6 int64;
+    each denominator term is (n_ij * 1e12) DIV max(s_i + s_j, 1); the
+    update is (w_i * 1e12) DIV denom; renormalization is
+    (s * N * 1e6) DIV total — all exact integer ops, so both engines
+    walk identical bits at any fixed round count. Zero-win items fix at
+    0 (the MM boundary solution), division guards make that safe.
+
+    Scale: the corpus reduces ONCE to the (i, j, n) pair-count matrix
+    (at most |sources|^2 rows — dimension-sized) plus per-item win
+    totals; each MM round is a join + agg over that matrix,
+    localCheckpoint'd like every fixed-point loop in the engine. Int64
+    headroom: w * 1e12 needs w < 9.2e6 comparisons per item — a 100 TB
+    run pre-normalizes n_ij by a corpus-level scale first (noted, not
+    needed at any tested SF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("qual", F.expr("(1000000 * n_types) div n_tok"))
+        .select("doc_id", "source", "qual")
+    )
+    a = q.select(
+        F.col("doc_id").alias("__ida"),
+        F.col("source").alias("__sa"),
+        F.col("qual").alias("__qa"),
+    )
+    b = q.select(
+        F.col("doc_id").alias("__idb"),
+        F.col("source").alias("__sb"),
+        F.col("qual").alias("__qb"),
+    )
+    comp = (
+        a.join(b, F.col("__idb") == F.col("__ida") + 1)
+        .filter((F.col("__sa") != F.col("__sb")) & (F.col("__qa") != F.col("__qb")))
+        .select(
+            F.when(F.col("__qa") > F.col("__qb"), F.col("__sa"))
+            .otherwise(F.col("__sb"))
+            .alias("i"),
+            F.when(F.col("__qa") > F.col("__qb"), F.col("__sb"))
+            .otherwise(F.col("__sa"))
+            .alias("j"),
+        )
+    )
+    dirs = comp.groupBy("i", "j").agg(F.count("*").cast("bigint").alias("w"))
+    sym = (
+        dirs.select("i", "j", F.col("w").alias("n"))
+        .unionAll(dirs.select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("w").alias("n")))
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    wins = dirs.groupBy("i").agg(F.sum("w").cast("bigint").alias("w")).localCheckpoint()
+    n_items = sym.select("i").distinct().count()
+    s = sym.select("i").distinct().withColumn("s", F.lit(1_000_000).cast("bigint"))
+    for _ in range(6):
+        den = (
+            sym.join(s.select(F.col("i"), F.col("s").alias("__si")), "i")
+            .join(
+                s.select(F.col("i").alias("j"), F.col("s").alias("__sj")), "j"
+            )
+            .withColumn(
+                "__term",
+                F.expr("(n * 1000000000000) div greatest(__si + __sj, 1)"),
+            )
+            .groupBy("i")
+            .agg(F.sum("__term").cast("bigint").alias("den"))
+        )
+        raw = (
+            den.join(wins, "i", "left")
+            .withColumn(
+                "s",
+                F.expr(
+                    "CAST((COALESCE(w, 0) * 1000000000000)"
+                    " div greatest(den, 1) AS BIGINT)"
+                ),
+            )
+            .select("i", "s")
+        )
+        tot = raw.agg(F.sum("s").cast("bigint").alias("__tot"))
+        s = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.expr(
+                    f"CAST((s * {n_items} * 1000000)"
+                    " div greatest(__tot, 1) AS BIGINT)"
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    ncomp = sym.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_comparisons"))
+    return (
+        s.join(wins, "i", "left")
+        .join(ncomp, "i")
+        .select(
+            F.col("i").alias("source"),
+            F.col("s").alias("strength_e6"),
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("wins"),
+            "n_comparisons",
+        )
+    )

@@ -2135,3 +2135,107 @@ def embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("norm_max_e6"),
     )
+
+
+@query(
+    "kmeans_silhouette_eval",
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    a AS (
+      SELECT e.vec_id, e.label,
+             1 - {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS adist
+      FROM embeddings e JOIN cent c ON c.centroid_id = e.label
+    ),
+    b AS (
+      SELECT e.vec_id,
+             MIN(1 - {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')}))) AS bdist
+      FROM embeddings e JOIN cent c ON c.centroid_id <> e.label
+      GROUP BY e.vec_id
+    ),
+    s AS (
+      SELECT a.label,
+             CAST(trunc(CASE WHEN greatest(adist, bdist) > 0
+                  THEN (bdist - adist) / greatest(adist, bdist)
+                  ELSE 0 END * 1000000) AS BIGINT) AS sil_e6
+      FROM a JOIN b USING (vec_id)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(sil_e6) AS BIGINT) AS sil_sum_e6,
+           MIN(sil_e6) AS sil_min_e6,
+           MAX(sil_e6) AS sil_max_e6
+    FROM s GROUP BY label
+    """,
+)
+def kmeans_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) SILHOUETTE — the clustering-quality
+    number a SemDeDup/IVF deployment reads before trusting its cluster
+    assignment: per vector, a = cosine distance to the OWN label
+    centroid, b = min distance to any OTHER centroid; silhouette =
+    (b - a) / max(a, b) in [-1, 1], negative when a vector sits closer to
+    a foreign centroid than its own. Per cluster: count, sum and range of
+    per-vector silhouettes as exact trunc-scaled e6 integers (per-row
+    quantization BEFORE the aggregates, so engine summation order can't
+    move the published numbers).
+
+    This is the classic silhouette with the O(n^2) pairwise a/b replaced
+    by centroid distances (the standard large-scale variant, e.g.
+    Spark MLlib's ClusteringEvaluator): cost is V x C dot products
+    against a broadcast KB codebook — linear in the corpus, no pair
+    materialization. The centroid set is the same deterministic
+    mean-per-label codebook the IVF family pins, so the oracle replays
+    it in SQL."""
+    from ..operators.similarity import label_centroids_df
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids_df(e, "embedding", "label")
+    a = (
+        e.join(
+            F.broadcast(cent), e.label == cent.centroid_id
+        ).select(
+            "vec_id",
+            "label",
+            (F.lit(1.0) - cosine(F.col("embedding"), F.col("cvec"))).alias("adist"),
+        )
+    )
+    b = (
+        e.crossJoin(F.broadcast(cent))
+        .filter(F.col("label") != F.col("centroid_id"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.lit(1.0) - cosine(F.col("embedding"), F.col("cvec"))
+            ).alias("bdist")
+        )
+    )
+    sil = (
+        a.join(b, "vec_id")
+        .withColumn(
+            "sil_e6",
+            F.expr(
+                "CAST((CASE WHEN greatest(adist, bdist) > 0 "
+                "THEN (bdist - adist) / greatest(adist, bdist) "
+                "ELSE 0.0 END) * 1000000 AS BIGINT)"
+            ),
+        )
+    )
+    return sil.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("sil_e6").cast("bigint").alias("sil_sum_e6"),
+        F.min("sil_e6").alias("sil_min_e6"),
+        F.max("sil_e6").alias("sil_max_e6"),
+    )

@@ -1230,3 +1230,72 @@ def streamed_quantile_sketch_monitor(spark: SparkSession, sf_dir: str) -> DataFr
             lo(99).alias("p99_lo_cents"),
         )
     )
+
+
+def _taxonomy_tag_oracle() -> str:
+    """The batch taxonomy_tag_counts oracle verbatim: the per-doc tag
+    state merges by summation across waves, so the final streamed
+    emission must equal the batch rollup exactly."""
+    from .registry import get
+
+    return get("taxonomy_tag_counts").oracle
+
+
+@query("streamed_taxonomy_tag_monitor", oracle=_taxonomy_tag_oracle())
+def streamed_taxonomy_tag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging maintained AS STREAMING STATE over two disjoint
+    document ingest waves — the 16th streaming twin: the broadcast
+    keyword->topic taxonomy join (`taxonomy_tag_counts`) runs inside the
+    micro-batch, and the state table is the per-(source, topic, doc)
+    occurrence count in complete mode — the per-document tag assignment a
+    labeling pipeline actually persists, merged by summation across
+    batches (a doc's tokens all arrive in its wave, so cross-wave merge
+    is pure union). The monitor emission rolls the state up to
+    (source, topic): docs reached + total occurrences, and must equal the
+    batch `taxonomy_tag_counts` rollup exactly — pinned by the shared
+    golden and tests/test_streaming_extra.py's batch==stream check.
+
+    Scale: state is one row per (doc, topic) MATCHED — bounded by the
+    tagged fraction of the corpus, not by token volume; the taxonomy stays
+    a broadcast dimension inside the stream plan. The rows-only
+    registration is the streaming-suite convention (the driver records a
+    rows-only check; batch==stream equality is the value pin)."""
+    from .text_pipeline import _TAXONOMY
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_tax_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 0), landing, "wave1")
+    _export_jsonl_wave(docs.filter(F.col("doc_id") % 2 == 1), landing, "wave2")
+    from ..streaming.events import run_to_memory
+
+    dict_df = spark.createDataFrame(
+        [(t, topic) for topic, ts in _TAXONOMY.items() for t in ts],
+        "token string, topic string",
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    tok = stream.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("token")
+    )
+    state = (
+        tok.join(F.broadcast(dict_df), "token")
+        .groupBy("source", "topic", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+    )
+    run_to_memory(state, "ccdem_streamed_tax", "complete")
+    out = spark.sql(
+        """
+        SELECT source, topic,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+        FROM ccdem_streamed_tax
+        GROUP BY source, topic
+        """
+    ).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -640,3 +640,87 @@ def test_cross_dup_hot_bucket_cap_bounds_candidates(spark):
     assert {(r.id_a, r.id_b) for r in uncapped} == {(0, 41)} | {
         (40, i) for i in boiler_ids
     }
+
+
+def test_containment_finds_subset_pairs_jaccard_misses(spark, tmp_path):
+    """A short doc fully contained in a long one has containment 1.0 but
+    Jaccard ~|A|/|B| — the containment join must emit it, the Jaccard-0.8
+    prefix join must not; and the asymmetric direction must be right."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        containment_prefix_pairs,
+        prefix_filter_pairs,
+    )
+
+    small = "alpha beta gamma"
+    big = small + " " + " ".join(f"extra{i}" for i in range(20))
+    rows = [
+        (1, small),
+        (2, big),
+        (3, "totally disjoint tokens here now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_sub, r.id_super, r.containment)
+        for r in containment_prefix_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert cont == {(1, 2, 1.0)}  # only small-in-big, only that direction
+    jac = prefix_filter_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    assert jac == []  # Jaccard(1,2) = 3/23 — invisible to the symmetric join
+
+
+def test_containment_matches_bruteforce(spark, sf_dir):
+    """Lossless-candidates bar: the prefix-pruned join must equal the
+    brute-force all-ordered-pairs answer on the real fixture."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+    from code_challenge___data_engineer___machinemax_spark.tables import load_table
+    from pyspark.sql import functions as F
+    from code_challenge___data_engineer___machinemax_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    got = {
+        (r.id_sub, r.id_super, r.containment)
+        for r in containment_prefix_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    t = d.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    a = t.select(F.col("doc_id").alias("id_sub"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_super"), F.col("toks").alias("tb"))
+    brute = {
+        (r.id_sub, r.id_super, r.containment)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("ta", "tb")) / F.size("ta"), 6
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_cut_spans_merge_overlaps_union_not_sum(spark, tmp_path):
+    """Two docs sharing one 6-token run produce two OVERLAPPING dup
+    5-grams ([0..4], [1..5]); coverage must be the 6-token union, not the
+    10-token sum of interval lengths."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    shared = "one two three four five six"
+    rows = [
+        (1, shared + " uniqA1 uniqA2 uniqA3", "en", "srcA", 1),
+        (2, shared + " uniqB1 uniqB2 uniqB3", "en", "srcB", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in get("exact_substr_cut_spans").fn(spark, str(tmp_path)).collect()}
+    for src in ("srcA", "srcB"):
+        r = out[src]
+        assert r.n_docs == 1 and r.tokens_total == 9
+        assert r.tokens_covered == 6  # the union, never 5+5
+        assert r.cut_ppm == 6 * 1_000_000 // 9

@@ -120,3 +120,31 @@ def test_rfm_quintile_marginals_balanced(spark, sf_dir):
         assert set(marg) == {1, 2, 3, 4, 5}
         assert max(marg.values()) - min(marg.values()) <= 1, dim
         assert sum(marg.values()) == total
+
+
+def test_bradley_terry_planted_dominance(spark, tmp_path):
+    """Plant a corpus where srcA's documents always beat srcB's (higher
+    type-token ratio) and both beat srcC: fitted strengths must order
+    A > B > C, wins must count the planted duels, and strengths must
+    renormalize to mean ~1e6."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = []
+    # adjacent ids alternate sources so every (id, id+1) pair is a duel;
+    # quality: A = all-distinct tokens, B = half repeats, C = one token
+    for k in range(12):
+        i = 3 * k
+        rows.append((i, f"alpha{i} beta{i} gamma{i} delta{i}", "en", "srcA", 1))
+        rows.append((i + 1, f"rep rep rep word{i}", "en", "srcB", 1))
+        rows.append((i + 2, "same same same same", "en", "srcC", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in get("bradley_terry_strengths").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"srcA", "srcB", "srcC"}
+    assert out["srcA"].strength_e6 > out["srcB"].strength_e6 > out["srcC"].strength_e6
+    # srcA never loses; srcC never wins
+    assert out["srcA"].wins == out["srcA"].n_comparisons
+    assert out["srcC"].wins == 0 and out["srcC"].strength_e6 == 0
+    total = sum(r.strength_e6 for r in out.values())
+    assert abs(total - 3 * 1_000_000) <= 3  # integer renormalization slack

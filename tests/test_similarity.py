@@ -483,3 +483,29 @@ def test_embedding_hygiene_flags_planted_pathologies(spark, tmp_path):
     assert d.n_dims_distinct == 2
     assert d.n_zero_norm == 1
     assert d.n_nonfinite == 1
+
+
+def test_silhouette_separates_tight_from_overlapping_clusters(spark, tmp_path):
+    """Two well-separated tight clusters must score near-perfect
+    silhouette; a third cluster planted on top of the first must drag
+    both its own and the first cluster's scores down."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = []
+    for k in range(10):
+        rows.append((k, [1.0, 0.001 * k, 0.0], 1))          # tight at e1
+        rows.append((100 + k, [0.0, 0.001 * k, 1.0], 2))    # tight at e3
+        rows.append((200 + k, [1.0, 0.002 * k, 0.0], 3))    # overlaps label 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.label: r for r in get("kmeans_silhouette_eval").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    mean = {lab: r.sil_sum_e6 / r.n_vecs for lab, r in out.items()}
+    # the isolated cluster is near-perfect; the overlapping pair scores
+    # far worse (cosine angles within the pair are tiny, so the absolute
+    # score stays positive — the SEPARATION is the signal)
+    assert mean[2] > 900_000
+    assert mean[1] < mean[2] - 400_000
+    assert mean[3] < mean[2] - 400_000
+    assert all(r.n_vecs == 10 for r in out.values())

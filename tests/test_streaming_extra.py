@@ -544,3 +544,20 @@ def test_streamed_cms_state_equals_batch_sketch(spark, sf_dir):
     batch = sorted(tuple(r) for r in qs["cms_heavy_hitters"](spark, sf_dir).collect())
     assert streamed == batch
     assert all(r[3] >= 0 for r in streamed)  # CMS never undercounts
+
+
+def test_streamed_taxonomy_monitor_equals_batch_rollup(spark, sf_dir):
+    """The streamed per-doc tag state, rolled up at emission, must equal
+    the batch taxonomy_tag_counts result exactly — per-doc tag counts
+    merge by summation across the two ingest waves."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    batch = {
+        (r.source, r.topic): (r.n_docs, r.n_occurrences)
+        for r in get("taxonomy_tag_counts").fn(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.source, r.topic): (r.n_docs, r.n_occurrences)
+        for r in get("streamed_taxonomy_tag_monitor").fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
