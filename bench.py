@@ -145,8 +145,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
             "repeated_ngram_coverage",
             # round-8: SoftDeDup — per-document 1e6/cluster_size sampling
             # weights off the same verified-pair closure as the keep-one
-            # ledger (reweighting instead of removal)
+            # ledger (reweighting instead of removal); stays as the
+            # closure ingest-cost regression guard
             "near_dup_sampling_weights",
+            # round-9: the L4 cluster-membership read path — the plan a
+            # data loader runs per training job (banding + verify +
+            # closure ran at ingest; the query is a membership join)
+            "near_dup_sampling_weights_from_store",
             # round-8: fuzzy decontamination — bench bands x train bands
             # cross-set LSH join (no train x train pair ever generated)
             "minhash_decontamination",
@@ -267,6 +272,7 @@ _FAMILY_STORES: dict[str, list[str]] = {
         "ensure_simhash_store",
         "ensure_minhash_band_store",
         "ensure_winnowing_store",
+        "ensure_neardup_cluster_store",
     ],
     "vector": [
         "ensure_srp_store",

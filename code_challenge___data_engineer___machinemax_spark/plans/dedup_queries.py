@@ -1609,3 +1609,100 @@ def exact_substr_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut_ppm"),
         )
     )
+
+
+@query(
+    "near_dup_sampling_weights_from_store",
+    # the self-contained twin's oracle verbatim: the L4 cluster store
+    # caches the deterministic banding + verify + closure, so membership
+    # — and therefore every weight — is identical
+    oracle=_soft_dedup_sql(),
+)
+def near_dup_sampling_weights_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`near_dup_sampling_weights` over the persisted L4 cluster
+    membership (stores.py::ensure_neardup_cluster_store): the banding,
+    exact-Jaccard verify and 4-round hash-min closure — the ENTIRE cost
+    of the self-contained twin — ran at ingest; the query is one left
+    join of corpus doc_ids against 3-column membership rows plus the
+    exact integer weight arithmetic. This is the plan a data loader
+    actually runs per training job (weights are re-read far more often
+    than clusters change), and the same store serves the keep-one /
+    keep-best ledgers and the cluster-aware split. No banding survives
+    in this plan — test_stores.py asserts it md5-free. Same oracle as
+    the self-contained twin, which stays in bench as the closure
+    ingest-cost regression guard."""
+    from ..stores import ensure_neardup_cluster_store
+
+    path = ensure_neardup_cluster_store(spark, sf_dir)
+    mem = spark.read.parquet(path)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .join(mem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            F.expr(
+                "CAST(1000000 DIV COALESCE(cluster_size, 1) AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+@query(
+    "cluster_aware_split_from_store",
+    # the self-contained twin's oracle verbatim (store caches the closure)
+    oracle=_cluster_membership_sql() + """
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(bucket) AS BIGINT) AS bucket_sum
+    FROM (
+        SELECT cluster_id,
+               CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM doc_cluster
+    )
+    GROUP BY 1
+    """,
+)
+def cluster_aware_split_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cluster_aware_split` over the persisted L4 cluster membership —
+    the split assignment a training pipeline recomputes on every corpus
+    refresh (and every consumer re-reads), now a membership join + md5
+    bucket + 3-group aggregate with the closure cost paid once at ingest.
+    The md5 in THIS plan is the split hash (one per document), never the
+    shingle signature family. Same oracle as the self-contained twin."""
+    from ..stores import ensure_neardup_cluster_store
+    from .pipeline_queries import hash_split_bucket
+
+    path = ensure_neardup_cluster_store(spark, sf_dir)
+    mem = spark.read.parquet(path)
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = (
+        d.select("doc_id")
+        .join(mem.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+        .withColumn("bucket", hash_split_bucket(F.col("cluster_id")))
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        bucketed.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        )
+    )

@@ -40,6 +40,9 @@ PAIR_EMITTING = {
     # rides the same verified near-dup pair closure — cross-replica pair
     # volume, not plan scaling, dominates at the 10-copy replica
     "near_dup_sampling_weights",
+    # its L4 store twin reads a membership whose size is the same
+    # cross-replica blowup (the store BUILD pays the closure)
+    "near_dup_sampling_weights_from_store",
     # the key shift preserves doc_id % 10, so every bench doc gains 10
     # bench copies x 10 train copies of each match — the same deliberate
     # cross-replica blowup

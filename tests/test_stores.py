@@ -362,3 +362,50 @@ def test_winnowing_ensure_is_idempotent(spark, sf_dir, store_env):
     p2 = ensure_winnowing_store(spark, sf_dir)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_neardup_cluster_store_weights_equal_self_contained(spark, sf_dir, store_env):
+    """The L4-cluster-backed SoftDeDup weights must equal the
+    self-contained twin, and the plan must contain NO signature work —
+    no shingle/md5 banding, no closure joins; documents appears once
+    (the corpus doc_id spine of the left join)."""
+    qs = plans.all_queries()
+    stored_df = qs["near_dup_sampling_weights_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["near_dup_sampling_weights"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    assert "l4_ndclusters" in txt
+    assert txt.count("documents.parquet") <= 1
+    assert "md5" not in txt.lower()
+
+
+def test_neardup_cluster_store_split_equals_self_contained(spark, sf_dir, store_env):
+    """The L4-cluster-backed split must equal the self-contained twin.
+    The ONLY md5 in its plan is the per-document split-bucket hash —
+    exactly one md5 call site, never the 8-hash signature family."""
+    qs = plans.all_queries()
+    stored_df = qs["cluster_aware_split_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["cluster_aware_split"](spark, sf_dir))
+    assert stored == fresh
+
+    txt = explain_text(stored_df)
+    assert "l4_ndclusters" in txt
+    import re
+
+    # one distinct md5 expression (the split bucket), not the signature family
+    assert len(set(re.findall(r"md5\(cast\([a-z_]+", txt.lower()))) <= 1
+
+
+def test_neardup_cluster_ensure_is_idempotent(spark, sf_dir, store_env):
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_neardup_cluster_store,
+    )
+
+    p1 = ensure_neardup_cluster_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_neardup_cluster_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
