@@ -1050,8 +1050,9 @@ def near_dup_pairs_minhash_from_store(spark: SparkSession, sf_dir: str) -> DataF
     max_bucket_size), so the semi-join carries no forced broadcast hint:
     AQE broadcasts when it measures small and degrades to a shuffle join
     — instead of an 8 GB-limit hard failure — when it is not (VERDICT r8
-    "What's wrong"). Same oracle as the self-contained twin, which stays
-    in bench as the ingest-cost regression guard."""
+    "What's wrong"). Same oracle as the self-contained twin, which now
+    guards ingest cost through the dedup guard-tier rotation (bench.py
+    GUARD_ROTATIONS / tests/test_ingest_guards.py — VERDICT r8 #4)."""
     from ..functions.text import tokenize
     from ..operators.dedup import jaccard_arrays
     from ..stores import ensure_minhash_band_store
@@ -1704,5 +1705,112 @@ def cluster_aware_split_from_store(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").cast("bigint").alias("n_docs"),
             F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
             F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        )
+    )
+
+
+@query(
+    "containment_dedup_ledger",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+        FROM documents
+    ), nz AS (SELECT *, len(toks) AS sz FROM t WHERE len(toks) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_sub, b.doc_id AS id_super, b.sz AS super_sz,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / a.sz, 6) AS containment
+        FROM nz a JOIN nz b
+          ON a.doc_id <> b.doc_id AND a.sz < b.sz
+        WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / a.sz, 6) >= 0.95
+    )
+    SELECT id_sub AS dropped_doc_id, id_super AS kept_super_id, containment
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_sub
+            ORDER BY containment DESC, super_sz DESC, id_super ASC) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def containment_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTAINMENT drop ledger — the curation step built on the
+    asymmetric join: a document whose token set is >= 95 % contained in a
+    STRICTLY LONGER document is a subset copy (syndicated reprint, quoted
+    excerpt, truncated mirror) and gets dropped in favor of its best
+    container. One row per dropped document: the kept superset (argmax
+    containment, ties to the larger then lower-id container — fully
+    deterministic) and the containment that justified the drop. The
+    strict `|A| < |B|` guard keeps near-identical EQUAL-Length twins out
+    of this ledger — those belong to the symmetric near-dup keep-one /
+    keep-best ledgers, not the subset cut.
+
+    Scale: candidate generation is the lossless probe-prefix/index-full
+    containment join (operators/dedup.py::containment_prefix_pairs
+    shape, inlined with the size guard pushed into the candidate
+    filter); the argmax is a window PARTITIONED BY the dropped doc. The
+    oracle is the brute-force ordered-pairs ground truth, so a green row
+    proves the pruning loses no drop decision."""
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    eps = 1e-6
+    t = 0.95
+    toks = (
+        d.select("doc_id", F.array_distinct(tokenize("text")).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__sz", F.size("__toks"))
+    )
+    occ = toks.select("doc_id", "__sz", F.explode("__toks").alias("__tok"))
+    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
+    w = W.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("__tok"))
+    prefix_len = F.col("__sz") - F.ceil(F.lit(t - eps) * F.col("__sz")) + 1
+    probe = (
+        occ.join(dfreq, "__tok")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(
+            F.col("doc_id").alias("id_sub"), F.col("__sz").alias("__sza"), "__tok"
+        )
+    )
+    index = occ.select(
+        F.col("doc_id").alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    cand = (
+        probe.join(index, "__tok")
+        .filter(F.col("__sza") < F.col("__szb"))  # strictly-longer container
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    sub = toks.select(F.col("doc_id").alias("id_sub"), F.col("__toks").alias("__ta"))
+    sup = toks.select(
+        F.col("doc_id").alias("id_super"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("__super_sz"),
+    )
+    pairs = (
+        cand.join(sub, "id_sub")
+        .join(sup, "id_super")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+                / F.size(F.col("__ta")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= t)
+    )
+    w_best = W.partitionBy("id_sub").orderBy(
+        F.desc("containment"), F.desc("__super_sz"), F.asc("id_super")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_sub").alias("dropped_doc_id"),
+            F.col("id_super").alias("kept_super_id"),
+            "containment",
         )
     )

@@ -52,7 +52,7 @@ _REGISTRY: dict[str, Registered] = {}
 # Cumulative driver-green coverage is machine-pinned the same way
 # (VERDICT r7 #5): the figure on the next line must equal
 # len(union of CORRECTNESS_r*.json keys ∩ all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 9): 330 of 353 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 9): 330 of 354 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -125,7 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_hygiene_audit, streamed_taxonomy_tag_monitor,
     # kmeans_silhouette_eval, bradley_terry_strengths,
     # doc_containment_pairs, exact_substr_cut_spans,
-    # near_dup_sampling_weights_from_store, cluster_aware_split_from_store
+    # near_dup_sampling_weights_from_store, cluster_aware_split_from_store,
+    # containment_dedup_ledger
 ]
 
 

@@ -724,3 +724,36 @@ def test_cut_spans_merge_overlaps_union_not_sum(spark, tmp_path):
         assert r.n_docs == 1 and r.tokens_total == 9
         assert r.tokens_covered == 6  # the union, never 5+5
         assert r.cut_ppm == 6 * 1_000_000 // 9
+
+
+def test_containment_ledger_drops_subset_keeps_twins(spark, tmp_path):
+    """A quoted subset is dropped in favor of its LONGEST container; two
+    equal-length near-identical twins never enter the containment ledger
+    (they belong to the symmetric keep-one/keep-best path)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    quote = "alpha beta gamma delta"
+    medium = quote + " " + " ".join(f"mid{i}" for i in range(10))
+    big = quote + " " + " ".join(f"big{i}" for i in range(30))
+    rows = [
+        (1, quote),
+        (2, medium),
+        (3, big),
+        # equal-length twins: same token COUNT, same token set
+        (10, "twin same tokens here now"),
+        (11, "now here tokens same twin"),
+        (20, "unrelated disjoint vocabulary entirely separate"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    ledger = {
+        r.dropped_doc_id: r
+        for r in get("containment_dedup_ledger").fn(spark, str(tmp_path)).collect()
+    }
+    # the quote is contained 1.0 in BOTH 2 and 3 -> ties break to the
+    # larger container (doc 3); medium is NOT contained in big (mid* vs
+    # big* tails); the twins are equal-length so neither is dropped
+    assert set(ledger) == {1}
+    assert ledger[1].kept_super_id == 3
+    assert ledger[1].containment == 1.0
