@@ -365,12 +365,78 @@ def prefix_filter_pairs(
     )
 
 
+def _containment_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared tokenize stage of the containment join: one (id, distinct
+    token array, size) row per non-empty document."""
+    return (
+        df.select(F.col(id_col), F.array_distinct(tokenize(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__sz", F.size("__toks"))
+    )
+
+
+def containment_candidates(
+    toks: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_token_df: int | None = None,
+    strict_subset: bool = False,
+) -> DataFrame:
+    """Candidate (id_sub, id_super) pairs for the containment join —
+    the pruning stage of :func:`containment_prefix_pairs`, exposed so
+    tests can pin its selectivity directly (candidate volume << the
+    |A∩B|-verified brute-force pair space on discriminating corpora).
+
+    ``max_token_df`` (opt-in, lossy) drops tokens above a document-
+    frequency ceiling from BOTH sides before prefixing — the
+    boilerplate-heavy-corpus guard. The dropped side is the HOT token
+    list (df > ceiling), which is small BY DEFINITION (at most
+    total-token-occurrences / ceiling distinct tokens), so it is the
+    side that broadcasts, anti-joined against the occurrence stream —
+    never the cold keep-list, which is nearly the whole vocabulary at
+    corpus scale (VERDICT r9: the r9 shape broadcast the wrong side).
+
+    ``strict_subset`` additionally requires |A| < |B| — the drop-ledger
+    configuration, where equal-length near-identical twins are left to
+    the symmetric keep-one/keep-best ledgers."""
+    eps = 1e-6
+    occ = toks.select(id_col, "__sz", F.explode("__toks").alias("__tok"))
+    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
+    if max_token_df is not None:
+        hot = dfreq.filter(F.col("__df") > max_token_df).select("__tok")
+        occ = occ.join(F.broadcast(hot), "__tok", "left_anti")
+    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
+    )
+    probe = (
+        occ.join(dfreq, "__tok")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(F.col(id_col).alias("id_sub"), F.col("__sz").alias("__sza"), "__tok")
+    )
+    index = occ.select(
+        F.col(id_col).alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    size_guard = F.col("__szb") >= F.ceil(F.lit(threshold - eps) * F.col("__sza"))
+    if strict_subset:
+        size_guard = size_guard & (F.col("__sza") < F.col("__szb"))
+    return (
+        probe.join(index, "__tok")
+        .filter((F.col("id_sub") != F.col("id_super")) & size_guard)
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+
+
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     max_token_df: int | None = None,
+    strict_subset: bool = False,
+    emit_sizes: bool = False,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT self-join: emit (id_sub, id_super,
     containment) for every ordered pair with |A∩B| / |A| >= ``threshold``
@@ -397,48 +463,31 @@ def containment_prefix_pairs(
     rarest-first prefix (per-document window) -> prefix x full-rows
     equi-join ON THE TOKEN -> distinct candidates -> array verify.
     Fan-out is sum over prefix tokens of df(token) — rarest-first keeps
-    it near-linear on natural corpora; ``max_token_df`` (opt-in, lossy,
-    mirrors max_token_bucket) drops tokens above a document-frequency
-    ceiling from BOTH sides for boilerplate-heavy corpora. The
-    oracle-checked config leaves it off."""
-    eps = 1e-6
-    toks = (
-        df.select(F.col(id_col), F.array_distinct(tokenize(text_col)).alias("__toks"))
-        .filter(F.size("__toks") > 0)
-        .withColumn("__sz", F.size("__toks"))
+    it near-linear on natural corpora; ``max_token_df`` (opt-in, lossy)
+    drops tokens above a document-frequency ceiling from BOTH sides for
+    boilerplate-heavy corpora by broadcast-anti-joining the (small by
+    definition) HOT token list. The oracle-checked config leaves it off;
+    the capped production twin (`doc_containment_pairs_capped`) mirrors
+    it in its oracle. ``strict_subset`` restricts to |A| < |B| pairs and
+    ``emit_sizes`` appends (sz_sub, sz_super) — the drop-ledger
+    configuration (plans/dedup_queries.py::containment_dedup_ledger)."""
+    toks = _containment_tokens(df, id_col, text_col)
+    cand = containment_candidates(
+        toks, id_col, threshold, max_token_df, strict_subset
     )
-    occ = toks.select(id_col, "__sz", F.explode("__toks").alias("__tok"))
-    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
-    if max_token_df is not None:
-        keep = dfreq.filter(F.col("__df") <= max_token_df).select("__tok")
-        occ = occ.join(F.broadcast(keep), "__tok")
-    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
-    prefix_len = (
-        F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
+    sub = toks.select(
+        F.col(id_col).alias("id_sub"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("sz_sub"),
     )
-    probe = (
-        occ.join(dfreq, "__tok")
-        .withColumn("__pos", F.row_number().over(w))
-        .filter(F.col("__pos") <= prefix_len)
-        .select(F.col(id_col).alias("id_sub"), F.col("__sz").alias("__sza"), "__tok")
+    sup = toks.select(
+        F.col(id_col).alias("id_super"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("sz_super"),
     )
-    index = occ.select(
-        F.col(id_col).alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
+    out_cols = ["id_sub", "id_super", "containment"] + (
+        ["sz_sub", "sz_super"] if emit_sizes else []
     )
-    cand = (
-        probe.join(index, "__tok")
-        .filter(
-            (F.col("id_sub") != F.col("id_super"))
-            & (
-                F.col("__szb")
-                >= F.ceil(F.lit(threshold - eps) * F.col("__sza"))
-            )
-        )
-        .select("id_sub", "id_super")
-        .distinct()
-    )
-    sub = toks.select(F.col(id_col).alias("id_sub"), F.col("__toks").alias("__ta"))
-    sup = toks.select(F.col(id_col).alias("id_super"), F.col("__toks").alias("__tb"))
     return (
         cand.join(sub, "id_sub")
         .join(sup, "id_super")
@@ -451,7 +500,7 @@ def containment_prefix_pairs(
             ),
         )
         .filter(F.col("containment") >= threshold)
-        .select("id_sub", "id_super", "containment")
+        .select(*out_cols)
     )
 
 

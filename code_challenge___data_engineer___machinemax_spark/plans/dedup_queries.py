@@ -897,55 +897,57 @@ def cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_rounds_parts(rounds: int = 4) -> list[str]:
-    """The shared CTE chain: verified near-dup pairs -> symmetric edges ->
-    `rounds` unrolled hash-min label steps (l0..l{rounds}). Composed by
-    both the keep-one ledger and the SoftDeDup weight oracles."""
-    parts = [
-        f"pairs AS (SELECT id_a, id_b FROM ({_NEAR_DUP_PAIRS_ORACLE}))",
-        "edges AS (SELECT id_a AS x, id_b AS y FROM pairs"
-        " UNION ALL SELECT id_b, id_a FROM pairs)",
-        "l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM edges)",
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f"l{r} AS (SELECT n.node,"
-            f" least(n.lbl, coalesce(MIN(m.lbl), n.lbl)) AS lbl"
-            f" FROM l{r - 1} n"
-            f" LEFT JOIN edges e ON e.x = n.node"
-            f" LEFT JOIN l{r - 1} m ON m.node = e.y"
-            f" GROUP BY n.node, n.lbl)"
-        )
-    return parts
+def _cc_closure_parts() -> str:
+    """The shared CTE prefix of every cluster readout: verified near-dup
+    pairs -> symmetric edges -> transitive closure RUN TO CONVERGENCE
+    (WITH RECURSIVE reachability; min reachable id = component label) ->
+    comp(node, lbl) for every doc in at least one pair. The caller must
+    open with "WITH RECURSIVE". This replaced the round-9 fixed-4-round
+    hash-min unroll (ADVICE r9: a chain-shaped component longer than 4
+    hops did not converge to one label, so members of one connected
+    component could straddle train/test — the exact contamination
+    `cluster_aware_split` exists to prevent). Both engines now compute
+    the same fixpoint: DuckDB via the recursive CTE, Spark via pointer-
+    jumping label propagation iterated to convergence
+    (operators/clustering.py::connected_components — the
+    dedup_cluster_resolution machinery)."""
+    return f"""pairs AS (SELECT id_a, id_b FROM ({_NEAR_DUP_PAIRS_ORACLE})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id AS node, MIN(r) AS lbl FROM reach GROUP BY id)"""
 
 
-def _cc_rounds_sql(rounds: int = 4) -> str:
-    """Unrolled hash-min connected-components rounds over the verified
-    near-dup pair set — the same fixed-iteration oracle discipline as
-    _label_prop_oracle / the BPE CTE unroll: both engines run EXACTLY
-    `rounds` label-minimization steps, so parity holds whether or not the
-    labels have converged (they have, for near-dup clusters: components
-    are shallow because membership is transitive text similarity)."""
+def _cc_keepone_sql() -> str:
+    """Keep-one ledger oracle: the converged closure, read out as one row
+    per cluster (canonical = min member id)."""
     return (
-        "WITH " + ",\n    ".join(_cc_rounds_parts(rounds)) + f"""
+        "WITH RECURSIVE " + _cc_closure_parts() + """
     SELECT lbl AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-    FROM l{rounds} GROUP BY lbl ORDER BY cluster_id
+    FROM comp GROUP BY lbl ORDER BY cluster_id
     """
     )
 
 
-def _soft_dedup_sql(rounds: int = 4) -> str:
-    """SoftDeDup oracle: the same cluster closure, read out as a
+def _soft_dedup_sql() -> str:
+    """SoftDeDup oracle: the same converged closure, read out as a
     PER-DOCUMENT sampling weight 1e6/cluster_size (docs in no near-dup
     cluster carry size 1 / full weight)."""
     return (
-        "WITH " + ",\n    ".join(_cc_rounds_parts(rounds)) + f"""
+        "WITH RECURSIVE " + _cc_closure_parts() + """
     , sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n
-                FROM l{rounds} GROUP BY lbl),
-    mem AS (SELECT l.node, l.lbl, s.n
-            FROM l{rounds} l JOIN sizes s USING (lbl))
+                FROM comp GROUP BY lbl),
+    mem AS (SELECT c.node, c.lbl, s.n
+            FROM comp c JOIN sizes s USING (lbl))
     SELECT d.doc_id,
            COALESCE(m.lbl, d.doc_id) AS cluster_id,
            CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
@@ -955,30 +957,28 @@ def _soft_dedup_sql(rounds: int = 4) -> str:
     )
 
 
-@query("near_dup_cluster_keep_one", oracle=_cc_rounds_sql())
+@query("near_dup_cluster_keep_one", oracle=_cc_keepone_sql())
 def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup drop LEDGER — the per-cluster report a dedup job emits
     before rewriting the corpus: the verified MinHash pairs (the exact
-    `near_dup_pairs_minhash` set) are closed transitively into clusters by
-    4 rounds of hash-min label propagation, the minimum doc_id becomes the
-    cluster's canonical (kept) document, and every other member is
-    dropped. One row per cluster: canonical id, member count, drop count.
-    Complements `dedup_cluster_resolution` (ranking_queries.py), which
-    labels EVERY corpus document (component + is_canonical, closure run
-    to convergence, recursive-CTE oracle): that one feeds the corpus
-    rewrite, this one is the bounded-depth audit artifact — clusters
-    only, fixed 4-round contract, unrolled-CTE oracle.
+    `near_dup_pairs_minhash` set) are closed transitively into clusters
+    (label propagation run to CONVERGENCE — see `_closure_labels`), the
+    minimum doc_id becomes the cluster's canonical (kept) document, and
+    every other member is dropped. One row per cluster: canonical id,
+    member count, drop count. Complements `dedup_cluster_resolution`
+    (ranking_queries.py), which labels EVERY corpus document (component +
+    is_canonical): that one feeds the corpus rewrite, this one is the
+    clusters-only audit artifact.
 
     Scale: the iterative stage runs over the PAIR set, not the corpus —
     near-dup edges are a tiny fraction of documents (banding bounds
-    candidate volume; see operators/dedup.py), so each round is a
-    small-key join + min-agg, localCheckpoint'd between rounds exactly
-    like `label_propagation_seeded`. Fixed 4 rounds = fixed plan depth;
-    component diameter above that is handled in production by raising the
-    round count (a knob, not a redesign). Docs in no pair are trivially
-    kept and carry no ledger row."""
+    candidate volume; see operators/dedup.py); pointer jumping makes the
+    round count O(log diameter), each round two joins on small keys,
+    localCheckpoint'd between rounds exactly like
+    `label_propagation_seeded`. Docs in no pair are trivially kept and
+    carry no ledger row."""
     d = load_table(spark, sf_dir, "documents")
-    labels = _hashmin_labels(d, rounds=4)
+    labels = _closure_labels(d)
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(
@@ -989,43 +989,31 @@ def near_dup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hashmin_labels(d: DataFrame, rounds: int = 4) -> DataFrame:
-    """The shared iterative stage of the two cluster readouts: verified
-    MinHash pairs -> symmetric edges -> `rounds` hash-min label steps,
-    localCheckpoint'd between rounds. Returns (node, lbl) for every doc
-    that appears in at least one near-dup pair."""
+def _closure_labels(d: DataFrame) -> DataFrame:
+    """The shared iterative stage of every cluster readout: verified
+    MinHash pairs -> connected components run to CONVERGENCE (pointer-
+    jumping label propagation, operators/clustering.py — O(log diameter)
+    rounds, loud warning if the iteration cap is ever hit). Returns
+    (node, lbl) for every doc that appears in at least one near-dup pair.
+
+    Round-9 ADVICE replaced the fixed 4-round hash-min here: 4 plain
+    propagation rounds only carry a label 4 hops, so a chain-shaped
+    component A~B~C~... longer than 4 hops split into several labels —
+    and `cluster_aware_split` then put one true cluster in two splits,
+    the exact leakage its docstring promised to prevent. The converged
+    closure makes the leakage-free guarantee hold for arbitrary component
+    shapes (tests/test_dedup.py plants an 8-hop chain), and the oracles
+    moved from the unrolled 4-step CTE to the same WITH RECURSIVE
+    fixpoint `dedup_cluster_resolution` already used."""
+    from ..operators.clustering import connected_components
+
     pairs = (
         near_dup_pairs(d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4)
         .select("id_a", "id_b")
         .localCheckpoint()
     )
-    edges = pairs.select(
-        F.col("id_a").alias("x"), F.col("id_b").alias("y")
-    ).unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-    labels = (
-        edges.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-    )
-    for _ in range(rounds):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("y"), F.col("lbl").alias("ylbl")),
-                "y",
-            )
-            .groupBy("x")
-            .agg(F.min("ylbl").alias("nl"))
-            .withColumnRenamed("x", "node")
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-    return labels
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("node"), F.col("component").alias("lbl"))
 
 
 @query(
@@ -1170,8 +1158,9 @@ def near_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup — duplicate-aware REWEIGHTING instead of removal (the
     modern alternative to `near_dup_cluster_keep_one`'s drop ledger, used
     when dropping near-dups costs coverage): every document gets a
-    sampling weight 1e6/cluster_size from the same 4-round hash-min
-    closure over the verified MinHash pair set, so a trainer's sampler
+    sampling weight 1e6/cluster_size from the same converged
+    connected-components closure over the verified MinHash pair set
+    (`_closure_labels`), so a trainer's sampler
     sees each near-dup CLUSTER with total weight ~1e6 regardless of how
     many copies exist, while unclustered documents keep full weight.
     One row per corpus document: (doc_id, cluster_id, cluster_size,
@@ -1189,7 +1178,7 @@ def near_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks a planted dup rate). Exact integer weights (1e6 DIV size) so
     the oracle replays bit-identically."""
     d = load_table(spark, sf_dir, "documents")
-    labels = _hashmin_labels(d, rounds=4)
+    labels = _closure_labels(d)
     sizes = labels.groupBy("lbl").agg(F.count("*").cast("bigint").alias("n"))
     mem = labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),
@@ -1298,15 +1287,15 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_membership_sql(rounds: int = 4) -> str:
-    """The shared closure + per-document cluster readout, as a CTE prefix:
-    every corpus document mapped to COALESCE(its hash-min label, itself)."""
+def _cluster_membership_sql() -> str:
+    """The shared converged closure + per-document cluster readout, as a
+    CTE prefix: every corpus document mapped to COALESCE(its component
+    label, itself)."""
     return (
-        "WITH " + ",\n    ".join(_cc_rounds_parts(rounds)) + f"""
-    , mem AS (SELECT node, lbl FROM l{rounds})
+        "WITH RECURSIVE " + _cc_closure_parts() + """
     , doc_cluster AS (
-        SELECT d.doc_id, COALESCE(m.lbl, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN mem m ON m.node = d.doc_id
+        SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     )"""
     )
 
@@ -1346,12 +1335,18 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     `near_dup_sampling_weights`) and a 3-group aggregate. The split is
     stable under corpus appends: new docs never reshuffle old clusters'
     buckets (md5 of the cluster id, no RNG, no row position).
-    tests/test_dedup.py pins the leakage invariant: no cluster straddles
-    two splits."""
+
+    The guarantee requires the closure to CONVERGE — the round-9 build's
+    fixed 4-round hash-min only carried labels 4 hops, so a chain-shaped
+    component A~B~C~... longer than that straddled splits (round-9
+    ADVICE, medium). `_closure_labels` now runs pointer-jumping label
+    propagation to the fixpoint, and tests/test_dedup.py pins the
+    leakage invariant with BOTH clique-shaped and 8-hop-chain-shaped
+    planted clusters: no cluster straddles two splits."""
     from .pipeline_queries import hash_split_bucket
 
     d = load_table(spark, sf_dir, "documents")
-    labels = _hashmin_labels(d, rounds=4)
+    labels = _closure_labels(d)
     mem = labels.select(F.col("node").alias("doc_id"), F.col("lbl"))
     doc_cluster = (
         d.select("doc_id")
@@ -1382,10 +1377,10 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "near_dup_keep_best_quality",
     oracle=(
-        "WITH " + ",\n    ".join(_cc_rounds_parts(4)) + """
+        "WITH RECURSIVE " + _cc_closure_parts() + """
     , scored AS (
-        SELECT l.node, l.lbl, d.n_chars
-        FROM l4 l JOIN documents d ON d.doc_id = l.node
+        SELECT c.node, c.lbl, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
     ), ranked AS (
         SELECT node, lbl, n_chars,
                ROW_NUMBER() OVER (
@@ -1408,7 +1403,7 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the highest-quality copy (CCNet/RefinedWeb keep the longest or
     best-scored variant, since near-dup copies differ by truncation and
     boilerplate). Canonical = argmax(n_chars, ties to min doc_id) within
-    each 4-round hash-min cluster; one row per cluster: canonical id, its
+    each converged near-dup cluster; one row per cluster: canonical id, its
     length, member count.
 
     Scale: identical closure cost profile to the keep-one ledger (the
@@ -1417,7 +1412,7 @@ def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster-member frame, and the quality column rides the existing
     label join — no extra corpus pass."""
     d = load_table(spark, sf_dir, "documents")
-    labels = _hashmin_labels(d, rounds=4)
+    labels = _closure_labels(d)
     scored = labels.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
@@ -1468,6 +1463,75 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_prefix_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "doc_containment_pairs_capped",
+    # The oracle mirrors the capped candidate semantics EXACTLY (the cap
+    # is lossy by design, so "brute force" is not the ground truth for
+    # this config): df per token over all docs -> drop tokens with
+    # df > 300 from the occurrence stream -> rarest-first prefix over the
+    # surviving (cold) occurrences with prefix_len from the FULL doc size
+    # -> token equi-join + length guard -> verify containment on the FULL
+    # token sets. Window order (df ASC, tok ASC) and the 1e-6 ceil slack
+    # match operators/dedup.py::containment_candidates line for line.
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+        FROM documents
+    ), nz AS (SELECT *, len(toks) AS sz FROM t WHERE len(toks) > 0),
+    occ AS (SELECT doc_id, sz, unnest(toks) AS tok FROM nz),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+    cold AS (
+        SELECT o.doc_id, o.sz, o.tok, d.df
+        FROM occ o JOIN dfreq d USING (tok) WHERE d.df <= 300
+    ),
+    probe AS (
+        SELECT doc_id AS id_sub, sz AS sza, tok FROM (
+            SELECT doc_id, sz, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY df ASC, tok ASC) AS pos
+            FROM cold
+        ) WHERE pos <= sz - CEIL((0.8 - 1e-6) * sz) + 1
+    ),
+    idx AS (SELECT doc_id AS id_super, sz AS szb, tok FROM cold),
+    cand AS (
+        SELECT DISTINCT id_sub, id_super
+        FROM probe JOIN idx USING (tok)
+        WHERE id_sub <> id_super AND szb >= CEIL((0.8 - 1e-6) * sza)
+    )
+    SELECT c.id_sub, c.id_super,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / a.sz, 6) AS containment
+    FROM cand c
+    JOIN nz a ON a.doc_id = c.id_sub
+    JOIN nz b ON b.doc_id = c.id_super
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / a.sz, 6) >= 0.8
+    """,
+)
+def doc_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED production config of the containment join (round-9
+    ADVICE: the lossless config's probe-prefix fan-out — sum of df(token)
+    over prefix tokens — degrades toward quadratic on boilerplate-heavy
+    corpora, and no registered query guarded the cap path): identical to
+    `doc_containment_pairs` but with ``max_token_df=300``, which
+    broadcast-anti-joins the (small by definition) HOT token list out of
+    the occurrence stream before prefixing, bounding candidate fan-out by
+    300 index rows per probe-prefix token. On the synthetic corpus the
+    cap isolates the one rare token (df~25) from the 30 boilerplate
+    tokens (df~390), so the candidate space collapses from every-pair to
+    the rare-token co-occurrence block — exactly the discriminating
+    behavior the cap buys at 100 TB. Lossy BY DESIGN (a pair whose every
+    shared token is hot is never considered), so the oracle mirrors the
+    capped semantics rather than brute force; the lossless twin keeps
+    the brute-force oracle."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(
+        d, "doc_id", "text", threshold=0.8, max_token_df=300
+    )
 
 
 @query(
@@ -1624,7 +1688,7 @@ def near_dup_sampling_weights_from_store(
 ) -> DataFrame:
     """`near_dup_sampling_weights` over the persisted L4 cluster
     membership (stores.py::ensure_neardup_cluster_store): the banding,
-    exact-Jaccard verify and 4-round hash-min closure — the ENTIRE cost
+    exact-Jaccard verify and converged components closure — the ENTIRE cost
     of the self-contained twin — ran at ingest; the query is one left
     join of corpus doc_ids against 3-column membership rows plus the
     exact integer weight arithmetic. This is the plan a data loader
@@ -1747,63 +1811,21 @@ def containment_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-best ledgers, not the subset cut.
 
     Scale: candidate generation is the lossless probe-prefix/index-full
-    containment join (operators/dedup.py::containment_prefix_pairs
-    shape, inlined with the size guard pushed into the candidate
-    filter); the argmax is a window PARTITIONED BY the dropped doc. The
-    oracle is the brute-force ordered-pairs ground truth, so a green row
-    proves the pruning loses no drop decision."""
-    from ..functions.text import tokenize
+    containment join — the OPERATOR itself (operators/dedup.py::
+    containment_prefix_pairs, strict_subset + emit_sizes configuration;
+    round-9 ADVICE: the ~50-line inline copy could silently drift from
+    the operator's pruning lemma, so the ledger now composes it); the
+    argmax is a window PARTITIONED BY the dropped doc. The oracle is the
+    brute-force ordered-pairs ground truth, so a green row proves the
+    pruning loses no drop decision."""
+    from ..operators.dedup import containment_prefix_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    eps = 1e-6
-    t = 0.95
-    toks = (
-        d.select("doc_id", F.array_distinct(tokenize("text")).alias("__toks"))
-        .filter(F.size("__toks") > 0)
-        .withColumn("__sz", F.size("__toks"))
-    )
-    occ = toks.select("doc_id", "__sz", F.explode("__toks").alias("__tok"))
-    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
-    w = W.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("__tok"))
-    prefix_len = F.col("__sz") - F.ceil(F.lit(t - eps) * F.col("__sz")) + 1
-    probe = (
-        occ.join(dfreq, "__tok")
-        .withColumn("__pos", F.row_number().over(w))
-        .filter(F.col("__pos") <= prefix_len)
-        .select(
-            F.col("doc_id").alias("id_sub"), F.col("__sz").alias("__sza"), "__tok"
-        )
-    )
-    index = occ.select(
-        F.col("doc_id").alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
-    )
-    cand = (
-        probe.join(index, "__tok")
-        .filter(F.col("__sza") < F.col("__szb"))  # strictly-longer container
-        .select("id_sub", "id_super")
-        .distinct()
-    )
-    sub = toks.select(F.col("doc_id").alias("id_sub"), F.col("__toks").alias("__ta"))
-    sup = toks.select(
-        F.col("doc_id").alias("id_super"),
-        F.col("__toks").alias("__tb"),
-        F.col("__sz").alias("__super_sz"),
-    )
-    pairs = (
-        cand.join(sub, "id_sub")
-        .join(sup, "id_super")
-        .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
-                / F.size(F.col("__ta")),
-                6,
-            ),
-        )
-        .filter(F.col("containment") >= t)
+    pairs = containment_prefix_pairs(
+        d, "doc_id", "text", threshold=0.95, strict_subset=True, emit_sizes=True
     )
     w_best = W.partitionBy("id_sub").orderBy(
-        F.desc("containment"), F.desc("__super_sz"), F.asc("id_super")
+        F.desc("containment"), F.desc("sz_super"), F.asc("id_super")
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w_best))

