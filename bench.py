@@ -130,13 +130,14 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # the *_from_store read paths are the family headline, the
             # emitters rebuild banding/fingerprinting purely as ingest
             # regression guards. ONE stays in the timed bench per round
-            # (round-robin over _DEDUP_GUARD_ROTATION below — round 9
-            # publishes doc_overlap_winnowing); the other three run as
-            # sf0.01 timed guards in tests/test_ingest_guards.py plus the
-            # full oracle parity sweep. Coverage unchanged; only the
-            # publication tier moved (COVERAGE.md dedup notes).
+            # (round-robin over _DEDUP_GUARD_ROTATION below — round 10
+            # advances to index 1, near_dup_pairs_minhash); the other
+            # three run as sf0.01 timed guards in
+            # tests/test_ingest_guards.py plus the full oracle parity
+            # sweep. Coverage unchanged; only the publication tier moved
+            # (COVERAGE.md dedup notes).
+            "near_dup_pairs_minhash",
             "near_dup_pairs_minhash_from_store",
-            "doc_overlap_winnowing",
             "doc_overlap_winnowing_from_store",
             "simhash_near_dup_pairs_from_store",
             "simhash_incremental_admission",
@@ -198,10 +199,11 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # encode+probe paths (pq_adc_topk, ivf_pq_topk,
             # ivf_pq_residual_topk) all have published L3/L7 store twins —
             # ONE stays in the timed bench per round (round-robin over
-            # _VECTOR_GUARD_ROTATION below — round 9 publishes
-            # ivf_pq_topk); the other two run as sf0.01 timed guards in
-            # tests/test_ingest_guards.py plus the oracle parity sweep.
-            "ivf_pq_topk",
+            # _VECTOR_GUARD_ROTATION below — round 10 advances to index 1,
+            # ivf_pq_residual_topk); the other two run as sf0.01 timed
+            # guards in tests/test_ingest_guards.py plus the oracle parity
+            # sweep.
+            "ivf_pq_residual_topk",
             # round-8: the L7 residual layout read path (coarse assign +
             # residual encode ran at ingest; the probe is partition-pruned
             # ADC — the deployment story the self-contained twin asserts)
@@ -236,12 +238,13 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # twins each rebuild the basket join purely as ingest
             # regression guards; ONE stays in the timed bench per round
             # (round-robin over _GRAPHREC_GUARD_ROTATION below — round 8
-            # published item_item_similarity; round 9 advances to index 1,
-            # recsys_hitrate_eval) and the other four run as sf0.01 timed
-            # guards in tests/test_ingest_guards.py plus the full oracle
-            # parity sweep. Coverage is unchanged; only the publication
-            # tier moved (COVERAGE.md graphrec notes).
-            "recsys_hitrate_eval",
+            # published item_item_similarity; round 9 recsys_hitrate_eval;
+            # round 10 advances to index 2, triangle_participation) and
+            # the other four run as sf0.01 timed guards in
+            # tests/test_ingest_guards.py plus the full oracle parity
+            # sweep. Coverage is unchanged; only the publication tier
+            # moved (COVERAGE.md graphrec notes).
+            "triangle_participation",
             "item_item_similarity_from_store",
             "recsys_hitrate_eval_from_store",
             "triangle_participation_from_store",
@@ -292,20 +295,20 @@ _FAMILY_STORES: dict[str, list[str]] = {
 # tests/test_ingest_guards.py, and ALL stay in the oracle parity sweep.
 _GRAPHREC_GUARD_ROTATION: list[str] = [
     "item_item_similarity",      # round 8
-    "recsys_hitrate_eval",       # round 9 (in bench above)
-    "triangle_participation",
+    "recsys_hitrate_eval",       # round 9
+    "triangle_participation",    # round 10 (in bench above)
     "adamic_adar_links",
     "label_propagation_seeded",
 ]
 _DEDUP_GUARD_ROTATION: list[str] = [
-    "doc_overlap_winnowing",     # round 9 (in bench above)
-    "near_dup_pairs_minhash",
+    "doc_overlap_winnowing",     # round 9
+    "near_dup_pairs_minhash",    # round 10 (in bench above)
     "cdc_chunk_dedup_report",
     "simhash_near_dup_pairs",
 ]
 _VECTOR_GUARD_ROTATION: list[str] = [
-    "ivf_pq_topk",               # round 9 (in bench above)
-    "ivf_pq_residual_topk",
+    "ivf_pq_topk",               # round 9
+    "ivf_pq_residual_topk",      # round 10 (in bench above)
     "pq_adc_topk",
 ]
 GUARD_ROTATIONS: dict[str, list[str]] = {

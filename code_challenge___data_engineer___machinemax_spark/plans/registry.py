@@ -35,24 +35,23 @@ _REGISTRY: dict[str, Registered] = {}
 # oracles were fixed this round, and the advanced relational shapes all land
 # inside the 50-query window. Queries not listed keep registration order
 # after these (they remain fully covered by the local sf0.01 parity sweep).
-# Round-9 rotation (VERDICT r8 next-round #1/#3): the window carries (a)
-# the two stable sentinels, (b) the NINE queries round 8 added after its
-# rotation window was frozen — the last oracle-bearing queries with no
-# driver CORRECTNESS row (green here => cumulative driver-green reaches
-# 339/339 of today's oracle surface) — and (c) the STALENESS RE-CERT
-# RULE filling every remaining slot: among already-certified queries
-# (sentinels excluded), take the ones whose LAST driver row is oldest,
-# ties alphabetical, until the window holds 50. This round that is all
-# 14 remaining round-1 rows plus the first 25 round-2 rows, so every
-# certified query's driver row now ages out after at most ~4 rounds of
-# rotation. The rule is machine-pinned, not prose:
+# Round-10 rotation (VERDICT r9 next-round #1): the window carries (a)
+# the two stable sentinels, (b) the FIFTEEN queries round 9 added after
+# its rotation window froze — the only oracle-bearing queries with no
+# driver CORRECTNESS row at the time of this edit (green here =>
+# cumulative driver-green reaches 354/354 of the pre-round-10 oracle
+# surface) — and (c) the STALENESS RE-CERT RULE filling every remaining
+# slot: among already-certified queries (sentinels excluded), take the
+# ones whose LAST driver row is oldest, ties alphabetical, until the
+# window holds 50. This round that is the 14 remaining round-2 rows plus
+# the first 19 round-3 rows. The rule is machine-pinned, not prose:
 # tests/test_registry_window.py::test_recert_slots_follow_oldest_first_rule
 # recomputes per-query last-driver-round from the CORRECTNESS_r*.json
 # files and asserts the re-cert slice equals the oldest-first selection.
 # Cumulative driver-green coverage is machine-pinned the same way
 # (VERDICT r7 #5): the figure on the next line must equal
 # len(union of CORRECTNESS_r*.json keys ∩ all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 9): 330 of 354 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 10): 339 of 355 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -60,73 +59,66 @@ DRIVER_PRIORITY: list[str] = [
     # sentinels (green in every round so far; keep in every window)
     "q1_pricing_summary",
     "keyword_search_hit",
-    # the 9 round-8-added oracle queries — the only ones with no driver
-    # row (staged list pinned by test_registry_window.py in round 8)
-    "bm25_batch_search_from_store",
-    "doc_overlap_winnowing_from_store",
-    "hybrid_search_rrf_from_store",
-    "ivf_batch_topk_from_store",
-    "ivf_pq_residual_topk_from_store",
-    "minhash_decontamination",
-    "near_dup_pairs_minhash_from_store",
-    "near_dup_sampling_weights",
-    "pq_adc_rerank_topk",
+    # the 15 round-9-added oracle queries — staged for this window by the
+    # round-9 candidate comment, pinned by test_registry_window.py
+    "bradley_terry_strengths",
+    "cluster_aware_split",
+    "cluster_aware_split_from_store",
+    "containment_dedup_ledger",
+    "doc_containment_pairs",
+    "embedding_hygiene_audit",
+    "exact_substr_cut_spans",
+    "ivf_recall_nprobe_curve",
+    "ivf_topk_with_tombstones",
+    "kmeans_silhouette_eval",
+    "near_dup_keep_best_quality",
+    "near_dup_sampling_weights_from_store",
+    "streamed_taxonomy_tag_monitor",
+    "taxonomy_tag_counts",
+    "token_budget_selection",
     # staleness re-certs, oldest-last-driver-row-first (rule above):
-    # the 14 queries whose only driver row is round 1 (alphabetical)
-    "all_active_users",
-    "brand_lineitem_stats",
-    "customers_with_orders",
-    "customers_without_orders",
-    "frequent_customers",
-    "grouping_sets_order_stats",
-    "monthly_revenue_running",
-    "most_recent_orders",
-    "point_lookup_order",
-    "purchasers_who_errored",
-    "region_customer_counts",
-    "segments_above_avg",
-    "viewers_never_purchased",
-    "window_function_showcase",
-    # then round-2 rows, alphabetical, until the window holds 50
-    "adjacent_doc_jaccard",
-    "article_field_extraction",
-    "below_avg_quantity_revenue",
-    "cleanse_html_strip",
-    "coalesce_fallback",
-    "corpus_profile",
-    "dedup_cluster_resolution",
-    "dedup_exact_groups",
-    "doc_fingerprints",
-    "document_chunks",
-    "download_report",
-    "event_sessions",
-    "frontier_dedup",
-    "keyword_search_miss",
-    "label_centroids",
-    "lang_id_heuristic",
-    "large_quantity_orders",
-    "link_classify",
-    "link_extraction",
-    "media_binary_stats",
-    "minhash_signatures",
-    "orders_with_late_lineitems",
-    "pii_redaction",
-    "point_lookup_document",
-    "priority_line_counts",
+    # the 14 queries whose last driver row is round 2 (alphabetical)
+    "quality_filter_pipeline",
+    "salted_event_type_stats",
+    "segment_value_arrays",
+    "simhash_fingerprints",
+    "stratified_sample_per_source",
+    "tfidf_keyword_ranking",
+    "token_counts_by_source",
+    "unigram_logprob_scores",
+    "upsert_latest_wins",
+    "url_normalize",
+    "user_activity_reconciliation",
+    "views_preceding_purchase",
+    "weighted_corpus_mix",
+    "winnowing_doc_fingerprints",
+    # then round-3 rows, alphabetical, until the window holds 50
+    "array_function_showcase",
+    "best_order_per_segment",
+    "bigram_logprob_scores",
+    "bpe_token_counts",
+    "customer_order_distribution",
+    "date_function_showcase",
+    "decontaminated_corpus",
+    "doc_overlap_winnowing",
+    "embedding_near_dups",
+    "embedding_norms",
+    "embedding_quantization",
+    "events_hourly",
+    "events_sliding_windows",
+    "excess_view_counts_bag",
+    "fuzzy_adjacent_titles",
+    "json_props_stats",
+    "kmeans_fixed_point",
+    "latest_order_per_customer",
+    "map_function_showcase",
     # Next-rotation window candidates — every oracle-bearing query with NO
     # driver CORRECTNESS row, computed as oracle_sql() minus the union of
     # CORRECTNESS_r*.json keys minus this window: exactly the queries
-    # round 9 itself added after this window froze (all green in the
-    # local sf0.01 parity sweep; they rotate into round 10 right after
-    # the sentinels, per the oldest-first rule above):
-    # cluster_aware_split, near_dup_keep_best_quality,
-    # taxonomy_tag_counts, token_budget_selection,
-    # ivf_topk_with_tombstones, ivf_recall_nprobe_curve,
-    # embedding_hygiene_audit, streamed_taxonomy_tag_monitor,
-    # kmeans_silhouette_eval, bradley_terry_strengths,
-    # doc_containment_pairs, exact_substr_cut_spans,
-    # near_dup_sampling_weights_from_store, cluster_aware_split_from_store,
-    # containment_dedup_ledger
+    # round 10 itself added after this window froze (green in the local
+    # sf0.01 parity sweep; they rotate into round 11 right after the
+    # sentinels, per the oldest-first rule above):
+    # doc_containment_pairs_capped
 ]
 
 
