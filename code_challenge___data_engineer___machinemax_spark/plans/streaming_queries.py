@@ -579,6 +579,94 @@ def streamed_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streamed_session_windows_append",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        FROM gaps
+    ), agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sno
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg, mx WHERE session_end <= m - INTERVAL 2 HOUR
+    """,
+)
+def streamed_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session windows where the watermark FINALIZES sessions
+    (the session-window half of the semantic `streamed_append_windows`
+    pins for tumbling windows): two chronological waves — the historical
+    bulk, then the newest 36 hours — merge gap-spanning sessions in the
+    state store, and the stream emits a session exactly when the event-
+    time watermark (max seen ts - 2h) passes its end (last event + the
+    30-minute gap). Complete-mode `streamed_sessions` re-emits every
+    session including still-open ones; THIS twin's output is only the
+    CLOSED sessions — the at-most-once-per-session artifact a downstream
+    consumer (billing, feature extraction) actually wants, since a
+    still-open session's (end, n_events) would be retracted later.
+
+    Deterministic because the waves are chronological: wave 2's rows are
+    all newer than wave 1's max, so the (one-trigger-lagging) late-row
+    filter watermark never drops anything, and by stream end both
+    watermarks equal max(ts) - 2h. The emitted set is the closed form:
+    batch gaps-and-islands sessions with session_end <= max(ts) - 2h
+    (boundary inclusive — measured: Spark evicts a session whose end
+    EQUALS the final watermark). Sessions whose last event falls in the
+    final 2.5 hours stay open and are correctly ABSENT.
+
+    Scale: state is bounded by OPEN sessions only (eviction is the
+    bound); emitted rows are written exactly once — unlike complete mode,
+    whose state and re-emission grow with the corpus."""
+    from ..streaming.events import run_to_memory, session_windows
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    mid = F.lit(max_ts.replace(minute=0, second=0, microsecond=0)) - F.expr(
+        "interval 36 hours"
+    )
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_sess_append_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    waves = [e.filter(F.col("ts") < mid), e.filter(F.col("ts") >= mid)]
+    for i, wave in enumerate(waves):
+        stage = os.path.join(base, f"__w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(landing, f"wave{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sess = session_windows(stream, gap="30 minutes")
+    run_to_memory(sess, "ccdem_streamed_sess_append", "append")
+    out = (
+        spark.sql(
+            "SELECT user_id, session_start, session_end, n_events "
+            "FROM ccdem_streamed_sess_append"
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
     "streamed_dataset_card",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -125,3 +125,74 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
     }
     # hour-0 window emitted once the watermark passed: wave-1 rows only
     assert got.get((0, "view")) == 2, got
+
+
+def test_append_session_windows_merge_finalize_and_boundary(spark, tmp_path):
+    """Append-mode SESSION windows (the streamed_session_windows_append
+    semantics, pinned on a crafted corpus): a session spanning the wave
+    boundary MERGES in the state store before emission; a session whose
+    end EQUALS the final watermark is emitted (the <= boundary the
+    oracle's HAVING encodes); a session still open inside the watermark
+    horizon is ABSENT."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.events import (
+        run_to_memory,
+        session_windows,
+    )
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    # final max ts = 12:00 -> final watermark 10:00 (2h delay)
+    waves = [
+        [   # wave 0: historical bulk
+            (1, 1, "view", 1.0, base),                            # A 8:00
+            (2, 1, "view", 1.0, base + dt.timedelta(minutes=20)), # A 8:20
+            (3, 2, "view", 1.0, base + dt.timedelta(minutes=10)), # B 8:10
+            (4, 4, "view", 1.0, base + dt.timedelta(minutes=90)), # D 9:30
+        ],
+        [   # wave 1: strictly newer rows
+            # merges with A's open session (gap to 8:20 is 20min < 30min)
+            (5, 1, "view", 1.0, base + dt.timedelta(minutes=40)), # A 8:40
+            (6, 3, "view", 1.0, base + dt.timedelta(hours=4)),    # C 12:00
+        ],
+    ]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    for i, data in enumerate(waves):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"w{i}"))
+        f = glob.glob(str(tmp_path / f"w{i}" / "*.parquet"))[0]
+        shutil.copy(f, f"{landing}/wave_{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    run_to_memory(
+        session_windows(stream, gap="30 minutes"), "sess_append", "append"
+    )
+    got = {
+        r.user_id: (r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_append").collect()
+    }
+    # A: one MERGED session across the wave boundary, 3 events, end 9:10
+    assert got[1] == (base, base + dt.timedelta(minutes=70), 3)
+    # B: closed singleton, end 8:40
+    assert got[2] == (
+        base + dt.timedelta(minutes=10),
+        base + dt.timedelta(minutes=40),
+        1,
+    )
+    # D: end 10:00 == final watermark -> the <= boundary emits it
+    assert got[4] == (
+        base + dt.timedelta(minutes=90),
+        base + dt.timedelta(minutes=120),
+        1,
+    )
+    # C: last event 12:00, still open inside the horizon -> absent
+    assert 3 not in got
