@@ -375,6 +375,97 @@ def _containment_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def containment_probe_prefix(
+    occ: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The probe-side prefix of the containment join: for each document
+    keep the first ``|A| - ceil(t*|A|) + 1`` occurrence rows under the
+    global (df asc, token asc) rarest-first order — the ONE tested
+    implementation of the pruning lemma, shared by the in-plan join
+    (:func:`containment_candidates`) and the persisted L4 postings
+    layout (stores.py::ensure_containment_postings_store). Returns
+    (id, __sz, __tok) rows."""
+    eps = 1e-6
+    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
+    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
+    )
+    return (
+        occ.join(dfreq, "__tok")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(id_col, "__sz", "__tok")
+    )
+
+
+def containment_candidates_from_rows(
+    probe_rows: DataFrame,
+    index_rows: DataFrame,
+    id_col: str,
+    threshold: float,
+    strict_subset: bool = False,
+) -> DataFrame:
+    """Candidate generation from already-materialized probe-prefix and
+    index occurrence rows (both (id, __sz, __tok)) — the join stage
+    shared by the in-plan operator and the L4 postings read path."""
+    eps = 1e-6
+    probe = probe_rows.select(
+        F.col(id_col).alias("id_sub"), F.col("__sz").alias("__sza"), "__tok"
+    )
+    index = index_rows.select(
+        F.col(id_col).alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    size_guard = F.col("__szb") >= F.ceil(F.lit(threshold - eps) * F.col("__sza"))
+    if strict_subset:
+        size_guard = size_guard & (F.col("__sza") < F.col("__szb"))
+    return (
+        probe.join(index, "__tok")
+        .filter((F.col("id_sub") != F.col("id_super")) & size_guard)
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+
+
+def containment_verify(
+    cand: DataFrame,
+    toks: DataFrame,
+    id_col: str,
+    threshold: float,
+    emit_sizes: bool = False,
+) -> DataFrame:
+    """Exact containment verification of candidate pairs against the
+    (id, __toks, __sz) token table — the final stage shared by the
+    in-plan operator and the L4 postings read path."""
+    sub = toks.select(
+        F.col(id_col).alias("id_sub"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("sz_sub"),
+    )
+    sup = toks.select(
+        F.col(id_col).alias("id_super"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("sz_super"),
+    )
+    out_cols = ["id_sub", "id_super", "containment"] + (
+        ["sz_sub", "sz_super"] if emit_sizes else []
+    )
+    return (
+        cand.join(sub, "id_sub")
+        .join(sup, "id_super")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+                / F.size(F.col("__ta")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(*out_cols)
+    )
+
+
 def containment_candidates(
     toks: DataFrame,
     id_col: str,
@@ -399,33 +490,14 @@ def containment_candidates(
     ``strict_subset`` additionally requires |A| < |B| — the drop-ledger
     configuration, where equal-length near-identical twins are left to
     the symmetric keep-one/keep-best ledgers."""
-    eps = 1e-6
     occ = toks.select(id_col, "__sz", F.explode("__toks").alias("__tok"))
-    dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
     if max_token_df is not None:
+        dfreq = occ.groupBy("__tok").agg(F.count("*").alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_token_df).select("__tok")
         occ = occ.join(F.broadcast(hot), "__tok", "left_anti")
-    w = W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__tok"))
-    prefix_len = (
-        F.col("__sz") - F.ceil(F.lit(threshold - eps) * F.col("__sz")) + 1
-    )
-    probe = (
-        occ.join(dfreq, "__tok")
-        .withColumn("__pos", F.row_number().over(w))
-        .filter(F.col("__pos") <= prefix_len)
-        .select(F.col(id_col).alias("id_sub"), F.col("__sz").alias("__sza"), "__tok")
-    )
-    index = occ.select(
-        F.col(id_col).alias("id_super"), F.col("__sz").alias("__szb"), "__tok"
-    )
-    size_guard = F.col("__szb") >= F.ceil(F.lit(threshold - eps) * F.col("__sza"))
-    if strict_subset:
-        size_guard = size_guard & (F.col("__sza") < F.col("__szb"))
-    return (
-        probe.join(index, "__tok")
-        .filter((F.col("id_sub") != F.col("id_super")) & size_guard)
-        .select("id_sub", "id_super")
-        .distinct()
+    probe_rows = containment_probe_prefix(occ, id_col, threshold)
+    return containment_candidates_from_rows(
+        probe_rows, occ, id_col, threshold, strict_subset
     )
 
 
@@ -475,33 +547,7 @@ def containment_prefix_pairs(
     cand = containment_candidates(
         toks, id_col, threshold, max_token_df, strict_subset
     )
-    sub = toks.select(
-        F.col(id_col).alias("id_sub"),
-        F.col("__toks").alias("__ta"),
-        F.col("__sz").alias("sz_sub"),
-    )
-    sup = toks.select(
-        F.col(id_col).alias("id_super"),
-        F.col("__toks").alias("__tb"),
-        F.col("__sz").alias("sz_super"),
-    )
-    out_cols = ["id_sub", "id_super", "containment"] + (
-        ["sz_sub", "sz_super"] if emit_sizes else []
-    )
-    return (
-        cand.join(sub, "id_sub")
-        .join(sup, "id_super")
-        .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
-                / F.size(F.col("__ta")),
-                6,
-            ),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select(*out_cols)
-    )
+    return containment_verify(cand, toks, id_col, threshold, emit_sizes)
 
 
 def simhash(

@@ -1535,6 +1535,53 @@ def doc_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_containment_pairs_from_store",
+    # the self-contained twin's oracle verbatim: the L4 postings layout
+    # caches the deterministic tokenize/explode/df/prefix stages, and the
+    # pruning is lossless, so the verified pair set is identical
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks
+        FROM documents
+    ), nz AS (SELECT *, len(toks) AS sz FROM t WHERE len(toks) > 0)
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / a.sz, 6) AS containment
+    FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / a.sz, 6) >= 0.8
+    """,
+)
+def doc_containment_pairs_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_containment_pairs` over the persisted L4 containment postings
+    (stores.py::ensure_containment_postings_store): the corpus-wide
+    tokenize + explode + token-df aggregation + per-document prefix
+    window — the ENTIRE pruning-preparation cost of the self-contained
+    twin — ran at ingest; the query is one prefix x occ token equi-join,
+    the length/identity candidate filters, and the array verify against
+    the stored token table. This is the plan a curation deployment runs
+    per sweep (the postings change only when the corpus does), the same
+    ingest-vs-read split as the MinHash band store. Same brute-force
+    oracle as the self-contained twin — the layout caches deterministic
+    stages, so the pair set is bit-identical."""
+    import os as _os
+
+    from ..operators.dedup import (
+        containment_candidates_from_rows,
+        containment_verify,
+    )
+    from ..stores import ensure_containment_postings_store
+
+    t = 0.8
+    path = ensure_containment_postings_store(spark, sf_dir, threshold=t)
+    toks = spark.read.parquet(_os.path.join(path, "toks"))
+    occ = spark.read.parquet(_os.path.join(path, "occ"))
+    prefix = spark.read.parquet(_os.path.join(path, "prefix"))
+    cand = containment_candidates_from_rows(prefix, occ, "doc_id", t)
+    return containment_verify(cand, toks, "doc_id", t)
+
+
+@query(
     "exact_substr_cut_spans",
     oracle=f"""
     WITH tk AS MATERIALIZED (

@@ -329,6 +329,47 @@ def ensure_neardup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_containment_postings_store(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> str:
+    """Materialize the L4 containment-join postings for ``documents`` —
+    the ingest-time artifacts of the asymmetric set-containment join
+    (operators/dedup.py::containment_prefix_pairs), threshold-keyed
+    because the probe prefix length depends on it:
+
+    - ``toks/``   (doc_id, __toks, __sz) — distinct token arrays, the
+      verify-stage input.
+    - ``occ/``    (doc_id, __sz, __tok) — the full occurrence stream,
+      the INDEX side (a container can't be prefix-pruned).
+    - ``prefix/`` (doc_id, __sz, __tok) — the probe-side rarest-first
+      prefix rows with positions ALREADY applied (the corpus-wide
+      tokenize + explode + df aggregation + per-document window — the
+      measured cost of the self-contained join — runs exactly once,
+      here, via the same containment_probe_prefix the in-plan operator
+      uses).
+
+    Query-time pair generation against the layout is a pure
+    prefix x occ token equi-join + array verify."""
+    from .operators.dedup import _containment_tokens, containment_probe_prefix
+
+    path = _store_path(
+        sf_dir, "documents", f"l4_containment_t{int(round(threshold * 100))}"
+    )
+    if not _ready(path):
+        d = load_table(spark, sf_dir, "documents")
+        toks = _containment_tokens(d, "doc_id", "text").localCheckpoint()
+        toks.write.mode("overwrite").parquet(os.path.join(path, "toks"))
+        occ = toks.select("doc_id", "__sz", F.explode("__toks").alias("__tok"))
+        occ.write.mode("overwrite").parquet(os.path.join(path, "occ"))
+        occ_stored = spark.read.parquet(os.path.join(path, "occ"))
+        containment_probe_prefix(occ_stored, "doc_id", threshold).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "prefix"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_pq_residual_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the residual IVF-PQ layout for ``embeddings`` (DEPLOY.md
     L7; VERDICT r7 #4 — the deployment claim in

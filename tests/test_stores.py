@@ -409,3 +409,35 @@ def test_neardup_cluster_ensure_is_idempotent(spark, sf_dir, store_env):
     p2 = ensure_neardup_cluster_store(spark, sf_dir)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_containment_postings_store_pairs_equal_self_contained(spark, sf_dir, store_env):
+    """The L4-postings-backed containment pairs must equal the
+    self-contained twin (the pruning is lossless and the layout caches
+    deterministic stages), and the read plan must do NO corpus
+    preparation: no tokenizer regex, no token-df window — documents is
+    never scanned; only the three layout relations are."""
+    qs = plans.all_queries()
+    stored_df = qs["doc_containment_pairs_from_store"](spark, sf_dir)
+    stored = _rows(stored_df)
+    fresh = _rows(qs["doc_containment_pairs"](spark, sf_dir))
+    assert stored == fresh and len(stored) > 0
+
+    txt = explain_text(stored_df)
+    assert "l4_containment" in txt
+    assert "documents.parquet" not in txt
+    low = txt.lower()
+    assert "regexp" not in low and "split(" not in low  # no re-tokenize
+    assert "row_number" not in low  # the prefix window ran at ingest
+
+
+def test_containment_postings_ensure_is_idempotent(spark, sf_dir, store_env):
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_containment_postings_store,
+    )
+
+    p1 = ensure_containment_postings_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = ensure_containment_postings_store(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
