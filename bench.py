@@ -217,6 +217,10 @@ FAMILIES: list[tuple[str, list[str]]] = [
             # round-9: the nprobe tuning curve — one widest-probe pruned
             # scan shared by all three curve points + the exact arm
             "ivf_recall_nprobe_curve",
+            # round-10: binary-quantization serving — Hamming popcount
+            # scan over the persisted L3 sign-bit signatures (16 B/row),
+            # exact-cosine rescore of the 50 survivors by id
+            "binary_quant_hamming_topk_from_store",
             "kmeans_fixed_point",
             "semantic_dedup_pairs",
             # round-7: the L10 cluster-assignment store read path (the
@@ -283,6 +287,7 @@ _FAMILY_STORES: dict[str, list[str]] = {
         "ensure_semantic_kmeans_store",
         "ensure_pq_residual_store",
         "ensure_ivf_store",
+        "ensure_binary_sig_store",
     ],
     "graphrec": ["ensure_copurchase_store"],
 }

@@ -542,3 +542,80 @@ def ann_topk_lsh_multiprobe(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def binary_signature(vec_col: str) -> Column:
+    """Sign-bit binary quantization (1 bit/dimension), packed into
+    ``array<bigint>`` words: bit ``i`` of word ``w`` is set iff component
+    ``w*64 + i`` is strictly positive. 32x smaller than float32 — the
+    standard first-stage index for Hamming-filtered ANN serving (binary
+    quantization + exact rescore). Pure SQL lambdas: the packing runs
+    JVM-side inside whole-stage codegen, no Python, no explode — one row
+    in, one row out."""
+    return F.expr(
+        f"""
+        transform(
+          sequence(0, CAST(ceil(size({vec_col}) / 64.0) AS INT) - 1),
+          w -> aggregate(
+                 sequence(0, 63),
+                 CAST(0 AS BIGINT),
+                 (acc, i) -> IF(w * 64 + i < size({vec_col})
+                                AND {vec_col}[w * 64 + i] > CAST(0 AS FLOAT),
+                                acc | shiftleft(CAST(1 AS BIGINT), i),
+                                acc)))
+        """
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed ``array<bigint>`` signatures:
+    popcount of the per-word XOR, summed. Stays in codegen (bit_count is
+    a JVM intrinsic over longs) — the 100 TB scan cost is memory
+    bandwidth over 8-byte words, not float math over 256-byte vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def binary_hamming_topk(
+    sigs: DataFrame,
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    rerank: int = 50,
+) -> DataFrame:
+    """Binary-quantization ANN: Hamming top-``rerank`` over packed
+    signatures, exact-cosine rescore of the survivors, top-``k`` out.
+
+    ``sigs`` carries ``(id_col, __sig)`` — in production the persisted
+    signature relation (16 bytes/row at dim=64 vs 260 for the vectors;
+    the scan that touches every row reads ONLY it). ``vectors`` is the
+    full-precision table consulted for exactly ``rerank`` rows via an
+    id semi-join — point lookups against a pruned columnar scan, never a
+    second full pass. ``query`` is a 1-row frame with ``__qvec``; its
+    signature is computed inline and broadcast with the row.
+
+    Ties break on the id at both stages, so the result is deterministic
+    and oracle-replayable. Emits (id, hamming, cosine)."""
+    q = query.withColumn("__qsig", binary_signature("__qvec"))
+    cand = (
+        sigs.crossJoin(F.broadcast(q.select("__qsig")))
+        .withColumn("hamming", hamming_distance(F.col("__sig"), F.col("__qsig")))
+        .select(id_col, "hamming")
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(rerank)
+    )
+    rescored = (
+        vectors.join(cand, id_col, "inner")
+        .crossJoin(F.broadcast(query))
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    )
+    return (
+        rescored.select(id_col, "hamming", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2261,3 +2261,85 @@ def kmeans_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sil_e6").alias("sil_min_e6"),
         F.max("sil_e6").alias("sil_max_e6"),
     )
+
+
+_BINSIG_SQL = """
+    bits AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN v <= 0 THEN 0::BIGINT
+                         WHEN dim = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                         ELSE (1::BIGINT << (dim - 1)) END) AS sig
+      FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id, CAST(bit_count(xor(s.sig, q.qsig)) AS INT) AS hamming
+      FROM sigs s CROSS JOIN q
+      WHERE s.vec_id <> 0
+      ORDER BY hamming, s.vec_id
+      LIMIT 50
+    )
+    SELECT c.vec_id, c.hamming,
+           ROUND({dot_eq} / (sqrt({dot_ee}) * sqrt({dot_qq})), 6) AS cosine
+    FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+""".format(
+    dot_eq=_DOT_SQL.format(a="e.embedding", b="qvec"),
+    dot_ee=_DOT_SQL.format(a="e.embedding", b="e.embedding"),
+    dot_qq=_DOT_SQL.format(a="qvec", b="qvec"),
+)
+
+
+@query("binary_quant_hamming_topk", oracle="WITH " + _BINSIG_SQL)
+def binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: pack every vector's sign bits into
+    bigint words (1 bit/dim — 32x smaller than float32), take the
+    Hamming top-50 against the query's signature, then exact-cosine
+    rescore the survivors for the top-10. The modern two-stage serving
+    shape (binary quantization + rescore): the pass that touches every
+    row is popcount over packed words — memory-bandwidth-bound, fully
+    inside whole-stage codegen — and full-precision math runs on exactly
+    ``rerank`` rows fetched by id. Deterministic at both stages (id
+    tie-breaks), so the DuckDB oracle replays bit-packing, Hamming
+    ranking and rescore exactly."""
+    from ..operators.similarity import binary_hamming_topk, binary_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    sigs = corpus.select("vec_id", binary_signature("embedding").alias("__sig"))
+    return binary_hamming_topk(
+        sigs, corpus, _query_df(spark, sf_dir), "vec_id", "embedding", k=10, rerank=50
+    )
+
+
+@query(
+    "binary_quant_hamming_topk_from_store",
+    # the self-contained twin's oracle verbatim: the store persists the
+    # deterministic sign-bit packing, so the result sets are identical
+    oracle=_get_registered("binary_quant_hamming_topk").oracle,
+)
+def binary_quant_hamming_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binary_quant_hamming_topk` served from the persisted L3 signature
+    relation (stores.ensure_binary_sig_store): the corpus-wide scan reads
+    16-byte (vec_id, sig) rows — never the 260-byte float vectors — and
+    the full-precision table is consulted for exactly the 50 Hamming
+    survivors via an id join. This is the deployment shape: packing cost
+    paid once at ingest, per-query cost = popcount scan + 50 point
+    lookups."""
+    from ..operators.similarity import binary_hamming_topk
+    from ..stores import ensure_binary_sig_store
+
+    path = ensure_binary_sig_store(spark, sf_dir)
+    sigs = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    return binary_hamming_topk(
+        sigs, corpus, _query_df(spark, sf_dir), "vec_id", "embedding", k=10, rerank=50
+    )

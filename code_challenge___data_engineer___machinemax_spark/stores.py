@@ -290,6 +290,25 @@ def ensure_winnowing_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_binary_sig_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the L3 binary-quantization signature relation for
+    ``embeddings``: one ``(vec_id, __sig array<bigint>)`` row per vector —
+    1 bit per dimension, 32x smaller than the float32 column (8 bytes of
+    signature per 64 dims). The corpus-wide packing pass runs exactly
+    once, here; a Hamming-filtered ANN query then scans ONLY this
+    relation for the distance pass and consults the full-precision
+    vectors for just the ``rerank`` survivors by id."""
+    from .operators.similarity import binary_signature
+
+    path = _store_path(sf_dir, "embeddings", "l3_binsig")
+    if not _ready(path):
+        e = load_table(spark, sf_dir, "embeddings")
+        e.select("vec_id", binary_signature("embedding").alias("__sig")).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def ensure_neardup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the verified near-dup CLUSTER MEMBERSHIP for
     ``documents`` — the terminal artifact of the whole L4 fingerprint

@@ -540,3 +540,80 @@ def test_silhouette_separates_tight_from_overlapping_clusters(spark, tmp_path):
     assert mean[1] < mean[2] - 400_000
     assert mean[3] < mean[2] - 400_000
     assert all(r.n_vecs == 10 for r in out.values())
+
+
+def test_binary_signature_matches_hand_packed_bits(spark):
+    """Sign-bit packing pin: bit i of word w set iff component w*64+i > 0,
+    including bit 63 (the sign bit of the packed long) and the ragged
+    tail of a dim that is not a multiple of 64."""
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        binary_signature,
+    )
+
+    v64 = [-1.0] * 63 + [1.0]          # only bit 63 -> min long
+    v3 = [0.5, -1.0, 0.25]             # bits 0 and 2 -> 5, one ragged word
+    v70 = [1.0] * 70                   # two words: all-ones, then 6 low bits
+    df = spark.createDataFrame(
+        [(1, v64), (2, v3), (3, v70)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: r.sig
+        for r in df.select("vec_id", binary_signature("embedding").alias("sig")).collect()
+    }
+    assert got[1] == [-(2**63)]
+    assert got[2] == [5]
+    assert got[3] == [-1, 63]          # 64 ones = all bits = -1 two's complement
+
+
+def test_hamming_distance_matches_popcount_over_words(spark):
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        hamming_distance,
+    )
+
+    df = spark.createDataFrame(
+        [([5, -1], [4, -1], 1), ([0, 0], [-1, -1], 128), ([7, 0], [7, 0], 0)],
+        "a array<bigint>, b array<bigint>, want int",
+    )
+    rows = df.select(
+        hamming_distance(F.col("a"), F.col("b")).alias("h"), "want"
+    ).collect()
+    for r in rows:
+        assert r.h == r.want
+
+
+def test_binary_hamming_rerank_recovers_exact_top1_at_full_rerank(spark, sf_dir):
+    """With rerank = corpus size the Hamming stage filters nothing, so the
+    exact-cosine rescore must reproduce the brute-force top-1 exactly —
+    pins that the two-stage shape loses nothing but what the Hamming
+    filter drops."""
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_signature,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("__qvec"))
+    )
+    n = e.count()
+    sigs = e.select("vec_id", binary_signature("embedding").alias("__sig"))
+    two_stage = binary_hamming_topk(sigs, e, q, "vec_id", "embedding", k=10, rerank=n)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10)
+    assert [(r.vec_id, r.cosine) for r in two_stage.collect()] == [
+        (r.vec_id, r.cosine) for r in exact.collect()
+    ]
+
+
+def test_binary_sig_store_read_path_matches_self_contained(spark, sf_dir, tmp_path, monkeypatch):
+    """The persisted L3 signature relation caches a deterministic packing,
+    so the from_store twin must equal the self-contained query row for
+    row — and its read plan must scan the signature parquet, not repack
+    the embeddings table."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    a = get("binary_quant_hamming_topk").fn(spark, sf_dir).collect()
+    b = get("binary_quant_hamming_topk_from_store").fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
