@@ -1684,3 +1684,119 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_comparisons",
         )
     )
+
+
+@query(
+    "dpo_pair_construction",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, lang, n_chars,
+               (1000000 * len(list_distinct(toks))) // len(toks) AS qual
+        FROM (SELECT doc_id, source, lang, n_chars,
+                     {tokenize_sql('text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY qual DESC, doc_id ASC) AS rk_top,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY qual ASC, doc_id DESC) AS rk_bot,
+               COUNT(*) OVER (PARTITION BY source, lang) AS n_pool
+        FROM q
+    )
+    SELECT t.source, t.lang, CAST(t.rk_top AS INT) AS pair_rank,
+           t.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+           CAST(t.qual - b.qual AS BIGINT) AS margin_e6,
+           CAST(t.n_pool AS BIGINT) AS n_pool
+    FROM (SELECT * FROM ranked WHERE rk_top <= 3) t
+    JOIN (SELECT * FROM ranked WHERE rk_bot <= 3) b
+      ON t.source = b.source AND t.lang = b.lang AND t.rk_top = b.rk_bot
+    WHERE 2 * t.rk_top <= t.n_pool
+      AND t.qual - b.qual >= 20000
+      AND t.n_chars <= 4 * b.n_chars
+      AND b.n_chars <= 4 * t.n_chars
+    """,
+)
+def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO / RLHF preference-PAIR construction — the data-prep step that
+    turns scored candidate pools into (chosen, rejected) training rows
+    (Rafailov et al. 2023; the pairing recipe behind UltraFeedback-style
+    datasets). Candidate pools are (source, lang) cohorts (the synthetic
+    stand-in for per-prompt completion sets, same cohorts the
+    Bradley-Terry fit duels over); quality is the exact e6 type-token
+    ratio. Within each pool the k-th best pairs with the k-th worst
+    (k <= 3) — best-vs-worst pairing maximizes the preference margin —
+    under the two standard admission guards: a minimum quality margin
+    (>= 0.02 e6, drops noise-level preferences) and a 4x length-ratio
+    cap in BOTH directions (the verbosity-bias control: a pair whose
+    winner is mostly just longer teaches length, not quality). Emits one
+    row per admitted pair with its margin and pool size.
+
+    Scale: two windows and one self-join, all PARTITIONED/keyed by the
+    (source, lang) pool — pools are bounded by the per-prompt candidate
+    count (single digits in RLHF practice), so no skew; the join fans
+    out at most 3 rows per pool side. Everything is exact integer
+    arithmetic (e6 TTR, int margins), so the oracle walks identical
+    bits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("qual", F.expr("(1000000 * n_types) div n_tok"))
+        .select("doc_id", "source", "lang", "n_chars", "qual")
+    )
+    pool = W.partitionBy("source", "lang")
+    ranked = q.select(
+        "*",
+        F.row_number()
+        .over(pool.orderBy(F.desc("qual"), F.asc("doc_id")))
+        .alias("rk_top"),
+        F.row_number()
+        .over(pool.orderBy(F.asc("qual"), F.desc("doc_id")))
+        .alias("rk_bot"),
+        F.count("*").over(pool).alias("n_pool"),
+    )
+    top = ranked.filter(F.col("rk_top") <= 3).select(
+        "source",
+        "lang",
+        F.col("rk_top").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("qual").alias("__cq"),
+        F.col("n_chars").alias("__cn"),
+        "n_pool",
+    )
+    bot = ranked.filter(F.col("rk_bot") <= 3).select(
+        "source",
+        "lang",
+        F.col("rk_bot").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("qual").alias("__rq"),
+        F.col("n_chars").alias("__rn"),
+    )
+    return (
+        top.join(bot, ["source", "lang", "pair_rank"])
+        .filter(
+            (2 * F.col("pair_rank") <= F.col("n_pool"))
+            & (F.col("__cq") - F.col("__rq") >= 20000)
+            & (F.col("__cn") <= 4 * F.col("__rn"))
+            & (F.col("__rn") <= 4 * F.col("__cn"))
+        )
+        .select(
+            "source",
+            "lang",
+            "pair_rank",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            (F.col("__cq") - F.col("__rq")).cast("bigint").alias("margin_e6"),
+            F.col("n_pool").cast("bigint").alias("n_pool"),
+        )
+    )

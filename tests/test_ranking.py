@@ -148,3 +148,38 @@ def test_bradley_terry_planted_dominance(spark, tmp_path):
     assert out["srcC"].wins == 0 and out["srcC"].strength_e6 == 0
     total = sum(r.strength_e6 for r in out.values())
     assert abs(total - 3 * 1_000_000) <= 3  # integer renormalization slack
+
+
+def test_dpo_pairs_plant_best_vs_worst_and_guards(spark, tmp_path):
+    """One 6-doc pool: the k-th best must pair with the k-th worst; a
+    sub-margin pair and a length-ratio-violating pair must be dropped.
+
+    Quality (e6 type-token ratio): ids 1..6 descending —
+      1: 4/4 distinct (1.0), 2: 3/4 (0.75), 3: 2/4 (0.5),
+      4: ~0.5 - eps via 8 tokens 4 distinct BUT 5x the chars (ratio guard),
+      5: 2/8 (0.25), 6: 1/4 (0.25-ish below).
+    Pairings by rank: (1,6) margin 0.75 -> kept; (2,5) margin 0.5 ->
+    kept unless ratio-violating; (3,4) margin ~0 -> dropped by margin."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    docs = [
+        (1, "a b c d", 7),                      # qual 1.0
+        (2, "a b c c", 7),                      # 0.75
+        (3, "a a b b", 7),                      # 0.5
+        (4, "a a b b c c d d", 15),             # 0.5 — margin 0 vs id 3
+        (5, "a a a a a a b b", 15),             # 0.25
+        (6, "a a a a", 100),                    # 0.25, 100 chars (>4x id 1)
+    ]
+    rows = [(i, t, "en", "srcX", n) for (i, t, n) in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.pair_rank, r.chosen_doc_id, r.rejected_doc_id)
+        for r in get("dpo_pair_construction").fn(spark, str(tmp_path)).collect()
+    }
+    # rank 1: chosen=1 (qual 1.0) vs worst=6 (qual 0.25) — but n_chars
+    # 100 > 4*7 violates the length-ratio guard -> dropped
+    # rank 2: chosen=2 (0.75) vs 2nd-worst=5 (0.25), chars 7 vs 15 -> kept
+    # rank 3: chosen=3 (0.5) vs 3rd-worst=4 (0.5) margin 0 -> dropped
+    assert got == {(2, 2, 5)}
