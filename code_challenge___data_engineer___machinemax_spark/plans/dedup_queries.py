@@ -1883,3 +1883,129 @@ def containment_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment",
         )
     )
+
+
+def _scurve_p_e6(j: str, b: int, r: int) -> str:
+    """The banded-MinHash detection probability 1 - (1 - j^r)^b as an
+    engine-portable expression over a double column ``j``, e6-truncated.
+
+    Powers are written as LITERAL left-associated multiplication chains,
+    not pow(): both engines then execute the identical IEEE-double
+    operation sequence, so the truncated integers agree bit-for-bit
+    (library pow() implementations may differ in the last ulp)."""
+    jr = " * ".join([j] * r)
+    q = f"(1.0 - ({jr}))"
+    qb = " * ".join([q] * b)
+    return f"(1.0 - ({qb})) * 1000000"
+
+
+_LSH_GRID = [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+def _band_planner_oracle() -> str:
+    per_grid = ",\n".join(
+        f"CAST(SUM(CASE WHEN j >= 0.5 THEN CAST(trunc({_scurve_p_e6('j', b, r)}) AS BIGINT) ELSE 0 END) AS BIGINT) AS det_{b}_{r},\n"
+        f"CAST(SUM(CASE WHEN j < 0.5 THEN CAST(trunc({_scurve_p_e6('j', b, r)}) AS BIGINT) ELSE 0 END) AS BIGINT) AS fc_{b}_{r}"
+        for b, r in _LSH_GRID
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, n_target_pairs,"
+        f" det_{b}_{r} AS exp_detected_e6, n_background_pairs,"
+        f" fc_{b}_{r} AS exp_false_cand_e6 FROM agg"
+        for b, r in _LSH_GRID
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({tokenize_sql('text')}) AS toks FROM documents
+    ), pairs AS (
+        SELECT CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+               THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks)))
+               ELSE 0.0 END AS j
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_target_pairs,
+               CAST(SUM(CASE WHEN j < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_background_pairs,
+               {per_grid}
+        FROM pairs
+    )
+    {unions}
+    """
+
+
+@query("lsh_band_planner", oracle=_band_planner_oracle())
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands, rows) parameter planner — the design table an
+    ingest owner reads BEFORE committing a 100 TB banding layout: for
+    each (b, r) with b*r = 16 signature slots, the expected number of
+    >= 0.5-Jaccard pairs the banding would surface (recall mass) and the
+    expected candidate mass from sub-threshold pairs (verify-stage cost),
+    evaluated with the exact S-curve p = 1 - (1 - j^r)^b against the
+    corpus's OWN observed pair-similarity distribution (the deterministic
+    adjacent-id pair sample) rather than a guessed one. Moving along the
+    grid trades recall for candidate volume: r up = sharper knee = fewer
+    false candidates, weaker sub-threshold recall.
+
+    Exactness: powers are literal multiplication chains (never pow()),
+    per-pair probabilities e6-truncate BEFORE summation — both engines
+    walk identical IEEE doubles, the aggregates are exact int64.
+
+    Scale: one tokenize + one adjacent-id self-join (linear pair sample),
+    ONE aggregation computing all grid cells as parallel sum columns over
+    a single pass, then a 4-row unpivot of the 1-row aggregate — the
+    corpus is never rescanned per grid point."""
+    from ..functions.text import tokenize
+    from ..operators.dedup import jaccard_arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize("text"))
+    a = d.select(F.col("doc_id").alias("id_a"), toks.alias("ta"))
+    b_ = d.select(F.col("doc_id").alias("id_b"), toks.alias("tb"))
+    pairs = a.join(b_, F.col("id_b") == F.col("id_a") + 1).select(
+        jaccard_arrays(F.col("ta"), F.col("tb")).alias("j")
+    )
+    aggs = [
+        F.sum(F.when(F.col("j") >= 0.5, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_target_pairs"),
+        F.sum(F.when(F.col("j") < 0.5, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_background_pairs"),
+    ]
+    for b, r in _LSH_GRID:
+        p_e6 = _scurve_p_e6("j", b, r)
+        aggs.append(
+            F.sum(
+                F.when(F.col("j") >= 0.5, F.expr(f"CAST({p_e6} AS BIGINT)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias(f"det_{b}_{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("j") < 0.5, F.expr(f"CAST({p_e6} AS BIGINT)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias(f"fc_{b}_{r}")
+        )
+    agg = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"{b}, {r}, det_{b}_{r}, fc_{b}_{r}" for b, r in _LSH_GRID
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_LSH_GRID)}, {stack}) AS "
+            "(bands, rows_per_band, exp_detected_e6, exp_false_cand_e6)"
+        ),
+        "n_target_pairs",
+        "n_background_pairs",
+    ).select(
+        "bands",
+        "rows_per_band",
+        "n_target_pairs",
+        "exp_detected_e6",
+        "n_background_pairs",
+        "exp_false_cand_e6",
+    )

@@ -2614,3 +2614,107 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality_ppm").cast("bigint").alias("worst_quality_ppm"),
         )
     )
+
+
+@query(
+    "truncation_loss_report",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, len({tokenize_sql('text')}) AS n_tok FROM documents
+    )
+    SELECT source, context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > context_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(greatest(n_tok - context_len, 0)) AS BIGINT) AS tokens_lost
+    FROM per_doc CROSS JOIN (SELECT unnest([16, 64, 256]) AS context_len)
+    GROUP BY source, context_len
+    """,
+)
+def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation diagnostics — the report a pretraining
+    team reads before fixing max_seq_len: for each candidate context
+    length, how many documents per source exceed it and how many tokens
+    the cut discards (truncation both loses data AND biases the tail of
+    long documents out of training; RefinedWeb/Llama data notes). One
+    row per (source, context_len) with doc/token totals, truncated-doc
+    and lost-token counts — all exact integers.
+
+    Scale: one linear pass computes per-document token counts; the
+    3-point candidate grid rides as an exploded literal (3x fan-out of a
+    two-column frame, NOT of the text); one partial-aggregated groupBy
+    on (source, context_len) — dimension-sized output, no skew, no
+    second scan of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", F.size(tokenize("text")).cast("long").alias("n_tok")
+    ).withColumn("context_len", F.explode(F.expr("array(16, 64, 256)")))
+    return per_doc.groupBy("source", "context_len").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > F.col("context_len"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.greatest(F.col("n_tok") - F.col("context_len"), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_lost"),
+    )
+
+
+@query(
+    "distinct_n_diversity",
+    oracle=f"""
+    WITH uni AS (
+        SELECT source, unnest({tokenize_sql('text')}) AS g FROM documents
+    ), bi AS (
+        SELECT source, unnest({shingles_sql('text', 2)}) AS g FROM documents
+    ), tri AS (
+        SELECT source, unnest({shingles_sql('text', 3)}) AS g FROM documents
+    )
+    SELECT source, n, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (
+        SELECT source, 1 AS n, COUNT(*) AS n_grams,
+               COUNT(DISTINCT g) AS n_distinct FROM uni GROUP BY source
+        UNION ALL
+        SELECT source, 2, COUNT(*), COUNT(DISTINCT g) FROM bi GROUP BY source
+        UNION ALL
+        SELECT source, 3, COUNT(*), COUNT(DISTINCT g) FROM tri GROUP BY source
+    )
+    """,
+)
+def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity via distinct-n (Li et al. 2016): per source, total
+    and distinct n-gram counts for n = 1, 2, 3 — distinct/total is the
+    diversity ratio that synthetic-data curation gates on (mode-collapsed
+    generations repeat n-grams; a falling distinct-2 is the standard
+    early-warning). Counts stay exact integers; the ratio is downstream
+    arithmetic.
+
+    Scale: one tokenize pass fans out to the three gram streams via
+    posexplode of per-row arrays (linear in corpus grams); each branch is
+    a partial-aggregated count + COUNT(DISTINCT) keyed by source — Spark
+    plans distinct-agg as a two-stage expand + partial agg, never a
+    corpus-wide collect. Three scans of documents (one per n) stay well
+    under the lint's 7-scan cap; sharing one scan would force a 3x-wider
+    exploded frame through a single shuffle for no measured win."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+
+    branches = []
+    for n in (1, 2, 3):
+        grams = tokenize("text") if n == 1 else shingles("text", n)
+        branches.append(
+            d.select("source", F.explode(grams).alias("g"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_grams"),
+                F.countDistinct("g").cast("bigint").alias("n_distinct"),
+            )
+            .select("source", F.lit(n).alias("n"), "n_grams", "n_distinct")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out

@@ -903,3 +903,22 @@ def test_containment_cap_broadcasts_only_hot_tokens(spark):
     # containment(reprint -> article) = 27/27 = 1.0 still; the witness
     # prefix tokens are the cold df=2 article tokens — pairs survive
     assert got == {(1000 + i, i) for i in range(3)}
+
+
+def test_lsh_band_planner_knee_tradeoff(spark, sf_dir):
+    """S-curve economics pin: at fixed b*r, raising r (sharper knee) must
+    monotonically SHRINK the expected sub-threshold candidate mass, and
+    every expected-detection mass is bounded by 1e6 x its pair count."""
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in get("lsh_band_planner").fn(spark, sf_dir).collect()
+    }
+    grid = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    assert set(rows) == set(grid)
+    fc = [rows[g].exp_false_cand_e6 for g in grid]
+    assert fc == sorted(fc, reverse=True), "false-candidate mass must fall as r rises"
+    for g in grid:
+        assert 0 <= rows[g].exp_detected_e6 <= 1_000_000 * rows[g].n_target_pairs
+        assert 0 <= rows[g].exp_false_cand_e6 <= 1_000_000 * rows[g].n_background_pairs
