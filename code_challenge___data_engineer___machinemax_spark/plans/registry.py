@@ -51,7 +51,7 @@ _REGISTRY: dict[str, Registered] = {}
 # Cumulative driver-green coverage is machine-pinned the same way
 # (VERDICT r7 #5): the figure on the next line must equal
 # len(union of CORRECTNESS_r*.json keys ∩ all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 10): 339 of 357 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 10): 339 of 363 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -119,7 +119,9 @@ DRIVER_PRIORITY: list[str] = [
     # sf0.01 parity sweep; they rotate into round 11 right after the
     # sentinels, per the oldest-first rule above):
     # doc_containment_pairs_capped, streamed_session_windows_append,
-    # doc_containment_pairs_from_store
+    # doc_containment_pairs_from_store, binary_quant_hamming_topk,
+    # binary_quant_hamming_topk_from_store, dpo_pair_construction,
+    # lsh_band_planner, truncation_loss_report, distinct_n_diversity
 ]
 
 
