@@ -441,3 +441,27 @@ def test_containment_postings_ensure_is_idempotent(spark, sf_dir, store_env):
     p2 = ensure_containment_postings_store(spark, sf_dir)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+def test_binary_sig_store_scan_reads_signatures_not_vectors(spark, sf_dir, store_env):
+    """The from_store Hamming pass must scan the persisted signature
+    relation — the embeddings table appears ONLY for the 50-row rerank
+    join and the two 1-row query-row broadcasts, never for corpus-wide
+    packing (that scan is the l3_binsig store): exactly one embeddings
+    scan fewer than the self-contained twin, whose extra scan IS the
+    inline packing pass."""
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_binary_sig_store,
+    )
+
+    ensure_binary_sig_store(spark, sf_dir)
+    qs = plans.all_queries()
+    txt = explain_text(qs["binary_quant_hamming_topk_from_store"](spark, sf_dir))
+    assert "l3_binsig" in txt
+    n_store = txt.count("embeddings.parquet")
+    self_txt = explain_text(qs["binary_quant_hamming_topk"](spark, sf_dir))
+    n_self = self_txt.count("embeddings.parquet")
+    assert n_store == n_self - 1, (
+        f"from_store must drop exactly the corpus packing scan "
+        f"(store plan: {n_store}, self-contained: {n_self})"
+    )
