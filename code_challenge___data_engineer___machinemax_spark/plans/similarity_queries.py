@@ -2343,3 +2343,129 @@ def binary_quant_hamming_topk_from_store(spark: SparkSession, sf_dir: str) -> Da
     return binary_hamming_topk(
         sigs, corpus, _query_df(spark, sf_dir), "vec_id", "embedding", k=10, rerank=50
     )
+
+
+@query(
+    "binary_rerank_depth_curve",
+    oracle=f"""
+    WITH bits AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN v <= 0 THEN 0::BIGINT
+                         WHEN dim = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                         ELSE (1::BIGINT << (dim - 1)) END) AS sig
+      FROM bits GROUP BY vec_id
+    ),
+    q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    hcand AS (
+      SELECT vec_id, rank_h FROM (
+        SELECT s.vec_id,
+               ROW_NUMBER() OVER (ORDER BY bit_count(xor(s.sig, q.qsig)),
+                                  s.vec_id) AS rank_h
+        FROM sigs s CROSS JOIN q WHERE s.vec_id <> 0
+      ) WHERE rank_h <= 50
+    ),
+    exact AS (
+      SELECT vec_id, 1 AS hit FROM (
+        SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY
+               {_DOT_SQL.format(a='e.embedding', b='qvec')}
+               / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})) DESC,
+               e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+      ) WHERE rk <= 10
+    ),
+    d(depth) AS (VALUES (10), (25), (50)),
+    ranked AS (
+      SELECT d.depth, h.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY d.depth ORDER BY
+               {_DOT_SQL.format(a='e.embedding', b='qvec')}
+               / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT_SQL.format(a='qvec', b='qvec')})) DESC,
+               h.vec_id) AS rk
+      FROM hcand h JOIN d ON h.rank_h <= d.depth
+      JOIN embeddings e USING (vec_id) CROSS JOIN qv
+    )
+    SELECT CAST(r.depth AS BIGINT) AS depth,
+           CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM ranked r LEFT JOIN exact x ON x.vec_id = r.vec_id
+    WHERE r.rk <= 10
+    GROUP BY r.depth
+    """,
+)
+def binary_rerank_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rerank-depth TUNING CURVE for binary-quantization serving —
+    the latency/recall knob a BQ deployment turns (how many Hamming
+    survivors get full-precision rescoring): for depth in (10, 25, 50),
+    recall@10 of the rescored top-10 against the exact brute-force
+    top-10. Mirrors `ivf_recall_nprobe_curve`: one row per depth with
+    hit count and parts-per-million recall, deterministic end to end so
+    the DuckDB oracle replays the whole curve.
+
+    Scale: the Hamming pass runs ONCE at the widest depth over the
+    persisted L3 signature relation (popcount scan, TakeOrdered top-50 —
+    never a corpus-wide window); the 50 surviving (id, hamming-rank)
+    rows come back as driver-side planning metadata — same bounded
+    pattern as the nprobe curve's centroid ranks — and broadcast-join
+    the full-precision table for ONE shared rescoring pass; the 3-point
+    depth fan-out is a broadcast literal theta-join on rank, and the
+    per-depth top-10 window is PARTITIONED BY depth over <= 50 rows.
+    The exact arm is the once-per-tuning-run calibration pass."""
+    from ..operators.similarity import binary_signature, hamming_distance
+    from ..stores import ensure_binary_sig_store
+
+    path = ensure_binary_sig_store(spark, sf_dir)
+    sigs = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    q = _query_df(spark, sf_dir).withColumn("__qsig", binary_signature("__qvec"))
+    cand_rows = (
+        sigs.crossJoin(F.broadcast(q.select("__qsig")))
+        .withColumn("hamming", hamming_distance(F.col("__sig"), F.col("__qsig")))
+        .select("vec_id", "hamming")
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(50)
+        .collect()
+    )
+    rank_map = spark.createDataFrame(
+        [(r.vec_id, i + 1) for i, r in enumerate(cand_rows)],
+        "vec_id long, rank_h int",
+    )
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    exact10 = (
+        e.crossJoin(F.broadcast(q.select("__qvec")))
+        .withColumn("__c", cosine(F.col("embedding"), F.col("__qvec")))
+        .orderBy(F.desc("__c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("__hit"))
+    )
+    depth_df = spark.createDataFrame([(10,), (25,), (50,)], "depth int")
+    ranked = (
+        e.join(F.broadcast(rank_map), "vec_id")
+        .crossJoin(F.broadcast(q.select("__qvec")))
+        .withColumn("cos", cosine(F.col("embedding"), F.col("__qvec")))
+        .join(F.broadcast(depth_df), F.col("rank_h") <= F.col("depth"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("depth").orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+    return (
+        ranked.join(F.broadcast(exact10), "vec_id", "left")
+        .groupBy(F.col("depth").cast("bigint").alias("depth"))
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            (F.sum(F.coalesce("__hit", F.lit(0))) * 100000)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

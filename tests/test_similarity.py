@@ -617,3 +617,18 @@ def test_binary_sig_store_read_path_matches_self_contained(spark, sf_dir, tmp_pa
     a = get("binary_quant_hamming_topk").fn(spark, sf_dir).collect()
     b = get("binary_quant_hamming_topk_from_store").fn(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_binary_rerank_depth_recall_is_monotone(spark, sf_dir, tmp_path, monkeypatch):
+    """Recall@10 must be non-decreasing in rerank depth: a deeper Hamming
+    pool is a superset, and any candidate displacing a true top-10 hit
+    from the rescored top-10 has higher exact cosine — so it is itself a
+    true hit. Also pins the curve's frame: exactly the 3 depths, hits in
+    [0, 10]."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    rows = {r.depth: r.n_hits for r in get("binary_rerank_depth_curve").fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [10, 25, 50]
+    assert all(0 <= h <= 10 for h in rows.values())
+    assert rows[10] <= rows[25] <= rows[50]
