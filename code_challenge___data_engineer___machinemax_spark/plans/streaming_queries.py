@@ -1387,3 +1387,149 @@ def streamed_taxonomy_tag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     ).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def _vector_admission_oracle_sql(radius: int = 3) -> str:
+    """Closed-form batch SQL for the two-wave streaming vector admission
+    (streaming/ingest.py::vector_admission_stream; waves = plain evens,
+    then everything re-delivered + odds + deterministic sign-flip
+    mutants). Because the MIH banding is LOSSLESS for radius < 4, the
+    oracle needs no banding model at all: the admission predicate is a
+    direct ``bit_count(xor()) <= radius`` — epoch CTEs mirror the
+    stream's seen-filter, history-reject and within-batch component
+    steps, with the same WITH RECURSIVE min-label closure the other
+    streamed admission twin uses. Mutants replay as sign flips in the
+    unnested bits (dim <= 2 for the even-parent mutants at +10000,
+    dim = 1 for the odd-parent mutants at +20000), so both engines pack
+    the exact same signatures."""
+    comp = """
+    {p}edges AS (
+        SELECT id_a AS src, id_b AS dst FROM {p}pairs
+        UNION SELECT id_b, id_a FROM {p}pairs
+    ),
+    {p}reach(id, r) AS (
+        SELECT src, src FROM {p}edges
+        UNION
+        SELECT e.src, {p}reach.r
+        FROM {p}edges e JOIN {p}reach ON e.dst = {p}reach.id
+    ),
+    {p}comp AS (SELECT id, MIN(r) AS component FROM {p}reach GROUP BY id)"""
+    return f"""
+    WITH RECURSIVE base_bits AS (
+        SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    all_bits AS (
+        SELECT vec_id, label, v, dim FROM base_bits
+        UNION ALL
+        SELECT vec_id + 10000, label, CASE WHEN dim <= 2 THEN -v ELSE v END, dim
+        FROM base_bits WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 20000, label, CASE WHEN dim = 1 THEN -v ELSE v END, dim
+        FROM base_bits WHERE vec_id % 10 = 1
+    ),
+    sigs AS (
+        SELECT vec_id, label,
+               bit_or(CASE WHEN v <= 0 THEN 0::BIGINT
+                           WHEN dim = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                           ELSE (1::BIGINT << (dim - 1)) END) AS sig
+        FROM all_bits GROUP BY vec_id, label
+    ),
+    e1 AS (SELECT * FROM sigs WHERE vec_id < 10000 AND vec_id % 2 = 0),
+    e1pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e1 a JOIN e1 b
+          ON a.vec_id < b.vec_id
+         AND bit_count(xor(a.sig, b.sig)) <= {radius}
+    ),
+    {comp.format(p='e1')},
+    e1admit AS (
+        SELECT e1.vec_id FROM e1 LEFT JOIN e1comp ON e1comp.id = e1.vec_id
+        WHERE e1comp.id IS NULL OR e1comp.component = e1.vec_id
+    ),
+    e2f AS (SELECT * FROM sigs
+            WHERE NOT (vec_id < 10000 AND vec_id % 2 = 0)),
+    e2passed AS (
+        SELECT o.* FROM e2f o
+        WHERE NOT EXISTS (SELECT 1 FROM e1 h
+                          WHERE bit_count(xor(o.sig, h.sig)) <= {radius})
+    ),
+    e2pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e2passed a JOIN e2passed b
+          ON a.vec_id < b.vec_id
+         AND bit_count(xor(a.sig, b.sig)) <= {radius}
+    ),
+    {comp.format(p='e2')},
+    e2admit AS (
+        SELECT e2passed.vec_id FROM e2passed
+        LEFT JOIN e2comp ON e2comp.id = e2passed.vec_id
+        WHERE e2comp.id IS NULL OR e2comp.component = e2passed.vec_id
+    )
+    SELECT s.vec_id, s.label
+    FROM sigs s
+    JOIN (SELECT vec_id FROM e1admit
+          UNION SELECT vec_id FROM e2admit) adm USING (vec_id)
+    """
+
+
+@query("streamed_vector_admission", oracle=_vector_admission_oracle_sql())
+def streamed_vector_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector admission over two waves — the 18th streaming
+    twin: binary-signature (sign-bit) near-duplicate gating for an
+    embedding ingest pipeline, stateful across micro-batches. Wave 1 is
+    the even vec_ids; wave 2 re-delivers everything and adds the odds
+    PLUS deterministic sign-flip mutants: a 2-dim flip of every
+    vec_id % 10 == 0 vector (Hamming 2 from its wave-1 parent — must be
+    rejected against HISTORY) and a 1-dim flip of every vec_id % 10 == 1
+    vector (Hamming 1 from a parent arriving in the SAME batch — the
+    within-batch component must keep the min-id parent and drop the
+    mutant). The natural corpus carries no Hamming-<=3 pairs (measured
+    min cross distance 15), so every admission decision the query
+    exercises is a planted, deterministic one — the discriminating-
+    fixture discipline of the containment family applied to streaming.
+
+    Candidate generation inside the stream is lossless multi-index
+    Hamming (4 x 16-bit bands, pigeonhole-exact for radius < 4), so the
+    DuckDB oracle replays admission with a direct bit_count predicate —
+    stronger than the LSH twin's oracle, which must model banding.
+    Emits the admitted (vec_id, label) corpus: exactly the originals,
+    every mutant rejected through one of the two paths."""
+    from ..streaming.ingest import vector_admission_stream
+
+    base = tempfile.mkdtemp(prefix="ccdem_streamed_vecadm_")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    os.makedirs(landing)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flip2 = F.expr("transform(embedding, (v, i) -> IF(i < 2, -v, v))")
+    flip1 = F.expr("transform(embedding, (v, i) -> IF(i < 1, -v, v))")
+    mut_even = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        flip2.alias("embedding"),
+        "label",
+    )
+    mut_odd = e.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        flip1.alias("embedding"),
+        "label",
+    )
+    wave2 = (
+        e.select("vec_id", "embedding", "label")
+        .unionByName(mut_even)
+        .unionByName(mut_odd)
+    )
+    _export_jsonl_wave(e.filter(F.col("vec_id") % 2 == 0), landing, "wave1")
+    vector_admission_stream(spark, landing, store)
+    _export_jsonl_wave(wave2, landing, "wave2")
+    vector_admission_stream(spark, landing, store)
+
+    state = (
+        spark.read.parquet(os.path.join(store, "corpus"))
+        .select("vec_id", "label")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return state

@@ -264,3 +264,154 @@ def near_dedup_ingest_stream(
 
     corpus = _read_or_empty(spark, corpus_dir, _CORPUS_SCHEMA)
     return {"corpus_docs": corpus.count()}
+
+
+def vector_admission_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    radius: int = 3,
+) -> dict[str, int]:
+    """Streaming VECTOR admission: drain the landing directory (JSONL
+    embeddings) admitting only vectors whose binary signature is NOT
+    within Hamming ``radius`` of anything seen in an earlier batch, with
+    one canonical survivor (min vec_id) per within-batch near-dup
+    component — the embedding-space counterpart of
+    :func:`near_dedup_ingest_stream`'s MinHash admission.
+
+    Candidate generation is multi-index Hamming (Norouzi et al.'s MIH):
+    each 64-bit signature word splits into four 16-bit bands; by
+    pigeonhole, two signatures within Hamming radius < 4 share at least
+    one band VERBATIM, so an equi-join on (band_id, band_val) is a
+    LOSSLESS candidate filter — unlike the LSH text path, admission here
+    is exact, and the oracle replays it with a direct
+    ``bit_count(xor()) <= radius`` predicate, no banding model needed.
+
+    Per micro-batch:
+
+    1. re-delivery drop: vec_id anti-join against the ``seen/`` store;
+    2. history rejection: batch band rows equi-join the ``bands/`` store,
+       candidates verified at exact Hamming against ``sigs/``;
+    3. within-batch: band self-join -> verified pairs -> connected
+       components (operators/clustering.py) -> min-vec_id canonical;
+    4. append admitted vectors to ``corpus/`` FIRST (the safe failure
+       direction — see dedup_ingest_stream), then sigs, band rows and
+       seen ids of EVERY processed vector, admitted or rejected, so a
+       re-delivered rejected vector collides with its own stored bands
+       (self-healing replays) and future members of its component stay
+       blocked even though their representative was dropped.
+
+    Scale: per-epoch probe IO is an equi-join on 16-bit band keys (the
+    hash-bucketed layout of the text band store applies verbatim when the
+    store outgrows one file); signatures are 8 bytes per 64 dims, so the
+    resident state is ~32x smaller than the vectors it guards."""
+    corpus_dir = os.path.join(store_dir, "corpus")
+    sigs_dir = os.path.join(store_dir, "sigs")
+    bands_dir = os.path.join(store_dir, "bands")
+    seen_dir = os.path.join(store_dir, "seen")
+    checkpoint_dir = os.path.join(store_dir, "_checkpoint")
+
+    from ..operators.clustering import connected_components
+    from ..operators.similarity import binary_signature, hamming_distance
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        return (
+            df.select("vec_id", F.posexplode("__sig").alias("__w", "__word"))
+            .select(
+                "vec_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, 3), j -> struct("
+                        "CAST(__w * 4 + j AS INT) AS band_id, "
+                        "CAST(shiftright(__word, 16 * j) & 65535 AS BIGINT)"
+                        " AS band_val))"
+                    )
+                ).alias("__b"),
+            )
+            .select("vec_id", "__b.band_id", "__b.band_val")
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = _read_or_empty(sess, seen_dir, "vec_id long")
+        fresh = (
+            batch_df.filter(F.col("embedding").isNotNull())
+            .join(seen, "vec_id", "left_anti")
+            .withColumn("__sig", binary_signature("embedding"))
+            .localCheckpoint()
+        )
+        if not fresh.take(1):
+            return
+        new_bands = band_rows(fresh).localCheckpoint()
+        hist_bands = _read_or_empty(
+            sess, bands_dir, "vec_id long, band_id int, band_val long"
+        ).select(F.col("vec_id").alias("__old"), "band_id", "band_val")
+        hist_sigs = _read_or_empty(
+            sess, sigs_dir, "vec_id long, __sig array<bigint>"
+        ).select(F.col("vec_id").alias("__old"), F.col("__sig").alias("__osig"))
+        rejected = (
+            new_bands.join(hist_bands, ["band_id", "band_val"])
+            .select("vec_id", "__old")
+            .distinct()
+            .join(hist_sigs, "__old")
+            .join(fresh.select("vec_id", "__sig"), "vec_id")
+            .filter(hamming_distance(F.col("__sig"), F.col("__osig")) <= radius)
+            .select("vec_id")
+            .distinct()
+        )
+        passed = fresh.join(rejected, "vec_id", "left_anti").localCheckpoint()
+        pb = new_bands.join(passed.select("vec_id"), "vec_id", "left_semi")
+        cand = (
+            pb.alias("a")
+            .join(pb.alias("b"), ["band_id", "band_val"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+        sig_of = passed.select("vec_id", "__sig")
+        pairs = (
+            cand.join(
+                sig_of.select(
+                    F.col("vec_id").alias("id_a"), F.col("__sig").alias("__sa")
+                ),
+                "id_a",
+            )
+            .join(
+                sig_of.select(
+                    F.col("vec_id").alias("id_b"), F.col("__sig").alias("__sb")
+                ),
+                "id_b",
+            )
+            .filter(hamming_distance(F.col("__sa"), F.col("__sb")) <= radius)
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(pairs).withColumnRenamed("id", "vec_id")
+        admitted = (
+            passed.join(comp, "vec_id", "left")
+            .filter(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("vec_id"))
+            )
+        )
+        admitted.select("vec_id", "label").write.mode("append").parquet(corpus_dir)
+        fresh.select("vec_id", "__sig").write.mode("append").parquet(sigs_dir)
+        new_bands.write.mode("append").parquet(bands_dir)
+        fresh.select("vec_id").write.mode("append").parquet(seen_dir)
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).json(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = _read_or_empty(spark, corpus_dir, "vec_id long, label int")
+    return {"admitted": corpus.count()}

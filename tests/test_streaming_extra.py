@@ -561,3 +561,54 @@ def test_streamed_taxonomy_monitor_equals_batch_rollup(spark, sf_dir):
         for r in get("streamed_taxonomy_tag_monitor").fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_vector_admission_radius_boundary_and_replay(spark, tmp_path):
+    """Crafted pins for the streamed vector admission: Hamming 3 rejects
+    against history (and MIH banding catches it — pigeonhole at radius <
+    4), Hamming 4 is admitted (strict radius boundary), a Hamming-1
+    within-batch pair keeps the min id, and a re-delivered id appends
+    nothing."""
+    import json as _json
+    import os as _os
+
+    from code_challenge___data_engineer___machinemax_spark.streaming.ingest import (
+        vector_admission_stream,
+    )
+
+    landing = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    landing.mkdir()
+
+    def vec(flips):
+        return [(-1.0 if i in flips else 1.0) for i in range(64)]
+
+    def wave(name, rows):
+        with open(landing / f"{name}.jsonl", "w") as f:
+            for vid, flips in rows:
+                f.write(
+                    _json.dumps(
+                        {"vec_id": vid, "embedding": vec(flips), "label": 1}
+                    )
+                    + "\n"
+                )
+
+    wave("wave1", [(10, set())])
+    r1 = vector_admission_stream(spark, str(landing), store)
+    assert r1["admitted"] == 1
+    wave(
+        "wave2",
+        [
+            (10, set()),            # re-delivery: seen-dropped
+            (20, {0, 1, 2}),        # Hamming 3 vs id 10 -> history reject
+            (30, {0, 1, 2, 3}),     # Hamming 4 -> outside radius, admitted
+            (31, {0, 1, 2, 3, 10}), # Hamming 1 vs 30 (same batch) -> dropped
+        ],
+    )
+    r2 = vector_admission_stream(spark, str(landing), store)
+    assert r2["admitted"] == 2
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(_os.path.join(store, "corpus")).collect()
+    }
+    assert got == {10, 30}
