@@ -2469,3 +2469,87 @@ def binary_rerank_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "ivf_tombstone_compaction_report",
+    oracle=f"""
+    WITH cent AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS cvec
+      FROM (
+        SELECT label AS centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY centroid_id, dim
+      )
+      GROUP BY centroid_id
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})) AS d
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after
+    FROM assigned
+    GROUP BY centroid_id
+    """,
+)
+def ivf_tombstone_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone COMPACTION audit — the lifecycle step after
+    `ivf_topk_serving_with_tombstones`: the delete list is retired by
+    physically rewriting the L3 ``assigned/`` relation into a new store
+    version (stores.ensure_compacted_ivf_store), after which probes drop
+    their per-query anti-join. One row per inverted list: rows before,
+    rows deleted, rows after — where ``n_after`` is counted FROM THE
+    REWRITTEN PARQUET, not derived arithmetically, so the report
+    certifies the physical rewrite (the oracle derives the same counts
+    from the deterministic assignment, and test_stores.py pins that a
+    post-compaction probe with no filter equals the anti-join serving
+    plan over the old version).
+
+    Scale: two partition-parallel counts over id-only scans of the two
+    store versions plus one dimension-sized join; the rewrite itself is
+    the one corpus-linear pass, paid once per compaction cycle — the
+    read-amplification trade every log-structured index makes."""
+    import os as _os
+
+    from ..stores import ensure_compacted_ivf_store, ensure_ivf_store
+
+    base = ensure_ivf_store(spark, sf_dir)
+    compacted = ensure_compacted_ivf_store(spark, sf_dir, modulus=7)
+    before = (
+        spark.read.parquet(_os.path.join(base, "assigned"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.sum(F.when(F.col("vec_id") % 7 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+        )
+    )
+    after = (
+        spark.read.parquet(_os.path.join(compacted, "assigned"))
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("bigint").alias("n_after"))
+    )
+    return before.join(after, "centroid_id", "left").select(
+        "centroid_id",
+        "n_before",
+        "n_deleted",
+        F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+    )

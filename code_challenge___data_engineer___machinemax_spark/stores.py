@@ -146,6 +146,37 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_compacted_ivf_store(
+    spark: SparkSession, sf_dir: str, modulus: int = 7
+) -> str:
+    """Tombstone COMPACTION of the L3 IVF layout — the rebuild that
+    retires a delete list (FAISS remove_ids made physical; Iceberg
+    rewrite-data-files semantics): the surviving rows of ``assigned/``
+    are rewritten into a NEW store version with the tombstoned ids
+    physically absent, the codebook copied unchanged (deletes don't move
+    centroids), and the old version left untouched for readers mid-query
+    (immutable-version discipline, same as txn.py). After the swap,
+    probes drop their per-query anti-join — the tombstone set's cost is
+    paid once here instead of on every read. The tombstone set is the
+    ``vec_id % modulus == 0`` instance the serving query certifies."""
+    base = ensure_ivf_store(spark, sf_dir)
+    path = _store_path(sf_dir, "embeddings", f"l3_ivf_compact_m{modulus}")
+    if not _ready(path):
+        spark.read.parquet(os.path.join(base, "centroids")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "centroids"))
+        (
+            spark.read.parquet(os.path.join(base, "assigned"))
+            .filter((F.col("vec_id") % modulus) != 0)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(path, "assigned"))
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    return path
+
+
 def ensure_bm25_index_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the BM25-scored posting layout for ``documents`` (L2 +
     per-doc lengths + corpus scalars; see

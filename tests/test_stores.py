@@ -465,3 +465,61 @@ def test_binary_sig_store_scan_reads_signatures_not_vectors(spark, sf_dir, store
         f"from_store must drop exactly the corpus packing scan "
         f"(store plan: {n_store}, self-contained: {n_self})"
     )
+
+
+def test_compacted_ivf_store_probe_equals_tombstone_serving(spark, sf_dir, store_env):
+    """The compaction contract: a plain probe of the REWRITTEN store (no
+    per-query anti-join) must return exactly what the tombstone-serving
+    anti-join plan returns over the old version — deletes retired into
+    the layout, results unchanged. Also pins physical absence: no
+    tombstoned id survives in the compacted assigned/ relation, and the
+    report's n_after sums to the compacted row count."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        cosine,
+    )
+    from code_challenge___data_engineer___machinemax_spark.plans.similarity_queries import (
+        _query_df,
+        ivf_topk_serving_with_tombstones,
+    )
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_compacted_ivf_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tombstones = e.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    served = ivf_topk_serving_with_tombstones(spark, sf_dir, tombstones).collect()
+
+    compacted = ensure_compacted_ivf_store(spark, sf_dir, modulus=7)
+    assigned = spark.read.parquet(_os.path.join(compacted, "assigned"))
+    assert assigned.filter(F.col("vec_id") % 7 == 0).count() == 0
+
+    centroids = spark.read.parquet(_os.path.join(compacted, "centroids"))
+    q = _query_df(spark, sf_dir)
+    probes = [
+        r.centroid_id
+        for r in q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", cosine(F.col("__qvec"), F.col("cvec")))
+        .orderBy(F.desc("__d"), F.asc("centroid_id"))
+        .limit(3)
+        .select("centroid_id")
+        .collect()
+    ]
+    plain_probe = (
+        assigned.filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in plain_probe] == [tuple(r) for r in served]
+
+    report = plans.all_queries()["ivf_tombstone_compaction_report"](spark, sf_dir)
+    total_after = report.agg(F.sum("n_after")).collect()[0][0]
+    assert total_after == assigned.count()
