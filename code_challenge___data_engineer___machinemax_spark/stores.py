@@ -72,6 +72,42 @@ def _ready(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def prune_stale_stores(sf_dir: str, dry_run: bool = False) -> list[str]:
+    """Garbage-collect persisted layouts whose SOURCE SIGNATURE no longer
+    matches any current source table — the cleanup pass that pairs with
+    the signature-keyed naming scheme: regenerated testdata gets fresh
+    layouts written BESIDE the stale ones (a stale layout is never read),
+    and this pass reclaims the orphans. A layout is stale iff the 12-hex
+    signature suffix of its directory name matches no current table's
+    signature for this sf_dir. Returns the pruned (or, with ``dry_run``,
+    prunable) paths; unparseable directory names are left alone."""
+    import re
+    import shutil
+
+    from .tables import TABLES
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(store_root(), tag)
+    if not os.path.isdir(root):
+        return []
+    live = set()
+    for t in TABLES:
+        try:
+            live.add(_source_signature(sf_dir, t))
+        except OSError:
+            continue
+    pruned: list[str] = []
+    for name in sorted(os.listdir(root)):
+        m = re.fullmatch(r".+_([0-9a-f]{12})", name)
+        if not m or m.group(1) in live:
+            continue
+        path = os.path.join(root, name)
+        pruned.append(path)
+        if not dry_run:
+            shutil.rmtree(path, ignore_errors=True)
+    return pruned
+
+
 def ensure_simhash_store(
     spark: SparkSession, sf_dir: str, bits: int = 60, spread: bool = True
 ) -> str:

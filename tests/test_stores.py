@@ -523,3 +523,36 @@ def test_compacted_ivf_store_probe_equals_tombstone_serving(spark, sf_dir, store
     report = plans.all_queries()["ivf_tombstone_compaction_report"](spark, sf_dir)
     total_after = report.agg(F.sum("n_after")).collect()[0][0]
     assert total_after == assigned.count()
+
+
+def test_prune_stale_stores_removes_only_orphans(spark, tmp_path, monkeypatch):
+    """Regenerating a source table orphans its old signature-keyed layout;
+    the GC pass removes exactly the orphans — the live layout, and any
+    directory whose name carries no signature suffix, survive."""
+    from code_challenge___data_engineer___machinemax_spark.stores import (
+        ensure_simhash_store,
+        prune_stale_stores,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    old = ensure_simhash_store(spark, str(sf))
+    # regenerate the source -> new signature -> new layout beside the old
+    docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    new = ensure_simhash_store(spark, str(sf))
+    assert old != new and os.path.isdir(old) and os.path.isdir(new)
+    keep = os.path.join(os.path.dirname(new), "not-a-layout")
+    os.makedirs(keep)
+
+    listed = prune_stale_stores(str(sf), dry_run=True)
+    assert listed == [old] and os.path.isdir(old)
+    pruned = prune_stale_stores(str(sf))
+    assert pruned == [old]
+    assert not os.path.exists(old)
+    assert os.path.isdir(new) and os.path.isdir(keep)
