@@ -51,7 +51,7 @@ _REGISTRY: dict[str, Registered] = {}
 # Cumulative driver-green coverage is machine-pinned the same way
 # (VERDICT r7 #5): the figure on the next line must equal
 # len(union of CORRECTNESS_r*.json keys ∩ all_oracles()).
-# CUMULATIVE_DRIVER_GREEN (before round 10): 339 of 366 oracle-bearing queries
+# CUMULATIVE_DRIVER_GREEN (before round 10): 339 of 367 oracle-bearing queries
 # Everything outside the window is cumulative-green from earlier rounds
 # and stays covered by the local sf0.01 parity sweep
 # (tests/test_oracle_parity.py).
@@ -123,7 +123,7 @@ DRIVER_PRIORITY: list[str] = [
     # binary_quant_hamming_topk_from_store, dpo_pair_construction,
     # lsh_band_planner, truncation_loss_report, distinct_n_diversity,
     # binary_rerank_depth_curve, streamed_vector_admission,
-    # ivf_tombstone_compaction_report
+    # ivf_tombstone_compaction_report, binary_hamming_batch_topk_from_store
 ]
 
 

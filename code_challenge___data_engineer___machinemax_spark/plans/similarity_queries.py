@@ -2553,3 +2553,98 @@ def ivf_tombstone_compaction_report(spark: SparkSession, sf_dir: str) -> DataFra
         "n_deleted",
         F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
     )
+
+
+@query(
+    "binary_hamming_batch_topk_from_store",
+    oracle=f"""
+    WITH bits AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN v <= 0 THEN 0::BIGINT
+                         WHEN dim = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                         ELSE (1::BIGINT << (dim - 1)) END) AS sig
+      FROM bits GROUP BY vec_id
+    ),
+    queries AS (
+      SELECT s.vec_id AS qid, s.sig AS qsig, e.embedding AS qvec
+      FROM sigs s JOIN embeddings e USING (vec_id)
+      WHERE s.vec_id < 5
+    ),
+    hcand AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(s.sig, q.qsig)), s.vec_id) AS rk
+        FROM sigs s CROSS JOIN queries q WHERE s.vec_id >= 5
+      ) WHERE rk <= 50
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT h.qid, h.vec_id,
+             ROUND({_DOT_SQL.format(a='e.embedding', b='q.qvec')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})), 6)
+                 AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY h.qid ORDER BY
+               ROUND({_DOT_SQL.format(a='e.embedding', b='q.qvec')}
+                     / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})), 6)
+                 DESC,
+               h.vec_id) AS rk
+      FROM hcand h
+      JOIN embeddings e USING (vec_id)
+      JOIN queries q USING (qid)
+    ) WHERE rk <= 10
+    """,
+)
+def binary_hamming_batch_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED binary-quantization serving — the multi-query amortization
+    of `binary_quant_hamming_topk_from_store`, completing the BQ serving
+    matrix (single / batched / depth-tuned): 5 query vectors ride as ONE
+    broadcast frame, the persisted L3 signature relation is scanned ONCE
+    for all of them (per-(query, vector) popcount fans out from the
+    broadcast, never a second corpus pass), per-query Hamming top-50 is
+    a window PARTITIONED BY qid, and the exact rescore touches 5 x 50
+    rows by id join. Per-query results provably equal the single-query
+    plan (test_similarity.py); the shared-scan shape is what an online
+    batcher runs when queries arrive faster than scans."""
+    from ..operators.similarity import binary_signature, hamming_distance
+    from ..stores import ensure_binary_sig_store
+
+    path = ensure_binary_sig_store(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qvec"),
+        binary_signature("embedding").alias("__qsig"),
+    )
+    sigs = spark.read.parquet(path).filter(F.col("vec_id") >= 5)
+    hcand = (
+        sigs.crossJoin(F.broadcast(queries.select("qid", "__qsig")))
+        .withColumn("hamming", hamming_distance(F.col("__sig"), F.col("__qsig")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 50)
+        .select("qid", "vec_id")
+    )
+    return (
+        hcand.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries.select("qid", "__qvec")), "qid")
+        .withColumn("cosine", F.round(cosine(F.col("embedding"), F.col("__qvec")), 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", "cosine")
+    )

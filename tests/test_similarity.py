@@ -632,3 +632,30 @@ def test_binary_rerank_depth_recall_is_monotone(spark, sf_dir, tmp_path, monkeyp
     assert sorted(rows) == [10, 25, 50]
     assert all(0 <= h <= 10 for h in rows.values())
     assert rows[10] <= rows[25] <= rows[50]
+
+
+def test_binary_batch_qid_matches_single_query_plan(spark, sf_dir, tmp_path, monkeypatch):
+    """Every per-qid slice of the batched BQ plan must equal the
+    single-query two-stage result for that query vector over the same
+    corpus (vec_id >= 5) — the batch amortizes the scan, never changes
+    the answer."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    from code_challenge___data_engineer___machinemax_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_signature,
+    )
+    from code_challenge___data_engineer___machinemax_spark.plans.registry import get
+
+    batch = get("binary_hamming_batch_topk_from_store").fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    sigs = corpus.select("vec_id", binary_signature("embedding").alias("__sig"))
+    for qid in (0, 3):
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("__qvec")
+        )
+        single = binary_hamming_topk(
+            sigs, corpus, q, "vec_id", "embedding", k=10, rerank=50
+        ).collect()
+        got = [(r.vec_id, r.cosine) for r in batch if r.qid == qid]
+        assert got == [(r.vec_id, r.cosine) for r in single], qid
