@@ -22,76 +22,72 @@ def connected_components(
     dedup *groups* (keep one canonical doc per component).
 
     Label propagation + pointer jumping: each round every node adopts the
-    min label among itself and its neighbors, then additionally adopts its
-    label's label (labels only decrease, so component(component(id)) <=
-    component(id)). The jump halves chain depth every round — convergence
-    in O(log diameter), so max_iters=20 covers ~2^20-long duplicate chains
+    min of (its label, its neighbors' labels, its label's label). The
+    label-of-label arm halves chain depth every round — convergence in
+    O(log diameter), so max_iters=20 covers ~2^20-long duplicate chains
     (plain propagation needed O(diameter) and silently returned wrong
-    labels on long chains). Each round is two joins on (id, label) —
-    shuffle keys are ids only. Warns loudly if still unconverged.
+    labels on long chains).
+
+    Round shape (round-10 optimization): the initial labels fuse the first
+    propagate step (label_0 = min(id, min neighbor) — one groupBy over the
+    symmetric edge list, no join), then each round is a 3-arm unionByName
+    (carry-over, neighbor messages, pointer jump — the two message arms
+    are equi-joins against the CHECKPOINTED label relation, so nothing
+    recomputes) reduced by ONE min-aggregate. The previous form ran
+    propagate and jump as two sequential joins whose un-pinned
+    intermediate re-executed inside the self-join — three join evaluations
+    per round instead of two. Convergence is detected by an exact
+    decimal(38,0) SUM(component) probe on the checkpointed result: labels
+    only ever decrease, so an unchanged sum <=> an unchanged relation —
+    one scalar aggregate per round instead of a per-row changed-flag
+    filter+count. Warns loudly if still unconverged at max_iters.
     """
     import warnings
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    # fused first propagate: component_0 = min(id, min neighbor)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("__nbr_min")).alias("component"))
         .localCheckpoint()
     )
-    changed = 0
+
+    def _label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        nbr = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "component"
         )
-        propagated = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("__old"),
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("p"), F.col("x.component") == F.col("p.id"))
+            .select(F.col("x.id").alias("id"), F.col("p.component").alias("component"))
         )
-        # pointer jump: component := component(component). Join the stepped
-        # labels against themselves on (component == other.id); labels form
-        # a forest rooted at each component's min id, so this shortcut
-        # halves every chain's depth.
-        parents = propagated.select(
-            F.col("id").alias("__pid"), F.col("component").alias("__pcomponent")
-        )
-        # carry the convergence flag in the same pass: a separate
-        # new-vs-old join would re-shuffle both label sets every round
-        stepped = (
-            propagated.join(parents, propagated.component == parents.__pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__pcomponent"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("__pcomponent"), F.col("component")),
-                    )
-                    < F.col("__old")
-                ).alias("__changed"),
-            )
+        labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("__changed")).count()  # on checkpointed data
-        labels = stepped.drop("__changed")
-        if changed == 0:
+        new_sum = _label_sum(labels)  # scalar probe on checkpointed data
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed:
+        prev_sum = new_sum
+    if not converged:
         warnings.warn(
             f"connected_components: not converged after {max_iters} rounds "
-            f"({changed} labels still changing) — component labels may be "
-            "wrong; raise max_iters",
+            "— component labels may be wrong; raise max_iters",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -175,57 +171,107 @@ def kmeans_fixed_point(
 
     Init = the ``k`` lowest-id vectors; argmin ties break on centroid_id;
     clusters that lose all members simply drop out of the next round (both
-    engines identically). Scale shape per round: one broadcast cross-score
-    (k rows) + row_number argmin + posexplode/groupBy mean — shuffles carry
-    (id, centroid) ints only, never raw vectors."""
-    from pyspark.sql import Window as W
+    engines identically).
 
-    q = df.select(
+    Scale shape per round (round-10 optimization — the MLlib KMeans
+    architecture): centroids live on the DRIVER as k x dim int64 literals
+    (k <= 64, dim <= a few hundred: KBs), assignment is a single map-side
+    projection — per row, a least() over k (dist, centroid_id) structs,
+    struct comparison = the exact (dist ASC, centroid_id ASC) argmin — and
+    the update reduce ships only (centroid_id, pos, partial sum, partial
+    count) through one map-side-combinable aggregation whose k*dim result
+    rows are collected back to the driver (the treeAggregate shape MLlib
+    uses). This replaces the previous per-round broadcast crossJoin (k x n
+    rows materialized) + per-id window argmin (a full shuffle+sort of the
+    k x n frame) + second groupBy + per-round localCheckpoint: per round,
+    TWO exchanges and a checkpoint write became one tiny partial-agg
+    exchange, and the RETURNED plan is a pure projection over the pinned
+    quantized vectors (no window, no join), so downstream consumers
+    (semantic pairing, the L10 store write) re-evaluate it as a cheap map
+    instead of re-running the argmin shuffle."""
+    q = _kmeans_quantized(df, id_col, vec_col, scale)
+    assigned = _kmeans_assign_with_vectors(q, id_col, k=k, iters=iters)
+    return assigned.select(id_col, "centroid_id", "dist")
+
+
+def _kmeans_quantized(
+    df: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """Quantize vectors to exact int64 components and pin the result (it
+    is re-read every Lloyd round and by the final assignment), spreading a
+    single-file local scan across the executor pool first (no-op on a
+    deployment-scale multi-split scan)."""
+    from .dedup import _spread_narrow_scan
+
+    src = _spread_narrow_scan(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    return src.select(
         F.col(id_col),
         F.expr(
             f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
         ).alias("qv"),
     ).localCheckpoint()
-    # unpartitioned, but spans only the k (<=64) post-limit rows: the
-    # WindowExec warning this logs in bench tails is benign at any scale
-    w_init = W.orderBy(id_col)
-    centroids = (
-        q.orderBy(id_col)
-        .limit(k)
-        .select(F.row_number().over(w_init).alias("centroid_id"), F.col("qv").alias("cv"))
-        .localCheckpoint()
-    )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        dist = F.expr(
-            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
-            "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
-        )
-        w = W.partitionBy(id_col).orderBy("__dist", "centroid_id")
-        return (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("__dist", dist)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "centroid_id", F.col("__dist").alias("dist"), "qv")
-        )
+
+def _kmeans_assign_with_vectors(
+    q: DataFrame, id_col: str, k: int, iters: int
+) -> DataFrame:
+    """Lloyd iterations over a pinned (id, qv) relation with driver-held
+    centroid literals -> (id, centroid_id, dist, qv). The qv column rides
+    along so callers that pair within clusters (semantic_dedup_pairs)
+    need no join back to the corpus."""
+    import math
+
+    rows = q.orderBy(id_col).limit(k).collect()
+    centroids: list[tuple[int, list[int]]] = [
+        (i + 1, list(r["qv"])) for i, r in enumerate(rows)
+    ]
+
+    def best_struct(cents: list[tuple[int, list[int]]]):
+        # ONE F.expr over a generated SQL string: building this from
+        # Column operators costs k x dim F.lit() py4j round-trips
+        # (measured ~2 s per iteration at k=8, dim=64 — more than the
+        # iteration's Spark job itself); the SQL parser takes the same
+        # tree in one call
+        structs = []
+        for cid, cv in cents:
+            arr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+            dist = (
+                f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, d) -> acc + d)"
+            )
+            structs.append(
+                f"named_struct('dist', {dist}, 'centroid_id', {int(cid)})"
+            )
+        if len(structs) == 1:
+            return F.expr(structs[0])
+        return F.expr("least(" + ", ".join(structs) + ")")
 
     for _ in range(iters):
-        assigned = assign(centroids)
-        centroids = (
-            assigned.select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+        stats = (
+            q.select(best_struct(centroids).getField("centroid_id").alias("centroid_id"), "qv")
+            .select("centroid_id", F.posexplode("qv").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.floor(F.sum("val") / F.count("*")).cast("bigint").alias("cval"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s.cval,
-                ).alias("cv")
-            )
-            .localCheckpoint()
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
         )
-    return assign(centroids).select(id_col, "centroid_id", "dist")
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in stats:
+            # floor(sum/count) with DOUBLE division — bit-identical to the
+            # previous in-plan F.floor(F.sum/F.count) (JVM long->double
+            # casts then IEEE divide) and to the DuckDB oracle twin
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = int(
+                math.floor(float(r["s"]) / float(r["n"]))
+            )
+        centroids = [
+            (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
+        ]
+    b = best_struct(centroids)
+    return q.select(
+        F.col(id_col),
+        b.getField("centroid_id").alias("centroid_id"),
+        b.getField("dist").alias("dist"),
+        "qv",
+    )
 
 
 def semantic_dedup_pairs(
@@ -255,14 +301,16 @@ def semantic_dedup_pairs(
     only; cluster population is n/k on average, so k must grow with n to
     bound per-cluster pairing (SemDeDup's own recipe), and
     ``max_cluster_size`` drops over-populated clusters before pairing —
-    the same broadcast-anti-join hot-bucket cap as the LSH paths."""
-    quant = F.expr(
-        f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) * {scale} AS BIGINT))"
+    the same broadcast-anti-join hot-bucket cap as the LSH paths. The
+    assignment rides straight out of the Lloyd map
+    (:func:`_kmeans_assign_with_vectors` keeps qv on the assigned row), so
+    the previous join back to the re-quantized corpus — one exchange of
+    the full vector payload per pairing arm — is gone (round-10
+    optimization)."""
+    q = _kmeans_quantized(df, id_col, vec_col, scale)
+    aq = _kmeans_assign_with_vectors(q, id_col, k=k, iters=iters).select(
+        F.col(id_col), F.col("centroid_id"), F.col("qv")
     )
-    assigned = kmeans_fixed_point(df, id_col, vec_col, k=k, iters=iters, scale=scale).select(
-        F.col(id_col), F.col("centroid_id")
-    )
-    aq = assigned.join(df.select(F.col(id_col), quant.alias("qv")), id_col)
     return semantic_pairs_from_assigned(
         aq, id_col, max_sqdist=max_sqdist, max_cluster_size=max_cluster_size
     )

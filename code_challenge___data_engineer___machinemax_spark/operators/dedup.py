@@ -44,24 +44,69 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """One row per (id, k-token shingle): posexplode tokens, rebuild
-    shingles with lead() over the token order.
+    """One row per (id, k-token shingle), position multiset preserved.
 
-    This is the scale path for shingling: evaluating nested higher-order
-    lambdas (transform over slice(tokens)) re-computes the tokenizer per
-    element — O(tokens^2) regex work per document. Exploding once keeps it
-    linear, and the window's per-document partitions are tiny.
+    Round-10 optimization: build the shingle array MAP-SIDE and explode
+    it. The previous implementation exploded single tokens and rebuilt
+    k-grams with lead() over a per-document window — a full shuffle+sort
+    of the exploded token stream that the map-side array build makes
+    unnecessary. Same rows (one per shingle occurrence, short docs drop
+    out), zero exchanges.
+
+    The array is built by transform-over-positions against the PINNED
+    token attribute (__toks is referenced three times, so CollapseProject
+    cannot inline the tokenizer into the lambda — the inlined form
+    re-splits the text per element, the O(tokens²) trap shingles()'
+    docstring documents). One slice+concat_ws per gram; the zip_with
+    chain was measured 2.4x slower at k=5 (it materializes k-1
+    progressively longer intermediate gram arrays).
     """
-    toks = df.select(F.col(id_col), F.posexplode(tokenize(text_col)).alias("__pos", "__tok"))
-    w = W.partitionBy(id_col).orderBy("__pos")
-    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
-    return (
-        toks.select(
-            F.col(id_col),
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    grams = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, k)),
+        ),
     )
+    return toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def shingle_rows_spread(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """:func:`shingle_rows` behind the conditional single-file spread
+    (:func:`_spread_narrow_scan`): for gram-stream consumers whose heavy
+    lifting is the map-side shingle build itself, a one-file local scan
+    would otherwise run it on one task. Queries that derive the gram
+    stream twice still build it once per branch (only the scan+spread
+    subplan is exchange-reused) — the deployment answer for those is the
+    materialized L4 gram table, as the callers' docstrings note. No-op at
+    deployment scale (multi-split scans)."""
+    return shingle_rows(
+        _spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
+        k,
+    )
+
+
+def _spread_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive parallelism guard for map-heavy projections (round-10
+    optimization, guide §2.5 "input skew — one file"): when the upstream
+    scan yields fewer partitions than the session's default parallelism
+    (the local bench reads ONE parquet file -> one task, serializing every
+    per-row md5), hash-repartition on the row key so the projection uses
+    the whole executor pool. On a 100 TB deployment the scan already has
+    thousands of splits, the predicate is false, and NO shuffle is added —
+    the map-side projection runs directly over the scan. Streaming frames
+    pass through untouched (no .rdd on unbounded plans)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
 
 
 def minhash_signatures_df(
@@ -73,18 +118,47 @@ def minhash_signatures_df(
 
     md5-hex strings (not ints) keep the oracle twin trivial: DuckDB produces
     identical hex and `min` over hex is the same total order. Documents with
-    no shingles (< k tokens) get NULL components.
+    no shingles (< k tokens) get NULL components (array_min over an empty
+    shingle array).
 
-    Plan shape: explode shingles -> one hash-agg with num_hashes min()
-    columns (partial map-side combine) -> left join back for empty docs.
+    Plan shape (round-10 optimization): two map-side projections — the
+    zip_with shingle array (functions/text.py::shingles, tokenize runs
+    k+1 times per ROW, never per element), then one array_min(transform)
+    per hash family over the pinned __sh attribute (a second Project;
+    CollapseProject keeps them separate because __sh is non-cheap and
+    referenced num_hashes times). This replaces the previous explode ->
+    per-doc window(lead) sort -> hash-agg -> join-back pipeline: ZERO
+    exchanges over the token stream instead of two (the window shuffle
+    and the join-back), identical rows (measured equal at sf0.1; the
+    parity suite pins it at sf0.01). The only exchange left is the
+    conditional single-file spread (:func:`_spread_narrow_scan`), absent
+    at deployment scale.
     """
-    sh = shingle_rows(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
-    return df.select(id_col).join(sigs, id_col, "left")
+    from ..functions.text import shingles
+
+    src = _spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
+    sh = src.select(F.col(id_col), shingles(text_col, k).alias("__sh"))
+    # ONE nested-lambda expression computes all num_hashes minima as an
+    # array (hash family i's prefix CAST(i AS STRING) || ':' renders the
+    # identical bytes to the previous per-column literal f"{i}:"); the
+    # mh{i} output columns are then cheap element_at references. Emitting
+    # num_hashes separate array_min(transform(...)) trees instead blows up
+    # plan size quadratically once downstream projections/filters inline
+    # them (measured: the 128-hash production config hung the optimizer).
+    mh_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    sigs = sh.select(F.col(id_col), mh_arr.alias("__mh"))
+    return sigs.select(
+        F.col(id_col),
+        *[F.col("__mh").getItem(i).alias(f"mh{i}") for i in range(num_hashes)],
+    )
 
 
 def band_rows(
@@ -96,20 +170,52 @@ def band_rows(
     and the streaming near-dup admission store
     (streaming/ingest.py::near_dedup_ingest_stream). band_key is the md5 of
     the band's signature slice; documents with no shingles (< k tokens)
-    produce no rows (they cannot band-collide)."""
+    produce no rows (they cannot band-collide).
+
+    Plan shape (round-10): the per-band keys are built straight from the
+    signature ARRAY in the generator expression, and the no-shingle drop
+    rides the generator (a NULL band array explodes to zero rows) instead
+    of a dropna Filter. The filter form was measured 8-10x slower: the
+    pushed-down isnotnull conjuncts each inlined the FULL signature
+    expression (one md5-min pass per hash family per conjunct — Catalyst
+    does no cross-operator common-subexpression elimination), so the
+    signature computed num_hashes+1 times per row."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
+    from ..functions.text import shingles
+
+    src = _spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
+    sh = src.select(F.col(id_col), shingles(text_col, 3).alias("__sh"))
+    mh_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
             )
-            for b in range(bands)
-        ]
+        ),
     )
-    return sig.dropna().select(id_col, F.posexplode(band_keys).alias("band", "band_key"))
+    # NULL (not empty-string) band keys for shingle-less docs: guarded at
+    # the array level so those rows vanish in the explode
+    mh = sh.select(
+        F.col(id_col), F.when(F.size("__sh") > 0, mh_arr).alias("__mh")
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.slice(F.col("__mh"), b * rows_per_band + 1, rows_per_band), "|"
+            )
+        ),
+    )
+    return mh.select(
+        F.col(id_col),
+        # the outer guard is what drops shingle-less docs: a NULL array
+        # explodes to zero rows (transform over the constant band sequence
+        # would otherwise emit NULL band_keys for them)
+        F.posexplode(F.when(F.col("__mh").isNotNull(), band_keys)).alias(
+            "band", "band_key"
+        ),
+    )
 
 
 def lsh_candidate_pairs(
@@ -173,6 +279,52 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def group_pair_counts(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    out_a: str = "x",
+    out_b: str = "y",
+    out_w: str = "w",
+) -> DataFrame:
+    """Unordered co-occurrence pair counts from a DISTINCT (group, item)
+    relation -> (a < b, count of groups containing both).
+
+    Round-10 optimization shared by the basket/co-purchase pair builders
+    (association_rules, the graph edge derivation, the recsys
+    co-occurrence matrix): one group-keyed aggregation collects each
+    group's items as a SORTED array, the i < j pairs explode map-side
+    from that array, and one pair-keyed count finishes. The previous form
+    self-joined the relation on the group key — the same k(k-1)/2 fan-out
+    but with a sort-merge join (two sorted shuffle reads of the relation)
+    where one hash aggregation suffices (guide §2.3 "aggregate before you
+    shuffle"). Skew behavior is unchanged: a hot group's pairs were
+    already co-located by the join key; callers with pathological basket
+    widths keep their opt-in caps.
+
+    The array is sorted unique (input distinct), so a < b falls out of
+    slice positions with no filter, and pair multiplicity per group is
+    exactly 1 — counts match the self-join bit-for-bit."""
+    arr = F.array_sort(F.collect_list(F.col(item_col)))
+    pairs = F.flatten(
+        F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + F.lit(2), F.size(F.col("__items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(arr.alias("__items"))
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.a").alias(out_a), F.col("__p.b").alias(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count("*").cast("bigint").alias(out_w))
     )
 
 

@@ -412,74 +412,99 @@ def power_iteration_top_component(
     direction exists — see tests/test_clustering.py's planted-direction
     test for the anisotropic case, verified against numpy).
 
-    The covariance is never materialized: each round is x(x.v) — one
-    vector-keyed dot pass, one dim-keyed accumulation, dim-row frames
-    broadcast back. el (vec, dim, x) is the reused iterative state,
-    checkpointed once like label_propagation's edge list.
+    The covariance is never materialized: each round is x(x.v), and the
+    direction vector v lives on the DRIVER as a dim-sized int64 literal
+    (round-10 optimization, the same shape as kmeans_fixed_point's
+    driver-held centroids and MLlib's treeAggregate reductions): the
+    per-vector dot and downscale are one map-side projection over the
+    pinned quantized arrays, the dim-keyed x*d accumulation is ONE
+    map-side-combinable aggregate whose dim result rows come back to the
+    driver, and the max-abs rescale (`signed_round_div`, whose
+    nonnegative-dividend truncating division is exactly Python's //) runs
+    on those dim ints. The previous form kept the corpus EXPLODED as
+    (row, dim, x) triples and per round shuffled them twice (row-keyed
+    dot join + dim-keyed accumulate) — rows x dim rows through two
+    exchanges per round instead of dim partial sums through one.
 
-    ``dim`` must equal the vector width: the start vector is built as a
-    dim-row range, so a wider input would silently project onto the first
+    ``dim`` must equal the vector width: the accumulation indexes by
+    position, so a wider input would silently project onto the first
     ``dim`` coordinates — every row is therefore width-checked inline
     (raise_error, not a silent dim-join drop)."""
+    import math
+
     checked = (
         f"CASE WHEN size({vec_col}) = {dim} THEN {vec_col}"
         f" ELSE raise_error(concat('power_iteration_top_component:"
         f" expected {dim}-dim vectors, got ',"
         f" CAST(size({vec_col}) AS STRING))) END"
     )
+    spark = df.sparkSession
     q = df.select(
         F.expr(
             f"transform({checked},"
             " v -> CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT))"
         ).alias("qv"),
-    ).withColumn("__rid", F.monotonically_increasing_id())
-    cent = (
+    ).localCheckpoint()
+    cent_rows = (
         q.select(F.posexplode("qv").alias("dim", "val"))
         .groupBy("dim")
-        .agg(F.floor(F.sum("val") / F.count("*")).cast("bigint").alias("c"))
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .collect()
     )
-    el = (
-        q.select("__rid", F.posexplode("qv").alias("dim", "val"))
-        .join(F.broadcast(cent), "dim")
-        .select("__rid", "dim", (F.col("val") - F.col("c")).alias("x"))
-        .localCheckpoint()
-    )
-    v = df.sparkSession.range(dim).select(
-        F.col("id").cast("int").alias("dim"),
-        F.lit(10000).cast("bigint").alias("v"),
-    )
+    if not cent_rows:
+        # empty corpus: the previous iterative form propagated an empty
+        # dim frame through every round and returned zero rows
+        return spark.createDataFrame([], "dim int, v_e4 bigint")
+    cent = [0] * dim
+    for r in cent_rows:
+        # exact floor-mean with DOUBLE division — bit-identical to the
+        # previous in-plan F.floor(F.sum/F.count) and the DuckDB twin
+        cent[r["dim"]] = int(math.floor(float(r["s"]) / float(r["n"])))
+    # literal vectors ride in as ONE parsed SQL string each — building
+    # them from per-element F.lit() Column calls costs a py4j round-trip
+    # per component (measured ~1 s over 3 rounds at dim=64)
+    cent_sql = "array(" + ",".join(f"{int(c)}L" for c in cent) + ")"
+    v = [10000] * dim
     for _ in range(rounds):
-        dots = (
-            el.join(F.broadcast(v), "dim")
-            .groupBy("__rid")
-            .agg(
-                F.expr(
-                    "CAST("
-                    + signed_round_div("SUM(x * v)", 1, "2000000", "div")
-                    + " AS BIGINT)"
-                ).alias("d")
-            )
+        v_sql = "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
+        st = q.select(
+            F.expr(f"zip_with(qv, {cent_sql}, (a, c) -> a - c)").alias("__x")
         )
-        w = (
-            el.join(dots, "__rid")
+        st = st.select(
+            "__x",
+            F.expr(
+                f"aggregate(zip_with(__x, {v_sql}, (x, w) -> x * w),"
+                " 0L, (acc, e) -> acc + e)"
+            ).alias("__s"),
+        )
+        st = st.select(
+            "__x",
+            F.expr(
+                "CAST(" + signed_round_div("__s", 1, "2000000", "div") + " AS BIGINT)"
+            ).alias("__d"),
+        )
+        w_rows = (
+            st.select(
+                F.posexplode(
+                    F.transform("__x", lambda x: x * F.col("__d"))
+                ).alias("dim", "xd")
+            )
             .groupBy("dim")
-            .agg(F.sum(F.col("x") * F.col("d")).cast("bigint").alias("w"))
+            .agg(F.sum("xd").cast("bigint").alias("w"))
+            .collect()
         )
-        m = w.agg(F.expr("greatest(MAX(abs(w)), 1)").alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "dim",
-                F.expr(
-                    "CAST("
-                    + signed_round_div("w", 10000, "m", "div")
-                    + " AS BIGINT)"
-                ).alias("v"),
-            )
-            .localCheckpoint()
-        )
-    return v.select(
-        F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_e4")
+        wvec = [0] * dim
+        for r in w_rows:
+            wvec[r["dim"]] = int(r["w"])
+        m = max(max(abs(x) for x in wvec), 1)  # greatest(MAX(abs(w)), 1)
+        # signed_round_div(w, 10000, m): nonnegative dividend, so Spark's
+        # truncating div == floor == Python //
+        v = [
+            (-1 if wv < 0 else 1) * ((2 * abs(wv) * 10000 + m) // (2 * m))
+            for wv in wvec
+        ]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "dim int, v_e4 bigint"
     ).orderBy("dim")
 
 

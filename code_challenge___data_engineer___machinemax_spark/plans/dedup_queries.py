@@ -337,10 +337,10 @@ def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffle via Spark's two-phase distinct expansion. Top-50 under
     a total ordering (spread, frequency, passage) is
     TakeOrderedAndProject — no global sort."""
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_rows_spread
 
     d = load_table(spark, sf_dir, "documents")
-    grams = shingle_rows(d, "doc_id", "text", k=5)
+    grams = shingle_rows_spread(d, "doc_id", "text", k=5)
     return (
         grams.groupBy(F.col("shingle").alias("passage"))
         .agg(
@@ -1253,10 +1253,10 @@ def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key would be a 128-bit gram hash instead of the raw string
     (same discipline the line-level dedup pins); the raw-string key keeps
     the oracle twin byte-identical here."""
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_rows_spread
 
     d = load_table(spark, sf_dir, "documents")
-    grams = shingle_rows(d, "doc_id", "text", k=5).withColumnRenamed(
+    grams = shingle_rows_spread(d, "doc_id", "text", k=5).withColumnRenamed(
         "shingle", "gram"
     )
     dup = (

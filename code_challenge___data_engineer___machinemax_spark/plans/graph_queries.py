@@ -98,21 +98,16 @@ def _edges(
     the round-4 relative support floor achieved the bound only by
     emptying organically scaled graphs). Linear-cost consumers (the walk
     sampler) pass ``mutual_top_k=None`` for the raw floored graph."""
+    from ..operators.dedup import group_pair_counts
+
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()
-    a, b = items.alias("a"), items.alias("b")
-    raw = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    # round-10: pair counts via the sorted-array explode (one basket-keyed
+    # hash agg, operators/dedup.py::group_pair_counts) instead of the
+    # basket self-join — identical (x, y, w) rows
+    raw = group_pair_counts(items, "basket", "item").filter(F.col("w") >= 2)
     if mutual_top_k is None:
         return raw.select("x", "y")
     from pyspark.sql import Window as W
@@ -124,19 +119,22 @@ def _edges(
         "r",
         F.row_number().over(W.partitionBy("node").orderBy(F.desc("w"), F.asc("other"))),
     )
-    fwd = rk.select("node", "other", F.col("r").alias("ra"))
-    bwd = rk.select(
-        F.col("other").alias("node"), F.col("node").alias("other"),
-        F.col("r").alias("rb"),
-    )
+    # mutual check via ONE pair-keyed aggregation (round-10 optimization):
+    # each unordered pair appears exactly twice in the ranked symmetric
+    # view (once per direction), so "both endpoints rank each other in
+    # their top k" <=> both directional rows survive the rank filter <=>
+    # the pair-keyed count of surviving rows is 2. The previous
+    # (node, other)-keyed self-join of the ranked view shuffled it twice
+    # and sorted both sides; this groups the filtered view once.
     return (
-        fwd.join(bwd, ["node", "other"])
-        .filter(
-            (F.col("node") < F.col("other"))
-            & (F.col("ra") <= mutual_top_k)
-            & (F.col("rb") <= mutual_top_k)
+        rk.filter(F.col("r") <= mutual_top_k)
+        .groupBy(
+            F.least("node", "other").alias("x"),
+            F.greatest("node", "other").alias("y"),
         )
-        .select(F.col("node").alias("x"), F.col("other").alias("y"))
+        .agg(F.count("*").alias("__both"))
+        .filter(F.col("__both") == 2)
+        .select("x", "y")
     )
 
 

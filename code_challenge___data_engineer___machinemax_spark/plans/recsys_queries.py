@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.dedup import group_pair_counts
 from ..tables import load_table
 from .registry import query
 
@@ -110,20 +111,12 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = items.agg(
         F.countDistinct("basket").cast("bigint").alias("baskets")
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("pair_n"))
-        .filter(F.col("pair_n") >= 2)
-    )
+    # pair generation via the sorted-array explode (round-10 optimization,
+    # operators/dedup.py::group_pair_counts): one basket-keyed hash agg
+    # replaces the basket self-join — identical pair counts
+    pairs = group_pair_counts(
+        items, "basket", "item", out_a="part_a", out_b="part_b", out_w="pair_n"
+    ).filter(F.col("pair_n") >= 2)
     joined = (
         pairs.join(
             F.broadcast(counts).withColumnRenamed("item", "part_a")
@@ -206,17 +199,15 @@ def _order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cooccurrence(ui: DataFrame) -> DataFrame:
     """Customer-keyed item co-occurrence with the >= 2 support floor:
-    (item_a < item_b, co). The self-join fans out per-user-basket-width²,
-    keyed on the customer — one co-partitioned exchange, never a cross
-    product; the floor prunes the singleton-pair tail before anything
-    downstream."""
-    a, b = ui.alias("a"), ui.alias("b")
-    return (
-        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
-        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
-        .agg(F.count("*").cast("bigint").alias("co"))
-        .filter(F.col("co") >= 2)
-    )
+    (item_a < item_b, co). Pair fan-out is per-user-basket-width², keyed
+    on the customer — never a cross product; the floor prunes the
+    singleton-pair tail before anything downstream. Round-10: built on
+    operators/dedup.py::group_pair_counts (one customer-keyed hash agg +
+    map-side pair explode) instead of the customer-keyed self-join —
+    identical counts, one fewer sorted shuffle read."""
+    return group_pair_counts(
+        ui, "u", "i", out_a="item_a", out_b="item_b", out_w="co"
+    ).filter(F.col("co") >= 2)
 
 
 def _last_pick(ol: DataFrame) -> DataFrame:
@@ -535,6 +526,11 @@ def _hitrate_report(
         .filter(F.col("nrk") <= 10)
         .drop("nrk")
     )
+    # one u-keyed exchange serves BOTH the (u, j) score aggregate and the
+    # per-u ranking window (round-10 optimization, guide §2.4 "two
+    # operations keyed the same way share one exchange"): HashPartitioning
+    # on u satisfies the (u, j) clustered distribution, so the explicit
+    # repartition replaces the groupBy exchange AND the window exchange
     cand = (
         train.join(symk, "i")
         .join(
@@ -542,6 +538,7 @@ def _hitrate_report(
             ["u", "j"],
             "left_anti",
         )
+        .repartition(F.col("u"))
         .groupBy("u", "j")
         .agg(F.sum("co").cast("bigint").alias("score"))
     )
@@ -549,37 +546,29 @@ def _hitrate_report(
         "rk",
         F.row_number().over(W.partitionBy("u").orderBy(F.desc("score"), "j")),
     ).filter(F.col("rk") <= 10)
-    eligible = train.select("u").distinct().withColumn("eligible", F.lit(1))
     # rename before the join: ranked descends from lastpick, so
     # ranked["u"] == lastpick["u"] would resolve to the same attribute
     # (trivially-true predicate) instead of an equi-join key
     held_keyed = lastpick.select(
         F.col("u").alias("hu"), F.col("held").alias("hj")
     )
-    hits = (
-        ranked.join(
-            held_keyed,
-            (F.col("u") == F.col("hu")) & (F.col("j") == F.col("hj")),
-        )
-        .select("u")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    per_user = (
-        lastpick.select("u")
-        .join(eligible, "u", "left")
-        .join(hits, "u", "left")
-        .select(
-            F.coalesce("eligible", F.lit(0)).alias("eligible"),
-            F.coalesce("hit", F.lit(0)).alias("hit"),
-        )
-    )
-    return per_user.agg(
-        F.sum("eligible").cast("bigint").alias("n_eval"),
-        F.sum("hit").cast("bigint").alias("hits_at10"),
-        F.expr("SUM(hit) * 1000000 DIV SUM(eligible)")
-        .cast("bigint")
-        .alias("hitrate_e6"),
+    # counter algebra (round-10 optimization): eligible users are exactly
+    # DISTINCT train.u (train descends from lastpick, so every train user
+    # holds out an item), and the hit rows are already unique per user
+    # ((u, j) is unique post-aggregate, held is one row per user), so the
+    # previous lastpick-frame reassembly — two left joins + a per-user
+    # SUM — collapses to two independent one-row aggregates joined by a
+    # 1x1 crossJoin. Removes the eligible distinct exchange, the lastpick
+    # sort-merge join, and the hits distinct. Identical counters.
+    n_eval = train.agg(F.countDistinct("u").cast("bigint").alias("n_eval"))
+    hits = ranked.join(
+        held_keyed,
+        (F.col("u") == F.col("hu")) & (F.col("j") == F.col("hj")),
+    ).agg(F.count("*").cast("bigint").alias("hits_at10"))
+    return n_eval.crossJoin(F.broadcast(hits)).select(
+        "n_eval",
+        "hits_at10",
+        F.expr("hits_at10 * 1000000 DIV n_eval").cast("bigint").alias("hitrate_e6"),
     )
 
 

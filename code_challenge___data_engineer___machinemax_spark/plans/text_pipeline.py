@@ -388,10 +388,10 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dup_line_chars"),
     )
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_rows_spread
 
     bigrams = (
-        shingle_rows(base, "doc_id", "text", k=2)
+        shingle_rows_spread(base, "doc_id", "text", k=2)
         .groupBy("doc_id", F.col("shingle").alias("bg"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -652,10 +652,10 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical — explode once, two count aggs, shuffle_hash joins on the
     bigram/prefix keys (never a vocab-sized broadcast), narrow (doc_id,
     bigint) re-agg. Runs at ingest next to the index builds."""
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_rows_spread
 
     d = load_table(spark, sf_dir, "documents")
-    big = shingle_rows(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
+    big = shingle_rows_spread(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
     c12 = big.groupBy("bg").agg(F.count("*").alias("cnt12"))
     c1 = (
         big.select(F.substring_index("bg", " ", 1).alias("w1"))
@@ -1635,10 +1635,10 @@ def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, int). The continuation counts N1+ are the novel-continuation
     statistics that make KN the strong LM baseline — distinct-count aggs,
     exactly what the engine's groupBy does."""
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_rows_spread
 
     d = load_table(spark, sf_dir, "documents")
-    big = shingle_rows(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
+    big = shingle_rows_spread(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
     train = big.filter(F.col("doc_id") % 2 == 0).select("bg").localCheckpoint()
     c12 = train.groupBy("bg").agg(F.count("*").cast("bigint").alias("cnt12"))
     w1 = F.substring_index("bg", " ", 1)
