@@ -282,52 +282,6 @@ def lsh_candidate_pairs(
     )
 
 
-def group_pair_counts(
-    df: DataFrame,
-    group_col: str,
-    item_col: str,
-    out_a: str = "x",
-    out_b: str = "y",
-    out_w: str = "w",
-) -> DataFrame:
-    """Unordered co-occurrence pair counts from a DISTINCT (group, item)
-    relation -> (a < b, count of groups containing both).
-
-    Round-10 optimization shared by the basket/co-purchase pair builders
-    (association_rules, the graph edge derivation, the recsys
-    co-occurrence matrix): one group-keyed aggregation collects each
-    group's items as a SORTED array, the i < j pairs explode map-side
-    from that array, and one pair-keyed count finishes. The previous form
-    self-joined the relation on the group key — the same k(k-1)/2 fan-out
-    but with a sort-merge join (two sorted shuffle reads of the relation)
-    where one hash aggregation suffices (guide §2.3 "aggregate before you
-    shuffle"). Skew behavior is unchanged: a hot group's pairs were
-    already co-located by the join key; callers with pathological basket
-    widths keep their opt-in caps.
-
-    The array is sorted unique (input distinct), so a < b falls out of
-    slice positions with no filter, and pair multiplicity per group is
-    exactly 1 — counts match the self-join bit-for-bit."""
-    arr = F.array_sort(F.collect_list(F.col(item_col)))
-    pairs = F.flatten(
-        F.transform(
-            F.col("__items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__items"), i + F.lit(2), F.size(F.col("__items"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return (
-        df.groupBy(group_col)
-        .agg(arr.alias("__items"))
-        .select(F.explode(pairs).alias("__p"))
-        .select(F.col("__p.a").alias(out_a), F.col("__p.b").alias(out_b))
-        .groupBy(out_a, out_b)
-        .agg(F.count("*").cast("bigint").alias(out_w))
-    )
-
-
 def jaccard_arrays(ta: Column, tb: Column) -> Column:
     """Jaccard over two already-distinct token-array columns. Prefer this
     on pre-tokenized columns: inlining tokenize() here makes the expression

