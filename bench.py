@@ -391,6 +391,42 @@ def _run_family(name: str) -> None:
     print(json.dumps({"family": name, "queries": timings}))
 
 
+def _run_guards() -> None:
+    """Round-11 (VERDICT r10 #7 — guard-rotation visibility): time every
+    rotation-pool member NOT published in this round's headline bench at
+    sf0.01 (the same tier tests/test_ingest_guards.py ceilings), so the
+    round-robin that moves a heavy self-contained ingest query out of the
+    timed bench can be audited round-over-round instead of trusted. Same
+    discipline as the families: fresh JVM, untimed warm-up, run 0
+    discarded. Published additively under a "guards" key — the one-line
+    JSON contract and the "queries" map are untouched."""
+    from code_challenge___data_engineer___machinemax_spark import plans
+    from code_challenge___data_engineer___machinemax_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    guard_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(guard_dir):
+        guard_dir = sf_dir  # no sf0.01 sibling: fall back to the bench SF
+    spark = get_spark("ccdem-bench-guards")
+    queries = plans.all_queries()
+    tier2 = sorted(
+        {q for pool in GUARD_ROTATIONS.values() for q in pool} - set(HEADLINE)
+    )
+    queries["point_lookup_order"](spark, guard_dir).collect()
+    from code_challenge___data_engineer___machinemax_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, guard_dir, t).limit(1).collect()
+    _settle(spark)
+    timings: dict[str, float] = {}
+    for qname in tier2:
+        queries[qname](spark, guard_dir).collect()  # run 0: codegen warm
+        t0 = time.perf_counter()
+        queries[qname](spark, guard_dir).collect()
+        timings[qname] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"guards": timings, "guards_sf_dir": guard_dir}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -416,6 +452,23 @@ def main() -> None:
         timings.update(out["queries"])
         families[name] = round(sum(out["queries"].values()), 3)
 
+    # sf0.01 timings of the UNPUBLISHED rotation-pool members (additive —
+    # "value"/"queries" are exactly the headline totals as before); a guard
+    # failure degrades to an empty map rather than failing the bench
+    guards: dict[str, float] = {}
+    guards_sf_dir = None
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--guards"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    glines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode == 0 and glines:
+        gout = json.loads(glines[-1])
+        guards = gout.get("guards", {})
+        guards_sf_dir = gout.get("guards_sf_dir")
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -425,6 +478,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "families": families,
+                "guards": guards,
+                "guards_sf_dir": guards_sf_dir,
                 "protocol": "family-steady",
                 "sf": sf,
             }
@@ -435,5 +490,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--family":
         _run_family(sys.argv[2])
+    elif len(sys.argv) == 2 and sys.argv[1] == "--guards":
+        _run_guards()
     else:
         main()

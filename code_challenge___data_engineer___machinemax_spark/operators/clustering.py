@@ -33,16 +33,23 @@ def connected_components(
     symmetric edge list, no join), then each round is a 3-arm unionByName
     (carry-over, neighbor messages, pointer jump — the two message arms
     are equi-joins against the CHECKPOINTED label relation, so nothing
-    recomputes) reduced by ONE min-aggregate. The previous form ran
-    propagate and jump as two sequential joins whose un-pinned
-    intermediate re-executed inside the self-join — three join evaluations
-    per round instead of two. Convergence is detected by an exact
-    decimal(38,0) SUM(component) probe on the checkpointed result: labels
-    only ever decrease, so an unchanged sum <=> an unchanged relation —
-    one scalar aggregate per round instead of a per-row changed-flag
-    filter+count. Warns loudly if still unconverged at max_iters.
+    recomputes) reduced by ONE min-aggregate.
+
+    Convergence probe (round-11 optimization, guide §1.2/§2.4): the carry
+    arm tags each id's PREVIOUS label, so the min-aggregate can flag
+    per-row change (new < old) for free, and an ``Observation`` metric
+    riding the checkpoint job counts the changed rows — convergence is
+    read off the SAME job that materializes the round, instead of the
+    round-10 extra per-round aggregate job (and its init probe). The
+    changed-count is also type-agnostic: the previous decimal(38,0)
+    SUM(component) probe crashed on string ids under ANSI mode and
+    silently declared convergence on NULL sums without it (advisor
+    finding r10); an equality flag works for any orderable id type.
+    Warns loudly if still unconverged at max_iters.
     """
     import warnings
+
+    from pyspark.sql import Observation
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -58,32 +65,47 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _label_sum(lb: DataFrame):
-        return lb.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iters):
         nbr = edges.join(labels, edges.dst == labels.id).select(
-            F.col("src").alias("id"), "component"
+            F.col("src").alias("id"),
+            "component",
+            F.lit(None).cast(labels.schema["component"].dataType).alias("__old"),
         )
         jump = (
             labels.alias("x")
             .join(labels.alias("p"), F.col("x.component") == F.col("p.id"))
-            .select(F.col("x.id").alias("id"), F.col("p.component").alias("component"))
+            .select(
+                F.col("x.id").alias("id"),
+                F.col("p.component").alias("component"),
+                F.lit(None).cast(labels.schema["component"].dataType).alias("__old"),
+            )
         )
+        # every id has exactly ONE carry row, so max(__old) recovers its
+        # previous label; labels only decrease, so min(component) < old
+        # <=> this id changed this round
+        carry = labels.select("id", "component", F.col("component").alias("__old"))
+        obs = Observation()
         labels = (
-            labels.unionByName(nbr)
+            carry.unionByName(nbr)
             .unionByName(jump)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
+                ).alias("n_changed"),
+            )
+            .select("id", "component")
             .localCheckpoint()
         )
-        new_sum = _label_sum(labels)  # scalar probe on checkpointed data
-        if new_sum == prev_sum:
+        if not obs.get["n_changed"]:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         warnings.warn(
             f"connected_components: not converged after {max_iters} rounds "
@@ -222,6 +244,23 @@ def _kmeans_assign_with_vectors(
     import math
 
     rows = q.orderBy(id_col).limit(k).collect()
+    if not rows:
+        # empty corpus: least() over zero centroid structs is a parse
+        # error (WRONG_NUM_ARGS) — mirror power_iteration_top_component's
+        # guard and return the empty assignment frame directly (advisor
+        # finding r10)
+        from pyspark.sql import types as T
+
+        id_field = q.schema[id_col]
+        schema = T.StructType(
+            [
+                id_field,
+                T.StructField("centroid_id", T.IntegerType(), False),
+                T.StructField("dist", T.LongType(), True),
+                q.schema["qv"],
+            ]
+        )
+        return q.sparkSession.createDataFrame([], schema)
     centroids: list[tuple[int, list[int]]] = [
         (i + 1, list(r["qv"])) for i, r in enumerate(rows)
     ]

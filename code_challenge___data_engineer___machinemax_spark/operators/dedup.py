@@ -121,18 +121,23 @@ def minhash_signatures_df(
     no shingles (< k tokens) get NULL components (array_min over an empty
     shingle array).
 
-    Plan shape (round-10 optimization): two map-side projections — the
-    zip_with shingle array (functions/text.py::shingles, tokenize runs
-    k+1 times per ROW, never per element), then one array_min(transform)
-    per hash family over the pinned __sh attribute (a second Project;
-    CollapseProject keeps them separate because __sh is non-cheap and
-    referenced num_hashes times). This replaces the previous explode ->
-    per-doc window(lead) sort -> hash-agg -> join-back pipeline: ZERO
-    exchanges over the token stream instead of two (the window shuffle
-    and the join-back), identical rows (measured equal at sf0.1; the
-    parity suite pins it at sf0.01). The only exchange left is the
-    conditional single-file spread (:func:`_spread_narrow_scan`), absent
-    at deployment scale.
+    Plan shape (round-10 optimization; docstring corrected round 11 per
+    the advisor's audit): the signature build is fully map-side. In the
+    COMMITTED plan (plans/r10/minhash_signatures_after.txt, Project (3))
+    CollapseProject inlines the zip_with shingle build INTO the outer
+    per-hash-family lambda — __sh is textually referenced once, so
+    nothing pins it, and HOF lambda bodies get no common-subexpression
+    elimination: the shingle array is re-evaluated num_hashes times per
+    row. That re-evaluation was A/B'd and still beats the previous
+    explode -> per-doc window(lead) sort -> hash-agg -> join-back
+    pipeline even at the 128-hash production config (5.58 s -> 2.44 s),
+    because it removes BOTH token-stream exchanges (the window shuffle
+    and the join-back); forcing __sh to materialize (an optimizer
+    barrier) is recorded perf headroom, not a correctness issue —
+    per-row cost currently grows with num_hashes. Identical rows
+    (measured equal at sf0.1; the parity suite pins it at sf0.01). The
+    only exchange left is the conditional single-file spread
+    (:func:`_spread_narrow_scan`), absent at deployment scale.
     """
     from ..functions.text import shingles
 

@@ -798,12 +798,27 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and the (label, vocab)-sized model are localCheckpoint'd, and
     the per-label totals / vocabulary size derive from the model rather
     than re-scanning the corpus — the token explode executes once for
-    training and once for the test fifth. Scoring fans test occurrences
-    out by the label count — 2x here; at 100 TB the candidate set stays
-    label-domain-sized and the (token, label) model joins shuffle-hash on
-    token, so the cost is O(test tokens x labels), the same as any
-    linear-in-labels scorer. The per-doc argmax window is keyed by doc_id
-    (never global)."""
+    training and once for the test fifth.
+
+    Scoring shape (round-11 optimization, guide §2.3/§2.4): the model is
+    PIVOTED to one row per token (cnt_<label> columns — the label domain
+    is data-derived but tiny, collected once off the checkpointed model),
+    so each test occurrence joins the model ONCE and computes every
+    candidate's log-likelihood as sibling columns. The previous form
+    fanned the test stream out |labels|x through a broadcast crossJoin
+    and re-assembled with a per-doc rank window — the new shape shuffles
+    the occurrence stream once instead of |labels| times and replaces the
+    window with a greatest()-over-structs argmax (struct comparison =
+    score DESC, candidate ASC — the kmeans_fixed_point trick), entirely
+    map-side. Vocabulary size and the label priors stay in-plan as 1-row
+    broadcast frames (no extra driver jobs; the ln stays on JVM libm).
+    Plan delta (plans/r11/naive_bayes_quality_distill_{before,after}.txt,
+    node counts in the formatted dumps): Window 6 -> 0 (the rank window
+    and its WindowGroupLimit twins), BroadcastNestedLoopJoin 6 -> 4,
+    Exchange 32 -> 22 — the |labels|-fanned occurrence exchange now
+    ships each test occurrence once. A/B at sf0.1: paired runs old [2.04,
+    2.05, 2.08, 2.09] vs new [1.90, 2.01, 1.90, 1.86] s, rows equal at
+    sf0.01 and sf0.1."""
     d = load_table(spark, sf_dir, "documents")
     raw = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
     # doc-dimension sized — pin it so the rule explode runs once, not
@@ -829,67 +844,87 @@ def naive_bayes_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = train.groupBy("lang", "token").agg(
         F.count("*").cast("bigint").alias("cnt")
     ).localCheckpoint()
-    tot = freq.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot_s"))
-    vocab = freq.agg(
-        F.countDistinct("token").cast("bigint").alias("v")
+    # candidate domain = labels with >= 1 train occurrence (the oracle's
+    # prior INNER JOIN tot) — tiny, collected once off the pinned model;
+    # the integer totals ride along as literals (exact cross-engine)
+    trows = (
+        freq.groupBy("lang")
+        .agg(F.sum("cnt").cast("bigint").alias("tot_s"))
+        .collect()
+    )
+    tot = {r["lang"]: int(r["tot_s"]) for r in trows}
+    langs = sorted(tot)
+    if not langs:
+        # no train occurrences: no candidates, empty confusion matrix
+        return spark.createDataFrame(
+            [], "actual string, predicted string, n_docs bigint"
+        )
+    vocab = freq.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    # the model pivoted to one row per token: cnt_<label> sibling columns
+    fp = freq.groupBy("token").agg(
+        *[
+            F.max(F.when(F.col("lang") == l, F.col("cnt"))).alias(f"__c{i}")
+            for i, l in enumerate(langs)
+        ]
+    )
+    t = test.select("doc_id", F.col("lang").alias("actual"), "token")
+    joined = t.crossJoin(F.broadcast(vocab)).join(
+        fp.hint("shuffle_hash"), "token", "left"
+    )
+    lls = [
+        (
+            F.log(
+                (F.coalesce(F.col(f"__c{i}"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.lit(tot[l]) + F.col("v"))
+            )
+            * 1e6
+        ).cast("bigint")
+        for i, l in enumerate(langs)
+    ]
+    agg = joined.groupBy("doc_id", "actual").agg(
+        *[F.sum(ll).cast("bigint").alias(f"__s{i}") for i, ll in enumerate(lls)]
     )
     per_src = (
         lab.filter(F.col("doc_id") % 5 != 0)
         .groupBy("lang")
-        .agg(F.count("*").cast("bigint").alias("n_docs_s"))
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    prior = per_src.crossJoin(
-        F.broadcast(per_src.agg(F.sum("n_docs_s").cast("bigint").alias("n_docs")))
+    pr1 = per_src.agg(
+        *[
+            F.max(F.when(F.col("lang") == l, F.col("n"))).alias(f"__nd{i}")
+            for i, l in enumerate(langs)
+        ],
+        F.sum("n").cast("bigint").alias("__ndocs"),
     )
-    cand = prior.join(F.broadcast(tot), "lang").crossJoin(F.broadcast(vocab))
-    # fan test occurrences out across the label domain, resolve the
-    # model's (lang, token) count, and sum trunc-scaled log-likelihoods
-    t = test.select("doc_id", F.col("lang").alias("actual"), "token")
-    joined = (
-        t.crossJoin(
-            F.broadcast(
-                cand.select(
-                    F.col("lang").alias("candidate"),
-                    "tot_s",
-                    "v",
-                    "n_docs_s",
-                    "n_docs",
-                )
-            )
+    scored = agg.crossJoin(F.broadcast(pr1))
+    scores = [
+        (
+            F.col(f"__s{i}")
+            + (
+                F.log(F.col(f"__nd{i}").cast("double") / F.col("__ndocs")) * 1e6
+            ).cast("bigint")
+        ).cast("bigint")
+        for i in range(len(langs))
+    ]
+    # argmax with the window's exact tie-break (score DESC, candidate ASC):
+    # greatest() over (score, reversed-candidate-rank) structs
+    if len(langs) == 1:
+        pred = F.lit(langs[0])
+    else:
+        best = F.greatest(
+            *[
+                F.struct(s.alias("s"), F.lit(len(langs) - 1 - i).alias("r"))
+                for i, s in enumerate(scores)
+            ]
         )
-        .join(
-            freq.hint("shuffle_hash").select(
-                F.col("lang").alias("candidate"), "token", "cnt"
-            ),
-            ["candidate", "token"],
-            "left",
+        pred = F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.lit(len(langs)) - best.getField("r")).cast("int"),
         )
+    best_df = scored.select("doc_id", "actual", pred.alias("predicted"))
+    return best_df.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n_docs")
     )
-    ll = (
-        F.log(
-            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-            / (F.col("tot_s") + F.col("v"))
-        )
-        * 1e6
-    ).cast("bigint")
-    prior_e6 = (
-        F.log(F.col("n_docs_s").cast("double") / F.col("n_docs")) * 1e6
-    ).cast("bigint")
-    scored = (
-        joined.groupBy("doc_id", "actual", "candidate", "n_docs_s", "n_docs")
-        .agg(F.sum(ll).cast("bigint").alias("ll_sum"))
-        .select(
-            "doc_id",
-            "actual",
-            "candidate",
-            (F.col("ll_sum") + prior_e6).cast("bigint").alias("score_e6"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("candidate"))
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy(
-        "actual", F.col("candidate").alias("predicted")
-    ).agg(F.count("*").cast("bigint").alias("n_docs"))
 
 
 @query(

